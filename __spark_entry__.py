@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(): flagship pipeline — derive per-series points from the sf0.001
+events table, push them through the Gorilla encode→decode Spark path,
+and roll up 1-minute tiers with exact p95 (the engine's north-star
+query shape).
+
+queries()/oracle_sql(): one entry per implemented operator from
+SURVEY.md §2B, each with a DuckDB-equivalent oracle (column names and
+float rounding matched on both sides — see gorillaspark/queries.py).
 """
 
 from __future__ import annotations
@@ -16,23 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from gorillaspark.operators.encode import decode_points, encode_points
+    from gorillaspark.operators.rollup import rollup_tier
+    from gorillaspark.queries import _event_points
+
+    pts = _event_points(spark, "/root/testdata/sf0.001")
+    decoded = decode_points(encode_points(pts, "double"), as_double=True)
+    return rollup_tier(decoded, "1m")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from gorillaspark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gorillaspark.queries import ORACLES
+    return dict(ORACLES)

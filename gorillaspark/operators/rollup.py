@@ -1,0 +1,134 @@
+"""Tiered continuous aggregates (1m → 1h → 1d) over series points.
+
+Pure Catalyst: tumbling windows via ``F.window``, exact p95 via
+``F.percentile`` (Spark ≥ 3.5, not percentile_approx — the oracle
+comparison is exact). Higher tiers recombine cnt/sum/min/max from the
+tier below (a ~60×/24× reduction each, so the extra shuffles are
+cheap); avg is re-derived as sum/cnt; p95 is NOT mergeable across
+buckets, so each tier's p95 is recomputed from raw points — a pruned
+two-column scan that Catalyst pushes down (documented policy,
+SURVEY.md §7.4).
+
+Skew: partial aggregation (map-side combine) is automatic in Spark's
+hash aggregate; for pathological hot series the optional salt stage
+splits a series' minute-buckets into ``n_salt`` shards that the final
+reduce recombines exactly (cnt/sum/min/max are associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIERS = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def _bucket(points: DataFrame, span: str) -> DataFrame:
+    return points.withColumn(
+        "bucket", F.window(F.timestamp_millis("ts_ms"), span)["start"])
+
+
+def rollup_tier(points: DataFrame, tier: str = "1m") -> DataFrame:
+    """count/sum/avg/min/max/exact-p95 per (series_key, bucket)."""
+    span = TIERS[tier]
+    return (
+        _bucket(points, span)
+        .groupBy("series_key", "bucket")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.avg("value").alias("avg"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def rollup_from_lower(lower: DataFrame, tier: str,
+                      p95_source: DataFrame | None = None) -> DataFrame:
+    """Cascade a coarser tier from a finer one.
+
+    cnt/sum/min/max recombine exactly; avg = sum/cnt. p95 is exact only
+    from raw points, so pass ``p95_source`` (raw points) to attach it;
+    without it the column is NULL (documented as non-mergeable).
+    """
+    span = TIERS[tier]
+    up = (
+        lower
+        .withColumn("bucket", F.window("bucket", span)["start"])
+        .groupBy("series_key", "bucket")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .withColumn("avg", F.col("sum") / F.col("cnt"))
+    )
+    if p95_source is not None:
+        p95 = (
+            _bucket(p95_source, span)
+            .groupBy("series_key", "bucket")
+            .agg(F.percentile("value", F.lit(0.95)).alias("p95"))
+        )
+        up = up.join(p95, ["series_key", "bucket"], "left")
+    else:
+        up = up.withColumn("p95", F.lit(None).cast("double"))
+    return up.select("series_key", "bucket", "cnt", "sum", "avg",
+                     "min", "max", "p95").withColumn("tier", F.lit(tier))
+
+
+def rollup_salted(points: DataFrame, tier: str = "1m",
+                  n_salt: int = 8) -> DataFrame:
+    """Two-stage salted rollup for hot series keys.
+
+    Stage 1 aggregates (series_key, bucket, salt) shards — the shuffle
+    key carries the salt so one hot series spreads over ``n_salt``
+    reducers; stage 2 recombines shards exactly. p95 is attached from a
+    dedicated exact pass (percentile needs all values of a bucket; its
+    skew is bounded because a minute-bucket of one series is small).
+    """
+    span = TIERS[tier]
+    salted = (
+        _bucket(points, span)
+        .withColumn("salt", F.pmod(F.xxhash64("ts_ms"), F.lit(n_salt)))
+    )
+    partial = (
+        salted.groupBy("series_key", "bucket", "salt")
+        .agg(F.count("value").alias("cnt"), F.sum("value").alias("sum"),
+             F.min("value").alias("min"), F.max("value").alias("max"))
+    )
+    merged = (
+        partial.groupBy("series_key", "bucket")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum").alias("sum"),
+             F.min("min").alias("min"), F.max("max").alias("max"))
+        .withColumn("avg", F.col("sum") / F.col("cnt"))
+    )
+    p95 = (
+        _bucket(points, span).groupBy("series_key", "bucket")
+        .agg(F.percentile("value", F.lit(0.95)).alias("p95"))
+    )
+    return (merged.join(p95, ["series_key", "bucket"], "left")
+            .select("series_key", "bucket", "cnt", "sum", "avg",
+                    "min", "max", "p95")
+            .withColumn("tier", F.lit(tier)))
+
+
+def role_rates(transcripts: DataFrame, span: str = "1 minute") -> DataFrame:
+    """Per-role message counts per tumbling window (north-star metric)."""
+    return (
+        transcripts
+        .groupBy(F.window("ts", span)["start"].alias("bucket"), "role")
+        .agg(F.count(F.lit(1)).alias("messages"))
+    )
+
+
+def tool_rates(transcripts: DataFrame, span: str = "1 minute") -> DataFrame:
+    """Per-tool call counts per tumbling window (tool turns only)."""
+    return (
+        transcripts.where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", span)["start"].alias("bucket"), "tool")
+        .agg(F.count(F.lit(1)).alias("calls"))
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Everything here is plain configuration — no custom Catalyst rules are
+needed anywhere in the engine (SURVEY.md §4.2): the codec is opaque to
+Catalyst inside pandas UDFs and every relational piece uses stock
+operators, so AQE + Arrow + sane shuffle sizing is the whole story.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "gorillaspark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra: dict[str, str] | None = None) -> SparkSession:
+    """Create (or fetch) a session tuned for the engine.
+
+    Defaults are sized for the sandbox (local[N]); on a real cluster the
+    same code runs under spark-submit where master/shuffle come from the
+    cluster conf and AQE re-plans at runtime.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or max(cpus, 32)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        # AQE: runtime coalescing + skew-join splitting — the backstop
+        # for hot conv_id skew on top of our explicit salting
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow is the codec UDF transport; large batches amortize the
+        # per-batch kernel overhead (segmented encode is O(1) calls/batch)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # keep scan partitions near executor-memory-friendly sizes
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

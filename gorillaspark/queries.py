@@ -1,0 +1,367 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 exposed as
+(spark, sf_dir) -> DataFrame with a DuckDB oracle SQL twin.
+
+Conventions for oracle comparability (the driver hashes values after
+sorting columns by name):
+
+* every computed column is aliased identically in Spark and SQL;
+* bucket timestamps are emitted as epoch-millis BIGINT (cross-engine
+  timestamp hashing is not trusted);
+* float aggregates that accumulate in engine-dependent order (sum/avg/
+  p95 over arbitrary doubles) are rounded to 6 dp on BOTH sides;
+* identity/codec round-trip queries compare exact doubles (bit-safe).
+
+The synthetic `events` table stands in for the transcripts corpus in
+driver correctness runs (user_id ↔ conv_id, ts ↔ turn time); the real
+transcripts generator feeds the pytest suite and bench instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.encode import decode_points, encode_points
+from .operators.gapfill import gapfill_ffill
+from .operators.rollup import rollup_from_lower, rollup_tier
+
+MS = {"1m": 60_000, "1h": 3_600_000, "1d": 86_400_000}
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → series points: one series per user, value = event value."""
+    return _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("series_key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+_EVENT_POINTS_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS series_key,
+           epoch_ms(ts) AS ts_ms,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+"""
+
+
+def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# rollup tiers
+# ---------------------------------------------------------------------------
+
+def _rollup(spark, sf_dir, tier):
+    out = rollup_tier(_event_points(spark, sf_dir), tier)
+    out = out.select(
+        "series_key",
+        F.unix_millis("bucket").alias("bucket_ms"),
+        "cnt", "sum", "avg", "min", "max", "p95")
+    return _round6(out, ["sum", "avg", "p95"])
+
+
+def _rollup_sql(tier):
+    unit = {"1m": "minute", "1h": "hour", "1d": "day"}[tier]
+    return f"""
+        WITH pts AS ({_EVENT_POINTS_SQL})
+        SELECT series_key,
+               epoch_ms(date_trunc('{unit}', make_timestamp(ts_ms * 1000))) AS bucket_ms,
+               count(value) AS cnt,
+               ROUND(sum(value), 6) AS sum,
+               ROUND(avg(value), 6) AS avg,
+               min(value) AS min,
+               max(value) AS max,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95
+        FROM pts GROUP BY 1, 2
+    """
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _rollup(spark, sf_dir, "1m")
+
+
+def q_rollup_1h(spark, sf_dir):
+    return _rollup(spark, sf_dir, "1h")
+
+
+def q_rollup_1d(spark, sf_dir):
+    return _rollup(spark, sf_dir, "1d")
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    """1h tier recombined from the 1m tier (cnt/sum/min/max cascade,
+    p95 from raw) — must equal the direct 1h rollup, which is the
+    oracle."""
+    pts = _event_points(spark, sf_dir)
+    m1 = rollup_tier(pts, "1m")
+    out = rollup_from_lower(m1, "1h", p95_source=pts).select(
+        "series_key", F.unix_millis("bucket").alias("bucket_ms"),
+        "cnt", "sum", "avg", "min", "max", "p95")
+    return _round6(out, ["sum", "avg", "p95"])
+
+
+# ---------------------------------------------------------------------------
+# latency (lag-based) metrics — the transcripts north-star shape
+# ---------------------------------------------------------------------------
+
+def q_latency_stats_per_series(spark, sf_dir):
+    """Inter-event latency per series: avg / exact p95 / count."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lat = ev.withColumn(
+        "latency_ms",
+        (F.unix_millis(F.col("ts").cast("timestamp")) - F.lag(F.unix_millis(F.col("ts").cast("timestamp"))).over(w))
+        .cast("double")).where(F.col("latency_ms").isNotNull())
+    out = (lat.groupBy(F.col("user_id").cast("string").alias("series_key"))
+           .agg(F.count("latency_ms").alias("cnt"),
+                F.avg("latency_ms").alias("avg_latency_ms"),
+                F.percentile("latency_ms", F.lit(0.95)).alias("p95_latency_ms")))
+    return _round6(out, ["avg_latency_ms", "p95_latency_ms"])
+
+
+_LATENCY_SQL = """
+    WITH lat AS (
+        SELECT CAST(user_id AS VARCHAR) AS series_key,
+               CAST(epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+                   AS latency_ms
+        FROM events)
+    SELECT series_key,
+           count(latency_ms) AS cnt,
+           ROUND(avg(latency_ms), 6) AS avg_latency_ms,
+           ROUND(quantile_cont(latency_ms, 0.95), 6) AS p95_latency_ms
+    FROM lat WHERE latency_ms IS NOT NULL GROUP BY 1
+"""
+
+
+def q_event_type_rates_1h(spark, sf_dir):
+    """Per-type hourly message rates (role/tool-rate analogue)."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(
+                F.unix_millis(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("bucket_ms"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("messages")))
+
+
+_EVENT_RATES_SQL = """
+    SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+           event_type,
+           count(*) AS messages
+    FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# codec round trip as a queryable identity
+# ---------------------------------------------------------------------------
+
+def q_codec_roundtrip(spark, sf_dir):
+    """decode(encode(points)) — must be the identity over the points
+    (the oracle is a plain SELECT). Exercises the full Spark codec
+    path: shuffle layout → segmented encode kernel → blocks → decode."""
+    pts = _event_points(spark, sf_dir)
+    return decode_points(encode_points(pts, "double"), as_double=True)
+
+
+def q_block_inventory(spark, sf_dir):
+    """Per-series block accounting: blocks and encoded points per
+    series-day must tally with the raw point counts (oracle: count
+    per series/day)."""
+    pts = _event_points(spark, sf_dir)
+    blocks = encode_points(pts, "double")
+    return (blocks.groupBy("series_key")
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum("n_points").cast("long").alias("n_points")))
+
+
+_BLOCK_INVENTORY_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL})
+    SELECT series_key,
+           count(DISTINCT ts_ms // 86400000) AS n_blocks,
+           count(*) AS n_points
+    FROM pts GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap fill
+# ---------------------------------------------------------------------------
+
+def q_gapfill_1h_ffill(spark, sf_dir):
+    out = gapfill_ffill(_event_points(spark, sf_dir), "1h", agg="avg")
+    out = out.select("series_key", "bucket_ms",
+                     F.round("value", 6).alias("value"),
+                     F.col("filled").cast("int").alias("filled"))
+    return out
+
+
+_GAPFILL_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL}),
+    b AS (SELECT series_key,
+                 (ts_ms // 3600000) * 3600000 AS bucket_ms,
+                 avg(value) AS v
+          FROM pts GROUP BY 1, 2),
+    spans AS (SELECT series_key, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+              FROM b GROUP BY 1),
+    grid AS (SELECT series_key,
+                    unnest(generate_series(lo, hi, 3600000)) AS bucket_ms
+             FROM spans)
+    SELECT g.series_key, g.bucket_ms,
+           ROUND(last_value(b.v IGNORE NULLS) OVER (
+               PARTITION BY g.series_key ORDER BY g.bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+           CAST(b.v IS NULL AS INT) AS filled
+    FROM grid g LEFT JOIN b USING (series_key, bucket_ms)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization (window-function coverage)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """Session windows: a >30 min silence starts a new session; emits
+    per-session span and event count."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        (F.unix_millis(F.col("ts").cast("timestamp")) - F.lag(F.unix_millis(F.col("ts").cast("timestamp"))).over(w)
+         > 1_800_000).cast("int"))
+    marked = marked.withColumn(
+        "sess_id",
+        F.sum(F.coalesce("new_sess", F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (marked.groupBy(F.col("user_id").cast("string").alias("series_key"),
+                           "sess_id")
+            .agg(F.unix_millis(F.min(F.col("ts").cast("timestamp"))).alias("sess_start_ms"),
+                 F.unix_millis(F.max(F.col("ts").cast("timestamp"))).alias("sess_end_ms"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+_SESSIONIZE_SQL = """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000 THEN 1
+                    WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL THEN 1
+                    ELSE 0 END AS new_sess
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked)
+    SELECT CAST(user_id AS VARCHAR) AS series_key, sess_id,
+           epoch_ms(min(ts)) AS sess_start_ms,
+           epoch_ms(max(ts)) AS sess_end_ms,
+           count(*) AS n_events
+    FROM sess GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# general relational coverage (agg / join / top-k)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("sum_disc_price"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order")))
+    return _round6(out, ["sum_qty", "sum_base_price", "sum_disc_price",
+                         "avg_qty", "avg_price", "avg_disc"])
+
+
+_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 6) AS sum_qty,
+           ROUND(sum(l_extendedprice), 6) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(avg(l_quantity), 6) AS avg_qty,
+           ROUND(avg(l_extendedprice), 6) AS avg_price,
+           ROUND(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY 1, 2
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast join orders→customer + revenue top-25 (deterministic
+    tie-break on custkey)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders")))
+    out = (rev.join(F.broadcast(cust),
+                    rev["o_custkey"] == cust["c_custkey"])
+           .select(F.col("c_custkey").alias("custkey"),
+                   F.col("c_name").alias("name"), "revenue", "n_orders")
+           .orderBy(F.desc("revenue"), "custkey").limit(25))
+    return out
+
+
+_TOP_CUSTOMERS_SQL = """
+    WITH rev AS (
+        SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1)
+    SELECT c_custkey AS custkey, c_name AS name, revenue, n_orders
+    FROM rev JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, custkey LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h": q_rollup_1h,
+    "rollup_1d": q_rollup_1d,
+    "rollup_1h_cascade": q_rollup_1h_cascade,
+    "latency_stats_per_series": q_latency_stats_per_series,
+    "event_type_rates_1h": q_event_type_rates_1h,
+    "codec_roundtrip": q_codec_roundtrip,
+    "block_inventory": q_block_inventory,
+    "gapfill_1h_ffill": q_gapfill_1h_ffill,
+    "sessionize": q_sessionize,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+}
+
+ORACLES = {
+    "rollup_1m": _rollup_sql("1m"),
+    "rollup_1h": _rollup_sql("1h"),
+    "rollup_1d": _rollup_sql("1d"),
+    "rollup_1h_cascade": _rollup_sql("1h"),
+    "latency_stats_per_series": _LATENCY_SQL,
+    "event_type_rates_1h": _EVENT_RATES_SQL,
+    "codec_roundtrip": _EVENT_POINTS_SQL,
+    "block_inventory": _BLOCK_INVENTORY_SQL,
+    "gapfill_1h_ffill": _GAPFILL_SQL,
+    "sessionize": _SESSIONIZE_SQL,
+    "pricing_summary": _PRICING_SQL,
+    "top_customers": _TOP_CUSTOMERS_SQL,
+}

@@ -1,0 +1,171 @@
+"""End-to-end Spark pipeline tests: transcripts → points → Gorilla
+blocks → decode round trip, rollup tiers vs a pandas oracle, gap-fill,
+and text equality under stable turn ordering.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gorillaspark.operators.encode import (
+    decode_points,
+    encode_points,
+    roundtrip_check,
+)
+from gorillaspark.operators.gapfill import gapfill_ffill
+from gorillaspark.operators.normalize import (
+    turn_latency_points,
+    with_turn_latency,
+)
+from gorillaspark.operators.rollup import (
+    rollup_from_lower,
+    rollup_salted,
+    rollup_tier,
+)
+
+
+def test_generator_deterministic_and_skewed(spark):
+    from gorillaspark.sources.transcripts import generate_transcripts
+    a = generate_transcripts(spark, n_conv=10, mean_turns=30).toPandas()
+    b = generate_transcripts(spark, n_conv=10, mean_turns=30).toPandas()
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    counts = a.groupby("conv_id").size()
+    assert counts["conv000000"] >= 0.4 * counts.sum()  # hot conv skew
+    # strictly increasing ts within conv
+    for _, g in a.groupby("conv_id"):
+        ts = g.sort_values("turn_idx")["ts"].to_numpy()
+        assert (np.diff(ts.astype("datetime64[ms]").astype(np.int64)) > 0).all()
+
+
+def test_turn_ordering_and_text_equality(spark, transcripts):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering
+    (BASELINE.json input_hint invariant): sorting the table twice along
+    the stable key yields byte-identical text sequences."""
+    once = (transcripts.orderBy("conv_id", "turn_idx")
+            .select("conv_id", "turn_idx", F.sha2("text", 256).alias("h")))
+    again = (transcripts.repartition(7, "conv_id")
+             .orderBy("conv_id", "turn_idx")
+             .select("conv_id", "turn_idx", F.sha2("text", 256).alias("h2")))
+    diff = (once.join(again, ["conv_id", "turn_idx"], "full_outer")
+            .where((F.col("h") != F.col("h2"))
+                   | F.col("h").isNull() | F.col("h2").isNull()))
+    assert diff.count() == 0
+
+
+def test_latency_points_match_pandas(spark, transcripts):
+    pts = turn_latency_points(transcripts).toPandas()
+    ref = transcripts.toPandas().sort_values(["conv_id", "turn_idx"])
+    ref["ts_ms"] = ref["ts"].astype("datetime64[ms]").astype(np.int64)
+    ref["lat"] = ref.groupby("conv_id")["ts_ms"].diff()
+    ref = ref.dropna(subset=["lat"])
+    got = pts.sort_values(["series_key", "ts_ms"]).reset_index(drop=True)
+    want = (ref[["conv_id", "ts_ms", "lat"]]
+            .sort_values(["conv_id", "ts_ms"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["series_key"].to_numpy() == want["conv_id"].to_numpy()).all()
+    assert np.allclose(got["value"].to_numpy(), want["lat"].to_numpy())
+
+
+def test_spark_roundtrip_bit_exact(spark, transcripts):
+    pts = turn_latency_points(transcripts)
+    bad = roundtrip_check(pts, value_kind="double")
+    assert bad.count() == 0
+
+
+def test_spark_roundtrip_adversarial_doubles(spark):
+    """NaN payloads, -0.0, subnormals, ±Inf through the full Spark path."""
+    rows = []
+    specials = [float("nan"), -0.0, 0.0, float("inf"), float("-inf"),
+                5e-324, -5e-324, 1.7976931348623157e308, 1.0, -1.0]
+    t = 1_500_400_800_001
+    for i in range(400):
+        rows.append(("s%d" % (i % 3), t + i * 7919,
+                     specials[i % len(specials)] * (1 + (i % 5))))
+    pdf = pd.DataFrame(rows, columns=["series_key", "ts_ms", "value"])
+    df = spark.createDataFrame(pdf)
+    assert roundtrip_check(df, value_kind="double").count() == 0
+
+
+def test_block_stats_reasonable(spark, transcripts):
+    pts = turn_latency_points(transcripts)
+    blocks = encode_points(pts).cache()
+    stats = blocks.agg(
+        F.sum("n_points").alias("pts"),
+        F.sum(F.size("words")).alias("words")).collect()[0]
+    assert stats["pts"] == pts.count()
+    # compression: < 16 bytes/point (raw ts+value) on latency data
+    assert stats["words"] * 8 < stats["pts"] * 16
+    decoded = decode_points(blocks)
+    assert decoded.count() == pts.count()
+    blocks.unpersist()
+
+
+def test_rollup_1m_matches_pandas_oracle(spark, transcripts):
+    pts_df = turn_latency_points(transcripts)
+    got = rollup_tier(pts_df, "1m").toPandas()
+    pdf = pts_df.toPandas()
+    pdf["bucket"] = (pdf["ts_ms"] // 60_000) * 60_000
+    ref = pdf.groupby(["series_key", "bucket"])["value"].agg(
+        cnt="count", sum="sum", avg="mean", min="min", max="max",
+        p95=lambda s: s.quantile(0.95, interpolation="linear"))
+    got["bucket_ms"] = got["bucket"].astype("datetime64[ms]").astype(np.int64)
+    got = got.set_index(["series_key", "bucket_ms"]).sort_index()
+    ref = ref.sort_index()
+    assert len(got) == len(ref)
+    for col in ["cnt", "sum", "avg", "min", "max", "p95"]:
+        a = got[col].to_numpy(dtype=float)
+        b = ref[col].to_numpy(dtype=float)
+        assert np.allclose(a, b, rtol=1e-12), col
+
+
+def test_rollup_cascade_consistency(spark, transcripts):
+    pts = turn_latency_points(transcripts)
+    m1 = rollup_tier(pts, "1m")
+    h1 = rollup_from_lower(m1, "1h", p95_source=pts)
+    direct = rollup_tier(pts, "1h")
+    a = h1.select("series_key", "bucket", "cnt", "sum", "min", "max", "p95") \
+        .toPandas().set_index(["series_key", "bucket"]).sort_index()
+    b = direct.select("series_key", "bucket", "cnt", "sum", "min", "max",
+                      "p95") \
+        .toPandas().set_index(["series_key", "bucket"]).sort_index()
+    assert len(a) == len(b)
+    assert (a["cnt"] == b["cnt"]).all()
+    for col in ["sum", "min", "max", "p95"]:
+        assert np.allclose(a[col].to_numpy(), b[col].to_numpy(),
+                           rtol=1e-12), col
+
+
+def test_rollup_salted_equals_plain(spark, transcripts):
+    pts = turn_latency_points(transcripts)
+    plain = rollup_tier(pts, "1m").drop("tier")
+    salted = rollup_salted(pts, "1m", n_salt=4).drop("tier")
+    a = plain.toPandas().set_index(["series_key", "bucket"]).sort_index()
+    b = salted.toPandas().set_index(["series_key", "bucket"]).sort_index()
+    assert len(a) == len(b)
+    for col in ["cnt", "sum", "avg", "min", "max", "p95"]:
+        assert np.allclose(a[col].to_numpy(dtype=float),
+                           b[col].to_numpy(dtype=float), rtol=1e-12), col
+
+
+def test_gapfill_ffill(spark):
+    pdf = pd.DataFrame({
+        "series_key": ["a"] * 3 + ["b"] * 2,
+        "ts_ms": [60_000, 120_000, 360_000, 60_000, 65_000],
+        "value": [1.0, 2.0, 3.0, 10.0, 20.0],
+    })
+    out = gapfill_ffill(spark.createDataFrame(pdf), "1m").toPandas()
+    a = out[out.series_key == "a"].sort_values("bucket_ms")
+    # grid spans 1m..6m inclusive → 6 buckets, gaps ffilled with 2.0
+    assert len(a) == 6
+    assert a["value"].tolist() == [1.0, 2.0, 2.0, 2.0, 2.0, 3.0]
+    assert a["filled"].tolist() == [False, False, True, True, True, False]
+    b = out[out.series_key == "b"]
+    assert len(b) == 1 and not b["filled"].iloc[0]
+    assert math.isclose(b["value"].iloc[0], 15.0)  # two points, avg agg
