@@ -174,11 +174,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     # exact verification of candidates only
     sh_a = sh.select(F.col("doc_id").alias("doc_a"),
                      F.col("shingle").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"),
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"),
                      F.col("shingle").alias("sh_b"))
-    inter = (cands.join(sh_a, "doc_a").join(
-                 sh_b, (F.col("doc_b") == sh_b["doc_b"])
-                 & (F.col("sh_a") == F.col("sh_b")))
+    inter = (cands.join(sh_a, "doc_a")
+             .join(sh_b, (F.col("doc_b") == F.col("doc_b2"))
+                   & (F.col("sh_a") == F.col("sh_b")))
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("inter")))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

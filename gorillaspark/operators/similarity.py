@@ -127,3 +127,25 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             .where(F.col("cosine") >= threshold)
             .select(F.col("a.vid").alias("vec_a"),
                     F.col("b.vid").alias("vec_b"), "cosine"))
+
+
+def embedding_near_dup_exact(emb: DataFrame, threshold: float = 0.9,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Exact near-duplicate pairs (all-pairs cosine ≥ τ).
+
+    Quadratic — the oracle/verification path; at corpus scale use
+    :func:`embedding_near_dup_pairs` (LSH candidates, identical final
+    predicate)."""
+    normed = with_unit_norm(emb, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("unit"))
+    a = normed.alias("a")
+    b = normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.unit", "b.unit", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("a.vid") < F.col("b.vid"))
+            .withColumn("cosine", F.round(dot, 6))
+            .where(F.col("cosine") >= threshold)
+            .select(F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"), "cosine"))

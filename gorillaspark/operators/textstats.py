@@ -1,0 +1,98 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All JVM-side column expressions (split/filter/aggregate) — whole-stage
+codegen end to end, no Python in the row path. Heuristics are
+deliberately simple and deterministic so DuckDB oracles can replicate
+them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny function-word inventories for the n-gram/stopword language score
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "por", "con", "para"],
+}
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens plus a BPE-ish subword estimate
+    (≈ ceil(chars/4), the common ~4-chars-per-token heuristic)."""
+    toks = _tokens(text_col)
+    return docs.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_subwords",
+        F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("long"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword/repetition quality features plus a
+    composite [0,1] score (monotone blend, fully SQL-expressible)."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    n_uniq = F.size(F.array_distinct(toks))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    avg_word = n_chars / F.greatest(n_tok, F.lit(1))
+    out = (docs
+           .withColumn("n_chars", n_chars.cast("long"))
+           .withColumn("n_tokens", n_tok.cast("long"))
+           .withColumn("uniq_ratio",
+                       F.round(n_uniq / F.greatest(n_tok, F.lit(1)), 6))
+           .withColumn("stop_hits", n_stop.cast("long"))
+           .withColumn("punct_ratio",
+                       F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
+           .withColumn("avg_word_len", F.round(avg_word, 6)))
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.col("uniq_ratio") * 0.4
+        + F.least(F.col("stop_hits") / F.lit(4.0), F.lit(1.0)) * 0.2)
+    return out.withColumn("quality", F.round(score, 6))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Function-word voting language ID with deterministic tie-break
+    (highest hit count, then language code order)."""
+    toks = _tokens(text_col)
+    hits = [
+        F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in ws]))).alias(f"hits_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    scored = docs.select("*", *hits)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pick = F.coalesce(
+        *[F.when((F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg))
+          for lg in langs],
+        F.lit("unknown"))
+    return scored.withColumn("lang_pred", pick)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic rolling document fingerprint.
+
+    h = fold(h * 31 + code) mod 2^31-1 over the text's character codes
+    (polynomial rolling hash) — replicable in DuckDB via list_reduce
+    for the oracle; collision-grouping on it is the cheap near-exact
+    dedup key. Modulus 2^31-1 keeps acc*31+c < 2^36, overflow-safe in
+    BIGINT on both engines (Spark 4 ANSI mode throws on overflow)."""
+    m = (1 << 31) - 1
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    codes = F.transform(chars, F.ascii)
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c.cast("long")) % F.lit(m))
+    return docs.withColumn("fingerprint", h)

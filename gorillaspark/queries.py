@@ -365,3 +365,248 @@ ORACLES = {
     "pricing_summary": _PRICING_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from .operators.dedup import dedup_exact
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_SQL = """
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.25)
+
+
+_NGRAM_JACCARD_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt_i
+        FROM grams a JOIN grams b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(cnt_i * 1.0 / (sa.sz + sb.sz - cnt_i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE cnt_i * 1.0 / (sa.sz + sb.sz - cnt_i) >= 0.25
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidates + exact-Jaccard verification; the oracle is the
+    brute-force pair set (recall of the banding at tau=0.5 with r=2,
+    b=32 is ~1-1e-4, so equality is expected at test scale)."""
+    from .operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.5,
+                             n_perm=64, n_bands=32)
+
+
+_MINHASH_SQL = _NGRAM_JACCARD_SQL.replace("0.25", "0.5")
+
+
+def q_doc_stats(spark, sf_dir):
+    from .operators.textstats import quality_score, token_count
+    out = token_count(quality_score(_docs(spark, sf_dir)))
+    return out.select("doc_id", "n_chars", "n_tokens", "n_subwords",
+                      "uniq_ratio", "stop_hits", "punct_ratio",
+                      "avg_word_len", "quality")
+
+
+_DOC_STATS_SQL = r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    feats AS (
+        SELECT doc_id, n_chars,
+               len(t) AS n_tokens,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subwords,
+               ROUND(len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 6)
+                   AS uniq_ratio,
+               len(list_intersect(t, ['the','and','of','to','a','in','is',
+                                      'that','it','for'])) AS stop_hits,
+               ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+               ROUND(n_chars * 1.0 / greatest(len(t), 1), 6) AS avg_word_len
+        FROM base)
+    SELECT doc_id, n_chars, n_tokens, n_subwords, uniq_ratio, stop_hits,
+           punct_ratio, avg_word_len,
+           ROUND(least(n_tokens / 64.0, 1.0) * 0.4 + uniq_ratio * 0.4
+                 + least(stop_hits / 4.0, 1.0) * 0.2, 6) AS quality
+    FROM feats
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from .operators.textstats import lang_id
+    return lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "lang_pred")
+
+
+_LANG_ID_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    hits AS (
+        SELECT doc_id,
+               len(list_intersect(t, ['the','and','of','to','a','in','is',
+                                      'that','it','for'])) AS hits_en,
+               len(list_intersect(t, ['der','die','und','das','ist','nicht',
+                                      'ein','zu','mit'])) AS hits_de,
+               len(list_intersect(t, ['le','la','et','les','des','est','un',
+                                      'une','que','pour'])) AS hits_fr,
+               len(list_intersect(t, ['el','la','de','que','y','los','un',
+                                      'por','con','para'])) AS hits_es
+        FROM toks)
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE
+             WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es)
+                  AND greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+               THEN 'en'
+             WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es)
+                  AND greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+               THEN 'de'
+             WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es)
+                  AND greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+               THEN 'fr'
+             WHEN hits_es = greatest(hits_en, hits_de, hits_fr, hits_es)
+                  AND greatest(hits_en, hits_de, hits_fr, hits_es) > 0
+               THEN 'es'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM hits
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from .operators.textstats import fingerprint
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+_FINGERPRINT_SQL = """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+    FROM documents
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    from .operators.similarity import cosine_topk_bruteforce
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return cosine_topk_bruteforce(emb, queries, k=10)
+
+
+_ANN_TOPK_SQL = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+    u AS (SELECT vec_id,
+                 list_transform(vec, x -> x / nrm) AS unit FROM n),
+    q AS (SELECT vec_id AS query_id, unit AS q_unit FROM u
+          WHERE vec_id < 32),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS nbr_id,
+               ROUND(list_dot_product(q.q_unit, c.unit), 6) AS cosine
+        FROM q JOIN u c ON q.query_id <> c.vec_id),
+    ranked AS (
+        SELECT query_id, nbr_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nbr_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from .operators.similarity import embedding_near_dup_exact
+    return embedding_near_dup_exact(_emb(spark, sf_dir), threshold=0.3)
+
+
+_NEAR_DUP_SQL = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+    u AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS unit FROM n)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.unit, b.unit), 6) AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.unit, b.unit), 6) >= 0.3
+"""
+
+
+def q_simhash_dupes(spark, sf_dir):
+    """Rows-only check (SimHash's 64-bit token hashing is not
+    SQL-expressible in DuckDB)."""
+    from .operators.dedup import simhash_duplicates
+    return simhash_duplicates(_docs(spark, sf_dir))
+
+
+QUERIES.update({
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "doc_stats": q_doc_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "simhash_dupes": q_simhash_dupes,
+})
+
+ORACLES.update({
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "doc_stats": _DOC_STATS_SQL,
+    "lang_id": _LANG_ID_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "ann_topk": _ANN_TOPK_SQL,
+    "embedding_near_dup": _NEAR_DUP_SQL,
+    # simhash_dupes: rows-only by design
+})
