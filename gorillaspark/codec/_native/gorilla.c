@@ -1,0 +1,242 @@
+/* Native Gorilla v2 block codec (optional fast path).
+ *
+ * A from-scratch C implementation of the same stream format as
+ * gorillaspark.codec.scalar / .vector — bit-exact vs the reference
+ * gorilla-tsc v2 (GorillaCompressor + LongArrayOutput semantics:
+ * MSB-first 64-bit words, 27-bit first delta, zigzag delta-of-delta
+ * size buckets incl. the bitsRequired==0 -> 36-bit quirk, XOR value
+ * packing with leading/trailing-zero window reuse, '1111'+0xFFFFFFFF
+ * close marker, trailing-word snapshot).
+ *
+ * Compiled on demand by codec/native.py (cc -O3 -shared -fPIC); every
+ * caller falls back to the numpy/Python implementations when no
+ * compiler is present, and the pytest suite runs both paths against
+ * the reference-generated goldens.
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+
+#define FIRST_DELTA_BITS 27
+#define EMPTY_SENTINEL ((1u << 27) - 1)
+
+/* ------------------------------------------------------------------ */
+/* bit writer                                                          */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint64_t *words;
+    int64_t pos;        /* flushed words */
+    uint64_t cur;
+    int bits_left;
+} wbuf;
+
+static inline void wflip(wbuf *w) {
+    w->words[w->pos++] = w->cur;
+    w->cur = 0;
+    w->bits_left = 64;
+}
+
+static inline void wbits(wbuf *w, uint64_t value, int bits) {
+    if (bits < 64) value &= (((uint64_t)1 << bits) - 1);
+    if (bits <= w->bits_left) {
+        w->cur |= value << (w->bits_left - bits);
+        w->bits_left -= bits;
+        if (w->bits_left == 0) wflip(w);
+    } else {
+        int hi = bits - w->bits_left;
+        w->cur |= value >> hi;
+        wflip(w);
+        w->cur |= value << (64 - hi);
+        w->bits_left = 64 - hi;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* encoder                                                             */
+/* ------------------------------------------------------------------ */
+
+/* Encode S blocks.
+ *   block_ts[S], offsets[S+1], ts[n], vals[n] (raw bit patterns)
+ *   out_words: caller-allocated; capacity cap_words
+ *   out_wc[S]: words per block
+ * Returns total words written, or -1 if capacity exceeded.
+ * Worst case per block: 3 + 2*len + 2 words. */
+int64_t gs_encode_blocks(const int64_t *block_ts, const int64_t *offsets,
+                         int64_t S, const int64_t *ts, const uint64_t *vals,
+                         uint64_t *out_words, int64_t cap_words,
+                         int64_t *out_wc)
+{
+    int64_t wpos = 0;
+    for (int64_t s = 0; s < S; s++) {
+        int64_t a = offsets[s], b = offsets[s + 1];
+        int64_t len = b - a;
+        /* capacity check: worst case 2 words/point + 5 */
+        if (wpos + 2 * len + 6 > cap_words) return -1;
+        wbuf w = { out_words + wpos, 0, 0, 64 };
+
+        wbits(&w, (uint64_t)block_ts[s], 64);
+        int32_t stored_delta = 0;
+        int slz = 1 << 30, stz = 0;
+        uint64_t prev_val = 0;
+        if (len > 0) {
+            stored_delta = (int32_t)((uint64_t)ts[a] - (uint64_t)block_ts[s]);
+            wbits(&w, (uint32_t)stored_delta, FIRST_DELTA_BITS);
+            wbits(&w, vals[a], 64);
+            prev_val = vals[a];
+        }
+        for (int64_t i = a + 1; i < b; i++) {
+            /* timestamp: delta-of-delta, int32 wrap semantics */
+            int32_t new_delta = (int32_t)((uint64_t)ts[i] - (uint64_t)ts[i-1]);
+            int32_t dd = (int32_t)((uint32_t)new_delta
+                                   - (uint32_t)stored_delta);
+            if (dd == 0) {
+                wbits(&w, 0, 1);
+            } else {
+                uint32_t zz = (((uint32_t)dd << 1)
+                               ^ (uint32_t)(dd >> 31)) - 1u;
+                int nb = zz ? 32 - __builtin_clz(zz) : 0;
+                if (nb >= 1 && nb <= 7)       wbits(&w, zz | 0x100u, 9);
+                else if (nb <= 9 && nb >= 8)  wbits(&w, zz | 0xC00u, 12);
+                else if (nb >= 10 && nb <= 12) wbits(&w, zz | 0xE000u, 16);
+                else { /* nb==0 (dd==-1) or >=13: reference default path */
+                    wbits(&w, 0xF, 4);
+                    wbits(&w, zz, 32);
+                }
+                stored_delta = new_delta;
+            }
+            /* value: xor with last-value predictor */
+            uint64_t x = prev_val ^ vals[i];
+            prev_val = vals[i];
+            if (x == 0) {
+                wbits(&w, 0, 1);
+            } else {
+                int lz = __builtin_clzll(x);
+                int tz = __builtin_ctzll(x);
+                if (lz >= slz && tz >= stz) {
+                    int sig = 64 - slz - stz;
+                    wbits(&w, 2, 2);
+                    wbits(&w, x >> stz, sig);
+                } else {
+                    int sig = 64 - lz - tz;
+                    wbits(&w, ((uint64_t)3 << 12)
+                              | ((uint64_t)lz << 6)
+                              | (uint64_t)(sig - 1), 14);
+                    wbits(&w, x >> tz, sig);
+                    slz = lz; stz = tz;
+                }
+            }
+        }
+        /* close: '1111' + 0xFFFFFFFF + one 0 bit + flush */
+        wbits(&w, 0xF, 4);
+        wbits(&w, 0xFFFFFFFFu, 32);
+        wbits(&w, 0, 1);
+        wflip(&w);
+        /* trailing snapshot word (empty current word after flush) */
+        w.words[w.pos] = 0;
+        out_wc[s] = w.pos + 1;
+        wpos += out_wc[s];
+    }
+    return wpos;
+}
+
+/* ------------------------------------------------------------------ */
+/* decoder                                                             */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const uint64_t *words;
+    int64_t nwords;
+    int64_t wi;
+    uint64_t cur;
+    int bits_left;
+} rbuf;
+
+static inline uint64_t rbits(rbuf *r, int bits) {
+    uint64_t v;
+    if (bits <= r->bits_left) {
+        v = (r->cur >> (r->bits_left - bits));
+        if (bits < 64) v &= (((uint64_t)1 << bits) - 1);
+        r->bits_left -= bits;
+        if (r->bits_left == 0 && r->wi < r->nwords) {
+            r->cur = r->words[r->wi++];
+            r->bits_left = 64;
+        }
+    } else {
+        int rem = bits - r->bits_left;
+        v = r->cur & ((r->bits_left == 64) ? ~(uint64_t)0
+                      : (((uint64_t)1 << r->bits_left) - 1));
+        r->cur = (r->wi < r->nwords) ? r->words[r->wi++] : 0;
+        r->bits_left = 64;
+        v = (v << rem) | (r->cur >> (64 - rem));
+        r->bits_left -= rem;
+    }
+    return v;
+}
+
+/* Decode S blocks; out arrays sized cap points. out_offsets[S+1].
+ * Returns total points, or -1 on capacity overflow, -2 on corrupt. */
+int64_t gs_decode_blocks(const uint64_t *words, const int64_t *wc,
+                         int64_t S, int64_t *out_ts, uint64_t *out_vals,
+                         int64_t *out_offsets, int64_t cap)
+{
+    int64_t total = 0;
+    int64_t wbase = 0;
+    out_offsets[0] = 0;
+    for (int64_t s = 0; s < S; s++) {
+        rbuf r = { words + wbase, wc[s], 1, 0, 64 };
+        if (wc[s] <= 0) return -2;
+        r.cur = r.words[0];
+        wbase += wc[s];
+
+        int64_t block_ts = (int64_t)rbits(&r, 64);
+        uint64_t first_delta = rbits(&r, FIRST_DELTA_BITS);
+        if (first_delta == EMPTY_SENTINEL) {
+            out_offsets[s + 1] = total;
+            continue;
+        }
+        if (total >= cap) return -1;
+        uint64_t val = rbits(&r, 64);
+        int64_t cur_ts = block_ts + (int64_t)first_delta;
+        int64_t delta = (int64_t)first_delta;
+        out_ts[total] = cur_ts;
+        out_vals[total] = val;
+        total++;
+        int slz = 1 << 20, stz = 0;
+        for (;;) {
+            /* timestamp control */
+            if (rbits(&r, 1)) {
+                uint32_t raw;
+                if (!rbits(&r, 1))      raw = (uint32_t)rbits(&r, 7);
+                else if (!rbits(&r, 1)) raw = (uint32_t)rbits(&r, 9);
+                else if (!rbits(&r, 1)) raw = (uint32_t)rbits(&r, 12);
+                else {
+                    raw = (uint32_t)rbits(&r, 32);
+                    if (raw == 0xFFFFFFFFu) break;
+                }
+                uint32_t zz = raw + 1u;
+                int32_t dd = (int32_t)((zz >> 1) ^ (~(zz & 1u) + 1u));
+                delta += dd;
+            }
+            cur_ts += delta;
+            /* value control */
+            if (rbits(&r, 1)) {
+                int sig;
+                if (rbits(&r, 1)) {
+                    slz = (int)rbits(&r, 6);
+                    sig = (int)rbits(&r, 6) + 1;
+                    stz = 64 - sig - slz;
+                } else {
+                    sig = 64 - slz - stz;
+                }
+                val ^= rbits(&r, sig) << stz;
+            }
+            if (total >= cap) return -1;
+            out_ts[total] = cur_ts;
+            out_vals[total] = val;
+            total++;
+        }
+        out_offsets[s + 1] = total;
+    }
+    return total;
+}

@@ -1,0 +1,119 @@
+"""ctypes loader for the optional C fast path (codec/_native/gorilla.c).
+
+Built lazily with the system compiler (``cc -O3 -shared -fPIC``) into
+the package directory; if no compiler is available or the build/load
+fails for any reason, ``NATIVE = None`` and callers use the
+numpy/Python implementations — correctness never depends on this
+module. The pytest suite exercises both paths against the
+reference-generated goldens.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent / "_native"
+_SRC = _DIR / "gorilla.c"
+_SO = _DIR / "_gorilla.so"
+
+
+def _build() -> bool:
+    try:
+        if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+            return True
+        # many executor Python workers may import concurrently: build to
+        # a unique temp name, then atomically rename into place
+        tmp = _SO.with_suffix(f".{os.getpid()}.tmp.so")
+        subprocess.run(
+            ["cc", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    if not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        U64 = ctypes.POINTER(ctypes.c_uint64)
+        lib.gs_encode_blocks.restype = ctypes.c_int64
+        lib.gs_encode_blocks.argtypes = [I64, I64, ctypes.c_int64, I64,
+                                         U64, U64, ctypes.c_int64, I64]
+        lib.gs_decode_blocks.restype = ctypes.c_int64
+        lib.gs_decode_blocks.argtypes = [U64, I64, ctypes.c_int64, I64,
+                                         U64, I64, ctypes.c_int64]
+        return lib
+    except Exception:
+        return None
+
+
+NATIVE = _load()
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _pu64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def encode_blocks_native(block_ts: np.ndarray, offsets: np.ndarray,
+                         ts: np.ndarray, values: np.ndarray):
+    """C-kernel segmented encode; same contract as vector.encode_blocks.
+    Returns None when the native library is unavailable."""
+    if NATIVE is None:
+        return None
+    block_ts = np.ascontiguousarray(block_ts, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    if values.dtype != np.uint64:
+        values = np.ascontiguousarray(values).view(np.uint64)
+    values = np.ascontiguousarray(values)
+    S = block_ts.shape[0]
+    n = ts.shape[0]
+    cap = 2 * n + 6 * max(S, 1)
+    out_words = np.empty(cap, dtype=np.uint64)
+    out_wc = np.empty(max(S, 1), dtype=np.int64)
+    total = NATIVE.gs_encode_blocks(_p64(block_ts), _p64(offsets), S,
+                                    _p64(ts), _pu64(values),
+                                    _pu64(out_words), cap, _p64(out_wc))
+    if total < 0:
+        return None
+    return out_words[:total].copy(), out_wc[:S].copy()
+
+
+def decode_blocks_native(words: np.ndarray, word_counts: np.ndarray,
+                         n_points_hint: int | None = None):
+    """C-kernel segmented decode → (offsets, ts, values) or None."""
+    if NATIVE is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    wc = np.ascontiguousarray(word_counts, dtype=np.int64)
+    S = wc.shape[0]
+    # capacity: each encoded point needs ≥ (1+1) bits ⇒ points < bits
+    cap = int(n_points_hint) if n_points_hint else int(words.shape[0]) * 32
+    while True:
+        out_ts = np.empty(cap, dtype=np.int64)
+        out_vals = np.empty(cap, dtype=np.uint64)
+        out_off = np.empty(S + 1, dtype=np.int64)
+        total = NATIVE.gs_decode_blocks(_pu64(words), _p64(wc), S,
+                                        _p64(out_ts), _pu64(out_vals),
+                                        _p64(out_off), cap)
+        if total == -1:          # undersized hint — grow and retry
+            cap = max(cap * 2, int(words.shape[0]) * 32)
+            n_points_hint = None
+            continue
+        if total < 0:
+            return None
+        return (out_off.copy(), out_ts[:total].copy(),
+                out_vals[:total].copy())

@@ -536,6 +536,28 @@ def encode_blocks(block_ts: np.ndarray, offsets: np.ndarray,
     return words, wc
 
 
+def encode_blocks_fast(block_ts: np.ndarray, offsets: np.ndarray,
+                       ts: np.ndarray, values: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """encode_blocks with the C kernel when available (bit-identical;
+    differential-tested), numpy otherwise."""
+    from .native import encode_blocks_native
+    out = encode_blocks_native(block_ts, offsets, ts, values)
+    if out is not None:
+        return out
+    return encode_blocks(block_ts, offsets, ts, values)
+
+
+def decode_blocks_fast(words: np.ndarray, word_counts: np.ndarray,
+                       n_points_hint: int | None = None):
+    """decode_blocks with the C kernel when available."""
+    from .native import decode_blocks_native
+    out = decode_blocks_native(words, word_counts, n_points_hint)
+    if out is not None:
+        return out
+    return decode_blocks(words, word_counts)
+
+
 def decode_blocks(words: np.ndarray, word_counts: np.ndarray):
     """Decode S concatenated blocks → (offsets, ts, values).
 

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..codec.vector import decode_blocks, encode_blocks
+from ..codec.vector import decode_blocks_fast, encode_blocks_fast
 
 BLOCK_SCHEMA = StructType([
     StructField("series_key", StringType(), False),
@@ -83,7 +83,7 @@ def _encode_batch(pdf: pd.DataFrame, value_kind: str) -> pd.DataFrame:
     offsets = np.empty(starts.shape[0] + 1, dtype=np.int64)
     offsets[:-1] = starts
     offsets[-1] = n
-    words, wc = encode_blocks(bts[starts], offsets, ts, vals)
+    words, wc = encode_blocks_fast(bts[starts], offsets, ts, vals)
     wsplit = np.split(words.view(np.int64), np.cumsum(wc)[:-1])
     return pd.DataFrame({
         "series_key": keys[starts],
@@ -149,7 +149,8 @@ def _decode_partition(batches: Iterator[pd.DataFrame],
         words = np.concatenate([np.asarray(w, dtype=np.int64)
                                 for w in words_lists]).view(np.uint64) \
             if len(words_lists) else np.empty(0, np.uint64)
-        offsets, ts, vals = decode_blocks(words, wc)
+        offsets, ts, vals = decode_blocks_fast(
+            words, wc, n_points_hint=int(pdf['n_points'].sum()))
         lens = (offsets[1:] - offsets[:-1])
         yield pd.DataFrame({
             "series_key": pdf["series_key"].to_numpy().repeat(lens),

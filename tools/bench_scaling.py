@@ -19,7 +19,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-N_CONV = int(os.environ.get("SCALE_N_CONV", "6000"))
+N_CONV = int(os.environ.get("SCALE_N_CONV", "20000"))
 MEAN_TURNS = int(os.environ.get("SCALE_MEAN_TURNS", "300"))
 LEVELS = [int(x) for x in
           os.environ.get("SCALE_LEVELS", "8,32").split(",")]
@@ -34,7 +34,7 @@ def run_at(cpus: int, tpath: str) -> dict:
     from gorillaspark.plans.session import build_session
 
     spark = build_session(app=f"scale-{cpus}", master=f"local[{cpus}]",
-                          shuffle_partitions=max(cpus, 16))
+                          shuffle_partitions=64)  # fixed across levels: identical work split
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(tpath)
     pts = turn_latency_points(transcripts).cache()
