@@ -55,10 +55,17 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        r = fn()
-        dt = time.perf_counter() - t0
+    def timed(name, fn, reps=1):
+        # warm-up + median for repeatable numbers on a shared-tenant box
+        if reps > 1:
+            fn()
+        times = []
+        r = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn()
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
         queries[name] = round(dt, 3)
         return r, dt
 
@@ -75,11 +82,11 @@ def main() -> None:
     # ---- codec through Spark ----------------------------------------
     bpath = os.path.join(scratch, "blocks")
     _, dt = timed("encode_blocks", lambda: encode_points(pts, "double")
-                  .write.mode("overwrite").parquet(bpath))
+                  .write.mode("overwrite").parquet(bpath), reps=3)
     extras["encode_pts_per_sec"] = round(n_pts / dt)
     blocks = spark.read.parquet(bpath)
     _, dt = timed("decode_blocks",
-                  lambda: decode_points(blocks).count())
+                  lambda: decode_points(blocks).count(), reps=3)
     extras["decode_pts_per_sec"] = round(n_pts / dt)
     raw_bytes = 16 * n_pts
     enc_bytes = blocks.agg(F.sum(F.size("words"))).collect()[0][0] * 8

@@ -25,10 +25,9 @@ reference `Pair.java:21-23` semantics).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -64,58 +63,88 @@ POINT_SCHEMA_DOUBLE = StructType([
 ])
 
 
-def _encode_batch(pdf: pd.DataFrame, value_kind: str) -> pd.DataFrame:
-    """Encode one already-sorted batch: group boundaries from the
-    (series_key, block_ts) change points, one segmented-kernel call."""
-    keys = pdf["series_key"].to_numpy()
-    bts = pdf["block_ts"].to_numpy()
-    ts = pdf["ts_ms"].to_numpy()
-    vals = pdf["value"].to_numpy()
+def _encode_table(tbl: "pa.Table", value_kind: str) -> "pa.RecordBatch":
+    """Encode one already-sorted Arrow table: group boundaries from the
+    (series_key, block_ts) change points, one segmented-kernel call.
+    Strings never materialize as Python objects; the words column is a
+    zero-copy ListArray over the kernel's output buffer."""
+    import pyarrow as pa
+
+    tbl = tbl.combine_chunks()
+    keys = tbl.column("series_key").chunk(0)
+    vcol = tbl.column("value").chunk(0)
+    if vcol.null_count or tbl.column("ts_ms").chunk(0).null_count:
+        raise ValueError(
+            "encode_points received NULL ts/value rows — the Gorilla "
+            "format has no missing-value representation (validate or "
+            "gap-fill upstream; note pandas NaN converts to Arrow null: "
+            "true NaN doubles are fine, nulls are not)")
+    bts = tbl.column("block_ts").chunk(0).to_numpy()
+    ts = tbl.column("ts_ms").chunk(0).to_numpy()
+    vals = vcol.to_numpy()
     if vals.dtype == np.float64:
         vals = vals.view(np.uint64)
     else:
         vals = vals.astype(np.int64).view(np.uint64)
     n = len(ts)
+    # group change points: block_ts change is numpy; key change via
+    # Arrow C-side compare of the shifted-by-one slices
     change = np.empty(n, dtype=bool)
     change[0] = True
-    change[1:] = (keys[1:] != keys[:-1]) | (bts[1:] != bts[:-1])
+    if n > 1:
+        key_neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+        change[1:] = key_neq.to_numpy(zero_copy_only=False) \
+            | (bts[1:] != bts[:-1])
     starts = np.flatnonzero(change)
     offsets = np.empty(starts.shape[0] + 1, dtype=np.int64)
     offsets[:-1] = starts
     offsets[-1] = n
     words, wc = encode_blocks_fast(bts[starts], offsets, ts, vals)
-    wsplit = np.split(words.view(np.int64), np.cumsum(wc)[:-1])
-    return pd.DataFrame({
-        "series_key": keys[starts],
-        "block_ts": bts[starts],
-        "n_points": (offsets[1:] - offsets[:-1]).astype(np.int32),
-        "value_kind": value_kind,
-        "words": wsplit,
-    })
+    list_offsets = np.zeros(len(wc) + 1, dtype=np.int64)
+    np.cumsum(wc, out=list_offsets[1:])
+    words_col = pa.LargeListArray.from_arrays(
+        pa.array(list_offsets), pa.array(words.view(np.int64)))
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(keys, pa.array(starts)),
+            pa.array(bts[starts]),
+            pa.array((offsets[1:] - offsets[:-1]).astype(np.int32)),
+            pa.array(np.full(len(starts), value_kind, dtype=object),
+                     type=pa.string()),
+            words_col.cast(pa.list_(pa.int64())),
+        ],
+        names=["series_key", "block_ts", "n_points", "value_kind", "words"],
+    )
 
 
-def _encode_partition(batches: Iterator[pd.DataFrame],
-                      value_kind: str) -> Iterator[pd.DataFrame]:
+def _encode_partition(batches, value_kind: str):
     """Carry the trailing (possibly incomplete) block across Arrow batch
-    boundaries; each yielded frame is the encoding of whole blocks."""
-    held: pd.DataFrame | None = None
-    for pdf in batches:
-        if pdf.empty:
+    boundaries; each yielded batch encodes only whole blocks."""
+    import pyarrow as pa
+
+    held: pa.Table | None = None
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
+        tbl = pa.Table.from_batches([rb])
         if held is not None:
-            pdf = pd.concat([held, pdf], ignore_index=True)
-        keys = pdf["series_key"].to_numpy()
-        bts = pdf["block_ts"].to_numpy()
-        # the last group may continue in the next batch — hold it back
-        tail_mask = (keys == keys[-1]) & (bts == bts[-1])
-        if tail_mask.all():
-            held = pdf
+            tbl = pa.concat_tables([held, tbl]).combine_chunks()
+        n = tbl.num_rows
+        keys = tbl.column("series_key")
+        bts = tbl.column("block_ts")
+        last_key = keys[n - 1]
+        last_bts = bts[n - 1]
+        # size of the trailing group (sorted ⇒ contiguous at the end)
+        tail_eq = pc.and_(pc.equal(keys, last_key), pc.equal(bts, last_bts))
+        tail_np = tail_eq.combine_chunks().to_numpy(zero_copy_only=False)
+        if tail_np.all():
+            held = tbl
             continue
-        tail_len = int(tail_mask[::-1].argmin())  # trailing True count
-        held = pdf.iloc[len(pdf) - tail_len:].reset_index(drop=True)
-        yield _encode_batch(pdf.iloc[:len(pdf) - tail_len], value_kind)
-    if held is not None and not held.empty:
-        yield _encode_batch(held, value_kind)
+        tail_len = int(tail_np[::-1].argmin())
+        held = tbl.slice(n - tail_len)
+        yield _encode_table(tbl.slice(0, n - tail_len), value_kind)
+    if held is not None and held.num_rows:
+        yield _encode_table(held, value_kind)
 
 
 def encode_points(points: DataFrame, value_kind: str = "double",
@@ -123,7 +152,8 @@ def encode_points(points: DataFrame, value_kind: str = "double",
     """points(series_key, ts_ms, value) → Gorilla blocks.
 
     One shuffle: hash-repartition on the block key, sort within
-    partitions, stream batches through the segmented kernel.
+    partitions, stream Arrow batches through the segmented kernel
+    (``mapInArrow`` — no pandas/object conversion in the hot path).
     """
     from .normalize import block_key
 
@@ -134,40 +164,43 @@ def encode_points(points: DataFrame, value_kind: str = "double",
         pts.repartition(int(n_part), "series_key", "block_ts")
         .sortWithinPartitions("series_key", "block_ts", "ts_ms")
     )
-    return laid_out.mapInPandas(
+    return laid_out.mapInArrow(
         lambda it: _encode_partition(it, value_kind), BLOCK_SCHEMA)
 
 
-def _decode_partition(batches: Iterator[pd.DataFrame],
-                      as_double: bool) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if pdf.empty:
+def _decode_partition(batches, as_double: bool):
+    import pyarrow as pa
+
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
-        words_lists = pdf["words"]
-        wc = np.fromiter((len(w) for w in words_lists), dtype=np.int64,
-                         count=len(words_lists))
-        words = np.concatenate([np.asarray(w, dtype=np.int64)
-                                for w in words_lists]).view(np.uint64) \
-            if len(words_lists) else np.empty(0, np.uint64)
-        offsets, ts, vals = decode_blocks_fast(
-            words, wc, n_points_hint=int(pdf['n_points'].sum()))
-        lens = (offsets[1:] - offsets[:-1])
-        yield pd.DataFrame({
-            "series_key": pdf["series_key"].to_numpy().repeat(lens),
-            "ts_ms": ts,
-            "value": vals.view(np.float64) if as_double
-            else vals.view(np.int64),
-        })
+        tbl = pa.Table.from_batches([rb]).combine_chunks()
+        words_col = tbl.column("words").chunk(0)
+        list_offsets = words_col.offsets.to_numpy()
+        words = words_col.values.to_numpy().view(np.uint64)
+        wc = np.diff(list_offsets)
+        n_hint = int(pc.sum(tbl.column("n_points")).as_py() or 0)
+        offsets, ts, vals = decode_blocks_fast(words, wc,
+                                               n_points_hint=n_hint)
+        lens = offsets[1:] - offsets[:-1]
+        take_idx = np.repeat(np.arange(len(wc)), lens)
+        keys = pc.take(tbl.column("series_key").chunk(0),
+                       pa.array(take_idx))
+        vcol = pa.array(vals.view(np.float64)) if as_double \
+            else pa.array(vals.view(np.int64))
+        yield pa.RecordBatch.from_arrays(
+            [keys, pa.array(ts), vcol],
+            names=["series_key", "ts_ms", "value"])
 
 
 def decode_points(blocks: DataFrame, as_double: bool = True) -> DataFrame:
     """Gorilla blocks → points; value restored from raw bits.
 
-    The bit reinterpretation happens inside the Arrow batch (zero-copy
-    ``view``), the Java-side equivalent of Double.longBitsToDouble
+    Bit reinterpretation is a zero-copy numpy ``view`` inside the Arrow
+    batch — the engine-side equivalent of Double.longBitsToDouble
     (`Pair.java:21-23`)."""
     schema = POINT_SCHEMA_DOUBLE if as_double else POINT_SCHEMA_BITS
-    return blocks.mapInPandas(
+    return blocks.mapInArrow(
         lambda it: _decode_partition(it, as_double), schema)
 
 

@@ -38,7 +38,7 @@ def build_session(app: str = "gorillaspark",
         # Arrow is the codec UDF transport; large batches amortize the
         # per-batch kernel overhead (segmented encode is O(1) calls/batch)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
         # keep scan partitions near executor-memory-friendly sizes
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory",

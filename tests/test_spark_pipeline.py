@@ -80,7 +80,11 @@ def test_spark_roundtrip_bit_exact(spark, transcripts):
 
 
 def test_spark_roundtrip_adversarial_doubles(spark):
-    """NaN payloads, -0.0, subnormals, ±Inf through the full Spark path."""
+    """NaN payloads, -0.0, subnormals, ±Inf through the full Spark path.
+
+    Built from rows (not pandas — pandas NaN would convert to Arrow
+    NULL, which the encoder rejects by design) so genuine NaN doubles
+    flow through the codec."""
     rows = []
     specials = [float("nan"), -0.0, 0.0, float("inf"), float("-inf"),
                 5e-324, -5e-324, 1.7976931348623157e308, 1.0, -1.0]
@@ -88,9 +92,17 @@ def test_spark_roundtrip_adversarial_doubles(spark):
     for i in range(400):
         rows.append(("s%d" % (i % 3), t + i * 7919,
                      specials[i % len(specials)] * (1 + (i % 5))))
-    pdf = pd.DataFrame(rows, columns=["series_key", "ts_ms", "value"])
-    df = spark.createDataFrame(pdf)
+    df = spark.createDataFrame(rows,
+                               "series_key string, ts_ms long, value double")
     assert roundtrip_check(df, value_kind="double").count() == 0
+
+
+def test_encode_rejects_null_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1_500_400_800_001, 1.0), ("a", 1_500_400_800_002, None)],
+        "series_key string, ts_ms long, value double")
+    with pytest.raises(Exception, match="NULL"):
+        encode_points(df).count()
 
 
 def test_block_stats_reasonable(spark, transcripts):
