@@ -149,7 +149,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     is the only wide shuffle and it carries signatures, not text.
     """
     rows_per_band = n_perm // n_bands
-    sh = shingles(docs, n, text_col, id_col)
+    # the shingle relation feeds signatures, candidate verification and
+    # size lookups — cache it instead of re-exploding the corpus 4×
+    sh = shingles(docs, n, text_col, id_col).cache()
     sets = sh.groupBy("doc_id").agg(
         F.collect_list("shingle").alias("shingle_set"),
         F.count(F.lit(1)).alias("sz"))

@@ -47,6 +47,7 @@ BLOCK_SCHEMA = StructType([
     StructField("block_ts", LongType(), False),
     StructField("n_points", IntegerType(), False),
     StructField("value_kind", StringType(), False),
+    StructField("predictor", StringType(), False),
     StructField("words", ArrayType(LongType(), False), False),
 ])
 
@@ -63,7 +64,37 @@ POINT_SCHEMA_DOUBLE = StructType([
 ])
 
 
-def _encode_table(tbl: "pa.Table", value_kind: str) -> "pa.RecordBatch":
+def _scalar_encode(bts_firsts, offsets, ts, vals, predictor):
+    """Per-block scalar path for non-default codecs: DFCM predictors
+    ('dfcm' / 'dfcm:N') and the v1 wire format ('v1', byte-oriented,
+    go-tsz interoperable). Sequential by nature (DFCM's hash chain /
+    v1's byte stream), so this is the capability path, not the hot one
+    — the default last-value v2 codec takes the vectorized/C kernel."""
+    from ..codec.scalar import GorillaEncoder, GorillaV1Encoder
+
+    words_list = []
+    wc = np.empty(len(bts_firsts), dtype=np.int64)
+    for i in range(len(bts_firsts)):
+        a, b = offsets[i], offsets[i + 1]
+        if predictor == "v1":
+            enc = GorillaV1Encoder(int(bts_firsts[i]))
+            for t, v in zip(ts[a:b].tolist(), vals[a:b].tolist()):
+                enc.add(t, v)
+            w = np.frombuffer(enc.close(), dtype=">u8").astype(np.uint64)
+        else:
+            enc = GorillaEncoder(int(bts_firsts[i]), predictor=predictor)
+            for t, v in zip(ts[a:b].tolist(), vals[a:b].tolist()):
+                enc.add(t, v)
+            w = np.array(enc.close(), dtype=np.uint64)
+        words_list.append(w)
+        wc[i] = len(w)
+    words = np.concatenate(words_list) if words_list \
+        else np.empty(0, np.uint64)
+    return words, wc
+
+
+def _encode_table(tbl: "pa.Table", value_kind: str,
+                  predictor: str = "last_value") -> "pa.RecordBatch":
     """Encode one already-sorted Arrow table: group boundaries from the
     (series_key, block_ts) change points, one segmented-kernel call.
     Strings never materialize as Python objects; the words column is a
@@ -99,7 +130,11 @@ def _encode_table(tbl: "pa.Table", value_kind: str) -> "pa.RecordBatch":
     offsets = np.empty(starts.shape[0] + 1, dtype=np.int64)
     offsets[:-1] = starts
     offsets[-1] = n
-    words, wc = encode_blocks_fast(bts[starts], offsets, ts, vals)
+    if predictor == "last_value":
+        words, wc = encode_blocks_fast(bts[starts], offsets, ts, vals)
+    else:
+        words, wc = _scalar_encode(bts[starts], offsets, ts, vals,
+                                   predictor)
     list_offsets = np.zeros(len(wc) + 1, dtype=np.int64)
     np.cumsum(wc, out=list_offsets[1:])
     words_col = pa.LargeListArray.from_arrays(
@@ -111,13 +146,17 @@ def _encode_table(tbl: "pa.Table", value_kind: str) -> "pa.RecordBatch":
             pa.array((offsets[1:] - offsets[:-1]).astype(np.int32)),
             pa.array(np.full(len(starts), value_kind, dtype=object),
                      type=pa.string()),
+            pa.array(np.full(len(starts), predictor, dtype=object),
+                     type=pa.string()),
             words_col.cast(pa.list_(pa.int64())),
         ],
-        names=["series_key", "block_ts", "n_points", "value_kind", "words"],
+        names=["series_key", "block_ts", "n_points", "value_kind",
+               "predictor", "words"],
     )
 
 
-def _encode_partition(batches, value_kind: str):
+def _encode_partition(batches, value_kind: str,
+                      predictor: str = "last_value"):
     """Carry the trailing (possibly incomplete) block across Arrow batch
     boundaries; each yielded batch encodes only whole blocks."""
     import pyarrow as pa
@@ -142,13 +181,15 @@ def _encode_partition(batches, value_kind: str):
             continue
         tail_len = int(tail_np[::-1].argmin())
         held = tbl.slice(n - tail_len)
-        yield _encode_table(tbl.slice(0, n - tail_len), value_kind)
+        yield _encode_table(tbl.slice(0, n - tail_len), value_kind,
+                            predictor)
     if held is not None and held.num_rows:
-        yield _encode_table(held, value_kind)
+        yield _encode_table(held, value_kind, predictor)
 
 
 def encode_points(points: DataFrame, value_kind: str = "double",
-                  partitions: int | None = None) -> DataFrame:
+                  partitions: int | None = None,
+                  predictor: str = "last_value") -> DataFrame:
     """points(series_key, ts_ms, value) → Gorilla blocks.
 
     One shuffle: hash-repartition on the block key, sort within
@@ -165,7 +206,38 @@ def encode_points(points: DataFrame, value_kind: str = "double",
         .sortWithinPartitions("series_key", "block_ts", "ts_ms")
     )
     return laid_out.mapInArrow(
-        lambda it: _encode_partition(it, value_kind), BLOCK_SCHEMA)
+        lambda it: _encode_partition(it, value_kind, predictor),
+        BLOCK_SCHEMA)
+
+
+def _scalar_decode(words, wc, predictors):
+    """Per-block scalar decode for non-default codecs (mirror of
+    :func:`_scalar_encode`)."""
+    import struct as _struct
+
+    from ..codec.scalar import GorillaDecoder, GorillaV1Decoder
+
+    ts_parts, v_parts = [], []
+    offsets = np.zeros(len(wc) + 1, dtype=np.int64)
+    pos = 0
+    for i, (c, pred) in enumerate(zip(wc, predictors)):
+        w = words[pos:pos + c]
+        pos += c
+        if pred == "v1":
+            data = b"".join(_struct.pack(">Q", int(x)) for x in w)
+            pairs = GorillaV1Decoder(data).read_all()
+        elif pred == "last_value":
+            from ..codec.vector import decode_v2
+            t, v = decode_v2(w)
+            pairs = list(zip(t.tolist(), v.tolist()))
+        else:
+            pairs = GorillaDecoder(w.tolist(), predictor=pred).read_all()
+        offsets[i + 1] = offsets[i] + len(pairs)
+        ts_parts.append(np.array([p[0] for p in pairs], dtype=np.int64))
+        v_parts.append(np.array([p[1] for p in pairs], dtype=np.uint64))
+    if not ts_parts:
+        return offsets, np.empty(0, np.int64), np.empty(0, np.uint64)
+    return offsets, np.concatenate(ts_parts), np.concatenate(v_parts)
 
 
 def _decode_partition(batches, as_double: bool):
@@ -180,8 +252,15 @@ def _decode_partition(batches, as_double: bool):
         words = words_col.values.to_numpy().view(np.uint64)
         wc = np.diff(list_offsets)
         n_hint = int(pc.sum(tbl.column("n_points")).as_py() or 0)
-        offsets, ts, vals = decode_blocks_fast(words, wc,
-                                               n_points_hint=n_hint)
+        preds = (tbl.column("predictor").chunk(0)
+                 if "predictor" in tbl.column_names else None)
+        if preds is None or pc.all(
+                pc.equal(preds, "last_value")).as_py():
+            offsets, ts, vals = decode_blocks_fast(words, wc,
+                                                   n_points_hint=n_hint)
+        else:
+            offsets, ts, vals = _scalar_decode(words, wc,
+                                               preds.to_pylist())
         lens = offsets[1:] - offsets[:-1]
         take_idx = np.repeat(np.arange(len(wc)), lens)
         keys = pc.take(tbl.column("series_key").chunk(0),

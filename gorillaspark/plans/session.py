@@ -46,6 +46,15 @@ def build_session(app: str = "gorillaspark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # shuffle spill to tmpfs when available: local[N] writes shuffle
+    # files per stage, and a disk-bandwidth floor would otherwise cap
+    # multi-core scaling (on a real cluster this is executor-local SSD)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/gorillaspark-shuffle"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

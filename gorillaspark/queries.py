@@ -194,10 +194,17 @@ _BLOCK_INVENTORY_SQL = f"""
 # gap fill
 # ---------------------------------------------------------------------------
 
+def _floor6(col):
+    """Truncate to 6 dp: cross-engine safe where ROUND is not — Spark
+    rounds halves up, DuckDB rounds half-to-even, and interpolated
+    values over integer-ish inputs land on exact .5 ties."""
+    return F.floor(col * 1e6) / 1e6
+
+
 def q_gapfill_1h_ffill(spark, sf_dir):
     out = gapfill_ffill(_event_points(spark, sf_dir), "1h", agg="avg")
     out = out.select("series_key", "bucket_ms",
-                     F.round("value", 6).alias("value"),
+                     _floor6(F.col("value")).alias("value"),
                      F.col("filled").cast("int").alias("filled"))
     return out
 
@@ -214,9 +221,10 @@ _GAPFILL_SQL = f"""
                     unnest(generate_series(lo, hi, 3600000)) AS bucket_ms
              FROM spans)
     SELECT g.series_key, g.bucket_ms,
-           ROUND(last_value(b.v IGNORE NULLS) OVER (
+           floor(last_value(b.v IGNORE NULLS) OVER (
                PARTITION BY g.series_key ORDER BY g.bucket_ms
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e6)
+               / 1e6 AS value,
            CAST(b.v IS NULL AS INT) AS filled
     FROM grid g LEFT JOIN b USING (series_key, bucket_ms)
 """
@@ -610,3 +618,59 @@ ORACLES.update({
     "embedding_near_dup": _NEAR_DUP_SQL,
     # simhash_dupes: rows-only by design
 })
+
+
+def q_gapfill_1h_interp(spark, sf_dir):
+    from .operators.gapfill import gapfill_interpolate
+    out = gapfill_interpolate(_event_points(spark, sf_dir), "1h", agg="avg")
+    return out.select("series_key", "bucket_ms",
+                      _floor6(F.col("value")).alias("value"),
+                      F.col("filled").cast("int").alias("filled"))
+
+
+_GAPFILL_INTERP_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL}),
+    b AS (SELECT series_key,
+                 (ts_ms // 3600000) * 3600000 AS bucket_ms,
+                 avg(value) AS v
+          FROM pts GROUP BY 1, 2),
+    spans AS (SELECT series_key, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+              FROM b GROUP BY 1),
+    grid AS (SELECT series_key,
+                    unnest(generate_series(lo, hi, 3600000)) AS bucket_ms
+             FROM spans),
+    j AS (SELECT g.series_key, g.bucket_ms, b.v
+          FROM grid g LEFT JOIN b USING (series_key, bucket_ms)),
+    w AS (SELECT series_key, bucket_ms, v,
+                 last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY series_key ORDER BY bucket_ms
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv,
+                 first_value(v IGNORE NULLS) OVER
+                     (PARTITION BY series_key ORDER BY bucket_ms
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nv,
+                 last_value(CASE WHEN v IS NOT NULL THEN bucket_ms END
+                            IGNORE NULLS) OVER
+                     (PARTITION BY series_key ORDER BY bucket_ms
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pt,
+                 first_value(CASE WHEN v IS NOT NULL THEN bucket_ms END
+                             IGNORE NULLS) OVER
+                     (PARTITION BY series_key ORDER BY bucket_ms
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nt
+          FROM j)
+    SELECT series_key, bucket_ms,
+           floor(CASE WHEN v IS NOT NULL THEN v
+                      WHEN nv IS NULL THEN pv
+                      WHEN pv IS NULL THEN NULL
+                      ELSE pv + (nv - pv) * ((bucket_ms - pt) * 1.0
+                                             / (nt - pt))
+                 END * 1e6) / 1e6 AS value,
+           CAST(v IS NULL AS INT) AS filled
+    FROM w
+"""
+
+QUERIES["gapfill_1h_interp"] = q_gapfill_1h_interp
+ORACLES["gapfill_1h_interp"] = _GAPFILL_INTERP_SQL

@@ -181,3 +181,45 @@ def test_gapfill_ffill(spark):
     b = out[out.series_key == "b"]
     assert len(b) == 1 and not b["filled"].iloc[0]
     assert math.isclose(b["value"].iloc[0], 15.0)  # two points, avg agg
+
+
+def test_spark_dfcm_and_v1_predictors(spark):
+    """Non-default codecs through the full Spark path: DFCM predictor
+    and the v1 wire format (scalar capability path)."""
+    import random
+    rng = random.Random(3)
+    rows = [("s%d" % (i % 5), 1_500_400_800_001 + i * 9973,
+             rng.random() * 1e5) for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms long, value double")
+    for pred in ["dfcm:1024", "v1"]:
+        blocks = encode_points(df, "double", predictor=pred)
+        dec = decode_points(blocks, as_double=True) \
+            .withColumnRenamed("value", "v2")
+        j = df.join(dec, ["series_key", "ts_ms"], "full_outer")
+        bad = j.where(F.col("value").isNull() | F.col("v2").isNull()
+                      | (F.col("value") != F.col("v2"))).count()
+        assert bad == 0, pred
+
+
+def test_dfcm_repeat_asymmetry_is_mirrored():
+    """The reference updates the predictor on xor==0 at encode but not
+    decode (`ValueCompressor.java:34-35` vs `ValueDecompressor.java:53`)
+    — a latent reference bug we mirror for bit-exactness. Under DFCM a
+    repeated *prediction hit* therefore desyncs the streams; last-value
+    is immune (its update is idempotent there)."""
+    from gorillaspark.codec.scalar import GorillaDecoder, GorillaEncoder
+    pts = [(1000 + 10 * i, v) for i, v in
+           enumerate([5, 7, 7, 7, 9, 11, 7, 5])]
+    enc = GorillaEncoder(999, predictor="dfcm:16")
+    for t, v in pts:
+        enc.add(t, v)
+    out = GorillaDecoder(enc.close(), predictor="dfcm:16").read_all()
+    # the desync manifests after the repeated-value run
+    assert out[:2] == pts[:2]
+    assert out != pts  # mirrored reference behavior, not a codec bug
+    # last-value predictor round-trips the same series exactly
+    enc2 = GorillaEncoder(999)
+    for t, v in pts:
+        enc2.add(t, v)
+    assert GorillaDecoder(enc2.close()).read_all() == pts
