@@ -71,3 +71,44 @@ def test_incremental_encode_foreachbatch(spark, tmp_path, transcripts):
     incremental_encode(io)(spark.createDataFrame(pdf), batch_id=0)
     assert io.read("blocks").agg(F.sum("n_points")).collect()[0][0] \
         == pts.count()
+
+
+def test_stateful_latency_across_microbatches(spark, tmp_path, transcripts):
+    """applyInPandasWithState: the first turn of a later micro-batch
+    gets its latency against state from an earlier one."""
+    from gorillaspark.operators.normalize import with_turn_latency
+    from gorillaspark.streaming.stateful import streaming_latency_points
+
+    src = str(tmp_path / "statesrc")
+    # two time-ordered files → two micro-batches (maxFilesPerTrigger=1):
+    # every conversation's later turns arrive in batch 2, so their first
+    # latency there must come from batch-1 state
+    cut = 30
+    transcripts.where(F.col("turn_idx") < cut).coalesce(1) \
+        .write.mode("overwrite").parquet(src + "/b0")
+    transcripts.where(F.col("turn_idx") >= cut).coalesce(1) \
+        .write.mode("overwrite").parquet(src + "/b1")
+    stream = (spark.readStream.schema(transcripts.schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .parquet(src + "/b{0,1}"))
+    out = streaming_latency_points(stream)
+    q = (out.writeStream.format("memory").queryName("statelat")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckstate"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM statelat").toPandas()
+    batch = with_turn_latency(transcripts).toPandas()
+    # file listing order is lexicographic (b0 then b1) → zero stragglers
+    # and exact equality with the batch lag computation
+    assert (got["dropped"] == 0).all()
+    merged = got.merge(batch[["conv_id", "turn_idx", "latency_ms"]],
+                       on=["conv_id", "turn_idx"],
+                       suffixes=("", "_batch"))
+    assert len(merged) == len(batch)
+    both = merged.dropna(subset=["latency_ms", "latency_ms_batch"])
+    assert (both["latency_ms"] == both["latency_ms_batch"]).all()
+    # NULL latencies only on each conversation's first turn
+    assert merged["latency_ms"].isna().sum() \
+        == merged["latency_ms_batch"].isna().sum()

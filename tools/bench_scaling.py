@@ -43,8 +43,14 @@ def _single(cpus: int, tpath: str) -> None:
     from gorillaspark.operators.rollup import rollup_tier
     from gorillaspark.plans.session import build_session
 
-    spark = build_session(app=f"scale-{cpus}", master=f"local[{cpus}]",
-                          shuffle_partitions=64)
+    spark = build_session(
+        app=f"scale-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=64,
+        extra={
+            # fixed partitioning across levels: AQE coalescing would
+            # otherwise shrink parallelism below the core count
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        })
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(tpath)
     pts = turn_latency_points(transcripts).cache()
@@ -85,8 +91,12 @@ def _single(cpus: int, tpath: str) -> None:
 def run_pinned(cpus: int, tpath: str) -> dict:
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
            str(Path(__file__).resolve()), "--single", str(cpus), tpath]
+    env = dict(os.environ)
+    # heap sized so 32 concurrent tasks do not GC-thrash (local mode:
+    # driver == executor); a real cluster sizes executors per host
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out = subprocess.run(cmd, capture_output=True, text=True, check=True,
-                         cwd=str(REPO))
+                         cwd=str(REPO), env=env)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -114,14 +124,20 @@ def main() -> None:
         _single(int(sys.argv[2]), sys.argv[3])
         return
 
-    base = gen_corpus(N_CONV)
-    big = gen_corpus(4 * N_CONV)
+    pair_spec = os.environ.get("SCALE_PAIRS", "2:8,8:32")
+    specs = [tuple(int(x) for x in p.split(":"))
+             for p in pair_spec.split(",")]
+    corpora = {}
     pairs = []
-    for lo_c, hi_c, tpath in [(2, 8, base), (8, 32, big)]:
+    for lo_c, hi_c in specs:
+        scale = max(1, lo_c // specs[0][0])
+        if scale not in corpora:
+            corpora[scale] = gen_corpus(scale * N_CONV)
+        tpath = corpora[scale]
         lo = run_pinned(lo_c, tpath)
         hi = run_pinned(hi_c, tpath)
         pairs.append((lo, hi))
-    for p in (base, big):
+    for p in corpora.values():
         shutil.rmtree(str(Path(p).parent), ignore_errors=True)
 
     eff = {}
