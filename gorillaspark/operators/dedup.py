@@ -58,15 +58,30 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
-                        text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_df: float | None = None) -> DataFrame:
     """All doc pairs with shingle-set Jaccard ≥ threshold (a < b).
 
     Exact (quadratic in co-bucketed docs) — the oracle/verifier path;
     the scale path is :func:`minhash_lsh_pairs` which feeds candidates
     into the same final Jaccard predicate.
+
+    ``max_df``: drop shingles occurring in more than this fraction of
+    documents before the self-join. At corpus scale a boilerplate
+    shingle shared by 1% of 10^9 docs creates a 10^14-row join bucket;
+    the stop-shingle filter bounds every bucket. This changes the
+    Jaccard estimate slightly (computed over the filtered sets), the
+    standard trade; leave None for the exact oracle-checked form.
     """
-    sh = shingles(docs, n, text_col, id_col).cache()
+    sh = shingles(docs, n, text_col, id_col)
+    if max_df is not None:
+        n_docs = docs.count()
+        hot = (sh.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_df * n_docs)
+               .select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

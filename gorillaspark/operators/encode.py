@@ -5,13 +5,14 @@ Scale design (SURVEY.md §3.4/§4.3):
 * one shuffle lays points out for encoding:
   ``repartition(series_key, block_ts)`` co-locates every block, then
   ``sortWithinPartitions`` orders points inside each block;
-* the encode UDF is ``mapInPandas`` — NOT per-group ``applyInPandas``
-  — because realistic blocks are 50–500 points and per-group UDF
-  dispatch would dominate; instead each Arrow batch is handed to the
-  segmented numpy kernel (:func:`gorillaspark.codec.vector
-  .encode_blocks`) in ONE call. A block whose points straddle two Arrow
-  batches is carried over between batches inside the same partition
-  iterator, so correctness never depends on batch boundaries;
+* the encode UDF is ``mapInArrow`` — NOT per-group ``applyInPandas``
+  (realistic blocks are 50–500 points and per-group UDF dispatch would
+  dominate) and not pandas (string keys would materialize as Python
+  objects); each Arrow batch goes to the segmented kernel
+  (:func:`gorillaspark.codec.vector.encode_blocks_fast` — C fast path
+  with numpy fallback) in ONE call. A block whose points straddle two
+  Arrow batches is carried over between batches inside the same
+  partition iterator, so correctness never depends on batch boundaries;
 * block size is naturally bounded: day-aligned ``block_ts`` caps a
   block at one conv-day, so no salting is needed here (hot conv_ids
   split across days); skew is handled at the rollup/aggregation stage;

@@ -16,18 +16,34 @@ _SPANS_MS = {"1m": 60_000, "1h": 3_600_000, "1d": 86_400_000}
 
 
 def dense_grid(points: DataFrame, tier: str = "1m") -> DataFrame:
-    """One row per (series_key, bucket) covering each series' span."""
+    """One row per (series_key, bucket) covering each series' span.
+
+    Two-level explode: days first, then buckets within each day. A
+    multi-year series at 1-minute granularity would otherwise build a
+    single million-element array on one row (executor OOM risk at
+    100 TB); day-chunking caps every intermediate array at ≤ 1440
+    elements and lets the inner explode pipeline row-by-row.
+    """
     step = _SPANS_MS[tier]
+    day = 86_400_000
     spans = points.groupBy("series_key").agg(
         F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
-    return spans.select(
-        "series_key",
-        F.explode(
-            F.sequence(
-                (F.col("lo") - F.pmod(F.col("lo"), F.lit(step))),
-                (F.col("hi") - F.pmod(F.col("hi"), F.lit(step))),
-                F.lit(step))).alias("bucket_ms"),
-    ).withColumn("bucket", F.timestamp_millis("bucket_ms"))
+    days = spans.select(
+        "series_key", "lo", "hi",
+        F.explode(F.sequence(
+            F.col("lo") - F.pmod(F.col("lo"), F.lit(day)),
+            F.col("hi") - F.pmod(F.col("hi"), F.lit(day)),
+            F.lit(day))).alias("day_ms"))
+    lo_b = F.greatest(F.col("day_ms"),
+                      F.col("lo") - F.pmod(F.col("lo"), F.lit(step)))
+    hi_b = F.least(F.col("day_ms") + F.lit(day - step),
+                   F.col("hi") - F.pmod(F.col("hi"), F.lit(step)))
+    return (days
+            .where(lo_b <= hi_b)
+            .select("series_key",
+                    F.explode(F.sequence(lo_b, hi_b, F.lit(step)))
+                     .alias("bucket_ms"))
+            .withColumn("bucket", F.timestamp_millis("bucket_ms")))
 
 
 def gapfill_ffill(points: DataFrame, tier: str = "1m",

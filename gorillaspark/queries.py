@@ -674,3 +674,32 @@ _GAPFILL_INTERP_SQL = f"""
 
 QUERIES["gapfill_1h_interp"] = q_gapfill_1h_interp
 ORACLES["gapfill_1h_interp"] = _GAPFILL_INTERP_SQL
+
+
+def q_retention_1d(spark, sf_dir):
+    """Retention tier filter: keep only 1d rollup buckets within the
+    policy window relative to a fixed 'now' (the max event time)."""
+    from .operators.retention import RetentionPolicy, apply_retention
+    pts = _event_points(spark, sf_dir)
+    d1 = rollup_tier(pts, "1d").select(
+        "series_key", F.unix_millis("bucket").alias("bucket_ms"), "cnt")
+    now_ms_row = pts.agg(F.max("ts_ms")).collect()[0][0]
+    pol = RetentionPolicy(keep_ms={"1d": 10 * 86_400_000})
+    return apply_retention(d1, "1d", int(now_ms_row), pol,
+                           bucket_col="bucket_ms")
+
+
+_RETENTION_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL}),
+    d1 AS (
+        SELECT series_key,
+               (ts_ms // 86400000) * 86400000 AS bucket_ms,
+               count(value) AS cnt
+        FROM pts GROUP BY 1, 2),
+    cut AS (SELECT max(ts_ms) - 10 * 86400000 AS cutoff FROM pts)
+    SELECT series_key, bucket_ms, cnt FROM d1, cut
+    WHERE bucket_ms >= cutoff
+"""
+
+QUERIES["retention_1d"] = q_retention_1d
+ORACLES["retention_1d"] = _RETENTION_SQL
