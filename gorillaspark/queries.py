@@ -703,3 +703,83 @@ _RETENTION_SQL = f"""
 
 QUERIES["retention_1d"] = q_retention_1d
 ORACLES["retention_1d"] = _RETENTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# additional relational coverage: distinct agg, set ops, per-group top-k
+# ---------------------------------------------------------------------------
+
+def q_distinct_series_per_day(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(
+                F.unix_millis(F.date_trunc("day", F.col("ts")
+                                           .cast("timestamp")))
+                 .alias("day_ms"))
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct("event_type").alias("n_types")))
+
+
+_DISTINCT_SQL = """
+    SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1
+"""
+
+
+def q_users_without_errors(spark, sf_dir):
+    """Set difference: (user, day) pairs with activity but no 'error'
+    event that day."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day_ms",
+        F.unix_millis(F.date_trunc("day", F.col("ts").cast("timestamp"))))
+    all_ud = ev.select("user_id", "day_ms").distinct()
+    err_ud = (ev.where(F.col("event_type") == "error")
+              .select("user_id", "day_ms").distinct())
+    return all_ud.exceptAll(err_ud).select(
+        F.col("user_id").cast("long").alias("user_id"), "day_ms")
+
+
+_EXCEPT_SQL = """
+    SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms FROM events
+    EXCEPT
+    SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms
+    FROM events WHERE event_type = 'error'
+"""
+
+
+def q_top3_types_per_user(spark, sf_dir):
+    """Per-group top-k: each user's 3 most frequent event types
+    (deterministic tie-break on type name)."""
+    ev = _events(spark, sf_dir)
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    "rank", "event_type", "n"))
+
+
+_TOP3_SQL = """
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rank
+        FROM counts)
+    SELECT user_id, rank, event_type, n FROM ranked WHERE rank <= 3
+"""
+
+QUERIES.update({
+    "distinct_series_per_day": q_distinct_series_per_day,
+    "error_free_user_days": q_users_without_errors,
+    "top3_types_per_user": q_top3_types_per_user,
+})
+ORACLES.update({
+    "distinct_series_per_day": _DISTINCT_SQL,
+    "error_free_user_days": _EXCEPT_SQL,
+    "top3_types_per_user": _TOP3_SQL,
+})
