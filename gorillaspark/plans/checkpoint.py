@@ -32,10 +32,12 @@ META_SCHEMA = StructType([
     StructField("job_id", StringType(), False),
     StructField("unit", StringType(), False),
     StructField("status", StringType(), False),
-    StructField("rows_in", LongType(), True),
     StructField("rows_out", LongType(), True),
+    StructField("out_partitions", LongType(), True),
+    StructField("out_bytes_est", LongType(), True),
     StructField("snapshot_id", StringType(), True),
     StructField("wall_ms", LongType(), True),
+    StructField("committed_at_ms", LongType(), True),
 ])
 
 
@@ -55,12 +57,28 @@ def pending_units(all_units: list[str], done: set[str]) -> list[str]:
 
 
 def record_unit(spark: SparkSession, io, job_id: str, unit: str,
-                rows_in: int, rows_out: int, snapshot_id: str | None,
-                wall_ms: int) -> None:
-    row = [(job_id, unit, "done", rows_in, rows_out,
-            snapshot_id or "", wall_ms)]
+                rows_out: int, out_partitions: int, out_bytes_est: int,
+                snapshot_id: str | None, wall_ms: int) -> None:
+    row = [(job_id, unit, "done", rows_out, out_partitions,
+            out_bytes_est, snapshot_id or "", wall_ms,
+            int(time.time() * 1000))]
     io.append(META_TABLE, spark.createDataFrame(row, META_SCHEMA),
               commit_key=f"meta/{job_id}/{unit}")
+
+
+def unit_metrics(spark: SparkSession, io, job_id: str):
+    """The per-unit lineage + metrics rows for a job (throughput,
+    output volume, snapshot ids) — the operational view the north rule
+    asks for; empty DataFrame if the job never ran."""
+    from pyspark.sql import functions as F
+    try:
+        meta = io.read(META_TABLE)
+    except FileNotFoundError:
+        return spark.createDataFrame([], META_SCHEMA)
+    return (meta.where(F.col("job_id") == job_id)
+            .withColumn("rows_per_sec",
+                        F.col("rows_out")
+                        / F.greatest(F.col("wall_ms"), F.lit(1)) * 1000))
 
 
 def run_resumable(spark: SparkSession, io, job_id: str,
@@ -70,9 +88,12 @@ def run_resumable(spark: SparkSession, io, job_id: str,
     """Drive a unit-at-a-time resumable job.
 
     ``unit_fn(unit) -> DataFrame`` produces a unit's output; completed
-    units are skipped on re-run. Returns {unit: rows_out} for the units
-    executed in THIS invocation.
+    units are skipped on re-run. Each unit commits one lineage+metrics
+    row (rows, partitions, estimated bytes, snapshot id, wall time).
+    Returns {unit: rows_out} for the units executed in THIS invocation.
     """
+    from pyspark.sql import functions as F
+
     done = completed_units(spark, io, job_id)
     ran: dict[str, int] = {}
     for unit in pending_units(units, done):
@@ -80,9 +101,18 @@ def run_resumable(spark: SparkSession, io, job_id: str,
         out = unit_fn(unit)
         out = out.cache()
         rows_out = out.count()
+        n_part = out.rdd.getNumPartitions()
+        # cheap volume estimate: words column when present (encoded
+        # blocks), else row count * avg-ish width
+        if "words" in out.columns:
+            bytes_est = (out.agg(F.sum(F.size("words")))
+                         .collect()[0][0] or 0) * 8
+        else:
+            bytes_est = rows_out * 64
         snap = io.append(out_table, out, commit_key=f"{job_id}/{unit}")
         out.unpersist()
-        record_unit(spark, io, job_id, unit, -1, rows_out,
+        record_unit(spark, io, job_id, unit, rows_out, n_part,
+                    int(bytes_est),
                     snap.snapshot_id if snap else None,
                     int((time.time() - t0) * 1000))
         ran[unit] = rows_out

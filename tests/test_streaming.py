@@ -112,3 +112,38 @@ def test_stateful_latency_across_microbatches(spark, tmp_path, transcripts):
     # NULL latencies only on each conversation's first turn
     assert merged["latency_ms"].isna().sum() \
         == merged["latency_ms_batch"].isna().sum()
+
+
+def test_streaming_rollup_append_mode_with_watermark(spark, tmp_path,
+                                                     transcripts):
+    """Append mode: only watermark-expired windows are emitted. With
+    two time-split micro-batches, batch-2 data advances the watermark
+    past all batch-1 windows, so the appended output must contain every
+    window strictly older than (max event time − watermark)."""
+    import pandas as pd
+    lo, hi = transcripts.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    src = str(tmp_path / "wmsrc")
+    transcripts.where(F.col("ts") < F.lit(mid)).coalesce(1) \
+        .write.mode("overwrite").parquet(src + "/b0")
+    transcripts.where(F.col("ts") >= F.lit(mid)).coalesce(1) \
+        .write.mode("overwrite").parquet(src + "/b1")
+    stream = (spark.readStream.schema(transcripts.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/b{0,1}"))
+    out = streaming_rollup(stream, "1 minute", watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("wmroll")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckwm"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT series_key, bucket, cnt FROM wmroll").toPandas()
+    assert len(got) > 0
+    # every emitted window is complete → counts match the batch rollup
+    want = (transcripts.groupBy(
+                F.col("conv_id").alias("series_key"),
+                F.window("ts", "1 minute")["start"].alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))).toPandas()
+    m = got.merge(want, on=["series_key", "bucket"],
+                  suffixes=("", "_want"))
+    assert len(m) == len(got)
+    assert (m["cnt"] == m["cnt_want"]).all()

@@ -91,3 +91,19 @@ def test_retention_filter_and_sweep(spark, io):
     assert dropped == 1
     with pytest.raises(FileNotFoundError):
         io.read("blocks")
+
+
+def test_unit_metrics_rows(spark, io):
+    from gorillaspark.plans.checkpoint import run_resumable, unit_metrics
+
+    run_resumable(spark, io, "jm", ["u1", "u2"],
+                  lambda u: spark.range(10).withColumn("unit", F.lit(u)),
+                  out_table="out")
+    m = unit_metrics(spark, io, "jm").toPandas()
+    assert len(m) == 2
+    assert (m["rows_out"] == 10).all()
+    assert (m["out_partitions"] >= 1).all()
+    assert (m["out_bytes_est"] > 0).all()
+    assert (m["wall_ms"] >= 0).all()
+    assert (m["committed_at_ms"] > 0).all()
+    assert (m["rows_per_sec"] > 0).all()
