@@ -54,7 +54,8 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
               .withColumn("cosine", F.round(dot, 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nbr_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "nbr_id", "cosine"))
 
@@ -98,7 +99,8 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
               .withColumn("cosine", F.round(dot, 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nbr_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "nbr_id", "cosine"))
 

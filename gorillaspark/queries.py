@@ -266,8 +266,10 @@ _SESSIONIZE_SQL = """
         FROM events),
     sess AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sess_id
         FROM marked)
     SELECT CAST(user_id AS VARCHAR) AS series_key, sess_id,
            epoch_ms(min(ts)) AS sess_start_ms,
@@ -444,9 +446,10 @@ _MINHASH_SQL = _NGRAM_JACCARD_SQL.replace("0.25", "0.5")
 def q_doc_stats(spark, sf_dir):
     from .operators.textstats import quality_score, token_count
     out = token_count(quality_score(_docs(spark, sf_dir)))
-    return out.select("doc_id", "n_chars", "n_tokens", "n_subwords",
-                      "uniq_ratio", "stop_hits", "punct_ratio",
-                      "avg_word_len", "quality")
+    return out.select("doc_id", "n_chars",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "n_subwords", "uniq_ratio", "stop_hits",
+                      "punct_ratio", "avg_word_len", "quality")
 
 
 _DOC_STATS_SQL = r"""
@@ -477,8 +480,10 @@ _DOC_STATS_SQL = r"""
 
 def q_lang_id(spark, sf_dir):
     from .operators.textstats import lang_id
-    return lang_id(_docs(spark, sf_dir)).select(
-        "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "lang_pred")
+    out = lang_id(_docs(spark, sf_dir))
+    cols = [F.col(f"hits_{lg}").cast("long").alias(f"hits_{lg}")
+            for lg in ("en", "de", "fr", "es")]
+    return out.select("doc_id", *cols, "lang_pred")
 
 
 _LANG_ID_SQL = r"""
@@ -755,7 +760,8 @@ def q_top3_types_per_user(spark, sf_dir):
     counts = (ev.groupBy("user_id", "event_type")
               .agg(F.count(F.lit(1)).alias("n")))
     w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
-    return (counts.withColumn("rank", F.row_number().over(w))
+    return (counts.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 3)
             .select(F.col("user_id").cast("long").alias("user_id"),
                     "rank", "event_type", "n"))
