@@ -13,6 +13,15 @@ Skew: partial aggregation (map-side combine) is automatic in Spark's
 hash aggregate; for pathological hot series the optional salt stage
 splits a series' minute-buckets into ``n_salt`` shards that the final
 reduce recombines exactly (cnt/sum/min/max are associative).
+
+Percentile-at-scale policy: exact ``F.percentile`` buffers a group's
+values, which is safe exactly where this engine uses it — bucketed
+groups are time-bounded (a series-minute/hour/day holds at most the
+series' cadence × span), so even the hottest conversation cannot make
+a bucket group unbounded. Whole-series percentiles over unbounded
+history (no bucket in the key) are the one skew-unsafe shape: there
+use ``percentile_approx`` (t-digest, mergeable, salting-compatible)
+and accept its documented error, or bucket first and cascade.
 """
 
 from __future__ import annotations

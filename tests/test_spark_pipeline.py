@@ -223,3 +223,25 @@ def test_dfcm_repeat_asymmetry_is_mirrored():
     for t, v in pts:
         enc2.add(t, v)
     assert GorillaDecoder(enc2.close()).read_all() == pts
+
+
+def test_hot_conv_blocks_bounded(spark, transcripts):
+    """Skew containment at the encode layout: the hot conversation
+    (~50% of all turns) still produces day-bounded blocks, so no task
+    receives an unbounded group (SURVEY §4.3 partitioning argument)."""
+    pts = turn_latency_points(transcripts)
+    blocks = encode_points(pts).cache()
+    per_block = blocks.agg(F.max("n_points")).collect()[0][0]
+    # a conv-day at ≥1ms spacing is hard-capped at 86.4M, but with the
+    # generator's ~10s cadence a day holds ≤ ~8640 turns
+    assert per_block <= 86_400
+    hot = (blocks.where(F.col("series_key") == "conv000000")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("n_points").alias("pts")).collect()[0])
+    hot_days = (pts.where(F.col("series_key") == "conv000000")
+                .select((F.col("ts_ms") / 86_400_000).cast("long"))
+                .distinct().count())
+    assert hot["n"] == hot_days       # exactly one block per hot day
+    assert hot["pts"] == pts.where(
+        F.col("series_key") == "conv000000").count()
+    blocks.unpersist()
