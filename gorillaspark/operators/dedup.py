@@ -8,23 +8,38 @@ Large-scale training-data shapes, each expressed Spark-first:
   shingle → per-pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|) —
   the classic pair-generation plan; the shingle join is the shuffle,
   pruned by ``min_shared`` before the expensive part;
-* MinHash + LSH: vectorized signature computation in an Arrow batch
-  (one pandas UDF over the shingle arrays, numpy universal hashing),
-  banding → candidate buckets → exact Jaccard verification of
+* MinHash + LSH: per-shingle hashing stays JVM-side (``xxhash64`` on
+  the exploded shingle relation — no Python in the token path); the
+  signature is one numpy broadcast + segmented min per Arrow batch.
+  Banding → candidate buckets → exact Jaccard verification of
   candidates only. At 100 TB the bucket join replaces the quadratic
   shingle self-join; recall is tunable by (n_perm, n_bands);
-* SimHash: 64-bit signatures from token hashes (vectorized), duplicate
-  candidates = identical signature (or banded Hamming neighborhoods);
-* embedding near-dup: cosine ≥ τ pairs via LSH bucketing on random
-  hyperplanes with exact verification (see similarity.py for the ANN
-  machinery).
+* SimHash: 64-bit signatures from token FNV-1a hashes, computed fully
+  vectorized over the Arrow string buffers (mapInArrow; the only loop
+  is per *character position* across the whole batch). Duplicate
+  candidates = identical signature; near-dups = banded
+  Hamming-neighbor search (:func:`simhash_hamming_pairs`), which is
+  *provably* complete for distance ≤ n_bands-1 by pigeonhole;
+* embedding near-dup: cosine ≥ τ pairs via banded random-hyperplane
+  LSH with exact verification (see similarity.py).
+
+FNV-1a (64-bit, public domain by Fowler/Noll/Vo) is used for SimHash
+because it is simple enough to express in ANSI-ish SQL (the DuckDB
+oracle reproduces it with list_reduce over HUGEINT — see
+queries._SIMHASH_SIG_SQL), making the signatures value-checkable
+cross-engine. MinHash uses Spark's builtin ``xxhash64`` because its
+hash values never surface in the output (candidates are re-verified
+with exact Jaccard).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -107,49 +122,47 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
-def _minhash_mat(n_perm: int, seed: int = 7):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64)
-    return a, b
+_MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
 def make_minhash_udf(n_perm: int = 64, seed: int = 7):
-    """Vectorized MinHash over an array<string>-of-shingles column.
+    """Vectorized MinHash over an array<long>-of-shingle-hashes column.
 
-    Universal hashing ((a*x + b) mod p) over per-shingle 64-bit stable
-    hashes; the whole Arrow batch is one numpy einsum-free broadcast.
+    The shingles were already hashed JVM-side (``xxhash64``); here each
+    Arrow batch is flattened into one contiguous hash vector and the
+    whole (n_perm × n_hashes) universal-hash matrix is computed in a
+    single numpy broadcast, with per-doc minima via
+    ``np.minimum.reduceat``. Coefficients and inputs are reduced mod
+    the Mersenne prime 2^31-1 first so every product fits uint64 with
+    no silent wraparound — (a·x + b) mod p is the real thing.
     """
-    a, b = _minhash_mat(n_perm, seed)
+    p = _MERSENNE31
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(p), n_perm, dtype=np.uint64)[:, None]
+    b = rng.integers(0, int(p), n_perm, dtype=np.uint64)[:, None]
 
     @pandas_udf("array<long>")
-    def minhash(shingle_sets: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingle_sets:
-            if arr is None or len(arr) == 0:
-                out.append(np.full(n_perm, _MERSENNE, dtype=np.int64))
-                continue
-            # stable 61-bit hashes of the shingles (bytes-based FNV-1a)
-            hs = np.fromiter(
-                (_fnv1a61(s) for s in arr), dtype=np.int64, count=len(arr))
-            # (n_perm, n_shingles) universal hash, min over shingles
-            m = (a[:, None] * hs[None, :] % _MERSENNE + b[:, None]) \
-                % _MERSENNE
-            out.append(m.min(axis=1))
+    def minhash(hash_sets: pd.Series) -> pd.Series:
+        n = len(hash_sets)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        rows = [np.asarray(v, dtype=np.int64) for v in hash_sets]
+        lens = np.fromiter((r.size for r in rows), dtype=np.int64, count=n)
+        sentinel = np.full(n_perm, int(p), dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([sentinel] * n)
+        flat = np.concatenate(rows).view(np.uint64) % p
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        m = (a * flat[None, :] + b) % p            # (n_perm, total)
+        nz = lens > 0
+        mins = np.minimum.reduceat(m, starts[nz], axis=1).astype(np.int64)
+        out: list = [sentinel] * n
+        for j, i in enumerate(np.nonzero(nz)[0]):
+            out[i] = mins[:, j]
         return pd.Series(out)
 
     return minhash
-
-
-def _fnv1a61(s: str) -> int:
-    h = 0xcbf29ce484222325
-    for ch in s.encode():
-        h ^= ch
-        h = (h * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
-    return h % _MERSENNE
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
@@ -158,22 +171,26 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                       id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
 
-    Plan: shingle sets → signatures (one vectorized UDF) → explode
-    bands → groupBy (band, band-hash) buckets → intra-bucket candidate
-    pairs → exact Jaccard on candidates only → threshold. The band join
-    is the only wide shuffle and it carries signatures, not text.
+    Plan: shingle → ``xxhash64`` (JVM) → per-doc hash sets → signatures
+    (one vectorized UDF) → explode bands → groupBy (band, band-hash)
+    buckets → intra-bucket candidate pairs → exact Jaccard on
+    candidates only → threshold. The band join is the only wide shuffle
+    and it carries signatures, not text; the verification joins carry
+    64-bit hashes, not shingle strings.
     """
     rows_per_band = n_perm // n_bands
-    # the shingle relation feeds signatures, candidate verification and
-    # size lookups — cache it instead of re-exploding the corpus 4×
-    sh = shingles(docs, n, text_col, id_col).cache()
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shingle_set"),
-        F.count(F.lit(1)).alias("sz"))
+    # hashed shingle relation feeds signatures, candidate verification
+    # and size lookups — cache it instead of re-exploding the corpus 4×
+    shh = (shingles(docs, n, text_col, id_col)
+           .select("doc_id", F.xxhash64("shingle").alias("h"))
+           .cache())
+    sets = shh.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hash_set"),
+        F.count(F.lit(1)).alias("sz")).cache()
     mh = make_minhash_udf(n_perm)
-    sigs = sets.select("doc_id", "sz", mh("shingle_set").alias("sig"))
+    sigs = sets.select("doc_id", mh("hash_set").alias("sig"))
     bands = sigs.select(
-        "doc_id", "sz",
+        "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -188,19 +205,19 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
              .select(F.col("x.doc_id").alias("doc_a"),
                      F.col("y.doc_id").alias("doc_b"))
              .distinct())
-    # exact verification of candidates only
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"),
-                     F.col("shingle").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b2"),
-                     F.col("shingle").alias("sh_b"))
+    # exact verification of candidates only (hash-equality ∩ counts;
+    # xxhash64 collisions are ~n²/2^64 — negligible at any real corpus)
+    sh_a = shh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("h").alias("h_a"))
+    sh_b = shh.select(F.col("doc_id").alias("doc_b2"),
+                      F.col("h").alias("h_b"))
     inter = (cands.join(sh_a, "doc_a")
              .join(sh_b, (F.col("doc_b") == F.col("doc_b2"))
-                   & (F.col("sh_a") == F.col("sh_b")))
+                   & (F.col("h_a") == F.col("h_b")))
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("inter")))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("jaccard",
                         F.col("inter")
@@ -213,44 +230,127 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def make_simhash_udf(seed: int = 11):
-    @pandas_udf("long")
-    def simhash(token_sets: pd.Series) -> pd.Series:
-        out = np.empty(len(token_sets), dtype=np.int64)
-        for i, arr in enumerate(token_sets):
-            if arr is None or len(arr) == 0:
-                out[i] = 0
-                continue
-            hs = np.fromiter((_fnv1a64(t) for t in arr), dtype=np.uint64,
-                             count=len(arr))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            out[i] = int(((acc > 0).astype(np.uint64)
-                          << np.arange(64, dtype=np.uint64)).sum()
-                         .astype(np.int64))
-        return pd.Series(out)
-
-    return simhash
+_FNV_BASIS = np.uint64(0xcbf29ce484222325)
+_FNV_PRIME = np.uint64(0x100000001b3)
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xcbf29ce484222325
-    for ch in s.encode():
-        h ^= ch
-        h = (h * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+def _fnv1a64_arrow(tokens: pa.StringArray) -> np.ndarray:
+    """FNV-1a 64-bit over every string in an Arrow array, vectorized.
+
+    Reads the UTF-8 data buffer directly; the only Python loop is over
+    character *positions* (bounded by the longest token in the batch),
+    each step a numpy gather+xor+multiply over all still-active tokens.
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(tokens.buffers()[1], dtype=np.int32)[
+        tokens.offset:tokens.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(tokens.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    starts = offs[:-1]
+    h = np.full(n, _FNV_BASIS, dtype=np.uint64)
+    maxlen = int(lens.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for pos in range(maxlen):
+            act = np.nonzero(lens > pos)[0]
+            ch = data[starts[act] + pos].astype(np.uint64)
+            h[act] = (h[act] ^ ch) * _FNV_PRIME
     return h
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
+
+    Bit i of the signature is 1 iff the (+1/-1) majority vote of bit i
+    across all token hashes (duplicates counted) is positive. Computed
+    with mapInArrow: token lists stay in Arrow buffers end to end, the
+    bit-majority is one segmented ``np.add.reduceat`` per batch.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    prepared = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                           toks.alias("toks"))
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("doc_id")
+            lists = batch.column("toks")
+            n = len(ids)
+            if n == 0:
+                continue
+            lens = np.asarray(
+                pa.compute.list_value_length(lists), dtype=np.int64)
+            flat = lists.flatten()
+            hs = _fnv1a64_arrow(flat)
+            # (n_tokens, 64) ±1 contributions, segmented sum per doc
+            contrib = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
+                       .astype(np.int32) * 2 - 1)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nz = lens > 0
+            sig = np.zeros(n, dtype=np.uint64)
+            if nz.any():
+                sums = np.add.reduceat(contrib, starts[nz], axis=0)
+                sig[nz] = ((sums > 0).astype(np.uint64) * weights).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sig.view(np.int64))],
+                names=["doc_id", "simhash"])
+
+    return prepared.mapInArrow(mapper, "doc_id long, simhash long")
 
 
 def simhash_duplicates(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical 64-bit SimHash (strong near-dup
-    signal); banded Hamming-neighbor search extends this at scale."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    sh = make_simhash_udf()
-    sigs = docs.select(F.col(id_col).alias("doc_id"),
-                       sh(toks).alias("simhash"))
-    return (sigs.groupBy("simhash")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
-                 F.count(F.lit(1)).alias("n_docs"))
-            .where(F.col("n_docs") > 1))
+    signal), one row per member: (simhash, doc_id, n_docs).
+    Near-misses are found by :func:`simhash_hamming_pairs`."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    w = Window.partitionBy("simhash")
+    return (sigs.withColumn("n_docs", F.count(F.lit(1)).over(w))
+            .where(F.col("n_docs") > 1)
+            .select("simhash", "doc_id", "n_docs"))
+
+
+def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
+                          n_bands: int = 4, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance ≤ ``max_dist``.
+
+    Banded search: the 64-bit signature splits into ``n_bands`` equal
+    chunks; candidates share at least one identical chunk; candidates
+    are verified with an exact popcount. By pigeonhole this is
+    *complete* (recall exactly 1.0, not probabilistic) whenever
+    ``max_dist < n_bands`` — d flipped bits can dirty at most d bands,
+    leaving ≥ 1 band identical. At scale each band-bucket join touches
+    only docs agreeing on 16 signature bits (~corpus/2^16 per bucket);
+    no all-pairs anywhere.
+    """
+    if max_dist >= n_bands:
+        raise ValueError("completeness needs max_dist < n_bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs, text_col, id_col)
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), i * width)
+         .bitwiseAND(F.lit(mask)) for i in range(n_bands)])
+    bands = sigs.select("doc_id", "simhash",
+                        F.posexplode(chunks).alias("band", "code"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.code") == F.col("b.code"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .distinct())
+    return (pairs
+            .withColumn("hamming",
+                        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                        .cast("long"))
+            .where(F.col("hamming") <= max_dist)
+            .select("doc_a", "doc_b", "hamming"))

@@ -572,8 +572,14 @@ _ANN_TOPK_SQL = """
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    from .operators.similarity import embedding_near_dup_exact
-    return embedding_near_dup_exact(_emb(spark, sf_dir), threshold=0.3)
+    """Registered on the banded-LSH scale path (candidates via 32×2-bit
+    hyperplane bands, exact cosine verify); the oracle is the exact
+    all-pairs set. Per-pair miss probability at τ=0.3 is ~7e-7 and the
+    planes are seeded, so equality holds deterministically on the test
+    corpora (verified at sf0.001/0.01/0.1)."""
+    from .operators.similarity import embedding_near_dup_pairs
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3,
+                                    n_planes=64, n_bands=32, seed=5)
 
 
 _NEAR_DUP_SQL = """
@@ -593,11 +599,99 @@ _NEAR_DUP_SQL = """
 """
 
 
+def q_ann_topk_lsh(spark, sf_dir):
+    """ANN scale path (banded hyperplane candidates + exact re-rank),
+    checked against the *brute-force* oracle: equality means measured
+    recall@10 is exactly 1.0 for every query on this corpus."""
+    from .operators.similarity import cosine_topk_lsh
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return cosine_topk_lsh(emb, queries, k=10,
+                           n_planes=64, n_bands=32, seed=5)
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN measured-recall harness (rows-only check: the centroid
+    training is not SQL-expressible). Emits per-query recall@10 vs the
+    in-Spark exact top-k; pytest pins the measured values."""
+    from .operators.similarity import ann_topk_ivf
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return ann_topk_ivf(emb, queries, k=10, n_centroids=16, nprobe=10)
+
+
+# SimHash signatures are value-checkable cross-engine because the token
+# hash is FNV-1a64 (simple enough for DuckDB: per-char list_reduce over
+# HUGEINT with an explicit mod-2^64; xor only ever touches the low
+# byte, so it stays in BIGINT range). See operators/dedup.py.
+_SIMHASH_SIG_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents),
+    tok_hashes AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                       list_transform(string_split(tok, ''),
+                                      c -> CAST(ascii(c) AS HUGEINT))),
+                   (acc, c) -> ((acc - (acc % 256)
+                                 + xor(CAST(acc % 256 AS BIGINT),
+                                       CAST(c AS BIGINT))) * 1099511628211)
+                               % 18446744073709551616) AS h
+        FROM toks),
+    bitsum AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h // CAST(power(2, bit) AS HUGEINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM tok_hashes
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) bits
+        GROUP BY 1, 2),
+    usig AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END) AS u
+        FROM bitsum GROUP BY 1)
+    SELECT doc_id,
+           CAST(CASE WHEN u >= CAST(power(2, 63) AS HUGEINT)
+                     THEN u - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE u END AS BIGINT) AS simhash
+    FROM usig
+"""
+
+
 def q_simhash_dupes(spark, sf_dir):
-    """Rows-only check (SimHash's 64-bit token hashing is not
-    SQL-expressible in DuckDB)."""
+    """Identical-signature groups, exploded to one row per member so
+    the result is flat-hashable: (simhash, doc_id, n_docs)."""
     from .operators.dedup import simhash_duplicates
     return simhash_duplicates(_docs(spark, sf_dir))
+
+
+_SIMHASH_DUPES_SQL = f"""
+    WITH sigs AS ({_SIMHASH_SIG_SQL}),
+    grp AS (SELECT simhash, count(*) AS n_docs FROM sigs GROUP BY 1)
+    SELECT s.simhash, s.doc_id, g.n_docs
+    FROM sigs s JOIN grp g USING (simhash)
+    WHERE g.n_docs > 1
+"""
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """Banded Hamming-neighbor search (4×16-bit bands → candidates →
+    exact popcount ≤ 3). Complete by pigeonhole for dist < n_bands, so
+    the brute-force all-pairs oracle must match exactly."""
+    from .operators.dedup import simhash_hamming_pairs
+    return simhash_hamming_pairs(_docs(spark, sf_dir), max_dist=3,
+                                 n_bands=4)
+
+
+_SIMHASH_HAMMING_SQL = f"""
+    WITH sigs AS ({_SIMHASH_SIG_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 QUERIES.update({
@@ -608,8 +702,11 @@ QUERIES.update({
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "simhash_dupes": q_simhash_dupes,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
 })
 
 ORACLES.update({
@@ -620,8 +717,12 @@ ORACLES.update({
     "lang_id": _LANG_ID_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "ann_topk": _ANN_TOPK_SQL,
+    "ann_topk_lsh": _ANN_TOPK_SQL,     # scale path vs brute-force truth
+    # ann_topk_ivf: rows-only by design (driver-side centroid training
+    # is not SQL-expressible; recall is an explicit output column)
     "embedding_near_dup": _NEAR_DUP_SQL,
-    # simhash_dupes: rows-only by design
+    "simhash_dupes": _SIMHASH_DUPES_SQL,
+    "simhash_hamming_pairs": _SIMHASH_HAMMING_SQL,
 })
 
 

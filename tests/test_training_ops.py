@@ -90,9 +90,61 @@ def test_minhash_lsh_finds_verified_pairs(spark, docs):
     assert (0, 3) in gs                  # exact dup always recalled
 
 
+def _py_simhash(text: str) -> int:
+    """Row-at-a-time reference implementation for the vectorized path."""
+    import re
+
+    def fnv(s):
+        h = 0xcbf29ce484222325
+        for ch in s.encode():
+            h ^= ch
+            h = (h * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    toks = re.split(r"\s+", text.strip().lower())
+    acc = [0] * 64
+    for t in toks:
+        h = fnv(t)
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    sig = sum(1 << b for b in range(64) if acc[b] > 0)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_signatures_match_python_oracle(spark, docs):
+    from gorillaspark.operators.dedup import simhash_signatures
+    got = simhash_signatures(docs).toPandas().set_index("doc_id")
+    for r in docs.collect():
+        assert got.loc[r.doc_id, "simhash"] == _py_simhash(r.text), r.doc_id
+
+
 def test_simhash_exact_dupes(spark, docs):
     out = simhash_duplicates(docs).toPandas()
-    assert any(set(ids) == {0, 3} for ids in out["doc_ids"])
+    grp = out.groupby("simhash")["doc_id"].apply(set)
+    assert any(ids == {0, 3} for ids in grp)
+    assert (out["n_docs"] > 1).all()
+
+
+def test_simhash_hamming_pairs_complete(spark, docs):
+    """Banded candidates + exact verify == brute-force Hamming pairs
+    (completeness is guaranteed by pigeonhole for dist < n_bands)."""
+    from gorillaspark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_signatures,
+    )
+    sigs = simhash_signatures(docs).toPandas().set_index("doc_id")["simhash"]
+    want = set()
+    ids = sorted(sigs.index)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin((int(sigs[i]) ^ int(sigs[j])) & ((1 << 64) - 1)) \
+                    .count("1")
+                if d <= 3:
+                    want.add((i, j, d))
+    got = simhash_hamming_pairs(docs, max_dist=3, n_bands=4).toPandas()
+    assert {tuple(r) for r in got.to_numpy()} == want
+    assert (0, 3, 0) in want  # the exact dup pair is in scope
 
 
 def test_cosine_topk_matches_numpy(spark):
@@ -123,6 +175,64 @@ def test_embedding_near_dup(spark):
         pd.DataFrame({"vec_id": np.arange(21), "embedding": list(vecs)}))
     out = embedding_near_dup_pairs(emb, threshold=0.99).toPandas()
     assert (3, 20) in {(r.vec_a, r.vec_b) for r in out.itertuples()}
+
+
+def test_minhash_signature_is_true_universal_hash(spark, docs):
+    """The UDF's signature must equal a trusted per-row recomputation
+    over the same JVM-hashed shingles — guards the mod-p arithmetic
+    (no silent int64 wraparound in (a·x + b) mod p)."""
+    from gorillaspark.operators.dedup import make_minhash_udf, shingles
+
+    shh = (shingles(docs, 3)
+           .select("doc_id", F.xxhash64("shingle").alias("h")))
+    sets = shh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    mh = make_minhash_udf(n_perm=16, seed=7)
+    got = {r.doc_id: list(r.sig)
+           for r in sets.select("doc_id", mh("hs").alias("sig")).collect()}
+    p = (1 << 31) - 1
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, p, 16, dtype=np.uint64)
+    b = rng.integers(0, p, 16, dtype=np.uint64)
+    for r in sets.collect():
+        xs = [int(h) % (1 << 64) % p for h in r.hs]  # uint64 view, mod p
+        want = [min((int(a[i]) * x + int(b[i])) % p for x in xs)
+                for i in range(16)]
+        assert got[r.doc_id] == want, r.doc_id
+
+
+def test_ann_lsh_equals_bruteforce_on_moderate_sim(spark):
+    """Banded-LSH top-k with exact re-rank reproduces the brute-force
+    ranking when recall is 1 (64 planes / 32 bands on 60 vectors)."""
+    from gorillaspark.operators.similarity import cosine_topk_lsh
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(60), "embedding": list(vecs)}))
+    queries = emb.where(F.col("vec_id") < 5)
+    brute = (cosine_topk_bruteforce(emb, queries, k=5)
+             .toPandas().sort_values(["query_id", "rank"])
+             .reset_index(drop=True))
+    lsh = (cosine_topk_lsh(emb, queries, k=5, n_planes=64, n_bands=32)
+           .toPandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    assert brute.equals(lsh)
+
+
+def test_ann_ivf_measured_recall(spark):
+    """IVF recall column is honest: perfect on well-separated clusters,
+    and always equals |approx ∩ exact| / k by construction."""
+    from gorillaspark.operators.similarity import ann_topk_ivf
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 10
+    vecs = np.vstack([c + rng.normal(size=(25, 16)) for c in centers]) \
+        .astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(100), "embedding": list(vecs)}))
+    queries = emb.where(F.col("vec_id") < 8)
+    out = ann_topk_ivf(emb, queries, k=5, n_centroids=4, nprobe=2) \
+        .toPandas()
+    assert len(out) == 8
+    assert (out["recall_at_k"] == 1.0).all()   # clustered data: IVF exact
 
 
 def test_textstats_and_fingerprint(spark, docs):
