@@ -11,6 +11,7 @@ reference-generated goldens.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from pathlib import Path
@@ -19,12 +20,22 @@ import numpy as np
 
 _DIR = Path(__file__).parent / "_native"
 _SRC = _DIR / "gorilla.c"
-_SO = _DIR / "_gorilla.so"
+
+
+def _so_path() -> Path:
+    """Shared-object name keyed by the source hash: a changed gorilla.c
+    always gets a fresh build even when mtimes are unreliable (git
+    checkout / rsync preserving timestamps)."""
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    return _DIR / f"_gorilla_{digest}.so"
+
+
+_SO = _so_path()
 
 
 def _build() -> bool:
     try:
-        if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        if _SO.exists():
             return True
         # many executor Python workers may import concurrently: build to
         # a unique temp name, then atomically rename into place
@@ -33,6 +44,13 @@ def _build() -> bool:
             ["cc", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
             check=True, capture_output=True, timeout=120)
         os.replace(tmp, _SO)
+        # best-effort sweep of builds of older source revisions
+        for old in _DIR.glob("_gorilla*.so"):
+            if old != _SO:
+                try:
+                    old.unlink()
+                except OSError:
+                    pass
         return True
     except Exception:
         return False

@@ -158,6 +158,14 @@ _EVENT_RATES_SQL = """
 """
 
 
+def q_stream_event_rates_1h(spark, sf_dir):
+    """Structured Streaming parity: the complete-mode snapshot of a
+    windowed streaming aggregation over the events files must equal
+    the batch GROUP BY (same oracle as event_type_rates_1h)."""
+    from .streaming.stream_rollup import rates_snapshot
+    return rates_snapshot(spark, f"{sf_dir}/events.parquet", "1 hour")
+
+
 # ---------------------------------------------------------------------------
 # codec round trip as a queryable identity
 # ---------------------------------------------------------------------------
@@ -353,6 +361,7 @@ QUERIES = {
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "latency_stats_per_series": q_latency_stats_per_series,
     "event_type_rates_1h": q_event_type_rates_1h,
+    "stream_event_rates_1h": q_stream_event_rates_1h,
     "codec_roundtrip": q_codec_roundtrip,
     "block_inventory": q_block_inventory,
     "gapfill_1h_ffill": q_gapfill_1h_ffill,
@@ -368,6 +377,7 @@ ORACLES = {
     "rollup_1h_cascade": _rollup_sql("1h"),
     "latency_stats_per_series": _LATENCY_SQL,
     "event_type_rates_1h": _EVENT_RATES_SQL,
+    "stream_event_rates_1h": _EVENT_RATES_SQL,
     "codec_roundtrip": _EVENT_POINTS_SQL,
     "block_inventory": _BLOCK_INVENTORY_SQL,
     "gapfill_1h_ffill": _GAPFILL_SQL,

@@ -21,6 +21,7 @@ with the same key is a no-op (the resume contract in SURVEY.md §3.4).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -57,18 +58,52 @@ class ParquetTableIO:
             return []
         return [Snapshot(**s) for s in json.loads(open(p).read())]
 
+    @contextlib.contextmanager
+    def _manifest_lock(self, table: str, timeout_s: float = 30.0):
+        """Serialize manifest read-modify-write across concurrent
+        writers (e.g. a streaming sink plus a batch job sharing the
+        warehouse): O_EXCL lockfile, stale locks broken after 60 s."""
+        lock = self._manifest_path(table) + ".lock"
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"manifest lock busy: {lock}")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock)
+
     def _commit(self, table: str, files: list[str],
-                commit_key: str | None) -> Snapshot:
-        snaps = self.snapshots(table)
-        snap = Snapshot(snapshot_id=uuid.uuid4().hex[:16],
-                        committed_at_ms=int(time.time() * 1000),
-                        files=files, commit_key=commit_key)
-        snaps.append(snap)
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump([s.__dict__ for s in snaps], f)
-        os.replace(tmp, self._manifest_path(table))  # atomic commit
-        return snap
+                commit_key: str | None) -> Snapshot | None:
+        with self._manifest_lock(table):
+            # re-read inside the lock: another writer may have committed
+            # (including this very commit_key) since our pre-check
+            snaps = self.snapshots(table)
+            if commit_key and any(s.commit_key == commit_key for s in snaps):
+                return None
+            snap = Snapshot(snapshot_id=uuid.uuid4().hex[:16],
+                            committed_at_ms=int(time.time() * 1000),
+                            files=files, commit_key=commit_key)
+            snaps.append(snap)
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump([s.__dict__ for s in snaps], f)
+            os.replace(tmp, self._manifest_path(table))  # atomic commit
+            return snap
 
     def committed_keys(self, table: str) -> set[str]:
         return {s.commit_key for s in self.snapshots(table) if s.commit_key}
@@ -107,20 +142,21 @@ class ParquetTableIO:
         """Retention: drop whole snapshots older than the cutoff (the
         partition-prune analogue of Iceberg DELETE WHERE + expire)."""
         import shutil
-        snaps = self.snapshots(table)
-        keep, dropped = [], 0
-        for s in snaps:
-            if s.committed_at_ms < cutoff_ms:
-                for f in s.files:
-                    shutil.rmtree(f, ignore_errors=True)
-                dropped += 1
-            else:
-                keep.append(s)
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump([s.__dict__ for s in keep], f)
-        os.replace(tmp, self._manifest_path(table))
-        return dropped
+        with self._manifest_lock(table):
+            snaps = self.snapshots(table)
+            keep, dropped = [], 0
+            for s in snaps:
+                if s.committed_at_ms < cutoff_ms:
+                    for f in s.files:
+                        shutil.rmtree(f, ignore_errors=True)
+                    dropped += 1
+                else:
+                    keep.append(s)
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump([s.__dict__ for s in keep], f)
+            os.replace(tmp, self._manifest_path(table))
+            return dropped
 
 
 class IcebergTableIO:

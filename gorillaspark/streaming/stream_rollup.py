@@ -6,11 +6,16 @@
   engine (the codec itself never sees out-of-order data — reference
   `README.adoc:150` declares out-of-order unsupported, so the streaming
   layer is where lateness is absorbed).
-* :func:`incremental_encode` — foreachBatch micro-batch encode: each
-  batch's *closed* day-blocks are appended via the batch operator; the
-  current open day stays in the stream state (here: simply re-emitted
-  next batch window). Exactly-once via TableIO commit keys per
-  (batch_id).
+* :func:`incremental_encode` — foreachBatch micro-batch encode with an
+  open-day carry: a (series, day) is *closed* once the accumulated
+  stream holds a later-day point for that series; closed days are
+  encoded and appended (one block per series-day, no per-batch
+  fragmentation), while each series' trailing open day is parked in a
+  batch-versioned carry table and re-unioned into the next batch.
+  :func:`flush_carry` encodes whatever is still open when the stream
+  ends (or at a scheduled day boundary). Exactly-once via TableIO
+  commit keys per batch_id; the carry is batch-versioned so a replayed
+  batch reads the same carry it read the first time.
 
 p95 note: exact percentiles are not incrementally mergeable; streaming
 tiers expose cnt/sum/avg/min/max and the batch job backfills exact p95
@@ -56,14 +61,118 @@ def streaming_role_rates(turns: DataFrame, span: str = "1 minute",
     )
 
 
-def incremental_encode(io, out_table: str = "blocks"):
-    """foreachBatch sink: encode each micro-batch's points to Gorilla
-    blocks and append them with an exactly-once commit key."""
+def rates_snapshot(spark, events_path: str, span: str = "1 hour",
+                   ts_col: str = "ts",
+                   key_col: str = "event_type") -> DataFrame:
+    """Run a bounded streaming windowed aggregation to completion and
+    return the final snapshot (complete mode + availableNow trigger).
+
+    This is the batch-parity surface for the driver's correctness
+    gate: the snapshot of the streaming state after the last
+    micro-batch must equal the equivalent batch GROUP BY — the same
+    code path a live deployment runs, exercised against a static
+    oracle. Complete mode is used (not append) because at end-of-input
+    the watermark never passes the final windows; a live pipeline
+    would use append mode + watermark as in :func:`streaming_rollup`.
+    """
+    import os
+    import uuid
+    schema = spark.read.parquet(events_path).schema
+    src = events_path
+    if os.path.isfile(events_path):
+        # FileStreamSource insists on a directory path; a one-char glob
+        # makes a single parquet file streamable without staging a copy
+        src = f"{events_path[:-1]}[{events_path[-1]}]"
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = f"gs_snapshot_{uuid.uuid4().hex[:8]}"
+    agg = (stream.groupBy(
+               F.window(F.col(ts_col).cast("timestamp"), span).alias("w"),
+               key_col)
+           .agg(F.count(F.lit(1)).alias("messages")))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(name)
+            .select(F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+                    F.col(key_col), "messages"))
+
+
+_DAY_MS = 86_400_000
+
+
+def _carry_dir(io, carry_table: str) -> str:
+    import os
+    return os.path.join(io.root, carry_table)
+
+
+def _latest_carry(io, spark, carry_table: str,
+                  before_batch: int | None = None) -> DataFrame | None:
+    """Newest carry snapshot (strictly before ``before_batch`` when
+    given, so a replayed batch sees exactly the carry it saw first)."""
+    import os
+    root = _carry_dir(io, carry_table)
+    if not os.path.isdir(root):
+        return None
+    ids = sorted(int(d.split("=", 1)[1]) for d in os.listdir(root)
+                 if d.startswith("batch=")
+                 and (before_batch is None
+                      or int(d.split("=", 1)[1]) < before_batch))
+    if not ids:
+        return None
+    return spark.read.parquet(os.path.join(root, f"batch={ids[-1]}"))
+
+
+def incremental_encode(io, out_table: str = "blocks",
+                       carry_table: str = "blocks_carry"):
+    """foreachBatch sink: encode *closed* series-days to Gorilla blocks,
+    carry each series' trailing open day to the next micro-batch.
+
+    Without the carry, every micro-batch would fragment the same
+    (series, day) into one partial block per batch — decode stays
+    correct but compression and block accounting degrade. Here a day
+    closes when a later-day point for the same series arrives; call
+    :func:`flush_carry` once the stream is done to encode the
+    still-open tails."""
+    import os
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        spark = batch_df.sparkSession
+        prev = _latest_carry(io, spark, carry_table, before_batch=batch_id)
+        data = batch_df if prev is None \
+            else batch_df.unionByName(prev)
+        if data.isEmpty():
             return
-        blocks = encode_points(batch_df, "double")
-        io.append(out_table, blocks, commit_key=f"stream-batch/{batch_id}")
+        data = data.withColumn("_day", F.floor(F.col("ts_ms") / _DAY_MS))
+        maxd = data.groupBy("series_key").agg(F.max("_day").alias("_max_day"))
+        joined = data.join(maxd, "series_key")
+        closed = joined.where(F.col("_day") < F.col("_max_day")) \
+            .drop("_day", "_max_day")
+        open_day = joined.where(F.col("_day") == F.col("_max_day")) \
+            .drop("_day", "_max_day")
+        if not closed.isEmpty():
+            io.append(out_table, encode_points(closed, "double"),
+                      commit_key=f"stream-batch/{batch_id}")
+        open_day.write.mode("overwrite").parquet(
+            os.path.join(_carry_dir(io, carry_table), f"batch={batch_id}"))
 
     return sink
+
+
+def flush_carry(io, spark, out_table: str = "blocks",
+                carry_table: str = "blocks_carry") -> None:
+    """Encode the still-open series-days left in the carry (end of
+    stream, or a scheduled day-boundary flush). Idempotent per carry
+    snapshot via the commit key."""
+    import os
+    root = _carry_dir(io, carry_table)
+    if not os.path.isdir(root):
+        return
+    ids = sorted(int(d.split("=", 1)[1]) for d in os.listdir(root)
+                 if d.startswith("batch="))
+    if not ids:
+        return
+    tail = spark.read.parquet(os.path.join(root, f"batch={ids[-1]}"))
+    if tail.isEmpty():
+        return
+    io.append(out_table, encode_points(tail, "double"),
+              commit_key=f"stream-carry-flush/{ids[-1]}")

@@ -54,19 +54,35 @@ def test_streaming_role_rates_runs(spark, tmp_path, turn_stream):
 
 
 def test_incremental_encode_foreachbatch(spark, tmp_path, transcripts):
+    """Open-day carry: a day split across micro-batches must still end
+    up in ONE block per (series, day), and the end-of-stream flush must
+    account for every point exactly once."""
     from gorillaspark.operators.normalize import turn_latency_points
+    from gorillaspark.streaming.stream_rollup import flush_carry
     pts = turn_latency_points(transcripts)
+    # two time-split files → two micro-batches that split days apart
+    lo, hi = pts.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    mid = (lo + hi) // 2
     src = str(tmp_path / "pts")
-    pts.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(pts.schema).parquet(src)
+    pts.where(F.col("ts_ms") < mid).coalesce(1) \
+        .write.mode("overwrite").parquet(src + "/b0")
+    pts.where(F.col("ts_ms") >= mid).coalesce(1) \
+        .write.mode("overwrite").parquet(src + "/b1")
+    stream = (spark.readStream.schema(pts.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/b{0,1}"))
     io = ParquetTableIO(spark, str(tmp_path / "wh"))
     q = (stream.writeStream.foreachBatch(incremental_encode(io))
          .option("checkpointLocation", str(tmp_path / "ck3"))
          .trigger(availableNow=True).start())
     q.awaitTermination(180)
+    flush_carry(io, spark)
     blocks = io.read("blocks")
     assert blocks.agg(F.sum("n_points")).collect()[0][0] == pts.count()
-    # replaying the same batch id must not duplicate (commit key no-op)
+    # the carry guarantee: no (series, day) fragmented across blocks
+    frag = (blocks.groupBy("series_key", "block_ts")
+            .agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1))
+    assert frag.isEmpty()
+    # replaying a batch id must not duplicate (commit key no-op)
     pdf = pts.limit(5).toPandas()
     incremental_encode(io)(spark.createDataFrame(pdf), batch_id=0)
     assert io.read("blocks").agg(F.sum("n_points")).collect()[0][0] \

@@ -107,3 +107,26 @@ def test_unit_metrics_rows(spark, io):
     assert (m["wall_ms"] >= 0).all()
     assert (m["committed_at_ms"] > 0).all()
     assert (m["rows_per_sec"] > 0).all()
+
+
+def test_concurrent_appends_lose_no_snapshot(spark, io):
+    """The manifest lock must serialize read-modify-write commits:
+    N threads appending concurrently → exactly N snapshots survive."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(i):
+        io.append("conc", spark.range(3).withColumn("w", F.lit(i)),
+                  commit_key=f"writer/{i}")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(one, range(8)))
+    snaps = io.snapshots("conc")
+    assert len(snaps) == 8
+    assert {s.commit_key for s in snaps} == {f"writer/{i}" for i in range(8)}
+    assert io.read("conc").count() == 24
+    # racing writers with the SAME key: exactly one commit wins
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda _: io.append(
+            "conc", spark.range(1), commit_key="dup"), range(8)))
+    assert sum(1 for s in io.snapshots("conc")
+               if s.commit_key == "dup") == 1
