@@ -25,6 +25,22 @@ import sys
 import tempfile
 import time
 
+# Round-1 driver bench (BENCH_r01.json, sf0.1, local[32]) as a budget:
+# a round must not regress a guarded query by more than 20 %. The JSON
+# output carries any violations under "regressions" so the per-round
+# diff is self-describing (the run still exits 0 — shared-tenant box
+# timings swing; the field is the signal, not a hard gate).
+_BUDGET_S = {
+    "encode_blocks": 2.63,
+    "decode_blocks": 0.559,
+    "rollup_1m": 2.092,
+    "rollup_cascade_1h_1d": 1.856,
+    "gapfill_1h": 1.422,
+    "dedup_minhash_lsh": 9.942,
+    "ann_topk_bruteforce": 2.804,
+}
+_BUDGET_HEADROOM = 1.20
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,12 +50,15 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from gorillaspark.operators.dedup import minhash_lsh_pairs
+    from gorillaspark.operators.dedup import (minhash_lsh_pairs,
+                                              simhash_hamming_pairs)
     from gorillaspark.operators.encode import decode_points, encode_points
     from gorillaspark.operators.gapfill import gapfill_ffill
     from gorillaspark.operators.normalize import turn_latency_points
     from gorillaspark.operators.rollup import rollup_from_lower, rollup_tier
-    from gorillaspark.operators.similarity import cosine_topk_bruteforce
+    from gorillaspark.operators.similarity import (cosine_topk_bruteforce,
+                                                   cosine_topk_lsh,
+                                                   embedding_near_dup_pairs)
     from gorillaspark.plans.session import build_session
     from gorillaspark.queries import QUERIES
     from gorillaspark.sources.transcripts import generate_transcripts
@@ -55,10 +74,11 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn, reps=1):
-        # warm-up + median for repeatable numbers on a shared-tenant box
-        if reps > 1:
-            fn()
+    def timed(name, fn, reps=3):
+        # one warm-up (JIT/codegen/Python-worker spin-up dominates any
+        # first execution: 3-8x the steady state) + median of reps for
+        # repeatable numbers on a shared-tenant box
+        fn()
         times = []
         r = None
         for _ in range(reps):
@@ -112,11 +132,22 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("dedup_minhash_lsh",
           lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    timed("dedup_simhash_hamming",
+          lambda: simhash_hamming_pairs(docs).count())
     qvecs = emb.limit(32)
     timed("ann_topk_bruteforce",
           lambda: cosine_topk_bruteforce(emb, qvecs, k=10).count())
+    timed("ann_topk_lsh",
+          lambda: cosine_topk_lsh(emb, qvecs, k=10).count())
+    timed("embedding_near_dup_lsh",
+          lambda: embedding_near_dup_pairs(emb, threshold=0.9).count())
 
     total = round(sum(queries.values()), 3)
+    regressions = [
+        {"query": k, "sec": queries[k], "budget_sec": v,
+         "ratio": round(queries[k] / v, 2)}
+        for k, v in _BUDGET_S.items()
+        if k in queries and queries[k] > v * _BUDGET_HEADROOM]
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "gorillaspark headline suite (codec+rollup+queries)",
@@ -126,6 +157,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "corpus_turns": n_turns,
+        "protocol": "per query: 1 warm-up + median of 3 timed reps",
+        "regressions": regressions,
         **extras,
     }
     shutil.rmtree(scratch, ignore_errors=True)

@@ -2,11 +2,15 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, batched Arrow UDF signatures,
-partition sizing for fat binary rows) is real and tested; the actual
-media decoding is STUBBED — the sandbox ships no image/audio libs —
-behind ``decoder=`` hooks that raise ``NotImplementedError`` unless a
-deterministic fake is requested. Swapping in PIL/torchaudio on a real
-cluster changes only the hook body: batch shapes, schemas and
+partition sizing for fat binary rows) is real and tested. Media
+decoding is REAL for the library-free formats — PCM WAV audio,
+uncompressed 24-bit BMP images, and the GSV1 frame container (see
+media_codecs.py) — via ``decoder='native'`` and the typed operators
+:func:`audio_stats` / :func:`image_stats` / :func:`video_frame_stats`.
+Compressed formats (JPEG/PNG/MP4) stay honestly stubbed — the sandbox
+ships no image/audio libs — behind ``decoder=`` hooks that raise
+``NotImplementedError``. Swapping in PIL/torchaudio on a real cluster
+changes only the per-format branch: batch shapes, schemas and
 partitioning are already exercised end-to-end.
 """
 
@@ -29,6 +33,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from . import media_codecs as mc
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
@@ -74,12 +80,54 @@ def _fake_decode(kind: str, payload: bytes, dim: int = 8) -> np.ndarray:
     return raw / np.float32(2**32)
 
 
+def _native_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Real decode dispatched on magic bytes → fixed-dim float feature.
+
+    WAV → [sample_rate/1e5, channels, frames/1e6, duration_s, rms/2^15,
+    peak/2^15, zcr rate, 0…]; BMP → [w/1e4, h/1e4, mean_r/255,
+    mean_g/255, mean_b/255, ahash-bit density, 0…]; GSV1 → first-frame
+    image feature with slot 6 = frame count. Compressed formats raise
+    NotImplementedError — plug a real library there on a real cluster.
+    """
+    out = np.zeros(dim, dtype=np.float32)
+    if payload[:4] == b"RIFF":
+        a = mc.audio_features(payload)
+        n = max(a["n_samples"], 1)
+        out[:7] = [a["sample_rate"] / 1e5, a["n_channels"],
+                   a["n_samples"] / a["n_channels"] / 1e6
+                   if a["n_channels"] else 0.0,
+                   a["duration_ms"] / 1e3,
+                   (a["sumsq"] / n) ** 0.5 / 32768.0,
+                   a["peak"] / 32768.0,
+                   a["zero_crossings"] / n]
+    elif payload[:2] == b"BM" or payload[:4] == b"GSV1":
+        frames = 0
+        if payload[:4] == b"GSV1":
+            frames = sum(1 for _ in mc.gsv1_frames(bytes(payload)))
+            _, _, payload = next(mc.gsv1_frames(bytes(payload)))
+        im = mc.image_features(payload)
+        area = max(im["width"] * im["height"], 1)
+        out[:6] = [im["width"] / 1e4, im["height"] / 1e4,
+                   im["sum_r"] / area / 255.0, im["sum_g"] / area / 255.0,
+                   im["sum_b"] / area / 255.0,
+                   bin(im["ahash"] & (2**64 - 1)).count("1") / 64.0]
+        out[6] = frames
+    else:
+        raise NotImplementedError(
+            "payload is not WAV/BMP/GSV1; compressed formats (JPEG/PNG/"
+            "MP4) need media libraries absent from this environment — "
+            "plug a real decoder into this branch on a real cluster")
+    return out
+
+
 def extract_features(media: DataFrame, decoder: str = "stub",
                      dim: int = 8) -> DataFrame:
     """Batched feature extraction over the binary column.
 
-    ``decoder='stub'`` raises NotImplementedError (real decode needs
-    media libs absent from this container); ``decoder='fake'`` uses the
+    ``decoder='native'`` really decodes WAV/BMP/GSV1 payloads
+    (media_codecs.py — no external libs needed); ``decoder='stub'``
+    raises NotImplementedError (compressed formats need media libs
+    absent from this container); ``decoder='fake'`` uses the
     deterministic byte-derived feature so the full Spark plumbing —
     Arrow batching of binary rows, schema, partition sizing — runs and
     is asserted in tests.
@@ -91,11 +139,14 @@ def extract_features(media: DataFrame, decoder: str = "stub",
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if decoder == "fake":
                     feats.append(_fake_decode(kind, bytes(payload), dim))
+                elif decoder == "native":
+                    feats.append(_native_feature(bytes(payload), dim))
                 else:
                     raise NotImplementedError(
                         "media decoding requires image/audio libraries not "
-                        "present in this environment; use decoder='fake' "
-                        "for plumbing tests or plug a real decoder here")
+                        "present in this environment; use decoder='native' "
+                        "for WAV/BMP/GSV1, decoder='fake' for plumbing "
+                        "tests, or plug a real decoder here")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -108,6 +159,157 @@ def extract_features(media: DataFrame, decoder: str = "stub",
     # binary rows are fat: cap Arrow batch size via repartition so a
     # batch stays executor-memory friendly at 100 TB payload scale
     return media.repartition("media_id").mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), False),
+    StructField("n_channels", IntegerType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("duration_ms", LongType(), False),
+    StructField("sumsq", LongType(), False),
+    StructField("peak", IntegerType(), False),
+    StructField("zero_crossings", LongType(), False),
+])
+
+IMAGE_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("sum_r", LongType(), False),
+    StructField("sum_g", LongType(), False),
+    StructField("sum_b", LongType(), False),
+    StructField("ahash", LongType(), False),
+])
+
+FRAME_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_index", IntegerType(), False),
+    StructField("frame_ts_ms", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("ahash", LongType(), False),
+])
+
+
+def audio_stats(media: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """REAL WAV decode → exact-integer audio statistics per row.
+
+    All outputs are integers (sumsq is the exact sum of squared
+    samples), so RMS = sqrt(sumsq/n) derived downstream is
+    bit-reproducible — the property the DuckDB oracle relies on.
+    Per-file decode is inherently per-row (each row is an independent
+    media file); the numpy work inside each file is vectorized.
+    """
+    cols = media.select(F.col(id_col).alias("media_id"),
+                        F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [mc.audio_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return cols.repartition("media_id").mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+def image_stats(media: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """REAL BMP decode → exact-integer channel sums + 8×8 aHash."""
+    cols = media.select(F.col(id_col).alias("media_id"),
+                        F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [mc.image_features(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return cols.repartition("media_id").mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+def video_frame_stats(media: DataFrame, every_ms: int = 1000,
+                      id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL GSV1 demux + per-frame BMP decode, sampled every
+    ``every_ms``: one output row per sampled frame (1→N fan-out
+    inside the Arrow batch — the distributed frame-extraction shape).
+    """
+    cols = media.select(F.col(id_col).alias("media_id"),
+                        F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for idx, ts, bmp in mc.gsv1_sample_frames(bytes(p),
+                                                          every_ms):
+                    im = mc.image_features(bmp)
+                    recs.append({"media_id": mid, "frame_index": idx,
+                                 "frame_ts_ms": ts, "width": im["width"],
+                                 "height": im["height"],
+                                 "ahash": im["ahash"]})
+            yield pd.DataFrame(recs, columns=[f.name for f in
+                                              FRAME_STATS_SCHEMA])
+
+    return cols.repartition("media_id").mapInPandas(run, FRAME_STATS_SCHEMA)
+
+
+def synthesize_real_media(spark, n: int = 60, seed: int = 11) -> DataFrame:
+    """Deterministic media table whose payloads are REAL encoded files
+    (WAV sine bursts, BMP gradients, GSV1 frame stacks) — used to
+    exercise the native decode path end to end at test scale.
+    Generation is distributed (mapInPandas over spark.range)."""
+    base = spark.range(n).select(F.col("id").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(seed * 1_000_003 + mid)
+                kind = ("audio", "image", "video")[mid % 3]
+                if kind == "audio":
+                    sr = 8000
+                    t = np.arange(sr // 2 + mid % 100)
+                    freq = 100 + (mid % 40) * 10
+                    s = (np.sin(2 * np.pi * freq * t / sr) * 12000 +
+                         rng.normal(0, 300, t.size)).astype(np.int16)
+                    payload = mc.wav_encode(s, sr)
+                    w = h = 0
+                    dur = t.size * 1000 // sr
+                elif kind == "image":
+                    h, w = 24 + mid % 3 * 8, 32 + mid % 5 * 8
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack([(xx * 5 + mid) % 256,
+                                   (yy * 7 + mid * 3) % 256,
+                                   (xx + yy + mid * 7) % 256],
+                                  axis=2).astype(np.uint8)
+                    payload = mc.bmp_encode(px)
+                    dur = 0
+                else:
+                    h, w = 16, 16
+                    nf = 3 + mid % 4
+                    frames = []
+                    for k in range(nf):
+                        yy, xx = np.mgrid[0:h, 0:w]
+                        frames.append(((xx * 3 + yy * 5 + mid + k * 17)
+                                       % 256)[:, :, None]
+                                      .repeat(3, 2).astype(np.uint8))
+                    payload = mc.gsv1_encode(frames, 500)
+                    dur = (nf - 1) * 500
+                recs.append({"media_id": mid, "kind": kind,
+                             "mime": {"audio": "audio/wav",
+                                      "image": "image/bmp",
+                                      "video": "video/x-gsv1"}[kind],
+                             "width": w, "height": h,
+                             "duration_ms": dur, "payload": payload})
+            yield pd.DataFrame(recs, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return base.repartition(8, "media_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

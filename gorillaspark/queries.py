@@ -18,8 +18,11 @@ transcripts generator feeds the pytest suite and bench instead.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .operators.encode import decode_points, encode_points
 from .operators.gapfill import gapfill_ffill
@@ -733,6 +736,277 @@ ORACLES.update({
     "embedding_near_dup": _NEAR_DUP_SQL,
     "simhash_dupes": _SIMHASH_DUPES_SQL,
     "simhash_hamming_pairs": _SIMHASH_HAMMING_SQL,
+})
+
+
+# ---------------------------------------------------------------------------
+# time-series joins: as-of and interval (range)
+# ---------------------------------------------------------------------------
+
+def q_asof_view_before_purchase(spark, sf_dir):
+    """For each purchase, the latest at-or-before view of the same
+    user (classic as-of enrichment). Spark plan: union + single
+    per-key sort (operators/asof.py); oracle: DuckDB native ASOF JOIN.
+    """
+    from .operators.asof import asof_join
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_type", "value")
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ms").alias("purchase_ts_ms"))
+    views = base.where(F.col("event_type") == "view").select(
+        "user_id", "ts_ms", "value")
+    out = asof_join(purchases, views, on="user_id",
+                    left_ts="purchase_ts_ms", right_ts="ts_ms",
+                    right_cols=["value"])
+    return out.select("user_id", "purchase_ts_ms",
+                      F.col("asof_ts").alias("view_ts_ms"),
+                      F.col("asof_value").alias("view_value"))
+
+
+_ASOF_SQL = """
+    SELECT p.user_id, epoch_ms(p.ts) AS purchase_ts_ms,
+           epoch_ms(v.ts) AS view_ts_ms, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_session_error_counts(spark, sf_dir):
+    """Errors (all users) falling inside each user-session span — an
+    interval join with no equi-key. Spark plan: time-bucket equi-join
+    + exact range predicate (operators/asof.py); oracle: plain
+    BETWEEN join."""
+    from .operators.asof import bucketed_interval_join
+    sessions = q_sessionize(spark, sf_dir)
+    spans = sessions.select(
+        "series_key", "sess_id",
+        F.col("sess_start_ms").alias("start_ms"),
+        F.col("sess_end_ms").alias("end_ms"))
+    errors = _events(spark, sf_dir).where(
+        F.col("event_type") == "error").select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    pairs = bucketed_interval_join(spans, errors, bucket_ms=3_600_000)
+    counts = pairs.groupBy("series_key", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_errors"))
+    return (spans.select("series_key", "sess_id")
+            .join(counts, ["series_key", "sess_id"], "left")
+            .select("series_key", "sess_id",
+                    F.coalesce("n_errors", F.lit(0)).alias("n_errors")))
+
+
+_SESSION_ERRORS_SQL = f"""
+    WITH sess AS ({_SESSIONIZE_SQL}),
+    errors AS (SELECT epoch_ms(ts) AS ts_ms FROM events
+               WHERE event_type = 'error')
+    SELECT s.series_key, s.sess_id, count(e.ts_ms) AS n_errors
+    FROM sess s LEFT JOIN errors e
+      ON e.ts_ms BETWEEN s.sess_start_ms AND s.sess_end_ms
+    GROUP BY 1, 2
+"""
+
+QUERIES.update({
+    "asof_view_before_purchase": q_asof_view_before_purchase,
+    "session_error_counts": q_session_error_counts,
+})
+ORACLES.update({
+    "asof_view_before_purchase": _ASOF_SQL,
+    "session_error_counts": _SESSION_ERRORS_SQL,
+})
+
+
+# ---------------------------------------------------------------------------
+# multimodal: REAL media decode (WAV / BMP / GSV1 — media_codecs.py)
+# checked end-to-end: the query synthesizes real encoded files from the
+# documents table, runs the actual binary decoder distributed, and the
+# DuckDB oracle reproduces the decoded statistics analytically from the
+# same deterministic synthesis rule. Every compared quantity is exact
+# integer arithmetic (sums of squares, channel sums, integer-threshold
+# aHash) so there is no cross-engine float drift; only the final RMS
+# takes one sqrt, applied identically on both sides.
+# ---------------------------------------------------------------------------
+
+def _synth_wav_udf():
+    """binary WAV per doc: samples = (utf8 byte − 100)·250, 16 kHz mono.
+
+    Test-harness synthesis (numpy from the text bytes); the operator
+    under test is the real decoder in operators/multimodal.audio_stats.
+    """
+    from .operators import media_codecs as mc
+
+    @pandas_udf("binary")
+    def to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: mc.wav_encode(
+            ((np.frombuffer(t.encode(), np.uint8).astype(np.int64) - 100)
+             * 250).astype(np.int16), 16000))
+
+    return to_wav
+
+
+def q_media_audio_stats(spark, sf_dir):
+    from .operators.multimodal import audio_stats
+    docs = _docs(spark, sf_dir)
+    wav = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_wav_udf()(F.col("text")).alias("payload"))
+    st = audio_stats(wav)
+    return st.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms",
+        _floor6(F.sqrt(F.col("sumsq") / F.col("n_samples"))).alias("rms"))
+
+
+_MEDIA_AUDIO_SQL = """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), agg AS (
+      SELECT doc_id, count(*) AS n,
+             sum(CAST((ascii(c)-100)*250 AS BIGINT)
+                 * CAST((ascii(c)-100)*250 AS BIGINT)) AS sumsq
+      FROM chars GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate, n AS n_samples,
+           n * 1000 // 16000 AS duration_ms,
+           FLOOR(sqrt(sumsq / n) * 1e6) / 1e6 AS rms
+    FROM agg
+"""
+
+
+def _synth_bmp_udf():
+    """binary 32×16 BMP per doc: channel c at (x,y) =
+    (doc_id·31 + y·7 + x·3 + c·5) mod 256."""
+    from .operators import media_codecs as mc
+
+    @pandas_udf("binary")
+    def to_bmp(ids: pd.Series) -> pd.Series:
+        yy, xx = np.mgrid[0:16, 0:32]
+
+        def one(d):
+            px = np.stack([(d * 31 + yy * 7 + xx * 3 + c * 5) % 256
+                           for c in range(3)], axis=2).astype(np.uint8)
+            return mc.bmp_encode(px)
+
+        return ids.map(one)
+
+    return to_bmp
+
+
+def q_media_image_stats(spark, sf_dir):
+    from .operators.multimodal import image_stats
+    docs = _docs(spark, sf_dir)
+    bmp = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_bmp_udf()(F.col("doc_id")).alias("payload"))
+    st = image_stats(bmp)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("width").cast("long").alias("width"),
+                     F.col("height").cast("long").alias("height"),
+                     "sum_r", "sum_g", "sum_b", "ahash")
+
+
+_MEDIA_IMAGE_SQL = """
+    WITH px AS (
+      SELECT d.doc_id, x.x, y.y,
+             (d.doc_id*31 + y.y*7 + x.x*3) % 256 AS r,
+             (d.doc_id*31 + y.y*7 + x.x*3 + 5) % 256 AS g,
+             (d.doc_id*31 + y.y*7 + x.x*3 + 10) % 256 AS b
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) y
+    ),
+    lum AS (SELECT doc_id, r, g, b, 299*r + 587*g + 114*b AS l,
+                   (y // 2) * 8 + (x // 4) AS bit FROM px),
+    blocks AS (SELECT doc_id, bit, sum(l) AS bsum, count(*) AS area
+               FROM lum GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY 1),
+    ah AS (SELECT b.doc_id,
+                  sum(CASE WHEN b.bsum * 512 > t.total * b.area
+                           THEN (1::HUGEINT << CAST(b.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1),
+    sums AS (SELECT doc_id, sum(r) AS sum_r, sum(g) AS sum_g,
+                    sum(b) AS sum_b FROM px GROUP BY 1)
+    SELECT s.doc_id, CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM sums s JOIN ah USING (doc_id)
+"""
+
+
+def _synth_gsv1_udf():
+    """binary GSV1 per doc: 3 + doc_id%4 greyscale 8×8 frames at
+    500 ms, frame k pixel = (doc_id + k·17 + x·3 + y·5) mod 256."""
+    from .operators import media_codecs as mc
+
+    @pandas_udf("binary")
+    def to_gsv1(ids: pd.Series) -> pd.Series:
+        yy, xx = np.mgrid[0:8, 0:8]
+
+        def one(d):
+            frames = []
+            for k in range(3 + d % 4):
+                v = ((d + k * 17 + xx * 3 + yy * 5) % 256).astype(np.uint8)
+                frames.append(np.stack([v, v, v], axis=2))
+            return mc.gsv1_encode(frames, 500)
+
+        return ids.map(one)
+
+    return to_gsv1
+
+
+def q_media_frame_ahash(spark, sf_dir):
+    """GSV1 demux + per-frame BMP decode, sampling every 1000 ms of a
+    500 ms-interval stack (⇒ even frame indices)."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_gsv1_udf()(F.col("doc_id")).alias("payload"))
+    st = video_frame_stats(vid, every_ms=1000)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long").alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
+_MEDIA_FRAMES_SQL = """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, 2 + doc_id % 4)) AS k
+      FROM documents
+    ), sampled AS (SELECT doc_id, k FROM f WHERE k % 2 = 0),
+    px AS (
+      SELECT s.doc_id, s.k, x.x, y.y,
+             (s.doc_id + s.k*17 + x.x*3 + y.y*5) % 256 AS v
+      FROM sampled s
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+    ),
+    tot AS (SELECT doc_id, k, sum(v) AS total FROM px GROUP BY 1, 2),
+    ah AS (SELECT p.doc_id, p.k,
+                  sum(CASE WHEN p.v * 64 > t.total
+                           THEN (1::HUGEINT << CAST(p.y*8 + p.x AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM px p JOIN tot t USING (doc_id, k) GROUP BY 1, 2)
+    SELECT doc_id, k AS frame_index, k * 500 AS frame_ts_ms,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM ah
+"""
+
+
+QUERIES.update({
+    "media_audio_stats": q_media_audio_stats,
+    "media_image_stats": q_media_image_stats,
+    "media_frame_ahash": q_media_frame_ahash,
+})
+ORACLES.update({
+    "media_audio_stats": _MEDIA_AUDIO_SQL,
+    "media_image_stats": _MEDIA_IMAGE_SQL,
+    "media_frame_ahash": _MEDIA_FRAMES_SQL,
 })
 
 

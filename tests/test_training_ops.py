@@ -277,3 +277,83 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=500).toPandas()
     assert set(plan.columns) == {"media_id", "frame_ts_ms"}
     assert (plan.groupby("media_id").size() == 3).all()  # 0,500,1000
+
+
+def test_media_codecs_roundtrip():
+    from gorillaspark.operators import media_codecs as mc
+    s = (np.sin(np.arange(4001) * 0.1) * 10000).astype(np.int16)
+    sr, nch, out = mc.wav_decode(mc.wav_encode(s, 16000))
+    assert (sr, nch) == (16000, 1) and np.array_equal(out, s)
+    st = np.stack([s, -s], 1).reshape(-1)
+    sr, nch, out = mc.wav_decode(mc.wav_encode(st, 8000, 2))
+    assert (sr, nch) == (8000, 2) and np.array_equal(out, st)
+    af = mc.audio_features(mc.wav_encode(st, 8000, 2))
+    assert af["n_samples"] == st.size
+    assert af["sumsq"] == int((st.astype(np.int64) ** 2).sum())
+    assert af["duration_ms"] == st.size // 2 * 1000 // 8000
+    # BMP roundtrip incl. widths that need 4-byte row padding
+    for (h, w) in [(16, 32), (7, 5), (24, 33)]:
+        px = (np.arange(h * w * 3).reshape(h, w, 3) * 7 % 256).astype(
+            np.uint8)
+        assert np.array_equal(mc.bmp_decode(mc.bmp_encode(px)), px)
+    imf = mc.image_features(mc.bmp_encode(px))
+    assert imf["sum_r"] == int(px[:, :, 0].astype(np.int64).sum())
+    # GSV1 demux + sampling
+    frames = [np.full((8, 8, 3), v, np.uint8) for v in (10, 200, 30, 40)]
+    g = mc.gsv1_encode(frames, 500)
+    got = list(mc.gsv1_frames(g))
+    assert len(got) == 4 and got[2][1] == 1000
+    assert np.array_equal(mc.bmp_decode(got[1][2]), frames[1])
+    assert [t for _, t, _ in mc.gsv1_sample_frames(g, 1000)] == [0, 1000]
+    # compressed formats refuse loudly
+    with pytest.raises(ValueError):
+        mc.wav_decode(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        mc.bmp_decode(b"BM" + bytes(52) + bytes(10))
+
+
+def test_multimodal_native_decode(spark):
+    """The 'native' path REALLY decodes WAV/BMP/GSV1 payloads: Spark
+    results must equal per-file numpy decode of the same bytes."""
+    from gorillaspark.operators import media_codecs as mc
+    from gorillaspark.operators.multimodal import (
+        audio_stats,
+        image_stats,
+        synthesize_real_media,
+        video_frame_stats,
+    )
+    media = synthesize_real_media(spark, n=24).cache()
+    rows = {r.media_id: bytes(r.payload)
+            for r in media.select("media_id", "payload").collect()}
+
+    au = audio_stats(media.where(F.col("kind") == "audio")).toPandas() \
+        .set_index("media_id").sort_index()
+    assert len(au) == 8
+    for mid, row in au.iterrows():
+        exp = mc.audio_features(rows[mid])
+        for k in ("sample_rate", "n_channels", "n_samples",
+                  "duration_ms", "sumsq", "peak", "zero_crossings"):
+            assert row[k] == exp[k], (mid, k)
+
+    im = image_stats(media.where(F.col("kind") == "image")).toPandas() \
+        .set_index("media_id").sort_index()
+    assert len(im) == 8
+    for mid, row in im.iterrows():
+        exp = mc.image_features(rows[mid])
+        for k in ("width", "height", "sum_r", "sum_g", "sum_b", "ahash"):
+            assert row[k] == exp[k], (mid, k)
+
+    fr = video_frame_stats(media.where(F.col("kind") == "video"),
+                           every_ms=1000).toPandas()
+    assert fr.media_id.nunique() == 8
+    for mid in fr.media_id.unique():
+        exp = [(i, ts, mc.image_features(b)["ahash"])
+               for i, ts, b in mc.gsv1_sample_frames(rows[mid], 1000)]
+        got = fr[fr.media_id == mid].sort_values("frame_index")
+        assert list(zip(got.frame_index, got.frame_ts_ms,
+                        got.ahash)) == exp
+
+    # extract_features('native') runs the same decoders on all kinds
+    from gorillaspark.operators.multimodal import extract_features
+    feats = extract_features(media, decoder="native").toPandas()
+    assert len(feats) == 24 and all(len(f) == 8 for f in feats["feature"])
