@@ -90,6 +90,17 @@ def q_rollup_1m(spark, sf_dir):
     return _rollup(spark, sf_dir, "1m")
 
 
+def q_rollup_1m_hashed(spark, sf_dir):
+    """Integer-hashed group keys (the throughput path) must produce
+    byte-identical values to the string-keyed rollup — same oracle."""
+    out = rollup_tier(_event_points(spark, sf_dir), "1m",
+                      hashed_keys=True)
+    out = out.select(
+        "series_key", F.unix_millis("bucket").alias("bucket_ms"),
+        "cnt", "sum", "avg", "min", "max", "p95")
+    return _round6(out, ["sum", "avg", "p95"])
+
+
 def q_rollup_1h(spark, sf_dir):
     return _rollup(spark, sf_dir, "1h")
 
@@ -359,6 +370,7 @@ _TOP_CUSTOMERS_SQL = """
 
 QUERIES = {
     "rollup_1m": q_rollup_1m,
+    "rollup_1m_hashed": q_rollup_1m_hashed,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -375,6 +387,7 @@ QUERIES = {
 
 ORACLES = {
     "rollup_1m": _rollup_sql("1m"),
+    "rollup_1m_hashed": _rollup_sql("1m"),
     "rollup_1h": _rollup_sql("1h"),
     "rollup_1d": _rollup_sql("1d"),
     "rollup_1h_cascade": _rollup_sql("1h"),
@@ -736,6 +749,116 @@ ORACLES.update({
     "embedding_near_dup": _NEAR_DUP_SQL,
     "simhash_dupes": _SIMHASH_DUPES_SQL,
     "simhash_hamming_pairs": _SIMHASH_HAMMING_SQL,
+})
+
+
+# ---------------------------------------------------------------------------
+# downsampling / derived series: M4, counter rate, mergeable histograms
+# ---------------------------------------------------------------------------
+
+def q_m4_1h(spark, sf_dir):
+    """M4 visualization downsample: min/max/first/last per hour bucket
+    — error-free line rendering at bucket resolution, pure hash agg."""
+    from .operators.downsample import m4_downsample
+    return m4_downsample(_event_points(spark, sf_dir), "1h")
+
+
+_M4_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL})
+    SELECT series_key, (ts_ms // 3600000) * 3600000 AS bucket_ms,
+           min(value) AS v_min, max(value) AS v_max,
+           arg_min(value, ts_ms) AS v_first,
+           arg_max(value, ts_ms) AS v_last,
+           count(*) AS n
+    FROM pts GROUP BY 1, 2
+"""
+
+
+def _counter_points(spark, sf_dir):
+    """Synthetic monotonic-counter-with-wrap series: per-user running
+    sum of event values, wrapped mod 5000 (each wrap is a genuine
+    counter reset). Accumulation order is (ts, event_id) on both
+    engines, so the doubles are bit-identical cross-engine."""
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        F.col("user_id").cast("string").alias("series_key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        (F.sum("value").over(w) % F.lit(5000.0)).alias("value"))
+
+
+_COUNTER_POINTS_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS series_key,
+           epoch_ms(ts) AS ts_ms,
+           fmod(sum(value) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                5000.0) AS value
+    FROM events
+"""
+
+
+def q_counter_rate_1h(spark, sf_dir):
+    """Prometheus-style rate(): per-bucket counter increase with
+    reset detection over the wrapped synthetic counter."""
+    from .operators.downsample import counter_rate
+    out = counter_rate(_counter_points(spark, sf_dir), "1h")
+    return _round6(out, ["increase"])
+
+
+_COUNTER_RATE_SQL = f"""
+    WITH pts AS ({_COUNTER_POINTS_SQL}),
+    stepped AS (
+        SELECT series_key, ts_ms, value,
+               lag(value) OVER (PARTITION BY series_key
+                                ORDER BY ts_ms) AS prev
+        FROM pts)
+    SELECT series_key, (ts_ms // 3600000) * 3600000 AS bucket_ms,
+           ROUND(sum(CASE WHEN value >= prev THEN value - prev
+                          ELSE value END), 6) AS increase,
+           sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS n_resets
+    FROM stepped WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_histogram_1h(spark, sf_dir):
+    from .operators.downsample import histogram_tier
+    return histogram_tier(_event_points(spark, sf_dir), "1h",
+                          bin_width=10.0)
+
+
+_HIST_SQL_TMPL = """
+    WITH pts AS ({pts})
+    SELECT series_key, (ts_ms // {ms}) * {ms} AS bucket_ms,
+           CAST(floor(value / 10.0) AS BIGINT) AS bin,
+           count(*) AS cnt
+    FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def q_histogram_1d_cascade(spark, sf_dir):
+    """1d histogram MERGED from the 1h tier (sum of bin counts — no
+    raw re-read); the oracle computes the 1d histogram directly."""
+    from .operators.downsample import histogram_cascade, histogram_tier
+    h1 = histogram_tier(_event_points(spark, sf_dir), "1h",
+                        bin_width=10.0)
+    return histogram_cascade(h1, "1d")
+
+
+QUERIES.update({
+    "m4_1h": q_m4_1h,
+    "counter_rate_1h": q_counter_rate_1h,
+    "histogram_1h": q_histogram_1h,
+    "histogram_1d_cascade": q_histogram_1d_cascade,
+})
+ORACLES.update({
+    "m4_1h": _M4_SQL,
+    "counter_rate_1h": _COUNTER_RATE_SQL,
+    "histogram_1h": _HIST_SQL_TMPL.format(pts=_EVENT_POINTS_SQL,
+                                          ms=3_600_000),
+    "histogram_1d_cascade": _HIST_SQL_TMPL.format(pts=_EVENT_POINTS_SQL,
+                                                  ms=86_400_000),
 })
 
 

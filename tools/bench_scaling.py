@@ -96,7 +96,10 @@ def _single(cpus: int, tpath: str) -> None:
     blocks = spark.read.parquet(f"{scratch}/blocks").cache()
     blocks.count()
     res["decode_reps"] = reps_of(lambda: decode_points(blocks).count())
-    res["rollup_reps"] = reps_of(lambda: rollup_tier(pts, "1m").count())
+    # hashed_keys: the throughput rollup path (integer group keys,
+    # oracle-checked identical values as driver query rollup_1m_hashed)
+    res["rollup_reps"] = reps_of(
+        lambda: rollup_tier(pts, "1m", hashed_keys=True).count())
     for k in STAGES:
         res[f"{k}_s"] = round(statistics.median(res[f"{k}_reps"]), 3)
     pts.unpersist()
@@ -186,7 +189,12 @@ def main() -> None:
         "single-disk bandwidth (a real cluster has per-executor "
         "disks). One shared corpus for all levels keeps per-core work "
         "high enough that fixed job floors (stage launch ~0.2 s) do "
-        "not masquerade as poor scaling.",
+        "not masquerade as poor scaling. The rollup stage uses the "
+        "hashed-group-key path (rollup_tier(hashed_keys=True), "
+        "value-identical to the string-keyed plan — oracle-checked as "
+        "driver query rollup_1m_hashed); with ~5M output groups per "
+        "30M rows the aggregation is hash-table-bound and integer "
+        "keys are the production choice.",
         "",
     ]
     for lo_c, hi_c in pairs:
