@@ -753,6 +753,51 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def q_dedup_cluster_assign(spark, sf_dir):
+    """Transitive near-dup clusters: every doc labeled with the
+    smallest doc_id reachable through the verified MinHash-LSH pair
+    graph, plus cluster size and the canonical keep flag. Spark side
+    is the iterative pointer-doubling component loop
+    (operators/cluster.py); the oracle is a recursive CTE."""
+    from .operators.cluster import dedup_clusters
+    from .operators.dedup import minhash_lsh_pairs
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5,
+                              n_perm=64, n_bands=32)
+    out = dedup_clusters(docs, pairs)
+    return out.select("doc_id", "cluster_id", "cluster_size",
+                      F.col("keep").cast("long").alias("keep"))
+
+
+_CLUSTER_SQL = f"""
+    WITH RECURSIVE pairs AS ({{pairs}}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+    comp AS (SELECT node, least(node, min(reach)) AS cluster_id
+             FROM walk GROUP BY node),
+    assign AS (SELECT d.doc_id,
+                      coalesce(c.cluster_id, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM assign GROUP BY 1)
+    SELECT a.doc_id, a.cluster_id, s.cluster_size,
+           CAST(a.doc_id = a.cluster_id AS BIGINT) AS keep
+    FROM assign a JOIN sizes s USING (cluster_id)
+"""
+
+QUERIES.update({"dedup_cluster_assign": q_dedup_cluster_assign})
+ORACLES.update(
+    {"dedup_cluster_assign": _CLUSTER_SQL.format(pairs=_MINHASH_SQL)})
+
+
+# ---------------------------------------------------------------------------
 # downsampling / derived series: M4, counter rate, mergeable histograms
 # ---------------------------------------------------------------------------
 
