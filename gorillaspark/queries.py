@@ -753,6 +753,76 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# series health: gap detection, anomaly scoring
+# ---------------------------------------------------------------------------
+
+def q_series_gaps(spark, sf_dir):
+    """Silence gaps > 6h per series (heartbeat monitoring shape): one
+    per-series window lag, integer-exact comparisons throughout."""
+    pts = _event_points(spark, sf_dir)
+    w = Window.partitionBy("series_key").orderBy("ts_ms")
+    return (pts.withColumn("prev_ms", F.lag("ts_ms").over(w))
+            .where(F.col("prev_ms").isNotNull()
+                   & (F.col("ts_ms") - F.col("prev_ms") > 21_600_000))
+            .select("series_key",
+                    F.col("prev_ms").alias("gap_start_ms"),
+                    F.col("ts_ms").alias("gap_end_ms"),
+                    (F.col("ts_ms") - F.col("prev_ms")).alias("gap_ms")))
+
+
+_SERIES_GAPS_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL}),
+    lagged AS (
+        SELECT series_key, ts_ms,
+               lag(ts_ms) OVER (PARTITION BY series_key
+                                ORDER BY ts_ms) AS prev_ms
+        FROM pts)
+    SELECT series_key, prev_ms AS gap_start_ms, ts_ms AS gap_end_ms,
+           ts_ms - prev_ms AS gap_ms
+    FROM lagged
+    WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > 21600000
+"""
+
+
+def q_zscore_per_point(spark, sf_dir):
+    """Per-point anomaly score: (value − series mean) / series stddev.
+    Scores every point (no threshold filter, so no float-boundary
+    membership flips cross-engine); downstream alerting applies its
+    own cut."""
+    pts = _event_points(spark, sf_dir)
+    stats = pts.groupBy("series_key").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_samp("value").alias("_sd"))
+    out = (pts.join(F.broadcast(stats), "series_key")
+           .where(F.col("_sd") > 0)   # degenerate series: inf/NaN is
+           .select("series_key", "ts_ms",  # engine-dependent — exclude
+                   ((F.col("value") - F.col("_mu")) / F.col("_sd"))
+                   .alias("zscore")))
+    return _round6(out, ["zscore"])
+
+
+_ZSCORE_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL}),
+    stats AS (
+        SELECT series_key, avg(value) AS mu, stddev_samp(value) AS sd
+        FROM pts GROUP BY 1)
+    SELECT p.series_key, p.ts_ms,
+           ROUND((p.value - s.mu) / s.sd, 6) AS zscore
+    FROM pts p JOIN stats s USING (series_key)
+    WHERE s.sd > 0
+"""
+
+QUERIES.update({
+    "series_gaps": q_series_gaps,
+    "zscore_per_point": q_zscore_per_point,
+})
+ORACLES.update({
+    "series_gaps": _SERIES_GAPS_SQL,
+    "zscore_per_point": _ZSCORE_SQL,
+})
+
+
+# ---------------------------------------------------------------------------
 # dedup clustering: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 

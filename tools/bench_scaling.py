@@ -10,14 +10,22 @@ ONE command regenerates the whole committed artifact:
 
     python tools/bench_scaling.py          # writes BENCH/BASELINE.md
 
-Protocol (fixed, no cherry-picking):
+Protocol (fixed, no cherry-picking — every mechanism below is in this
+script, not in the operator's hands):
   * one shared corpus (SCALE_N_CONV conversations, default 80 000 →
     ~30 M latency points) for every parallelism level, sized so each
     stage runs for seconds at the smallest level — fixed job floors
     (stage launch, scheduling) must not masquerade as poor scaling;
   * per level: 1 warm-up + SCALE_REPS (default 5) timed reps per
-    stage; the statistic is the MEDIAN and every rep is shown in the
-    artifact;
+    stage; the statistic is the MIN (the standard uncontended-time
+    estimator on a shared-tenant box); the median and every rep are
+    also committed;
+  * co-tenant noise gate: a fixed single-thread numpy calibration
+    loop runs before and after each stage; if either reading exceeds
+    1.25× the run's initial quiet reference, the whole stage's reps
+    are retried (up to SCALE_TRIES, default 3) and every calibration
+    reading is committed — three prior ungated runs each had a
+    different level silently poisoned by hypervisor steal;
   * pairs reported: 2 → 8 (the north-rule pair: bandwidth
     unsaturated, measures the engine) and 8 → 32 (measures the box —
     the single VM's memory bandwidth; quantified by the embedded
@@ -48,12 +56,28 @@ sys.path.insert(0, str(REPO))
 N_CONV = int(os.environ.get("SCALE_N_CONV", "80000"))
 MEAN_TURNS = int(os.environ.get("SCALE_MEAN_TURNS", "300"))
 REPS = int(os.environ.get("SCALE_REPS", "5"))
+TRIES = int(os.environ.get("SCALE_TRIES", "3"))
 LEVELS = tuple(int(x) for x in
                os.environ.get("SCALE_LEVELS", "2,8,32").split(","))
 STAGES = ("encode", "decode", "rollup")
+CAL_TOLERANCE = 1.25
 
 
-def _single(cpus: int, tpath: str) -> None:
+def calibrate() -> float:
+    """Fixed single-thread numpy workload (~0.3 s quiet): a co-tenant
+    contention sentinel. Runs in the measuring process, so it sees the
+    same steal/bandwidth pressure the measured stage saw."""
+    import numpy as np
+    a = np.random.default_rng(0).random(2_000_000)
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(12):
+        np.multiply(a, 1.0000001, out=b)
+        np.add(b, 0.1, out=b)
+    return round(time.perf_counter() - t0, 4)
+
+
+def _single(cpus: int, tpath: str, cal_ref: float) -> None:
     """Child-process entry: run the job suite pinned to `cpus` cores."""
     from gorillaspark.operators.encode import decode_points, encode_points
     from gorillaspark.operators.normalize import turn_latency_points
@@ -75,42 +99,56 @@ def _single(cpus: int, tpath: str) -> None:
 
     scratch = tempfile.mkdtemp(prefix=f"gsscale{cpus}-",
         dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None)
-    res: dict = {"cpus": cpus, "n_points": n_pts}
+    res: dict = {"cpus": cpus, "n_points": n_pts, "calibrations": {}}
 
-    def reps_of(fn) -> list[float]:
-        fn()                                  # warm-up, not recorded
-        times = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            fn()
-            times.append(round(time.perf_counter() - t0, 3))
-        return times
+    def gated(name, fn) -> None:
+        """Warm-up + REPS timed reps, bracketed by calibration; retry
+        the whole stage when the sentinel says a co-tenant was active.
+        Keeps the attempt with the quietest calibration if none pass.
+        """
+        attempts = []
+        for _ in range(TRIES):
+            c0 = calibrate()
+            fn()                              # warm-up, not recorded
+            times = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn()
+                times.append(round(time.perf_counter() - t0, 3))
+            c1 = calibrate()
+            attempts.append({"reps": times, "cal": [c0, c1]})
+            if max(c0, c1) <= cal_ref * CAL_TOLERANCE:
+                break
+        best = min(attempts, key=lambda a: max(a["cal"]))
+        res[f"{name}_reps"] = best["reps"]
+        res[f"{name}_s"] = round(min(best["reps"]), 3)
+        res[f"{name}_median_s"] = round(
+            statistics.median(best["reps"]), 3)
+        res["calibrations"][name] = attempts
 
     # noop sink: isolates compute+shuffle scaling from the sandbox's
     # fixed disk write bandwidth (a cluster writes to N executor disks)
-    res["encode_reps"] = reps_of(
-        lambda: encode_points(pts, "double").write.format("noop")
-        .mode("overwrite").save())
+    gated("encode", lambda: encode_points(pts, "double")
+          .write.format("noop").mode("overwrite").save())
     encode_points(pts, "double").write.mode("overwrite").parquet(
         f"{scratch}/blocks")
     blocks = spark.read.parquet(f"{scratch}/blocks").cache()
     blocks.count()
-    res["decode_reps"] = reps_of(lambda: decode_points(blocks).count())
+    gated("decode", lambda: decode_points(blocks).count())
     # hashed_keys: the throughput rollup path (integer group keys,
     # oracle-checked identical values as driver query rollup_1m_hashed)
-    res["rollup_reps"] = reps_of(
-        lambda: rollup_tier(pts, "1m", hashed_keys=True).count())
-    for k in STAGES:
-        res[f"{k}_s"] = round(statistics.median(res[f"{k}_reps"]), 3)
+    gated("rollup",
+          lambda: rollup_tier(pts, "1m", hashed_keys=True).count())
     pts.unpersist()
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
     print("RESULT " + json.dumps(res))
 
 
-def run_pinned(cpus: int, tpath: str) -> dict:
+def run_pinned(cpus: int, tpath: str, cal_ref: float) -> dict:
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-           str(Path(__file__).resolve()), "--single", str(cpus), tpath]
+           str(Path(__file__).resolve()), "--single", str(cpus), tpath,
+           str(cal_ref)]
     env = dict(os.environ)
     # heap sized so 32 concurrent tasks do not GC-thrash (local mode:
     # driver == executor); a real cluster sizes executors per host
@@ -154,11 +192,12 @@ def _probe(script: str, *argv: str) -> dict | None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
-        _single(int(sys.argv[2]), sys.argv[3])
+        _single(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]))
         return
 
+    cal_ref = min(calibrate() for _ in range(5))
     tpath = gen_corpus()
-    results = {c: run_pinned(c, tpath) for c in LEVELS}
+    results = {c: run_pinned(c, tpath, cal_ref) for c in LEVELS}
     shutil.rmtree(str(Path(tpath).parent), ignore_errors=True)
 
     eff: dict[str, float] = {}
@@ -179,8 +218,12 @@ def main() -> None:
         "",
         f"Regenerated in full by `python tools/bench_scaling.py` "
         f"(corpus {N_CONV:,} conversations → {n_pts:,} points; "
-        f"median of {REPS} reps after one warm-up, every rep shown "
-        "below). Each level runs the identical job on the identical "
+        f"statistic = MIN of {REPS} reps after one warm-up — the "
+        "uncontended-time estimator on this shared-tenant box — with "
+        "medians, every rep, and the co-tenant calibration sentinel "
+        "readings committed below; a stage whose bracketing sentinel "
+        f"exceeds {CAL_TOLERANCE}× the run's quiet reference retries "
+        f"up to {TRIES}×). Each level runs the identical job on the identical "
         "input with the whole process tree (JVM + Python codec "
         "workers) pinned to the stated cores via `taskset` — the "
         "sandbox stand-in for N vs 4N executor clusters (BASELINE.md). "
@@ -200,8 +243,8 @@ def main() -> None:
     for lo_c, hi_c in pairs:
         lo, hi = results[lo_c], results[hi_c]
         md += [f"## {lo_c} → {hi_c} cores ({n_pts:,} points)", "",
-               f"| stage | {lo_c} cores median s (pts/s) | "
-               f"{hi_c} cores median s (pts/s) | efficiency |",
+               f"| stage | {lo_c} cores min s (pts/s) | "
+               f"{hi_c} cores min s (pts/s) | efficiency |",
                "|---|---|---|---|"]
         for k in STAGES:
             e = eff[f"{k}_{lo_c}to{hi_c}"]
@@ -210,13 +253,22 @@ def main() -> None:
                 .format(k, lo[f"{k}_s"], n_pts / lo[f"{k}_s"] / 1e6,
                         hi[f"{k}_s"], n_pts / hi[f"{k}_s"] / 1e6, e))
         md.append("")
-    md += ["## All reps (seconds; statistic = median)", ""]
-    md += ["| cores | stage | reps | median |", "|---|---|---|---|"]
+    md += ["## All reps (seconds; statistic = min; sentinel "
+           "readings are the bracketing calibration times per "
+           f"attempt, quiet reference {cal_ref:.2f}s, gate "
+           f"{CAL_TOLERANCE}×)", ""]
+    md += ["| cores | stage | reps | min | median | sentinel |",
+           "|---|---|---|---|---|---|"]
     for c in LEVELS:
         for k in STAGES:
-            md.append(f"| {c} | {k} | "
-                      f"{', '.join(f'{t:.2f}' for t in results[c][f'{k}_reps'])}"
-                      f" | {results[c][f'{k}_s']:.2f} |")
+            cals = results[c]["calibrations"][k]
+            cal_s = "; ".join(
+                f"[{a['cal'][0]:.2f},{a['cal'][1]:.2f}]" for a in cals)
+            md.append(
+                f"| {c} | {k} | "
+                f"{', '.join(f'{t:.2f}' for t in results[c][f'{k}_reps'])}"
+                f" | {results[c][f'{k}_s']:.2f}"
+                f" | {results[c][f'{k}_median_s']:.2f} | {cal_s} |")
     md += [
         "",
         "Reference single-thread baseline (BASELINE.md): 83.5 M pts/s "
@@ -275,7 +327,10 @@ def main() -> None:
     raw = {"levels": {str(c): results[c] for c in LEVELS},
            "efficiency": eff, "kernel": kern, "membw": membw,
            "protocol": {"n_conv": N_CONV, "mean_turns": MEAN_TURNS,
-                        "reps": REPS, "statistic": "median"}}
+                        "reps": REPS, "tries": TRIES,
+                        "statistic": "min",
+                        "cal_ref_s": cal_ref,
+                        "cal_tolerance": CAL_TOLERANCE}}
     md += ["Raw JSON: " + json.dumps(raw), ""]
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
