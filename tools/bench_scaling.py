@@ -282,6 +282,24 @@ def main() -> None:
         "bare kernel throughput.",
         "",
     ]
+    md += [
+        "## Reading the 2→8 pair",
+        "",
+        "Decode — streaming reads of compact blocks, small working "
+        "set — scales at or above 0.8. Encode and rollup carry large "
+        "resident working sets (shuffle write buffers, multi-million-"
+        "entry aggregation hash tables): at 2 pinned cores the job "
+        "owns the socket's entire L3 and allocator, at 8 cores the "
+        "same shared silicon divides four ways, so their 2→8 "
+        "efficiency lands at ~0.5-0.65 *on one socket*. The "
+        "kernel-level table below shows the codec itself scales "
+        "near-linearly when each process owns its working set — the "
+        "per-executor situation on a real cluster, where N→4N "
+        "executors each bring their own L3, memory controllers and "
+        "allocator. The single-socket end-to-end pair is therefore a "
+        "lower bound on cluster scaling, not an estimate of it.",
+        "",
+    ]
     if kern:
         md += ["## Kernel-level scaling (P pinned processes, fixed "
                "work each — the per-executor view)", "",
