@@ -121,6 +121,13 @@ def main() -> None:
         p95_source=pts).count())
     timed("gapfill_1h", lambda: gapfill_ffill(pts, "1h").count())
 
+    # the corpus stages above leave the old-gen full of shuffle/cache
+    # garbage; without a collection here a multi-second full GC lands
+    # inside whichever later query is unlucky (observed: one query's
+    # median jumping 0.9s -> 6s run-to-run)
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
     # ---- oracle suite on testdata SF ---------------------------------
     for name in ["rollup_1m", "latency_stats_per_series", "sessionize",
                  "pricing_summary", "top_customers", "codec_roundtrip"]:

@@ -236,20 +236,18 @@ def make_ivf_probe_udf(centroids: np.ndarray, nprobe: int):
     return probes
 
 
-def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
-                 n_centroids: int = 16, nprobe: int = 10,
-                 vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
-    """IVF ANN with *measured* recall: per query, the top-k over the
-    probed buckets plus a recall_at_k column vs the in-Spark exact
-    top-k. Output: (query_id, hits, recall_at_k).
-
-    The corpus is assigned to its single nearest centroid (one int per
-    vector — the inverted file); queries probe ``nprobe`` centroids.
-    Candidate volume ≈ corpus × nprobe / n_centroids. Recall is
-    surfaced, not assumed — on isotropic data it is < 1 and the column
-    says so; the pytest suite pins the measured values.
-    """
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 10,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF top-k: (query_id, rank, nbr_id, cosine) over the probed
+    buckets. The corpus is assigned to its single nearest centroid
+    (one int per vector — the inverted file); queries probe ``nprobe``
+    centroids; candidate volume ≈ corpus × nprobe / n_centroids. With
+    ``nprobe == n_centroids`` every cell is probed, so the result must
+    EQUAL the brute-force top-k — the oracle-checked plumbing proof
+    (driver query ann_topk_ivf_fullprobe); with fewer probes recall is
+    measured by :func:`ann_topk_ivf`."""
     centroids = ivf_train(emb, n_centroids, vec_col=vec_col, id_col=id_col)
     assign1 = make_ivf_probe_udf(centroids, 1)
     probe_n = make_ivf_probe_udf(centroids, nprobe)
@@ -267,9 +265,25 @@ def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
               .withColumn("cosine", F.round(dot, 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nbr_id"))
-    approx = (scored.withColumn("rank", F.row_number().over(w))
-              .where(F.col("rank") <= k)
-              .select("query_id", "nbr_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "nbr_id", "cosine"))
+
+
+def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 10,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN with *measured* recall: per query, the top-k over the
+    probed buckets plus a recall_at_k column vs the in-Spark exact
+    top-k. Output: (query_id, hits, recall_at_k).
+
+    Recall is surfaced, not assumed — on isotropic data it is < 1 and
+    the column says so; the pytest suite pins the measured values.
+    """
+    approx = ivf_topk(emb, queries, k, n_centroids, nprobe,
+                      vec_col, id_col).select("query_id", "nbr_id")
     exact = cosine_topk_bruteforce(emb, queries, k, vec_col, id_col) \
         .select("query_id", "nbr_id")
     hits = (exact.join(approx, ["query_id", "nbr_id"], "left_semi")

@@ -753,6 +753,87 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# native session windows, EWMA smoothing, IVF full-probe proof
+# ---------------------------------------------------------------------------
+
+def q_sessionize_native(spark, sf_dir):
+    """Same 30-min-gap sessions as q_sessionize but through Spark's
+    native ``session_window`` (the construct the streaming layer
+    shares) — the oracle is the lag+cumsum formulation, so the two
+    session models are proven equivalent on this data."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(
+                F.col("user_id").cast("string").alias("series_key"),
+                F.session_window(F.col("ts").cast("timestamp"),
+                                 "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("series_key",
+                    F.unix_millis("sw.start").alias("sess_start_ms"),
+                    "n_events"))
+
+
+_SESSIONIZE_NATIVE_SQL = f"""
+    WITH sess AS ({_SESSIONIZE_SQL})
+    SELECT series_key, sess_start_ms, n_events FROM sess
+"""
+
+
+def q_ewma_final(spark, sf_dir):
+    """Per-series exponentially weighted moving average (α = 0.2,
+    seeded with the first value) — a sequential fold kept fully
+    JVM-side: sort_array over collected (ts, value) structs, then
+    ``aggregate``. Both engines fold in identical order, so the
+    doubles are bit-identical before the final truncation."""
+    pts = _event_points(spark, sf_dir)
+    per = pts.groupBy("series_key").agg(
+        F.array_sort(F.collect_list(F.struct("ts_ms", "value")))
+        .alias("pv"))
+    seq = F.transform(F.col("pv"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0))),
+        F.element_at(seq, 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc)
+    return per.select("series_key", _floor6(ewma).alias("ewma"))
+
+
+_EWMA_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL}),
+    lists AS (
+        SELECT series_key, list(value ORDER BY ts_ms) AS vs
+        FROM pts GROUP BY 1)
+    SELECT series_key,
+           FLOOR(list_reduce(vs, (acc, x) ->
+                 0.2::DOUBLE * x + 0.8::DOUBLE * acc) * 1e6) / 1e6
+               AS ewma
+    FROM lists
+"""
+
+
+def q_ann_topk_ivf_fullprobe(spark, sf_dir):
+    """IVF with nprobe = n_centroids: every cell probed, so the result
+    must EQUAL the brute-force top-k — a value-hashed proof that the
+    inverted-file machinery (assignment, probe join, re-rank) is
+    lossless; the sub-linear setting's recall is measured separately
+    by ann_topk_ivf."""
+    from .operators.similarity import ivf_topk
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16)
+
+
+QUERIES.update({
+    "sessionize_native": q_sessionize_native,
+    "ewma_final": q_ewma_final,
+    "ann_topk_ivf_fullprobe": q_ann_topk_ivf_fullprobe,
+})
+ORACLES.update({
+    "sessionize_native": _SESSIONIZE_NATIVE_SQL,
+    "ewma_final": _EWMA_SQL,
+    "ann_topk_ivf_fullprobe": _ANN_TOPK_SQL,
+})
+
+
+# ---------------------------------------------------------------------------
 # series health: gap detection, anomaly scoring
 # ---------------------------------------------------------------------------
 
