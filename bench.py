@@ -147,7 +147,7 @@ def main() -> None:
     timed("ann_topk_lsh",
           lambda: cosine_topk_lsh(emb, qvecs, k=10).count())
     timed("embedding_near_dup_lsh",
-          lambda: embedding_near_dup_pairs(emb, threshold=0.9).count())
+          lambda: embedding_near_dup_pairs(emb, threshold=0.3).count())
 
     total = round(sum(queries.values()), 3)
     regressions = [

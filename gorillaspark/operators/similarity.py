@@ -131,28 +131,36 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     """
     dim = len(emb.select(vec_col).head()[0])
     codes = make_band_codes_udf(dim, n_planes, n_bands, seed)
-    bands = _band_relation(emb, codes, vec_col, id_col, "vid")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.code") == F.col("b.code"))
-                    & (F.col("a.vid") < F.col("b.vid")))
-             .select(F.col("a.vid").alias("vec_a"),
-                     F.col("b.vid").alias("vec_b"))
-             .distinct())
-    units = with_unit_norm(emb, vec_col).select(
-        F.col(id_col).alias("uid"), "unit")
-    ua = units.select(F.col("uid").alias("vec_a"),
-                      F.col("unit").alias("unit_a"))
-    ub = units.select(F.col("uid").alias("vec_b"),
-                      F.col("unit").alias("unit_b"))
-    dot = F.aggregate(
-        F.zip_with("unit_a", "unit_b", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (cands.join(ua, "vec_a").join(ub, "vec_b")
-            .withColumn("cosine", F.round(dot, 6))
-            .where(F.col("cosine") >= threshold)
-            .select("vec_a", "vec_b", "cosine"))
+    bands = with_unit_norm(emb, vec_col).select(
+        F.col(id_col).cast("long").alias("vid"), "unit",
+        F.posexplode(codes(vec_col)).alias("band", "code"))
+
+    # bucket-local exact verification: candidates never leave their
+    # (band, code) bucket as rows — each bucket verifies with ONE
+    # numpy matmul and emits only qualifying pairs. This removes the
+    # two scale-killers of the naive plan measured on the bench
+    # corpus: the distinct over the raw candidate-pair stream (16M
+    # rows for 2k vectors at low-selectivity thresholds) and the join
+    # materializing two unit vectors per candidate. The same pair
+    # qualifying in several buckets yields byte-identical rows
+    # (matmul per pair is deterministic), so the final distinct runs
+    # on qualifying pairs only. Bucket size ≈ corpus / 2^r per band —
+    # scale r with the corpus so a bucket's unit matrix stays
+    # executor-sized.
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        U = np.stack(pdf["unit"].to_numpy())
+        sims = np.round(U @ U.T, 6)
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        va = np.minimum(ids[ia], ids[ib])
+        vb = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb,
+                             "cosine": sims[ia, ib]})
+
+    return (bands.groupBy("band", "code")
+            .applyInPandas(bucket_verify,
+                           "vec_a long, vec_b long, cosine double")
+            .distinct())
 
 
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
