@@ -1,0 +1,93 @@
+"""Physical-plan property tests: the shapes the 100 TB story depends
+on must survive refactors — broadcast joins stay broadcast, parquet
+scans prune columns and push filters, the encode path shuffles exactly
+once. A correct result through a regressed plan is a silent scale bug;
+these tests make the plan part of the contract.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_top_customers_broadcasts_dims(spark):
+    from gorillaspark.queries import QUERIES
+    plan = _plan(QUERIES["top_customers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_stats_prunes_columns(spark):
+    from gorillaspark.queries import QUERIES
+    plan = _plan(QUERIES["doc_stats"](spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # quality/token stats need doc_id + text only; reading lang/source/
+    # n_chars too would scan extra bytes per row at corpus scale
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_event_filter_pushdown(spark):
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(ev.where(F.col("event_type") == "error")
+                 .select("user_id", "ts"))
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,error\)",
+                     plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"user_id", "ts", "event_type"}, cols
+
+
+def test_encode_points_shuffles_once(spark):
+    from gorillaspark.operators.encode import encode_points
+    from gorillaspark.queries import _event_points
+    plan = _plan(encode_points(_event_points(spark, SF), "double"))
+    # one Exchange: the repartition that co-locates each series' days;
+    # a second one would mean the sort or the UDF re-shuffled
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"{n_exchange} exchanges:\n{plan}"
+
+
+def test_rollup_whole_stage_codegen(spark):
+    from gorillaspark.operators.downsample import m4_downsample
+    from gorillaspark.queries import _event_points
+    plan = _plan(m4_downsample(_event_points(spark, SF), "1h"))
+    # M4 must stay a codegen hash aggregate (min/max/min_by/max_by are
+    # all codegen-able); falling to ObjectHashAggregate would mean an
+    # accidental non-codegen aggregate snuck into the hot path
+    assert "HashAggregate" in plan
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    from gorillaspark.queries import QUERIES
+    plan = _plan(QUERIES["ann_topk"](spark, SF))
+    # the corpus must stream; only the small query set may broadcast
+    assert "BroadcastNestedLoopJoin" in plan or \
+        "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_interval_join_is_equi_join(spark):
+    from gorillaspark.operators.asof import bucketed_interval_join
+    spans = spark.createDataFrame(
+        [(0, 0, 5000)], "sid long, start_ms long, end_ms long")
+    pts = spark.createDataFrame([(1, 100)], "pid long, ts_ms long")
+    plan = _plan(bucketed_interval_join(spans, pts, bucket_ms=1000))
+    # the whole point of bucketing: a hash-partitioned equi-join on the
+    # bucket id, never a nested-loop over the range predicate
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
