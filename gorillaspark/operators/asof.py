@@ -119,3 +119,52 @@ def bucketed_interval_join(spans: DataFrame, points: DataFrame,
             .where(F.col(ts_col).between(F.col(start_col),
                                          F.col(end_col)))
             .drop("_bucket"))
+
+
+def interval_count_two_tier(spans: DataFrame, points: DataFrame,
+                            span_keys: list[str],
+                            bucket_ms: int = 3_600_000,
+                            start_col: str = "start_ms",
+                            end_col: str = "end_ms",
+                            ts_col: str = "ts_ms") -> DataFrame:
+    """Points-per-span counts via the two-tier refinement: buckets
+    FULLY contained in [start, end] contribute a pre-aggregated count
+    (one small join against a per-bucket count table — no point rows
+    touched), and only the ≤ 2 partial edge buckets per span scan
+    actual points. Output: span_keys + ``n_points``.
+
+    This is the shape that survives 100 TB: the point side is read
+    once to build the per-bucket counts (reusable across span sets),
+    and the per-span work is O(span/bucket) tiny rows plus two
+    edge-bucket probes — pair materialization never happens. The
+    single-tier :func:`bucketed_interval_join` remains the tool when
+    the caller needs the matching point payloads, not statistics.
+    """
+    b = F.lit(bucket_ms)
+    per_bucket = (points
+                  .groupBy(F.floor(F.col(ts_col) / b).alias("_bucket"))
+                  .agg(F.count(F.lit(1)).alias("_bcnt")))
+    sp = spans.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(F.col(start_col) / b),
+                             F.floor(F.col(end_col) / b))))
+    is_full = ((F.col("_bucket") * b >= F.col(start_col))
+               & ((F.col("_bucket") + 1) * b - 1 <= F.col(end_col)))
+    full = (sp.where(is_full)
+            .join(per_bucket, "_bucket")
+            .groupBy(*span_keys)
+            .agg(F.sum("_bcnt").alias("_full_cnt")))
+    pt = points.withColumn("_bucket", F.floor(F.col(ts_col) / b))
+    edge = (sp.where(~is_full)
+            .join(pt, "_bucket")
+            .where(F.col(ts_col).between(F.col(start_col),
+                                         F.col(end_col)))
+            .groupBy(*span_keys)
+            .agg(F.count(F.lit(1)).alias("_edge_cnt")))
+    base = spans.select(*span_keys).distinct()
+    return (base.join(full, span_keys, "left")
+            .join(edge, span_keys, "left")
+            .select(*span_keys,
+                    (F.coalesce("_full_cnt", F.lit(0))
+                     + F.coalesce("_edge_cnt", F.lit(0)))
+                    .alias("n_points")))

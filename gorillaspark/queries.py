@@ -1127,13 +1127,36 @@ _SESSION_ERRORS_SQL = f"""
     GROUP BY 1, 2
 """
 
+def q_session_error_counts_2tier(spark, sf_dir):
+    """Same result as session_error_counts through the two-tier plan:
+    fully-contained hour buckets contribute pre-aggregated counts, only
+    the ≤2 edge buckets per session scan points — the span-statistics
+    shape that avoids pair materialization entirely at 100 TB. Same
+    oracle as the single-tier query."""
+    from .operators.asof import interval_count_two_tier
+    sessions = q_sessionize(spark, sf_dir)
+    spans = sessions.select(
+        "series_key", "sess_id",
+        F.col("sess_start_ms").alias("start_ms"),
+        F.col("sess_end_ms").alias("end_ms"))
+    errors = _events(spark, sf_dir).where(
+        F.col("event_type") == "error").select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    out = interval_count_two_tier(
+        spans, errors, ["series_key", "sess_id"], bucket_ms=3_600_000)
+    return out.select("series_key", "sess_id",
+                      F.col("n_points").alias("n_errors"))
+
+
 QUERIES.update({
     "asof_view_before_purchase": q_asof_view_before_purchase,
     "session_error_counts": q_session_error_counts,
+    "session_error_counts_2tier": q_session_error_counts_2tier,
 })
 ORACLES.update({
     "asof_view_before_purchase": _ASOF_SQL,
     "session_error_counts": _SESSION_ERRORS_SQL,
+    "session_error_counts_2tier": _SESSION_ERRORS_SQL,
 })
 
 

@@ -101,3 +101,28 @@ def test_bucketed_interval_join_matches_bruteforce(spark):
     pd.testing.assert_frame_equal(got, brute)
     # exactly-once: no dedup pass inside, so no duplicates may appear
     assert not got.duplicated().any()
+
+
+def test_two_tier_interval_count_matches_single_tier(spark):
+    from gorillaspark.operators.asof import interval_count_two_tier
+    rng = np.random.default_rng(11)
+    spans = pd.DataFrame({
+        "sid": np.arange(50, dtype="int64"),
+        "start_ms": rng.integers(0, 400_000, 50).astype("int64"),
+    })
+    spans["end_ms"] = spans.start_ms + rng.integers(0, 60_000, 50)
+    points = pd.DataFrame({
+        "ts_ms": rng.integers(0, 460_000, 2_000).astype("int64")})
+    got = (interval_count_two_tier(
+        spark.createDataFrame(spans), spark.createDataFrame(points),
+        ["sid"], bucket_ms=10_000)
+        .toPandas().set_index("sid")["n_points"].sort_index())
+    brute = spans.merge(points, how="cross")
+    exp = ((brute.ts_ms >= brute.start_ms)
+           & (brute.ts_ms <= brute.end_ms)).groupby(brute.sid).sum()
+    exp = exp.reindex(spans.sid, fill_value=0).sort_index()
+    assert (got.values == exp.values).all()
+    # spans shorter than one bucket (edge-only) and spans spanning
+    # multiple full buckets both occur in this fixture
+    widths = (spans.end_ms - spans.start_ms)
+    assert (widths < 10_000).any() and (widths > 20_000).any()
