@@ -332,7 +332,9 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
         raise ValueError("completeness needs max_dist < n_bands")
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sigs = simhash_signatures(docs, text_col, id_col)
+    # both sides of the band self-join read the signature relation —
+    # cache it so the Arrow signature pass runs once, not twice
+    sigs = simhash_signatures(docs, text_col, id_col).cache()
     chunks = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), i * width)
          .bitwiseAND(F.lit(mask)) for i in range(n_bands)])
