@@ -284,6 +284,34 @@ def decode_points(blocks: DataFrame, as_double: bool = True) -> DataFrame:
         lambda it: _decode_partition(it, as_double), schema)
 
 
+def compact_blocks(blocks: DataFrame, value_kind: str = "double",
+                   predictor: str = "last_value") -> DataFrame:
+    """Merge fragmented day blocks back to one block per
+    (series_key, block_ts) — the maintenance pass behind streaming
+    ingestion (each micro-batch cut mid-day leaves a day split across
+    blocks; fragments decode correctly but waste the per-block header
+    and inflate block counts).
+
+    Only fragmented groups are touched: a semi-join selects them, they
+    decode → re-encode through the normal one-shuffle path, and the
+    untouched majority passes through by anti-join — at 100 TB the
+    decode/re-encode cost is proportional to the fragmented fraction,
+    not the table. The result is bit-identical to having encoded the
+    day's points in one pass (same sort, same kernel), which the tests
+    assert word-for-word. Assumes the uniform (value_kind, predictor)
+    the engine writes; compact heterogenous tables per codec group.
+    """
+    keys = ["series_key", "block_ts"]
+    frag_keys = (blocks.groupBy(*keys)
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .where(F.col("_n") > 1).select(*keys))
+    frag = blocks.join(frag_keys, keys, "left_semi")
+    keep = blocks.join(frag_keys, keys, "left_anti")
+    pts = decode_points(frag, as_double=(value_kind == "double"))
+    recoded = encode_points(pts, value_kind, predictor=predictor)
+    return keep.unionByName(recoded)
+
+
 def roundtrip_check(points: DataFrame, value_kind: str = "double") -> DataFrame:
     """decode(encode(points)) joined back to the input; returns rows
     that fail raw-bit equality (empty result == pass). Distributed —

@@ -192,6 +192,23 @@ def q_codec_roundtrip(spark, sf_dir):
     return decode_points(encode_points(pts, "double"), as_double=True)
 
 
+def q_compaction_inventory(spark, sf_dir):
+    """Fragment every day block (encode each half of the corpus
+    separately, splitting days across blocks), run compact_blocks,
+    and account per series — must equal the canonical
+    one-block-per-day inventory, proving compaction restores the
+    layout a single-pass encode produces."""
+    from .operators.encode import compact_blocks
+    pts = _event_points(spark, sf_dir)
+    h = F.xxhash64("series_key", "ts_ms") % 2 == 0
+    fragmented = encode_points(pts.where(h), "double").unionByName(
+        encode_points(pts.where(~h), "double"))
+    compacted = compact_blocks(fragmented, "double")
+    return (compacted.groupBy("series_key")
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum("n_points").cast("long").alias("n_points")))
+
+
 def q_block_inventory(spark, sf_dir):
     """Per-series block accounting: blocks and encoded points per
     series-day must tally with the raw point counts (oracle: count
@@ -379,6 +396,7 @@ QUERIES = {
     "stream_event_rates_1h": q_stream_event_rates_1h,
     "codec_roundtrip": q_codec_roundtrip,
     "block_inventory": q_block_inventory,
+    "compaction_inventory": q_compaction_inventory,
     "gapfill_1h_ffill": q_gapfill_1h_ffill,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
@@ -396,6 +414,7 @@ ORACLES = {
     "stream_event_rates_1h": _EVENT_RATES_SQL,
     "codec_roundtrip": _EVENT_POINTS_SQL,
     "block_inventory": _BLOCK_INVENTORY_SQL,
+    "compaction_inventory": _BLOCK_INVENTORY_SQL,
     "gapfill_1h_ffill": _GAPFILL_SQL,
     "sessionize": _SESSIONIZE_SQL,
     "pricing_summary": _PRICING_SQL,

@@ -245,3 +245,40 @@ def test_hot_conv_blocks_bounded(spark, transcripts):
     assert hot["pts"] == pts.where(
         F.col("series_key") == "conv000000").count()
     blocks.unpersist()
+
+
+def test_compact_blocks_bit_identical(spark):
+    """Compacting fragmented day blocks must reproduce, word for word,
+    the blocks a single-pass encode of the same points produces."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gorillaspark.operators.encode import compact_blocks, encode_points
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    base = 1_700_000_000_000
+    pdf = pd.DataFrame({
+        "series_key": rng.integers(0, 12, n).astype(str),
+        "ts_ms": base + rng.choice(
+            np.arange(0, 5 * 86_400_000, 4_000), n, replace=False),
+        "value": rng.normal(100, 20, n).round(3),
+    })
+    pts = spark.createDataFrame(pdf)
+    truth = encode_points(pts, "double").toPandas()
+
+    h = F.xxhash64("series_key", "ts_ms") % 2 == 0
+    fragmented = encode_points(pts.where(h), "double").unionByName(
+        encode_points(pts.where(~h), "double"))
+    n_frag = fragmented.count()
+    compacted = compact_blocks(fragmented, "double").toPandas()
+    assert n_frag > len(truth)          # the fixture really fragments
+    assert len(compacted) == len(truth)
+
+    t = truth.sort_values(["series_key", "block_ts"]).reset_index(drop=True)
+    c = compacted.sort_values(["series_key", "block_ts"]) \
+        .reset_index(drop=True)
+    assert (t["n_points"].values == c["n_points"].values).all()
+    for a, b in zip(t["words"], c["words"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
