@@ -163,3 +163,46 @@ def test_streaming_rollup_append_mode_with_watermark(spark, tmp_path,
                   suffixes=("", "_want"))
     assert len(m) == len(got)
     assert (m["cnt"] == m["cnt_want"]).all()
+
+
+def test_streaming_heartbeat_alerts(spark, tmp_path):
+    """Silence alerts fire via state timeouts when a series stops
+    reporting, dedup within an episode, and close with a recovery."""
+    import time
+
+    from gorillaspark.streaming.stateful import streaming_heartbeat_alerts
+
+    src = str(tmp_path / "hb_src")
+    import os
+    os.makedirs(src, exist_ok=True)
+
+    def feed(name, rows):
+        pdf = pd.DataFrame(rows, columns=["series_key", "ts_ms"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    feed("b1", [("A", 1000), ("B", 1000)])
+    stream = spark.readStream.schema(
+        "series_key string, ts_ms long").parquet(src)
+    alerts = streaming_heartbeat_alerts(stream, silence_ms=2000)
+    q = (alerts.writeStream.format("memory").queryName("hb")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "hb_ck"))
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        time.sleep(6)                      # both series go silent
+        feed("b2", [("A", 60_000)])        # A recovers
+        time.sleep(6)
+        got = spark.sql("SELECT * FROM hb").toPandas()
+    finally:
+        q.stop()
+    a = got[got.series_key == "A"].sort_index()
+    assert "silence" in set(a.kind), got
+    assert "recovered" in set(a.kind), got
+    rec = a[a.kind == "recovered"].iloc[0]
+    assert rec.last_seen_ms == 60_000 and rec.silent_ms == 59_000
+    # episode dedup: silences never exceed recoveries + 1 per series
+    for k, grp in got.groupby("series_key"):
+        n_sil = (grp.kind == "silence").sum()
+        n_rec = (grp.kind == "recovered").sum()
+        assert n_sil <= n_rec + 1, got
