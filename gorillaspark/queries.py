@@ -192,6 +192,24 @@ def q_codec_roundtrip(spark, sf_dir):
     return decode_points(encode_points(pts, "double"), as_double=True)
 
 
+def q_codec_roundtrip_v1(spark, sf_dir):
+    """Identity through the v1 wire codec (raw-signed dd, 5-bit lz
+    clamp, 64→0 sigbits — Compressor.java:24-182) end to end in
+    Spark. Same plain-SELECT oracle as the v2 round trip."""
+    pts = _event_points(spark, sf_dir)
+    return decode_points(encode_points(pts, "double", predictor="v1"),
+                         as_double=True)
+
+
+def q_codec_roundtrip_dfcm(spark, sf_dir):
+    """Identity through the DFCM-predictor codec (DifferentialFCM
+    .java:23-46, update asymmetry mirrored) end to end in Spark."""
+    pts = _event_points(spark, sf_dir)
+    return decode_points(
+        encode_points(pts, "double", predictor="dfcm:1024"),
+        as_double=True)
+
+
 def q_compaction_inventory(spark, sf_dir):
     """Fragment every day block (encode each half of the corpus
     separately, splitting days across blocks), run compact_blocks,
@@ -768,6 +786,86 @@ ORACLES.update({
     "embedding_near_dup": _NEAR_DUP_SQL,
     "simhash_dupes": _SIMHASH_DUPES_SQL,
     "simhash_hamming_pairs": _SIMHASH_HAMMING_SQL,
+})
+
+
+# ---------------------------------------------------------------------------
+# relational breadth: global top-k sort, rolling window, pivot
+# ---------------------------------------------------------------------------
+
+def q_global_top_events(spark, sf_dir):
+    """Global ORDER BY … LIMIT — must plan as TakeOrderedAndProject
+    (per-partition top-k + merge), never a full global sort."""
+    ev = _events(spark, sf_dir)
+    return (ev.select("event_id", "user_id", "value")
+            .orderBy(F.desc("value"), F.asc("event_id"))
+            .limit(100))
+
+
+_GLOBAL_TOP_SQL = """
+    SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id LIMIT 100
+"""
+
+
+def q_moving_avg_3(spark, sf_dir):
+    """3-point trailing moving average per series (ROWS frame —
+    identical sequential fold on both engines)."""
+    pts = _event_points(spark, sf_dir)
+    w = (Window.partitionBy("series_key").orderBy("ts_ms")
+         .rowsBetween(-2, Window.currentRow))
+    return pts.select("series_key", "ts_ms",
+                      _floor6(F.avg("value").over(w)).alias("ma3"))
+
+
+_MOVING_AVG_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL})
+    SELECT series_key, ts_ms,
+           FLOOR(avg(value) OVER (PARTITION BY series_key ORDER BY ts_ms
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1e6) / 1e6
+               AS ma3
+    FROM pts
+"""
+
+
+def q_event_type_pivot(spark, sf_dir):
+    """Per-user counts pivoted to one column per event type (fixed
+    column set — the scale-safe pivot form; dynamic pivots need a
+    driver-side distinct first)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.col("user_id").cast("string")
+                       .alias("series_key"))
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .select("series_key",
+                    *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                      for t in types]))
+
+
+_PIVOT_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS series_key,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'error') AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'view') AS n_view
+    FROM events GROUP BY 1
+"""
+
+QUERIES.update({
+    "codec_roundtrip_v1": q_codec_roundtrip_v1,
+    "codec_roundtrip_dfcm": q_codec_roundtrip_dfcm,
+    "global_top_events": q_global_top_events,
+    "moving_avg_3": q_moving_avg_3,
+    "event_type_pivot": q_event_type_pivot,
+})
+ORACLES.update({
+    "codec_roundtrip_v1": _EVENT_POINTS_SQL,
+    "codec_roundtrip_dfcm": _EVENT_POINTS_SQL,
+    "global_top_events": _GLOBAL_TOP_SQL,
+    "moving_avg_3": _MOVING_AVG_SQL,
+    "event_type_pivot": _PIVOT_SQL,
 })
 
 

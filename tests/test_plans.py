@@ -91,3 +91,11 @@ def test_bucketed_interval_join_is_equi_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    from gorillaspark.queries import QUERIES
+    plan = _plan(QUERIES["global_top_events"](spark, SF))
+    # per-partition top-k + merge; a global Sort would shuffle
+    # everything to sort rows the LIMIT then throws away
+    assert "TakeOrderedAndProject" in plan, plan
