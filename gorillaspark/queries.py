@@ -790,6 +790,97 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# multi-join analytics (TPC-H Q3/Q5 shapes over the testdata tables)
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark, sf_dir):
+    """Q3 shape: segment-filtered customers × orders × lineitem,
+    revenue per order, top 10. Filters reach both parquet scans;
+    the two joins shuffle on their keys; the top-k is
+    TakeOrderedAndProject."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit("1998-06-01"))
+    out = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("l_orderkey",
+                    F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                    .alias("o_orderdate_ms"),
+                    "o_orderpriority")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 6)
+                .alias("revenue"))
+           .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+           .limit(10))
+    return out
+
+
+_SHIPPING_PRIORITY_SQL = """
+    SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+           o_orderpriority,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """Q5 shape: lineitem × orders × customer × nation × region with
+    the dimension chain broadcast; revenue per nation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA")
+    dims = F.broadcast(
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey", "n_name"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue")))
+
+
+_REGION_REVENUE_SQL = """
+    SELECT n_name,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+"""
+
+QUERIES.update({
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
+})
+ORACLES.update({
+    "shipping_priority": _SHIPPING_PRIORITY_SQL,
+    "region_revenue": _REGION_REVENUE_SQL,
+})
+
+
+# ---------------------------------------------------------------------------
 # relational breadth: global top-k sort, rolling window, pivot
 # ---------------------------------------------------------------------------
 
