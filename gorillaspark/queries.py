@@ -790,6 +790,40 @@ ORACLES.update({
 
 
 # ---------------------------------------------------------------------------
+# corpus statistics: n-gram document frequency
+# ---------------------------------------------------------------------------
+
+def q_top_bigrams(spark, sf_dir):
+    """Top-20 word bigrams by document frequency — the corpus-stats
+    shape behind stop-shingle selection (dedup's max_df bound) and
+    boilerplate detection. One explode + hash agg + top-k."""
+    from .operators.dedup import shingles
+    sh = shingles(_docs(spark, sf_dir), n=2)
+    return (sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("shingle"))
+            .limit(20))
+
+
+_TOP_BIGRAMS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2)
+    SELECT shingle, count(*) AS df
+    FROM grams GROUP BY 1
+    ORDER BY df DESC, shingle LIMIT 20
+"""
+
+QUERIES.update({"top_bigrams": q_top_bigrams})
+ORACLES.update({"top_bigrams": _TOP_BIGRAMS_SQL})
+
+
+# ---------------------------------------------------------------------------
 # multi-join analytics (TPC-H Q3/Q5 shapes over the testdata tables)
 # ---------------------------------------------------------------------------
 
