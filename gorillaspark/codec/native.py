@@ -22,11 +22,16 @@ _DIR = Path(__file__).parent / "_native"
 _SRC = _DIR / "gorilla.c"
 
 
-def _so_path() -> Path:
+def _so_path() -> Path | None:
     """Shared-object name keyed by the source hash: a changed gorilla.c
     always gets a fresh build even when mtimes are unreliable (git
-    checkout / rsync preserving timestamps)."""
-    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    checkout / rsync preserving timestamps). None when the source is
+    not shipped at all (pruned install) — the silent-fallback contract
+    must hold even for the hash read."""
+    try:
+        digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    except OSError:
+        return None
     return _DIR / f"_gorilla_{digest}.so"
 
 
@@ -35,6 +40,8 @@ _SO = _so_path()
 
 def _build() -> bool:
     try:
+        if _SO is None:
+            return False
         if _SO.exists():
             return True
         # many executor Python workers may import concurrently: build to

@@ -136,26 +136,52 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         F.posexplode(codes(vec_col)).alias("band", "code"))
 
     # bucket-local exact verification: candidates never leave their
-    # (band, code) bucket as rows — each bucket verifies with ONE
-    # numpy matmul and emits only qualifying pairs. This removes the
+    # (band, code) bucket as rows — each bucket scans itself with
+    # tiled matmuls and emits only qualifying pairs. This removes the
     # two scale-killers of the naive plan measured on the bench
     # corpus: the distinct over the raw candidate-pair stream (16M
     # rows for 2k vectors at low-selectivity thresholds) and the join
-    # materializing two unit vectors per candidate. The same pair
-    # qualifying in several buckets yields byte-identical rows
-    # (matmul per pair is deterministic), so the final distinct runs
-    # on qualifying pairs only. Bucket size ≈ corpus / 2^r per band —
-    # scale r with the corpus so a bucket's unit matrix stays
-    # executor-sized.
+    # materializing two unit vectors per candidate. Tiling bounds the
+    # similarity matrix to TILE² regardless of bucket size; bucket
+    # ROW count is still corpus / 2^r per band — scale r with the
+    # corpus so one bucket's unit matrix stays executor-sized (and so
+    # the total candidate work stays sub-quadratic; at r=2 the scan
+    # degenerates to all-pairs, which only test-scale recall-certain
+    # settings should use). The emitted cosine is recomputed per pair
+    # with a fixed-shape einsum so a pair qualifying in several
+    # buckets emits byte-identical rows for the final distinct —
+    # tile-shaped BLAS sums are NOT reproducible across bucket sizes,
+    # hence the margin + recompute instead of trusting the matmul.
+    TILE = 4096
+
     def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vid"].to_numpy()
         U = np.stack(pdf["unit"].to_numpy())
-        sims = np.round(U @ U.T, 6)
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        va = np.minimum(ids[ia], ids[ib])
-        vb = np.maximum(ids[ia], ids[ib])
-        return pd.DataFrame({"vec_a": va, "vec_b": vb,
-                             "cosine": sims[ia, ib]})
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for r0 in range(0, n, TILE):
+            A = U[r0:r0 + TILE]
+            for c0 in range(r0, n, TILE):
+                sims = A @ U[c0:c0 + TILE].T
+                ia, ib = np.nonzero(sims >= threshold - 1e-6)
+                gi, gj = ia + r0, ib + c0
+                keep = gi < gj               # upper triangle, global
+                gi, gj = gi[keep], gj[keep]
+                if not gi.size:
+                    continue
+                cos = np.round(
+                    np.einsum("ij,ij->i", U[gi], U[gj]), 6)
+                keep = cos >= threshold
+                out_a.append(np.minimum(ids[gi], ids[gj])[keep])
+                out_b.append(np.maximum(ids[gi], ids[gj])[keep])
+                out_c.append(cos[keep])
+        if not out_a:
+            return pd.DataFrame({"vec_a": np.empty(0, np.int64),
+                                 "vec_b": np.empty(0, np.int64),
+                                 "cosine": np.empty(0, np.float64)})
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
 
     return (bands.groupBy("band", "code")
             .applyInPandas(bucket_verify,

@@ -687,6 +687,10 @@ def q_ann_topk_ivf(spark, sf_dir):
 # hash is FNV-1a64 (simple enough for DuckDB: per-char list_reduce over
 # HUGEINT with an explicit mod-2^64; xor only ever touches the low
 # byte, so it stays in BIGINT range). See operators/dedup.py.
+# ASCII assumption: the oracle folds one codepoint per character
+# (ascii(c)) while the operator folds UTF-8 BYTES — equivalent only
+# for ASCII text, which the driver corpora are (verified); a
+# multilingual corpus needs a bytes-aware oracle.
 _SIMHASH_SIG_SQL = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -1002,12 +1006,16 @@ def q_sessionize_native(spark, sf_dir):
     """Same 30-min-gap sessions as q_sessionize but through Spark's
     native ``session_window`` (the construct the streaming layer
     shares) — the oracle is the lag+cumsum formulation, so the two
-    session models are proven equivalent on this data."""
+    session models are proven equivalent. The gap is 1 800 001 ms, not
+    "30 minutes": session_window splits at ``diff >= gap`` while the
+    lag rule splits at ``diff > 1 800 000``; the +1 makes the two
+    models identical at an exactly-30-minute gap instead of relying on
+    the corpus never containing one."""
     ev = _events(spark, sf_dir)
     return (ev.groupBy(
                 F.col("user_id").cast("string").alias("series_key"),
                 F.session_window(F.col("ts").cast("timestamp"),
-                                 "30 minutes").alias("sw"))
+                                 "1800001 milliseconds").alias("sw"))
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select("series_key",
                     F.unix_millis("sw.start").alias("sess_start_ms"),
@@ -1418,6 +1426,9 @@ def _synth_wav_udf():
 
     Test-harness synthesis (numpy from the text bytes); the operator
     under test is the real decoder in operators/multimodal.audio_stats.
+    ASCII assumption (holds for the driver corpora): the SQL oracle
+    maps one sample per CHARACTER via ascii(c); non-ASCII text would
+    diverge (multi-byte chars; lead bytes ≥ 232 would wrap the int16).
     """
     from .operators import media_codecs as mc
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -73,7 +74,13 @@ class ParquetTableIO:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lock) > 60:
-                        os.unlink(lock)
+                        # break the stale lock via rename: exactly ONE
+                        # waiter wins the rename (unlink-then-create
+                        # would let a second waiter's queued unlink
+                        # delete the winner's fresh lock — TOCTOU)
+                        stale = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, stale)
+                        os.unlink(stale)
                         continue
                 except FileNotFoundError:
                     continue
@@ -117,8 +124,12 @@ class ParquetTableIO:
         subdir = uuid.uuid4().hex[:12]
         path = os.path.join(self.root, table, "data", subdir)
         df.write.mode("overwrite").parquet(path)
-        files = [path]
-        return self._commit(table, files, commit_key)
+        snap = self._commit(table, [path], commit_key)
+        if snap is None:
+            # lost a same-commit-key race after writing: remove the
+            # orphaned data directory no snapshot will ever reference
+            shutil.rmtree(path, ignore_errors=True)
+        return snap
 
     def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
         snaps = self.snapshots(table)

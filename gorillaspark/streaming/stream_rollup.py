@@ -91,7 +91,11 @@ def rates_snapshot(spark, events_path: str, span: str = "1 hour",
            .agg(F.count(F.lit(1)).alias("messages")))
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # fail crisply: reading the snapshot mid-query would return a
+        # silently partial aggregate (and leave the query running)
+        q.stop()
+        raise TimeoutError("streaming snapshot did not finish in 300s")
     return (spark.table(name)
             .select(F.unix_millis(F.col("w.start")).alias("bucket_ms"),
                     F.col(key_col), "messages"))
@@ -152,8 +156,17 @@ def incremental_encode(io, out_table: str = "blocks",
         if not closed.isEmpty():
             io.append(out_table, encode_points(closed, "double"),
                       commit_key=f"stream-batch/{batch_id}")
+        root = _carry_dir(io, carry_table)
         open_day.write.mode("overwrite").parquet(
-            os.path.join(_carry_dir(io, carry_table), f"batch={batch_id}"))
+            os.path.join(root, f"batch={batch_id}"))
+        # prune carry snapshots no replay can need: a replay of batch
+        # N reads batch=N-1, so keep the two newest and drop the rest
+        # (otherwise carry storage grows with batch COUNT, not data)
+        import shutil
+        for d in os.listdir(root):
+            if d.startswith("batch=") \
+                    and int(d.split("=", 1)[1]) < batch_id - 1:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     return sink
 
@@ -161,8 +174,13 @@ def incremental_encode(io, out_table: str = "blocks",
 def flush_carry(io, spark, out_table: str = "blocks",
                 carry_table: str = "blocks_carry") -> None:
     """Encode the still-open series-days left in the carry (end of
-    stream, or a scheduled day-boundary flush). Idempotent per carry
-    snapshot via the commit key."""
+    stream, or a scheduled flush between fully-committed batches).
+    Idempotent per carry snapshot via the commit key; after the flush
+    commits, the carry snapshot is emptied in place so a continuing
+    stream cannot union (and re-encode) the already-flushed points.
+    Mid-stream callers must flush only after the previous batch's
+    checkpoint committed — a replay of that batch would rebuild its
+    carry and re-open the flushed day."""
     import os
     root = _carry_dir(io, carry_table)
     if not os.path.isdir(root):
@@ -171,8 +189,15 @@ def flush_carry(io, spark, out_table: str = "blocks",
                  if d.startswith("batch="))
     if not ids:
         return
-    tail = spark.read.parquet(os.path.join(root, f"batch={ids[-1]}"))
+    path = os.path.join(root, f"batch={ids[-1]}")
+    tail = spark.read.parquet(path)
     if tail.isEmpty():
         return
     io.append(out_table, encode_points(tail, "double"),
               commit_key=f"stream-carry-flush/{ids[-1]}")
+    # idempotent even if we crash between append and this overwrite:
+    # a re-run's append is deduped by the commit key, the overwrite
+    # re-applies (fresh empty frame: overwriting a path while reading
+    # from it is rejected by the file source)
+    spark.createDataFrame([], tail.schema).write.mode(
+        "overwrite").parquet(path)
