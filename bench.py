@@ -60,7 +60,7 @@ def main() -> None:
                                                    cosine_topk_lsh,
                                                    embedding_near_dup_pairs)
     from gorillaspark.plans.session import build_session
-    from gorillaspark.queries import QUERIES
+    from gorillaspark.queries import EXTRA_QUERIES, QUERIES
     from gorillaspark.sources.transcripts import generate_transcripts
 
     spark = build_session(app="gorillaspark-bench",
@@ -131,7 +131,7 @@ def main() -> None:
     # ---- oracle suite on testdata SF ---------------------------------
     for name in ["rollup_1m", "latency_stats_per_series", "sessionize",
                  "pricing_summary", "top_customers", "codec_roundtrip"]:
-        fn = QUERIES[name]
+        fn = QUERIES.get(name) or EXTRA_QUERIES[name]
         timed(f"sf_{name}", lambda f=fn: f(spark, sf_dir).count())
 
     # ---- training-data ops on documents/embeddings --------------------

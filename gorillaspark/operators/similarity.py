@@ -305,6 +305,72 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "rank", "nbr_id", "cosine"))
 
 
+def ivf_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
+                            k: int = 10, n_centroids: int = 16,
+                            nprobe: int = 4,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """IVF top-k with a deterministic, SQL-recomputable codebook.
+
+    The centroids are the unit-normalized first ``n_centroids`` corpus
+    vectors by id (ids assumed 0-based; cell key = codebook vec id) —
+    no k-means, so a DuckDB oracle can rebuild the ENTIRE index:
+    assignment, probing and re-rank are all plain relational algebra
+    over exact fold-order dot products. Everything runs JVM-side
+    (``aggregate``/``zip_with`` folds, broadcast 16-row codebook, no
+    Python in the row path):
+
+    * assignment — corpus × broadcast codebook, keep argmax cell per
+      vector (ties → lowest cell id);
+    * probing — each query keeps its ``nprobe`` best cells, so only
+      ~``nprobe/n_centroids`` of the corpus is scored (the sub-linear
+      property; with random seeds k-means would sharpen the cells but
+      break oracle reproducibility — that path is :func:`ivf_topk`);
+    * re-rank — exact cosine inside probed cells, row_number ≤ k.
+
+    Output: (query_id, rank, nbr_id, cosine) — possibly fewer than k
+    rows per query when probed cells are small; recall vs brute force
+    is measured by the pytest suite, not assumed.
+    """
+    normed = with_unit_norm(emb, vec_col)
+    codebook = (normed.where(F.col(id_col) < n_centroids)
+                .select(F.col(id_col).alias("cell"),
+                        F.col("unit").alias("c_unit")))
+
+    def _dot(a: str, b: str) -> F.Column:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    w_cell = Window.partitionBy("_vid").orderBy(
+        F.desc("_cdot"), F.asc("cell"))
+    corpus = (normed
+              .select(F.col(id_col).alias("_vid"),
+                      F.col("unit").alias("nbr_unit"))
+              .join(F.broadcast(codebook))
+              .withColumn("_cdot", _dot("nbr_unit", "c_unit"))
+              .withColumn("_rn", F.row_number().over(w_cell))
+              .where(F.col("_rn") == 1)
+              .select(F.col("_vid").alias("nbr_id"), "nbr_unit", "cell"))
+    probes = (with_unit_norm(queries, vec_col)
+              .select(F.col(id_col).alias("_vid"),
+                      F.col("unit").alias("q_unit"))
+              .join(F.broadcast(codebook))
+              .withColumn("_cdot", _dot("q_unit", "c_unit"))
+              .withColumn("_rn", F.row_number().over(w_cell))
+              .where(F.col("_rn") <= nprobe)
+              .select(F.col("_vid").alias("query_id"), "q_unit", "cell"))
+    scored = (corpus.join(F.broadcast(probes), "cell")
+              .where(F.col("query_id") != F.col("nbr_id"))
+              .withColumn("cosine",
+                          F.round(_dot("q_unit", "nbr_unit"), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "nbr_id", "cosine"))
+
+
 def ann_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
                  n_centroids: int = 16, nprobe: int = 10,
                  vec_col: str = "embedding",

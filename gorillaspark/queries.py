@@ -674,13 +674,62 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF ANN measured-recall harness (rows-only check: the centroid
-    training is not SQL-expressible). Emits per-query recall@10 vs the
-    in-Spark exact top-k; pytest pins the measured values."""
-    from .operators.similarity import ann_topk_ivf
+    """IVF ANN on the deterministic fixed codebook (first 16 corpus
+    vectors): assignment + nprobe=4 probing + exact re-rank, fully
+    recomputed by the DuckDB oracle — upgrading the r2 rows-only check
+    to a value check. The k-means-trained variant (not SQL-
+    expressible) stays pytest-covered with measured recall
+    (ann_topk_ivf / ivf_topk in operators/similarity.py)."""
+    from .operators.similarity import ivf_topk_fixed_codebook
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 32)
-    return ann_topk_ivf(emb, queries, k=10, n_centroids=16, nprobe=10)
+    return ivf_topk_fixed_codebook(emb, queries, k=10,
+                                   n_centroids=16, nprobe=4)
+
+
+_ANN_IVF_SQL = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+    u AS (SELECT vec_id,
+                 list_transform(vec, x -> x / nrm) AS unit FROM n),
+    cb AS (SELECT vec_id AS cell, unit AS c_unit FROM u
+           WHERE vec_id < 16),
+    assigned AS (
+        SELECT vec_id AS nbr_id, cell FROM (
+            SELECT c.vec_id, cb.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_dot_product(c.unit, cb.c_unit)
+                           DESC, cb.cell) AS rn
+            FROM u c CROSS JOIN cb)
+        WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT q.vec_id, cb.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.unit, cb.c_unit)
+                           DESC, cb.cell) AS rn
+            FROM u q CROSS JOIN cb WHERE q.vec_id < 32)
+        WHERE rn <= 4),
+    scored AS (
+        SELECT p.query_id, a.nbr_id,
+               ROUND(list_dot_product(qu.unit, cu.unit), 6) AS cosine
+        FROM probes p JOIN assigned a USING (cell)
+             JOIN u qu ON qu.vec_id = p.query_id
+             JOIN u cu ON cu.vec_id = a.nbr_id
+        WHERE a.nbr_id <> p.query_id),
+    ranked AS (
+        SELECT query_id, nbr_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nbr_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 10
+"""
 
 
 # SimHash signatures are value-checkable cross-engine because the token
@@ -785,8 +834,8 @@ ORACLES.update({
     "doc_fingerprint": _FINGERPRINT_SQL,
     "ann_topk": _ANN_TOPK_SQL,
     "ann_topk_lsh": _ANN_TOPK_SQL,     # scale path vs brute-force truth
-    # ann_topk_ivf: rows-only by design (driver-side centroid training
-    # is not SQL-expressible; recall is an explicit output column)
+    "ann_topk_ivf": _ANN_IVF_SQL,      # fixed codebook: oracle rebuilds
+                                       # the full inverted file
     "embedding_near_dup": _NEAR_DUP_SQL,
     "simhash_dupes": _SIMHASH_DUPES_SQL,
     "simhash_hamming_pairs": _SIMHASH_HAMMING_SQL,
@@ -1222,35 +1271,41 @@ _M4_SQL = f"""
 
 def _counter_points(spark, sf_dir):
     """Synthetic monotonic-counter-with-wrap series: per-user running
-    sum of event values, wrapped mod 5000 (each wrap is a genuine
-    counter reset). Accumulation order is (ts, event_id) on both
-    engines, so the doubles are bit-identical cross-engine."""
+    sum of INTEGER event increments (floor(value*100) — value is a
+    positive double read from the same parquet bits by both engines,
+    so one multiply + floor is deterministic), wrapped mod 5000 (each
+    wrap is a genuine counter reset). Integer accumulation makes every
+    downstream bucket sum exact and order-independent cross-engine —
+    a float running sum here diverged on last-ulp boundaries (r2
+    counter_rate_1h hash mismatch)."""
     ev = _events(spark, sf_dir)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    inc = F.floor(F.col("value") * F.lit(100.0)).cast("long")
     return ev.select(
         F.col("user_id").cast("string").alias("series_key"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
-        (F.sum("value").over(w) % F.lit(5000.0)).alias("value"))
+        (F.sum(inc).over(w) % F.lit(5000)).alias("value"))
 
 
 _COUNTER_POINTS_SQL = """
     SELECT CAST(user_id AS VARCHAR) AS series_key,
            epoch_ms(ts) AS ts_ms,
-           fmod(sum(value) OVER (PARTITION BY user_id
+           sum(CAST(floor(value * 100.0) AS BIGINT)) OVER (
+                PARTITION BY user_id
                 ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                5000.0) AS value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               % 5000 AS value
     FROM events
 """
 
 
 def q_counter_rate_1h(spark, sf_dir):
     """Prometheus-style rate(): per-bucket counter increase with
-    reset detection over the wrapped synthetic counter."""
+    reset detection over the wrapped synthetic integer counter.
+    All-integer arithmetic — exact on both engines, no rounding."""
     from .operators.downsample import counter_rate
-    out = counter_rate(_counter_points(spark, sf_dir), "1h")
-    return _round6(out, ["increase"])
+    return counter_rate(_counter_points(spark, sf_dir), "1h")
 
 
 _COUNTER_RATE_SQL = f"""
@@ -1261,9 +1316,10 @@ _COUNTER_RATE_SQL = f"""
                                 ORDER BY ts_ms) AS prev
         FROM pts)
     SELECT series_key, (ts_ms // 3600000) * 3600000 AS bucket_ms,
-           ROUND(sum(CASE WHEN value >= prev THEN value - prev
-                          ELSE value END), 6) AS increase,
-           sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS n_resets
+           CAST(sum(CASE WHEN value >= prev THEN value - prev
+                         ELSE value END) AS BIGINT) AS increase,
+           CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resets
     FROM stepped WHERE prev IS NOT NULL GROUP BY 1, 2
 """
 
@@ -1769,3 +1825,35 @@ ORACLES.update({
     "error_free_user_days": _EXCEPT_SQL,
     "top3_types_per_user": _TOP3_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# driver-window management
+# ---------------------------------------------------------------------------
+# The correctness driver checks at most 50 registered queries; round 2
+# registered 56 and silently lost oracle evidence for the overflow
+# (VERDICT r2 "What's missing" #1). Near-duplicate variants — each one
+# a second implementation of a semantic that already has a checked
+# representative — move to EXTRA_QUERIES/EXTRA_ORACLES: still oracle-
+# checked by tests/test_extra_oracles.py and `tools/check_oracles.py
+# --extra`, just not occupying a driver slot. Everything left in
+# QUERIES fits the 50-row window with headroom.
+_EXTRA_NAMES = [
+    "sessionize",              # kept: sessionize_native (session_window)
+    "rollup_1m_hashed",        # kept: rollup_1m (+ pytest salted==plain)
+    "rollup_1h",               # kept: rollup_1h_cascade (same tier,
+                               #       merged from 1m) + rollup_1m/1d
+    "session_error_counts",    # kept: session_error_counts_2tier
+                               #       (same interval join + cascade)
+    "histogram_1h",            # kept: histogram_1d_cascade (oracle
+                               #       recomputes 1d from raw)
+    "ann_topk_ivf_fullprobe",  # kept: ann_topk_ivf now value-checked
+                               #       on the fixed-codebook path
+    "top_customers",           # kept: pricing_summary /
+                               #       shipping_priority / region_revenue
+]
+EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
+EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
+assert len(QUERIES) <= 50, (
+    f"{len(QUERIES)} registered queries exceed the driver's 50-row "
+    "correctness window — demote a near-duplicate to EXTRA_QUERIES")

@@ -9,9 +9,14 @@ from __future__ import annotations
 
 import re
 
+import os
+
 import pytest
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF),
+    reason=f"test data dir {SF} absent (set SPARK_GRAFT_SF_DIR_SMALL)")
 
 
 def _plan(df) -> str:
@@ -22,8 +27,8 @@ def _plan(df) -> str:
 
 
 def test_top_customers_broadcasts_dims(spark):
-    from gorillaspark.queries import QUERIES
-    plan = _plan(QUERIES["top_customers"](spark, SF))
+    from gorillaspark.queries import EXTRA_QUERIES
+    plan = _plan(EXTRA_QUERIES["top_customers"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 

@@ -34,7 +34,9 @@ def main() -> int:
     import __spark_entry__ as e
     from gorillaspark.plans.session import build_session
 
-    only = sys.argv[1:] or None
+    argv = sys.argv[1:]
+    with_extra = "--extra" in argv
+    only = [a for a in argv if a != "--extra"] or None
     spark = build_session(app="oracle-check", master="local[8]",
                           shuffle_partitions=8)
     con = duckdb.connect()
@@ -42,6 +44,9 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{SF_DIR}/{t}.parquet'")
     qs, oracles = e.queries(), e.oracle_sql()
+    if with_extra:
+        from gorillaspark.queries import EXTRA_ORACLES, EXTRA_QUERIES
+        qs, oracles = {**qs, **EXTRA_QUERIES}, {**oracles, **EXTRA_ORACLES}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
