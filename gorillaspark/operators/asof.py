@@ -47,6 +47,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError("direction must be backward|forward")
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)]
+    # output/internal name collisions produce silently ambiguous
+    # columns (e.g. a right column literally named 'ts' emits a second
+    # 'asof_ts') — fail loudly instead
+    reserved = {"asof_ts"} | {f"asof_{c}" for c in right_cols}
+    internal = {"_k", "_ts", "_side", "_lpay", "_rts"} \
+        | {f"_r_{c}" for c in right_cols}
+    clashes = (set(left.columns) & (reserved | internal)) \
+        | ({f"asof_{c}" for c in right_cols} & {"asof_ts"}) \
+        | (set(right.columns) & internal)
+    if clashes:
+        raise ValueError(
+            f"asof_join name collision on {sorted(clashes)}: rename the "
+            "input column(s) or restrict right_cols")
 
     lefted = left.select(
         F.col(on).alias("_k"), F.col(left_ts).alias("_ts"),
@@ -108,8 +121,13 @@ def bucketed_interval_join(spans: DataFrame, points: DataFrame,
     id: bounded fan-out (span length / bucket_ms per span), never a
     per-key cross product. Pick ``bucket_ms`` ≈ median span length so
     the explode factor stays ~2 while bucket populations stay small.
+
+    Contract: spans with ``end < start`` are empty intervals and are
+    dropped up front (an unguarded one would abort the whole job with
+    an opaque executor-side ``sequence`` error).
     """
     b = F.lit(bucket_ms)
+    spans = spans.where(F.col(end_col) >= F.col(start_col))
     sp = spans.withColumn(
         "_bucket",
         F.explode(F.sequence(F.floor(F.col(start_col) / b),
@@ -139,8 +157,12 @@ def interval_count_two_tier(spans: DataFrame, points: DataFrame,
     edge-bucket probes — pair materialization never happens. The
     single-tier :func:`bucketed_interval_join` remains the tool when
     the caller needs the matching point payloads, not statistics.
+
+    Contract: spans with ``end < start`` are empty intervals and are
+    dropped up front (see :func:`bucketed_interval_join`).
     """
     b = F.lit(bucket_ms)
+    spans = spans.where(F.col(end_col) >= F.col(start_col))
     per_bucket = (points
                   .groupBy(F.floor(F.col(ts_col) / b).alias("_bucket"))
                   .agg(F.count(F.lit(1)).alias("_bcnt")))

@@ -333,8 +333,12 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
     width = 64 // n_bands
     mask = (1 << width) - 1
     # both sides of the band self-join read the signature relation —
-    # cache it so the Arrow signature pass runs once, not twice
-    sigs = simhash_signatures(docs, text_col, id_col).cache()
+    # materialize it once via localCheckpoint rather than cache():
+    # cache() pinned executor storage for the whole session (nobody
+    # owned the unpersist); checkpoint blocks are released by the
+    # ContextCleaner as soon as the result DataFrame is dropped
+    sigs = simhash_signatures(docs, text_col, id_col) \
+        .localCheckpoint(eager=False)
     chunks = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), i * width)
          .bitwiseAND(F.lit(mask)) for i in range(n_bands)])

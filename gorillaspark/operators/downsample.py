@@ -71,6 +71,60 @@ def counter_rate(pts: DataFrame, tier: str = "1h") -> DataFrame:
                  F.sum("_reset").alias("n_resets")))
 
 
+def ewma_segmented(pts: DataFrame, alpha: float = 0.2,
+                   chunk_ms: int = 86_400_000) -> DataFrame:
+    """Per-series EWMA final value via day-segmented affine composition
+    — the scale-safe replacement for a whole-series collect+fold.
+
+    The recurrence y = α·x + (1−α)·y_prev is affine, so a chunk of
+    points composes into one (A, B) pair with y_out = A·y_in + B, and
+    chunks compose sequentially. Two-level plan, all JVM-side folds:
+
+    1. group by (series, chunk): sort the chunk's points, fold them
+       into A = Π(1−α) (one multiply per point), B (the α-weighted
+       fold from 0), and F (the fold seeded with the chunk's first
+       value — used only by a series' first chunk). Per-group state is
+       bounded by points-per-chunk, never the whole series.
+    2. group by series: sort the (chunk, A, B, F) rows — count bounded
+       by series_span/chunk_ms — and fold y = F₁ then y = A_c·y + B_c.
+
+    Bit-exactness contract: every floating-point operation and its
+    order is fixed by construction (per-chunk sequential folds in
+    (ts, value) order, cross-chunk sequential composition in chunk
+    order), so an oracle performing the same sequence (DuckDB
+    list_reduce per chunk + recursive CTE across chunks) reproduces
+    the doubles bit-for-bit. NOTE the result differs in final ulps
+    from a single whole-series fold — the registered semantic is the
+    segmented composition itself, identically on both engines.
+
+    Output: (series_key, ewma) with the raw double (callers truncate).
+    """
+    a1 = F.lit(1.0 - alpha)
+    chunk = (F.floor(F.col("ts_ms") / chunk_ms) * chunk_ms) \
+        .alias("chunk_ms")
+    per_chunk = (pts.groupBy("series_key", chunk)
+                 .agg(F.array_sort(
+                      F.collect_list(F.struct("ts_ms", "value")))
+                      .alias("pv")))
+    vs = F.transform(F.col("pv"), lambda s: s["value"])
+    step = lambda acc, x: F.lit(alpha) * x + a1 * acc  # noqa: E731
+    rest = F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0)))
+    per_chunk = per_chunk.select(
+        "series_key", "chunk_ms",
+        F.aggregate(vs, F.lit(1.0), lambda acc, x: acc * a1).alias("a"),
+        F.aggregate(vs, F.lit(0.0), step).alias("b"),
+        F.aggregate(rest, F.element_at(vs, 1), step).alias("f"))
+    per_series = (per_chunk.groupBy("series_key")
+                  .agg(F.array_sort(F.collect_list(
+                       F.struct("chunk_ms", "a", "b", "f"))).alias("ch")))
+    ch = F.col("ch")
+    tail = F.slice(ch, 2, F.greatest(F.size(ch) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        tail, F.element_at(ch, 1)["f"],
+        lambda acc, s: s["a"] * acc + s["b"])
+    return per_series.select("series_key", ewma.alias("ewma"))
+
+
 def histogram_tier(pts: DataFrame, tier: str = "1h",
                    bin_width: float = 10.0) -> DataFrame:
     """Fixed-width value histogram per (series, bucket):

@@ -1078,33 +1078,45 @@ _SESSIONIZE_NATIVE_SQL = f"""
 
 
 def q_ewma_final(spark, sf_dir):
-    """Per-series exponentially weighted moving average (α = 0.2,
-    seeded with the first value) — a sequential fold kept fully
-    JVM-side: sort_array over collected (ts, value) structs, then
-    ``aggregate``. Both engines fold in identical order, so the
-    doubles are bit-identical before the final truncation."""
-    pts = _event_points(spark, sf_dir)
-    per = pts.groupBy("series_key").agg(
-        F.array_sort(F.collect_list(F.struct("ts_ms", "value")))
-        .alias("pv"))
-    seq = F.transform(F.col("pv"), lambda s: s["value"])
-    ewma = F.aggregate(
-        F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0))),
-        F.element_at(seq, 1),
-        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc)
-    return per.select("series_key", _floor6(ewma).alias("ewma"))
+    """Per-series EWMA (α = 0.2, seeded with the first value) on the
+    day-segmented affine-composition path — per-group memory bounded
+    by points-per-day instead of whole-series collect_list (the r2
+    scale-killer). Operation order is fixed by construction, so the
+    DuckDB oracle (same per-chunk folds + recursive-CTE composition)
+    reproduces the doubles bit-for-bit before the final truncation."""
+    from .operators.downsample import ewma_segmented
+    out = ewma_segmented(_event_points(spark, sf_dir), alpha=0.2)
+    return out.select("series_key", _floor6(F.col("ewma")).alias("ewma"))
 
 
 _EWMA_SQL = f"""
-    WITH pts AS ({_EVENT_POINTS_SQL}),
-    lists AS (
-        SELECT series_key, list(value ORDER BY ts_ms) AS vs
-        FROM pts GROUP BY 1)
-    SELECT series_key,
-           FLOOR(list_reduce(vs, (acc, x) ->
-                 0.2::DOUBLE * x + 0.8::DOUBLE * acc) * 1e6) / 1e6
-               AS ewma
-    FROM lists
+    WITH RECURSIVE pts AS ({_EVENT_POINTS_SQL}),
+    chunks AS (
+        SELECT series_key, (ts_ms // 86400000) * 86400000 AS chunk_ms,
+               list(value ORDER BY ts_ms, value) AS vs
+        FROM pts GROUP BY 1, 2),
+    folded AS (
+        SELECT series_key,
+               list_reduce(list_prepend(1.0::DOUBLE, vs),
+                           (acc, x) -> acc * 0.8::DOUBLE) AS a,
+               list_reduce(list_prepend(0.0::DOUBLE, vs),
+                           (acc, x) -> 0.2::DOUBLE * x
+                                       + 0.8::DOUBLE * acc) AS b,
+               list_reduce(vs, (acc, x) -> 0.2::DOUBLE * x
+                                           + 0.8::DOUBLE * acc) AS f,
+               row_number() OVER (PARTITION BY series_key
+                                  ORDER BY chunk_ms) AS rn
+        FROM chunks),
+    rec AS (
+        SELECT series_key, rn, f AS y FROM folded WHERE rn = 1
+        UNION ALL
+        SELECT c.series_key, c.rn, c.a * r.y + c.b
+        FROM rec r JOIN folded c
+          ON c.series_key = r.series_key AND c.rn = r.rn + 1),
+    last AS (SELECT series_key, max(rn) AS mx FROM folded GROUP BY 1)
+    SELECT r.series_key, FLOOR(r.y * 1e6) / 1e6 AS ewma
+    FROM rec r JOIN last m
+      ON m.series_key = r.series_key AND r.rn = m.mx
 """
 
 
@@ -1173,7 +1185,10 @@ def q_zscore_per_point(spark, sf_dir):
     stats = pts.groupBy("series_key").agg(
         F.avg("value").alias("_mu"),
         F.stddev_samp("value").alias("_sd"))
-    out = (pts.join(F.broadcast(stats), "series_key")
+    # no broadcast hint: stats has one row PER SERIES, so at 10^8+
+    # series a forced broadcast blows driver/executor memory — AQE
+    # picks broadcast when the stats side is actually small
+    out = (pts.join(stats, "series_key")
            .where(F.col("_sd") > 0)   # degenerate series: inf/NaN is
            .select("series_key", "ts_ms",  # engine-dependent — exclude
                    ((F.col("value") - F.col("_mu")) / F.col("_sd"))

@@ -126,3 +126,33 @@ def test_two_tier_interval_count_matches_single_tier(spark):
     # multiple full buckets both occur in this fixture
     widths = (spans.end_ms - spans.start_ms)
     assert (widths < 10_000).any() and (widths > 20_000).any()
+
+
+def test_asof_join_rejects_name_collisions(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 1.0)], "k long, ts_ms long, asof_ts double")
+    right = spark.createDataFrame(
+        [(1, 50, 2.0)], "k long, ts_ms long, v double")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, on="k")
+    # right column literally named 'ts' would emit a duplicate asof_ts
+    left2 = spark.createDataFrame([(1, 100)], "k long, ts_ms long")
+    right2 = spark.createDataFrame(
+        [(1, 50, 7)], "k long, ts_ms long, ts long")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left2, right2, on="k", right_cols=["ts"])
+
+
+def test_interval_join_drops_inverted_spans(spark):
+    from gorillaspark.operators.asof import interval_count_two_tier
+    spans = spark.createDataFrame(
+        [(0, 0, 5000), (1, 9000, 100)],  # second span is inverted
+        "sid long, start_ms long, end_ms long")
+    pts = spark.createDataFrame([(1, 100), (2, 4000)],
+                                "pid long, ts_ms long")
+    got = bucketed_interval_join(spans, pts, bucket_ms=1000).toPandas()
+    assert set(got.sid) == {0}          # no job abort, span 1 dropped
+    assert len(got) == 2
+    cnt = (interval_count_two_tier(spans, pts, ["sid"], bucket_ms=1000)
+           .toPandas())
+    assert dict(zip(cnt.sid, cnt.n_points)) == {0: 2}

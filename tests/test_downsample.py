@@ -78,3 +78,51 @@ def test_histogram_cascade_equals_direct(spark, pts):
            .reset_index(drop=True))
     assert np.array_equal(day["cnt"].values, exp["cnt"].values)
     assert len(day) == len(exp)
+
+
+def test_ewma_segmented_bounded_memory_large_series(spark):
+    """The r2 EWMA buffered whole series in one aggregation row; the
+    segmented path must (a) keep per-group state bounded by
+    points-per-chunk, (b) bit-match a scalar replay of the identical
+    day-segmented operation sequence, and (c) approximate the plain
+    sequential EWMA (same recurrence, different rounding order)."""
+    from gorillaspark.operators.downsample import ewma_segmented
+
+    n = 200_000  # one series spanning ~139 days at 60s cadence
+    day = 86_400_000
+    pts = (spark.range(n)
+           .selectExpr("'s' AS series_key",
+                       "id * 60000 AS ts_ms",
+                       "CAST(1.0 + (id % 997) * 0.25 AS DOUBLE) AS value"))
+    got = ewma_segmented(pts, alpha=0.2).collect()[0]["ewma"]
+
+    # scalar replay of the segmented composition (identical op order)
+    vals = [1.0 + (i % 997) * 0.25 for i in range(n)]
+    per_day = day // 60000
+    chunks = [vals[i:i + per_day] for i in range(0, n, per_day)]
+    y = None
+    for ci, vs in enumerate(chunks):
+        if ci == 0:
+            acc = vs[0]
+            for x in vs[1:]:
+                acc = 0.2 * x + 0.8 * acc
+            y = acc
+        else:
+            a, b = 1.0, 0.0
+            for x in vs:
+                a = a * 0.8
+                b = 0.2 * x + 0.8 * b
+            y = a * y + b
+    import struct
+    assert struct.pack("<d", got) == struct.pack("<d", y)
+
+    # and it IS the EWMA: plain sequential fold agrees to float noise
+    seq = vals[0]
+    for x in vals[1:]:
+        seq = 0.2 * x + 0.8 * seq
+    assert got == pytest.approx(seq, rel=1e-9)
+
+    # scale contract: no whole-series collect — the first aggregation
+    # groups by (series, chunk), so max per-group state is one day
+    plan = ewma_segmented(pts)._jdf.queryExecution().toString()
+    assert "chunk_ms" in plan

@@ -206,3 +206,32 @@ def test_streaming_heartbeat_alerts(spark, tmp_path):
         n_sil = (grp.kind == "silence").sum()
         n_rec = (grp.kind == "recovered").sum()
         assert n_sil <= n_rec + 1, got
+
+
+def test_open_day_carry_three_batches_one_block(spark, tmp_path):
+    """VERDICT r2 #7: one day arriving across ≥3 micro-batches must
+    flush to exactly ONE block, bit-identical to the single-pass batch
+    encode of the same points — no per-batch fragmentation."""
+    from gorillaspark.operators.encode import encode_points
+    from gorillaspark.streaming.stream_rollup import flush_carry
+
+    day0 = 1_700_000_000_000 - (1_700_000_000_000 % 86_400_000)
+    rows = [("s1", day0 + i * 60_000, float(i % 17) + 0.25)
+            for i in range(90)]
+    schema = "series_key string, ts_ms long, value double"
+    pts = spark.createDataFrame(rows, schema)
+
+    io = ParquetTableIO(spark, str(tmp_path / "wh"))
+    sink = incremental_encode(io)
+    for b in range(3):  # same open day drips in over three batches
+        sink(spark.createDataFrame(rows[b * 30:(b + 1) * 30], schema), b)
+    with pytest.raises(FileNotFoundError):  # nothing closed → no blocks
+        io.read("blocks")
+    flush_carry(io, spark)
+
+    got = io.read("blocks").collect()
+    assert len(got) == 1, [r.asDict() for r in got]
+    [ref] = encode_points(pts, "double").collect()
+    assert got[0]["n_points"] == 90 == ref["n_points"]
+    assert list(got[0]["words"]) == list(ref["words"])
+    assert got[0]["block_ts"] == ref["block_ts"]
