@@ -8,7 +8,9 @@
 Pipeline per day-unit (resumable; see plans/checkpoint.py):
   scan transcripts (pruned to the unit's day) → stable turn ordering →
   latency points → Gorilla blocks (encode, write `blocks`) →
-  1m/1h/1d rollups (write `rollup_1m` …) → retention sweep.
+  1m/1h/1d rollups (write `rollup_1m` …) → retention sweep →
+  compaction sweep (merge streaming-fragmented day blocks;
+  plans/maintenance.py — idempotent per table snapshot).
 
 Every stage is stock DataFrame API + the segmented codec kernel; the
 unit key is the UTC day of the turn timestamp so partition pruning
@@ -27,6 +29,7 @@ from ..operators.normalize import turn_latency_points, validate_points
 from ..operators.retention import RetentionPolicy, retention_sweep
 from ..operators.rollup import rollup_from_lower, rollup_tier
 from ..plans.checkpoint import run_resumable
+from ..plans.maintenance import compact_sweep
 from ..plans.session import build_session
 from ..sources.tableio import open_table_io
 
@@ -77,8 +80,12 @@ def main(argv=None) -> None:
     now_ms = args.now_ms or int(time.time() * 1000)
     dropped = retention_sweep(io, "blocks", "raw", now_ms,
                               RetentionPolicy())
+    # maintenance: merge any day-blocks fragmented by streaming
+    # ingestion (idempotent per table snapshot; _meta lineage row)
+    compacted = compact_sweep(spark, io, "blocks", job_id=args.job_id)
     print({"encoded_units": len(ran), "rollup_units": len(ran2),
-           "retention_dropped_snapshots": dropped})
+           "retention_dropped_snapshots": dropped,
+           "compacted_fragmented_groups": compacted})
     spark.stop()
 
 

@@ -41,6 +41,17 @@ def build_session(app: str = "gorillaspark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
         # keep scan partitions near executor-memory-friendly sizes
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # rollups aggregate with F.percentile (TypedImperativeAggregate
+        # → ObjectHashAggregate), whose default sort-based fallback
+        # triggers at just 128 in-memory groups — a (series, bucket)
+        # rollup has millions, so the default silently turns the hash
+        # aggregate into an external SORT per partition. Raising the
+        # threshold keeps it a true hash aggregate; per-group memory is
+        # the same percentile buffer either way and bucketed groups
+        # bound it (tools/rollup_decomp.py measures the local effect;
+        # at executor scale the avoided sort+spill cliff is the point)
+        .config("spark.sql.objectHashAggregate.sortBased."
+                "fallbackThreshold", "2097152")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -131,6 +131,45 @@ class ParquetTableIO:
             shutil.rmtree(path, ignore_errors=True)
         return snap
 
+    def rewrite(self, table: str, df: DataFrame,
+                commit_key: str | None = None) -> Snapshot | None:
+        """Replace the table's live contents with ``df`` in one atomic
+        manifest swap — the parquet-fallback analogue of Iceberg's
+        ``rewrite_data_files`` (compaction). The new data is fully
+        written BEFORE the swap; replaced snapshots stay in the
+        manifest with emptied file lists so their commit keys keep
+        deduplicating replayed appends (crash-between-commits safety
+        of plans/checkpoint.py survives a compaction). Old data dirs
+        are removed only after the swap commits. Collapses time-travel
+        history, like running Iceberg expire after a rewrite; no-op
+        when ``commit_key`` was already committed.
+        """
+        if commit_key and commit_key in self.committed_keys(table):
+            return None
+        subdir = uuid.uuid4().hex[:12]
+        path = os.path.join(self.root, table, "data", subdir)
+        df.write.mode("overwrite").parquet(path)  # reads old files: pre-swap
+        with self._manifest_lock(table):
+            snaps = self.snapshots(table)
+            if commit_key and any(s.commit_key == commit_key
+                                  for s in snaps):
+                shutil.rmtree(path, ignore_errors=True)
+                return None
+            old_files = [f for s in snaps for f in s.files]
+            for s in snaps:
+                s.files = []
+            snap = Snapshot(snapshot_id=uuid.uuid4().hex[:16],
+                            committed_at_ms=int(time.time() * 1000),
+                            files=[path], commit_key=commit_key)
+            snaps.append(snap)
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump([s.__dict__ for s in snaps], f)
+            os.replace(tmp, self._manifest_path(table))
+        for f in old_files:
+            shutil.rmtree(f, ignore_errors=True)
+        return snap
+
     def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
         snaps = self.snapshots(table)
         if snapshot_id is not None:

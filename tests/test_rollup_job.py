@@ -57,3 +57,57 @@ def test_job_runs_and_resumes(spark, job_env, transcripts):
     assert io2.read("blocks").agg(F.sum("n_points")).collect()[0][0] \
         == expected
     assert completed_units(spark, io2, "jt-encode") == set(units)
+
+
+def test_compaction_sweep_run_crash_resume(spark, tmp_path):
+    """VERDICT r2 stretch: compaction wired into the resumable job.
+    Fragmented blocks compact to the single-pass encode bit-for-bit;
+    the sweep is idempotent per table snapshot; a crash between the
+    rewrite commit and the _meta commit is backfilled on resume; and
+    pre-compaction append commit keys still dedup replays."""
+    from gorillaspark.operators.encode import encode_points
+    from gorillaspark.plans.maintenance import compact_sweep
+    from gorillaspark.plans.checkpoint import unit_metrics
+
+    io = ParquetTableIO(spark, str(tmp_path / "wh"))
+    day0 = 1_700_000_000_000 - (1_700_000_000_000 % 86_400_000)
+    rows = [("s1", day0 + i * 60_000, float(i % 13) + 0.5)
+            for i in range(80)]
+    schema = "series_key string, ts_ms long, value double"
+    pts = spark.createDataFrame(rows, schema)
+    # streaming-shaped fragmentation: one day appended in two halves
+    io.append("blocks", encode_points(
+        spark.createDataFrame(rows[:40], schema)), commit_key="b0")
+    io.append("blocks", encode_points(
+        spark.createDataFrame(rows[40:], schema)), commit_key="b1")
+    assert io.read("blocks").count() == 2
+    frag_snap = io.current_snapshot_id("blocks")
+
+    assert compact_sweep(spark, io, "blocks", job_id="m1") == 1
+    got = io.read("blocks").collect()
+    [ref] = encode_points(pts).collect()
+    assert len(got) == 1 and list(got[0]["words"]) == list(ref["words"])
+    # lineage row for the compacted snapshot
+    m = unit_metrics(spark, io, "m1-compact").collect()
+    assert [r.unit for r in m] == [frag_snap] and m[0].wall_ms >= 1
+    # replay: clean table, nothing to do, no duplicate lineage
+    assert compact_sweep(spark, io, "blocks", job_id="m1") == 0
+    assert unit_metrics(spark, io, "m1-compact").count() == 1
+    # a replayed pre-compaction append stays deduped after the rewrite
+    assert io.append("blocks", encode_points(
+        spark.createDataFrame(rows[:40], schema)), commit_key="b0") is None
+    assert io.read("blocks").count() == 1
+
+    # crash between rewrite and _meta: fragment again, rewrite under
+    # the sweep's key WITHOUT recording lineage (the simulated crash)
+    io.append("blocks", encode_points(
+        spark.createDataFrame(rows[:40], schema)), commit_key="b2")
+    snap2 = io.current_snapshot_id("blocks")
+    from gorillaspark.operators.encode import compact_blocks
+    io.rewrite("blocks", compact_blocks(io.read("blocks")).localCheckpoint(),
+               commit_key=f"m1/compact/{snap2}")
+    # resume: sweep backfills the lost lineage row, repairs nothing new
+    assert compact_sweep(spark, io, "blocks", job_id="m1") == 0
+    m2 = {r.unit: r for r in unit_metrics(spark, io, "m1-compact").collect()}
+    assert set(m2) == {frag_snap, snap2}
+    assert m2[snap2].wall_ms == 0  # marked as a backfill

@@ -211,6 +211,7 @@ def main() -> None:
 
     kern = _probe("kernel_scaling.py")
     membw = _probe("membw_probe.py")
+    decomp = _probe("rollup_decomp.py")
 
     n_pts = results[LEVELS[0]]["n_points"]
     md = [
@@ -300,6 +301,41 @@ def main() -> None:
         "lower bound on cluster scaling, not an estimate of it.",
         "",
     ]
+    if decomp:
+        dl = decomp["levels"]
+        lo_c, hi_c = sorted(int(k) for k in dl)[:2]
+        md += [
+            "## Rollup-gap decomposition (tools/rollup_decomp.py, "
+            f"{dl[str(lo_c)]['n_points']:,} points)", "",
+            "Hypothesis tested: F.percentile makes the rollup an "
+            "ObjectHashAggregate whose default sort-based fallback "
+            "(threshold 128 groups) silently turns the hash aggregate "
+            "into an external sort — suspected as the non-bandwidth "
+            "scaling loss. Variants isolate each mechanism:", "",
+            f"| variant | {lo_c}-core min s | {hi_c}-core min s | "
+            f"{lo_c}→{hi_c} efficiency |", "|---|---|---|---|"]
+        for k in ("scan_only", "shuffle_only", "no_p95", "p95_fb128",
+                  "p95_fb2m"):
+            md.append("| {} | {:.2f} | {:.2f} | **{}** |".format(
+                k, dl[str(lo_c)][k]["min_s"], dl[str(hi_c)][k]["min_s"],
+                decomp["efficiency_2to8"][k]))
+        md += [
+            "",
+            "Verdict: the fallback hypothesis is REFUTED as the "
+            "scaling culprit — raising the threshold to 2M changes "
+            "absolute time only marginally here, and the "
+            "percentile-free codegen aggregate (no_p95) and the pure "
+            "shuffle+count (shuffle_only) scale no better than the "
+            "full rollup; even the SHUFFLE-FREE cached scan "
+            "(scan_only) tops out well below 0.8 on this box. "
+            "The ceiling sits below every aggregation plan: shared "
+            "L3/allocator plus the single local-mode JVM "
+            "(one BlockManager, one scheduler) — resources that are "
+            "per-executor on a real cluster. The threshold is still "
+            "raised in plans/session.py because at executor scale the "
+            "sort fallback is an O(n log n)+spill cliff the plan "
+            "should never hit; the local decomposition simply shows "
+            "it is not what limits this box.", ""]
     if kern:
         md += ["## Kernel-level scaling (P pinned processes, fixed "
                "work each — the per-executor view)", "",
@@ -344,6 +380,7 @@ def main() -> None:
         ]
     raw = {"levels": {str(c): results[c] for c in LEVELS},
            "efficiency": eff, "kernel": kern, "membw": membw,
+           "rollup_decomp": decomp,
            "protocol": {"n_conv": N_CONV, "mean_turns": MEAN_TURNS,
                         "reps": REPS, "tries": TRIES,
                         "statistic": "min",
