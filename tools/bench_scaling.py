@@ -212,6 +212,7 @@ def main() -> None:
     kern = _probe("kernel_scaling.py")
     membw = _probe("membw_probe.py")
     decomp = _probe("rollup_decomp.py")
+    encdec = _probe("encode_decomp.py")
 
     n_pts = results[LEVELS[0]]["n_points"]
     md = [
@@ -336,6 +337,23 @@ def main() -> None:
             "sort fallback is an O(n log n)+spill cliff the plan "
             "should never hit; the local decomposition simply shows "
             "it is not what limits this box.", ""]
+    if encdec:
+        dl = encdec["levels"]
+        lo_c, hi_c = sorted(int(k) for k in dl)[:2]
+        md += [
+            "## Encode-gap decomposition (tools/encode_decomp.py, "
+            f"{dl[str(lo_c)]['n_points']:,} points)", "",
+            "The codec kernel scales ~0.93 over this pair "
+            "(kernel table below), so the end-to-end encode gap must "
+            "live in the JVM/transport layers. Each variant adds one "
+            "layer:", "",
+            f"| variant | {lo_c}-core min s | {hi_c}-core min s | "
+            f"{lo_c}→{hi_c} efficiency |", "|---|---|---|---|"]
+        for k in ("shuffle_sort", "arrow_identity", "full_encode"):
+            md.append("| {} | {:.2f} | {:.2f} | **{}** |".format(
+                k, dl[str(lo_c)][k]["min_s"], dl[str(hi_c)][k]["min_s"],
+                encdec["efficiency_2to8"][k]))
+        md.append("")
     if kern:
         md += ["## Kernel-level scaling (P pinned processes, fixed "
                "work each — the per-executor view)", "",
@@ -380,7 +398,7 @@ def main() -> None:
         ]
     raw = {"levels": {str(c): results[c] for c in LEVELS},
            "efficiency": eff, "kernel": kern, "membw": membw,
-           "rollup_decomp": decomp,
+           "rollup_decomp": decomp, "encode_decomp": encdec,
            "protocol": {"n_conv": N_CONV, "mean_turns": MEAN_TURNS,
                         "reps": REPS, "tries": TRIES,
                         "statistic": "min",
