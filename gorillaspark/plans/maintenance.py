@@ -54,7 +54,10 @@ def _backfill_lineage(spark: SparkSession, io, table: str,
         unit = k[len(prefix):]
         if unit in done:
             continue
-        rows = io.read(table).count()
+        # count the compacted snapshot itself, not the live table —
+        # appends that landed after the rewrite must not inflate the
+        # backfilled metric
+        rows = io.read(table, snapshot_id=s.snapshot_id).count()
         record_unit(spark, io, f"{job_id}-compact", unit=unit,
                     rows_out=rows, out_partitions=0, out_bytes_est=0,
                     snapshot_id=s.snapshot_id, wall_ms=0)
@@ -68,12 +71,15 @@ def compact_sweep(spark: SparkSession, io, table: str = "blocks",
     Idempotent per table snapshot: the rewrite commit key embeds the
     snapshot id being compacted.
     """
-    try:
-        blocks = io.read(table)
-    except FileNotFoundError:
-        return 0
     _backfill_lineage(spark, io, table, job_id)
+    # pin the read at the snapshot the commit key names: an append
+    # landing between here and the rewrite neither enters `compacted`
+    # nor gets its files dropped (rewrite preserves snapshots after
+    # expected_snapshot_id)
     snap_id = io.current_snapshot_id(table)
+    if snap_id is None:
+        return 0
+    blocks = io.read(table, snapshot_id=snap_id)
     key = f"{job_id}/compact/{snap_id}"
     if key in io.committed_keys(table):
         return 0
@@ -83,7 +89,8 @@ def compact_sweep(spark: SparkSession, io, table: str = "blocks",
     t0 = time.time()
     compacted = compact_blocks(blocks, value_kind).localCheckpoint()
     rows_out = compacted.count()
-    snap = io.rewrite(table, compacted, commit_key=key)
+    snap = io.rewrite(table, compacted, commit_key=key,
+                      expected_snapshot_id=snap_id)
     record_unit(spark, io, f"{job_id}-compact", unit=str(snap_id),
                 rows_out=rows_out,
                 out_partitions=compacted.rdd.getNumPartitions(),

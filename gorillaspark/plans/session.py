@@ -45,13 +45,15 @@ def build_session(app: str = "gorillaspark",
         # → ObjectHashAggregate), whose default sort-based fallback
         # triggers at just 128 in-memory groups — a (series, bucket)
         # rollup has millions, so the default silently turns the hash
-        # aggregate into an external SORT per partition. Raising the
-        # threshold keeps it a true hash aggregate; per-group memory is
-        # the same percentile buffer either way and bucketed groups
-        # bound it (tools/rollup_decomp.py measures the local effect;
-        # at executor scale the avoided sort+spill cliff is the point)
+        # aggregate into an external SORT per partition. 131072 keeps
+        # it a true hash aggregate for realistic per-task group counts
+        # while retaining the sort fallback as a memory backstop (each
+        # percentile buffer holds all group values — millions of live
+        # buffers per task is an OOM, not a win). Env-tunable so
+        # memory-constrained executors can lower it further.
         .config("spark.sql.objectHashAggregate.sortBased."
-                "fallbackThreshold", "2097152")
+                "fallbackThreshold",
+                os.environ.get("SPARK_GRAFT_OBJ_HASH_FALLBACK", "131072"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")

@@ -1869,6 +1869,10 @@ _EXTRA_NAMES = [
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
-assert len(QUERIES) <= 50, (
-    f"{len(QUERIES)} registered queries exceed the driver's 50-row "
-    "correctness window — demote a near-duplicate to EXTRA_QUERIES")
+# RuntimeError, not assert: an assert is stripped under `python -O`,
+# which would silently re-allow the window overflow that cost round 2
+# its oracle evidence
+if len(QUERIES) > 50:
+    raise RuntimeError(
+        f"{len(QUERIES)} registered queries exceed the driver's 50-row "
+        "correctness window — demote a near-duplicate to EXTRA_QUERIES")

@@ -132,17 +132,32 @@ class ParquetTableIO:
         return snap
 
     def rewrite(self, table: str, df: DataFrame,
-                commit_key: str | None = None) -> Snapshot | None:
-        """Replace the table's live contents with ``df`` in one atomic
-        manifest swap — the parquet-fallback analogue of Iceberg's
-        ``rewrite_data_files`` (compaction). The new data is fully
-        written BEFORE the swap; replaced snapshots stay in the
-        manifest with emptied file lists so their commit keys keep
-        deduplicating replayed appends (crash-between-commits safety
-        of plans/checkpoint.py survives a compaction). Old data dirs
-        are removed only after the swap commits. Collapses time-travel
-        history, like running Iceberg expire after a rewrite; no-op
-        when ``commit_key`` was already committed.
+                commit_key: str | None = None,
+                expected_snapshot_id: str | None = None) -> Snapshot | None:
+        """Replace the table's contents up to ``expected_snapshot_id``
+        with ``df`` in one atomic manifest swap — the parquet-fallback
+        analogue of Iceberg's ``rewrite_data_files`` (compaction). The
+        new data is fully written BEFORE the swap; replaced snapshots
+        stay in the manifest with emptied file lists so their commit
+        keys keep deduplicating replayed appends (crash-between-commits
+        safety of plans/checkpoint.py survives a compaction). Old data
+        dirs are removed only after the swap commits.
+
+        ``expected_snapshot_id`` is the optimistic-concurrency anchor:
+        the snapshot the caller read to build ``df``. Snapshots
+        committed AFTER it (e.g. by a streaming sink running alongside
+        the batch compactor) keep their files — their rows are not in
+        ``df``, so emptying them would be silent data loss. If the
+        expected snapshot is no longer in the manifest (retention raced
+        the compactor), the rewrite aborts and returns None. With
+        ``expected_snapshot_id=None`` the caller asserts ``df`` covers
+        the whole table as of the swap, and every prior snapshot is
+        replaced (the pre-concurrency behavior — only safe with a
+        single writer).
+
+        Collapses time-travel history up to the expected snapshot, like
+        running Iceberg expire after a rewrite; no-op when
+        ``commit_key`` was already committed.
         """
         if commit_key and commit_key in self.committed_keys(table):
             return None
@@ -155,8 +170,19 @@ class ParquetTableIO:
                                   for s in snaps):
                 shutil.rmtree(path, ignore_errors=True)
                 return None
-            old_files = [f for s in snaps for f in s.files]
-            for s in snaps:
+            if expected_snapshot_id is None:
+                n_replace = len(snaps)
+            else:
+                idx = [i for i, s in enumerate(snaps)
+                       if s.snapshot_id == expected_snapshot_id]
+                if not idx:
+                    # anchor vanished (retention raced us): df may be
+                    # stale in a way we can't reason about — abort
+                    shutil.rmtree(path, ignore_errors=True)
+                    return None
+                n_replace = idx[0] + 1
+            old_files = [f for s in snaps[:n_replace] for f in s.files]
+            for s in snaps[:n_replace]:
                 s.files = []
             snap = Snapshot(snapshot_id=uuid.uuid4().hex[:16],
                             committed_at_ms=int(time.time() * 1000),

@@ -130,3 +130,87 @@ def test_concurrent_appends_lose_no_snapshot(spark, io):
             "conc", spark.range(1), commit_key="dup"), range(8)))
     assert sum(1 for s in io.snapshots("conc")
                if s.commit_key == "dup") == 1
+
+
+def test_rewrite_preserves_append_racing_compaction(spark, io):
+    """A snapshot appended between the compactor's read and its
+    manifest swap must survive the rewrite: its rows are not in the
+    compacted DataFrame, so emptying its file list would be silent
+    permanent data loss (the streaming-sink-plus-batch-compactor
+    scenario the manifest lock exists to support)."""
+    io.append("t", spark.range(5).withColumn("v", F.lit("old")),
+              commit_key="w/0")
+    anchor = io.current_snapshot_id("t")
+    compacted = io.read("t", snapshot_id=anchor)
+    # concurrent append lands AFTER the compactor read its input…
+    io.append("t", spark.range(3).withColumn("v", F.lit("late")),
+              commit_key="w/1")
+    # …then the compactor swaps, anchored at what it actually read
+    snap = io.rewrite("t", compacted, commit_key=f"compact/{anchor}",
+                      expected_snapshot_id=anchor)
+    assert snap is not None
+    got = io.read("t")
+    assert got.count() == 8  # 5 compacted + 3 late, none lost
+    assert got.where(F.col("v") == "late").count() == 3
+    # the late snapshot's files and commit key are both intact
+    late = [s for s in io.snapshots("t") if s.commit_key == "w/1"]
+    assert late and late[0].files
+    # replaying the late append is still deduped
+    assert io.append("t", spark.range(3), commit_key="w/1") is None
+
+
+def test_rewrite_aborts_when_anchor_vanished(spark, io):
+    """If retention dropped the anchor snapshot while the compactor
+    was writing, the rewrite cannot reason about what it would replace
+    and must abort without touching the manifest."""
+    io.append("t", spark.range(4), commit_key="w/0")
+    anchor = io.current_snapshot_id("t")
+    # materialized pre-race, as a real compactor's write would be
+    compacted = io.read("t", snapshot_id=anchor).localCheckpoint()
+    # retention races: anchor snapshot removed wholesale
+    io.delete_snapshots_before("t", cutoff_ms=10**15)
+    io.append("t", spark.range(2), commit_key="w/1")
+    before = [s.__dict__ for s in io.snapshots("t")]
+    assert io.rewrite("t", compacted, commit_key=f"compact/{anchor}",
+                      expected_snapshot_id=anchor) is None
+    assert [s.__dict__ for s in io.snapshots("t")] == before
+    assert io.read("t").count() == 2
+
+
+def test_compact_sweep_with_concurrent_append(spark, tmp_path):
+    """End-to-end: compact_sweep anchored at its read snapshot keeps a
+    block appended mid-sweep."""
+    from gorillaspark.operators.encode import encode_points
+    from gorillaspark.plans.maintenance import compact_sweep
+    from gorillaspark.sources.tableio import ParquetTableIO
+
+    io = ParquetTableIO(spark, str(tmp_path / "wh"))
+    day = 86_400_000
+    schema = "series_key string, ts_ms long, value double"
+    rows = [("s1", day + i * 60_000, float(i)) for i in range(20)]
+    pts = spark.createDataFrame(rows, schema)
+    # fragment day 1 across two appends (mid-day split)
+    io.append("blocks",
+              encode_points(pts.where(F.col("ts_ms") < day + 600_000)),
+              commit_key="mb/0")
+    io.append("blocks",
+              encode_points(pts.where(F.col("ts_ms") >= day + 600_000)),
+              commit_key="mb/1")
+    # monkeypatch rewrite to inject an append between read and swap
+    real_rewrite = io.rewrite
+    late_rows = [("s2", day * 2 + i * 60_000, float(i)) for i in range(5)]
+    late = encode_points(spark.createDataFrame(late_rows, schema))
+
+    def racing_rewrite(table, df, commit_key=None, expected_snapshot_id=None):
+        io.append(table, late, commit_key="mb/late")
+        return real_rewrite(table, df, commit_key=commit_key,
+                            expected_snapshot_id=expected_snapshot_id)
+
+    io.rewrite = racing_rewrite
+    n = compact_sweep(spark, io, "blocks", job_id="j")
+    io.rewrite = real_rewrite
+    assert n == 1  # the fragmented day-1 group was repaired
+    final = io.read("blocks")
+    # day-1 fragments merged to one block; late s2 block survived
+    assert final.where(F.col("series_key") == "s1").count() == 1
+    assert final.where(F.col("series_key") == "s2").count() == 1
