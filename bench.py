@@ -25,21 +25,40 @@ import sys
 import tempfile
 import time
 
-# Round-1 driver bench (BENCH_r01.json, sf0.1, local[32]) as a budget:
-# a round must not regress a guarded query by more than 20 %. The JSON
-# output carries any violations under "regressions" so the per-round
-# diff is self-describing (the run still exits 0 — shared-tenant box
-# timings swing; the field is the signal, not a hard gate).
+# Per-query best-of-prior-rounds (BENCH_r01..r03, sf0.1, local[32]) as
+# a regression budget: a round must not regress a guarded query by more
+# than the headroom factor over its best recorded time. The JSON output
+# carries any violations under "regressions" so the per-round diff is
+# self-describing (the run still exits 0 — shared-tenant box timings
+# swing; the field is the signal, not a hard gate). Pinning to
+# best-of-rounds instead of round 1 is what lets the detector catch
+# round-over-round drift: r3's 27% suite slowdown sailed under the old
+# r1-pinned budget. Refresh after any round that improves a query.
 _BUDGET_S = {
-    "encode_blocks": 2.63,
-    "decode_blocks": 0.559,
-    "rollup_1m": 2.092,
-    "rollup_cascade_1h_1d": 1.856,
-    "gapfill_1h": 1.422,
-    "dedup_minhash_lsh": 9.942,
-    "ann_topk_bruteforce": 2.804,
+    "encode_blocks": 1.840,
+    "decode_blocks": 0.462,
+    "rollup_1m": 0.955,
+    "rollup_cascade_1h_1d": 1.152,
+    "gapfill_1h": 0.901,
+    "sf_rollup_1m": 0.448,
+    "sf_latency_stats_per_series": 0.442,
+    "sf_sessionize": 0.521,
+    "sf_pricing_summary": 0.352,
+    "sf_top_customers": 0.368,
+    "sf_codec_roundtrip": 0.987,
+    "dedup_minhash_lsh": 1.296,
+    # 0.489 was the r2 cache()-based plan; the localCheckpoint variant
+    # (kept deliberately for executor-storage safety) floors at ~0.90
+    # on this box — budget reflects the current design's best
+    "dedup_simhash_hamming": 0.90,
+    "ann_topk_bruteforce": 1.653,
+    "ann_topk_lsh": 1.360,
+    "embedding_near_dup_lsh": 1.492,
 }
-_BUDGET_HEADROOM = 1.20
+# 1.5x: wide enough that routine tenant noise (±20-40%) stays quiet,
+# tight enough that a 2x+ structural regression (the r3
+# simhash/near-dup cases) is flagged
+_BUDGET_HEADROOM = 1.50
 
 
 def main() -> None:
