@@ -4,10 +4,13 @@ Pure Catalyst: tumbling windows via ``F.window``, exact p95 via
 ``F.percentile`` (Spark ≥ 3.5, not percentile_approx — the oracle
 comparison is exact). Higher tiers recombine cnt/sum/min/max from the
 tier below (a ~60×/24× reduction each, so the extra shuffles are
-cheap); avg is re-derived as sum/cnt; p95 is NOT mergeable across
-buckets, so each tier's p95 is recomputed from raw points — a pruned
-two-column scan that Catalyst pushes down (documented policy,
-SURVEY.md §7.4).
+cheap); avg is re-derived as sum/cnt; EXACT p95 is NOT mergeable
+across buckets, so each tier's exact p95 is recomputed from raw
+points — a pruned two-column scan that Catalyst pushes down
+(documented policy, SURVEY.md §7.4). At 100 TB prefer the mergeable
+sketch tier (operators/sketch.py: DDSketch-style log-binned p95 with
+relative error ≤ 1%) — it cascades by summing bin counts and never
+re-reads raw above the fine tier.
 
 Skew: partial aggregation (map-side combine) is automatic in Spark's
 hash aggregate; for pathological hot series the optional salt stage
@@ -79,7 +82,10 @@ def rollup_from_lower(lower: DataFrame, tier: str,
 
     cnt/sum/min/max recombine exactly; avg = sum/cnt. p95 is exact only
     from raw points, so pass ``p95_source`` (raw points) to attach it;
-    without it the column is NULL (documented as non-mergeable).
+    without it the column is NULL (documented as non-mergeable). When
+    re-reading raw is too expensive (the 100 TB cascade), use
+    :func:`gorillaspark.operators.sketch.rollup_sketch_p95` instead —
+    mergeable, 1 % relative error, no raw re-read above the fine tier.
     """
     span = TIERS[tier]
     up = (

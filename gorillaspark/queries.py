@@ -121,6 +121,58 @@ def q_rollup_1h_cascade(spark, sf_dir):
     return _round6(out, ["sum", "avg", "p95"])
 
 
+def q_rollup_1d_sketch_p95(spark, sf_dir):
+    """Mergeable p95 for the tier cascade: DDSketch-style log-binned
+    sketch built at 1m, cascaded to 1d by summing bin counts (NO raw
+    re-read above the fine tier), quantile extracted from the merged
+    sketch. Relative error ≤ alpha=0.01 vs the exact nearest-rank p95
+    (pinned in tests/test_sketch.py). The oracle rebuilds the identical
+    sketch in SQL — bin formula, integer rank, and estimate match to
+    the literal constants."""
+    from .operators.sketch import rollup_sketch_p95
+
+    out = rollup_sketch_p95(_event_points(spark, sf_dir),
+                            tier="1d", from_tier="1m")
+    return _round6(out, ["p95"])
+
+
+def _sketch_p95_sql():
+    import math
+
+    from .operators.sketch import DEFAULT_ALPHA, gamma_of
+    g = gamma_of(DEFAULT_ALPHA)
+    lng = math.log(g)  # same literal both engines: no ln(gamma) drift
+    return f"""
+        WITH pts AS ({_EVENT_POINTS_SQL}),
+        b AS (
+          SELECT series_key,
+                 (ts_ms // 86400000) * 86400000 AS bucket_ms,
+                 CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1
+                      ELSE 0 END AS sign,
+                 CASE WHEN value = 0 THEN 0
+                      ELSE CAST(ceil(ln(abs(value)) / {lng!r}) AS BIGINT)
+                 END AS bin
+          FROM pts
+        ), sk AS (
+          SELECT series_key, bucket_ms, sign, bin, count(*) AS cnt
+          FROM b GROUP BY 1, 2, 3, 4
+        ), c AS (
+          SELECT *,
+            SUM(cnt) OVER (PARTITION BY series_key, bucket_ms
+                           ORDER BY sign * (4294967296 + bin)) AS cum,
+            SUM(cnt) OVER (PARTITION BY series_key, bucket_ms) AS total
+          FROM sk
+        )
+        SELECT series_key, bucket_ms, total AS cnt,
+               ROUND(CASE WHEN sign = 0 THEN 0.0
+                          ELSE sign * 2.0 * pow({g!r}, bin)
+                               / ({g!r} + 1.0) END, 6) AS p95
+        FROM c
+        WHERE cum >= (19 * total + 19) // 20
+          AND cum - cnt < (19 * total + 19) // 20
+    """
+
+
 # ---------------------------------------------------------------------------
 # latency (lag-based) metrics — the transcripts north-star shape
 # ---------------------------------------------------------------------------
@@ -409,6 +461,7 @@ QUERIES = {
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "rollup_1h_cascade": q_rollup_1h_cascade,
+    "rollup_1d_sketch_p95": q_rollup_1d_sketch_p95,
     "latency_stats_per_series": q_latency_stats_per_series,
     "event_type_rates_1h": q_event_type_rates_1h,
     "stream_event_rates_1h": q_stream_event_rates_1h,
@@ -427,6 +480,7 @@ ORACLES = {
     "rollup_1h": _rollup_sql("1h"),
     "rollup_1d": _rollup_sql("1d"),
     "rollup_1h_cascade": _rollup_sql("1h"),
+    "rollup_1d_sketch_p95": _sketch_p95_sql(),
     "latency_stats_per_series": _LATENCY_SQL,
     "event_type_rates_1h": _EVENT_RATES_SQL,
     "stream_event_rates_1h": _EVENT_RATES_SQL,
@@ -1853,19 +1907,32 @@ ORACLES.update({
 # checked by tests/test_extra_oracles.py and `tools/check_oracles.py
 # --extra`, just not occupying a driver slot. Everything left in
 # QUERIES fits the 50-row window with headroom.
+#
+# The set ROTATES each round (VERDICT r3 #4): queries demoted in one
+# round rotate back into the driver window in a later one, displacing
+# stable long-green entries, so every family periodically gets
+# driver-grade (rows+schema+hash) evidence, not just pytest evidence.
+# Round 4 window: the full r3 EXTRA set (sessionize, rollup_1m_hashed,
+# rollup_1h, session_error_counts, histogram_1h, ann_topk_ivf_fullprobe,
+# top_customers) is back in; the entries below — all green in r1-r3
+# driver runs, each with an in-window sibling — sit out this round.
 _EXTRA_NAMES = [
-    "sessionize",              # kept: sessionize_native (session_window)
-    "rollup_1m_hashed",        # kept: rollup_1m (+ pytest salted==plain)
-    "rollup_1h",               # kept: rollup_1h_cascade (same tier,
-                               #       merged from 1m) + rollup_1m/1d
-    "session_error_counts",    # kept: session_error_counts_2tier
-                               #       (same interval join + cascade)
-    "histogram_1h",            # kept: histogram_1d_cascade (oracle
-                               #       recomputes 1d from raw)
-    "ann_topk_ivf_fullprobe",  # kept: ann_topk_ivf now value-checked
-                               #       on the fixed-codebook path
-    "top_customers",           # kept: pricing_summary /
-                               #       shipping_priority / region_revenue
+    "rollup_1d",               # kept: rollup_1m/1h + 1d via
+                               #       rollup_1d_sketch_p95 + histogram_1d
+    "moving_avg_3",            # kept: zscore_per_point, ewma_final
+                               #       (same window machinery)
+    "gapfill_1h_ffill",        # kept: gapfill_1h_interp (superset:
+                               #       interp + ffill boundary logic)
+    "codec_roundtrip_v1",      # kept: codec_roundtrip; v1 wire is
+                               #       golden- + RefDecode-interop-tested
+    "codec_roundtrip_dfcm",    # kept: codec_roundtrip; DFCM quirks
+                               #       pinned by goldens + pytest
+    "shipping_priority",       # kept: pricing_summary, region_revenue,
+                               #       top_customers (TPC-H join family)
+    "error_free_user_days",    # kept: session_error_counts[_2tier]
+                               #       (same anti-join semantics)
+    "distinct_series_per_day", # kept: block_inventory / retention_1d
+                               #       (same per-day series grouping)
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
