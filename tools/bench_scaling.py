@@ -213,6 +213,7 @@ def main() -> None:
     membw = _probe("membw_probe.py")
     decomp = _probe("rollup_decomp.py")
     encdec = _probe("encode_decomp.py")
+    cliff = _probe("decode_cliff_probe.py")
 
     n_pts = results[LEVELS[0]]["n_points"]
     md = [
@@ -364,6 +365,26 @@ def main() -> None:
                       f"{row['decode_Mpts_s']} |")
         md += ["", "Efficiency per 4× step: "
                + json.dumps(kern["efficiency"]), ""]
+    if cliff:
+        lv = cliff["levels"]
+        lo_p, hi_p = sorted(lv, key=int)[:2]
+        md += [
+            "## Decode-cliff probe (tools/decode_cliff_probe.py, "
+            f"{lo_p} vs {hi_p} pinned procs)", "",
+            "The kernel table's 8→32 decode drop is dissected into "
+            "variants: `fresh` = single-shot decode into cold buffers "
+            "(what the kernel table measures), `prefault` = min of "
+            "reps with mallopt-recycled already-faulted buffers "
+            "(decode compute alone), `fault_only` = allocate+memset "
+            "the same output footprint with no decode (the suspected "
+            "artifact in isolation):", "",
+            f"| variant | {lo_p}-proc M pts/s | {hi_p}-proc M pts/s | "
+            "efficiency |", "|---|---|---|---|"]
+        for v in ("fresh", "prefault", "fault_only"):
+            md.append(f"| {v} | {lv[lo_p][v]['Mpts_s']} | "
+                      f"{lv[hi_p][v]['Mpts_s']} | "
+                      f"**{cliff['efficiency'][v]}** |")
+        md += ["", f"Attribution: {cliff['attribution']}", ""]
     if membw:
         bw = membw["triad_GBps_by_procs"]
         md += [
@@ -399,6 +420,7 @@ def main() -> None:
     raw = {"levels": {str(c): results[c] for c in LEVELS},
            "efficiency": eff, "kernel": kern, "membw": membw,
            "rollup_decomp": decomp, "encode_decomp": encdec,
+           "decode_cliff": cliff,
            "protocol": {"n_conv": N_CONV, "mean_turns": MEAN_TURNS,
                         "reps": REPS, "tries": TRIES,
                         "statistic": "min",
