@@ -138,6 +138,12 @@ def main() -> None:
     timed("rollup_cascade_1h_1d", lambda: rollup_from_lower(
         rollup_from_lower(m1, "1h", p95_source=pts), "1d",
         p95_source=pts).count())
+    # the mergeable alternative: p95 from the DDSketch tier, raw read
+    # exactly once (contrast with the exact cascade above, which
+    # re-reads raw for p95 at each tier)
+    from gorillaspark.operators.sketch import rollup_sketch_p95
+    timed("rollup_sketch_1d",
+          lambda: rollup_sketch_p95(pts, "1d", "1m").count())
     timed("gapfill_1h", lambda: gapfill_ffill(pts, "1h").count())
 
     # the corpus stages above leave the old-gen full of shuffle/cache

@@ -741,6 +741,100 @@ def q_ann_topk_ivf(spark, sf_dir):
                                    n_centroids=16, nprobe=4)
 
 
+def q_ann_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ on the deterministic fixed codebook: IVF cell probing,
+    candidates scored from 4-byte product-quantization codes (via the
+    PQ reconstruction — the asymmetric-distance step that reads codes
+    + a broadcast codebook instead of 256 bytes of floats per vector),
+    top-40 refined with exact cosine. The oracle rebuilds the entire
+    index — cells, PQ codebook, code assignment, reconstruction,
+    approximate ranking and refine — in SQL. Measured-recall variant
+    pinned in tests/test_training_ops.py (ann_topk_ivfpq)."""
+    from .operators.similarity import ivfpq_topk_fixed_codebook
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return ivfpq_topk_fixed_codebook(emb, queries, k=10,
+                                     n_centroids=16, nprobe=4,
+                                     n_sub=8, n_codes=16, dim=64,
+                                     refine=40)
+
+
+_ANN_IVFPQ_SQL = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+    u AS (SELECT vec_id,
+                 list_transform(vec, x -> x / nrm) AS unit FROM n),
+    cb AS (SELECT vec_id AS cell, unit AS c_unit FROM u
+           WHERE vec_id < 16),
+    assigned AS (
+        SELECT vec_id AS nbr_id, cell FROM (
+            SELECT c.vec_id, cb.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_dot_product(c.unit, cb.c_unit)
+                           DESC, cb.cell) AS rn
+            FROM u c CROSS JOIN cb)
+        WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT q.vec_id, cb.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.unit, cb.c_unit)
+                           DESC, cb.cell) AS rn
+            FROM u q CROSS JOIN cb WHERE q.vec_id < 32)
+        WHERE rn <= 4),
+    subs AS (
+        SELECT vec_id, m, list_slice(unit, m * 8 + 1, m * 8 + 8) AS sub
+        FROM u CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms),
+    pqcb AS (
+        SELECT vec_id AS code, m, sub AS cw,
+               list_sum(list_transform(sub, x -> x * x)) AS cw_n2
+        FROM subs WHERE vec_id < 16),
+    codes AS (
+        SELECT vid, m, code FROM (
+            SELECT s.vec_id AS vid, s.m, p.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY (list_dot_product(s.sub, p.cw)
+                                 - p.cw_n2 / 2) DESC, p.code) AS rn
+            FROM subs s JOIN pqcb p USING (m))
+        WHERE rn = 1),
+    recon AS (
+        SELECT c.vid AS nbr_id, flatten(list(p.cw ORDER BY c.m)) AS recon
+        FROM codes c JOIN pqcb p ON p.m = c.m AND p.code = c.code
+        GROUP BY c.vid),
+    cands AS (
+        SELECT DISTINCT p.query_id, a.nbr_id
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE a.nbr_id <> p.query_id),
+    approx AS (
+        SELECT c.query_id, c.nbr_id,
+               ROUND(list_dot_product(qu.unit, r.recon), 6) AS approx
+        FROM cands c JOIN recon r USING (nbr_id)
+             JOIN u qu ON qu.vec_id = c.query_id),
+    surv AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx DESC, nbr_id) AS rr FROM approx)
+        WHERE rr <= 40),
+    exact AS (
+        SELECT s.query_id, s.nbr_id,
+               ROUND(list_dot_product(qu.unit, nu.unit), 6) AS cosine
+        FROM surv s JOIN u qu ON qu.vec_id = s.query_id
+             JOIN u nu ON nu.vec_id = s.nbr_id),
+    ranked AS (
+        SELECT query_id, nbr_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nbr_id) AS rank
+        FROM exact)
+    SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+
 _ANN_IVF_SQL = """
     WITH v AS (
         SELECT vec_id,
@@ -874,6 +968,7 @@ QUERIES.update({
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "embedding_near_dup": q_embedding_near_dup,
     "simhash_dupes": q_simhash_dupes,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -889,6 +984,7 @@ ORACLES.update({
     "ann_topk": _ANN_TOPK_SQL,
     "ann_topk_lsh": _ANN_TOPK_SQL,     # scale path vs brute-force truth
     "ann_topk_ivf": _ANN_IVF_SQL,      # fixed codebook: oracle rebuilds
+    "ann_topk_ivfpq": _ANN_IVFPQ_SQL,  # oracle rebuilds the PQ index too
                                        # the full inverted file
     "embedding_near_dup": _NEAR_DUP_SQL,
     "simhash_dupes": _SIMHASH_DUPES_SQL,

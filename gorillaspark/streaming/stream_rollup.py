@@ -101,6 +101,49 @@ def rates_snapshot(spark, events_path: str, span: str = "1 hour",
                     F.col(key_col), "messages"))
 
 
+def sketch_snapshot(spark, points_path: str, tier: str = "1m",
+                    alpha: float | None = None) -> DataFrame:
+    """Streaming DDSketch tier to completion: the mergeable-quantile
+    counterpart of :func:`rates_snapshot`.
+
+    The sketch tier (operators/sketch.py) is a plain count aggregate
+    over (series, bucket, sign, bin), so unlike exact p95 it IS
+    incrementally mergeable — a streaming groupBy count builds the
+    identical sketch a batch pass builds (parity pinned by
+    tests/test_streaming.py). This removes the p95 column from the
+    lambda-architecture split documented above: streaming tiers can
+    now carry a quantile with the sketch's stated 1% error bound
+    instead of deferring to a batch backfill.
+
+    ``points_path`` holds (series_key, ts_ms, value) parquet; returns
+    the final sketch snapshot (series_key, bucket_ms, sign, bin, cnt).
+    """
+    import os
+    import uuid
+
+    from ..operators.sketch import DEFAULT_ALPHA, _MS, _sign_bin
+    alpha = DEFAULT_ALPHA if alpha is None else alpha
+    schema = spark.read.parquet(points_path).schema
+    src = points_path
+    if os.path.isfile(points_path):
+        src = f"{points_path[:-1]}[{points_path[-1]}]"
+    stream = spark.readStream.schema(schema).parquet(src)
+    sign, bin_ = _sign_bin("value", alpha)
+    agg = (stream.groupBy(
+               "series_key",
+               (F.floor(F.col("ts_ms") / _MS[tier]) * _MS[tier])
+               .alias("bucket_ms"),
+               sign, bin_)
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    name = f"gs_sketch_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming sketch did not finish in 300s")
+    return spark.table(name)
+
+
 _DAY_MS = 86_400_000
 
 

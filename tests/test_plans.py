@@ -26,16 +26,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _query(name):
+    # rotation-proof lookup: the driver/EXTRA split changes per round
+    from gorillaspark.queries import EXTRA_QUERIES, QUERIES
+    return QUERIES.get(name) or EXTRA_QUERIES[name]
+
+
 def test_top_customers_broadcasts_dims(spark):
-    from gorillaspark.queries import EXTRA_QUERIES
-    plan = _plan(EXTRA_QUERIES["top_customers"](spark, SF))
+    plan = _plan(_query("top_customers")(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
 def test_doc_stats_prunes_columns(spark):
-    from gorillaspark.queries import QUERIES
-    plan = _plan(QUERIES["doc_stats"](spark, SF))
+    plan = _plan(_query("doc_stats")(spark, SF))
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
@@ -78,8 +82,7 @@ def test_rollup_whole_stage_codegen(spark):
 
 
 def test_ann_bruteforce_broadcasts_queries(spark):
-    from gorillaspark.queries import QUERIES
-    plan = _plan(QUERIES["ann_topk"](spark, SF))
+    plan = _plan(_query("ann_topk")(spark, SF))
     # the corpus must stream; only the small query set may broadcast
     assert "BroadcastNestedLoopJoin" in plan or \
         "BroadcastHashJoin" in plan, plan
@@ -99,8 +102,7 @@ def test_bucketed_interval_join_is_equi_join(spark):
 
 
 def test_global_topk_avoids_full_sort(spark):
-    from gorillaspark.queries import QUERIES
-    plan = _plan(QUERIES["global_top_events"](spark, SF))
+    plan = _plan(_query("global_top_events")(spark, SF))
     # per-partition top-k + merge; a global Sort would shuffle
     # everything to sort rows the LIMIT then throws away
     assert "TakeOrderedAndProject" in plan, plan

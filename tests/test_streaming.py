@@ -235,3 +235,46 @@ def test_open_day_carry_three_batches_one_block(spark, tmp_path):
     assert got[0]["n_points"] == 90 == ref["n_points"]
     assert list(got[0]["words"]) == list(ref["words"])
     assert got[0]["block_ts"] == ref["block_ts"]
+
+
+def test_streaming_sketch_parity_across_microbatches(spark, tmp_path):
+    """The DDSketch tier built incrementally by Structured Streaming
+    (multiple micro-batches via maxFilesPerTrigger) must equal the
+    batch-built sketch bin-for-bin — the mergeable-quantile analogue
+    of the event-rates parity check, proving streaming tiers can carry
+    a bounded-error p95 instead of deferring to a batch backfill."""
+    import numpy as np
+
+    from gorillaspark.operators.sketch import (
+        dd_sketch_quantile,
+        dd_sketch_tier,
+    )
+    from gorillaspark.streaming.stream_rollup import sketch_snapshot
+
+    rng = np.random.default_rng(11)
+    day = 86_400_000
+    rows = [(f"s{i % 3}", int(day + rng.integers(0, 2 * day)),
+             float(np.exp(rng.normal(3, 1.5))))
+            for i in range(3000)]
+    pts = spark.createDataFrame(
+        rows, "series_key string, ts_ms long, value double")
+    src = str(tmp_path / "sketch_src")
+    # several files so availableNow runs >1 micro-batch
+    pts.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream_sk = sketch_snapshot(spark, src, tier="1h").toPandas()
+    batch_sk = dd_sketch_tier(pts, "1h").toPandas()
+    key = ["series_key", "bucket_ms", "sign", "bin"]
+    s = stream_sk.sort_values(key).reset_index(drop=True)[key + ["cnt"]]
+    b = batch_sk.sort_values(key).reset_index(drop=True)[key + ["cnt"]]
+    pd.testing.assert_frame_equal(
+        s.astype({"cnt": "int64"}), b.astype({"cnt": "int64"}))
+
+    # identical sketches → identical quantiles end-to-end
+    sq = (dd_sketch_quantile(spark.createDataFrame(stream_sk))
+          .toPandas().sort_values(["series_key", "bucket_ms"])
+          .reset_index(drop=True))
+    bq = (dd_sketch_quantile(dd_sketch_tier(pts, "1h"))
+          .toPandas().sort_values(["series_key", "bucket_ms"])
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(sq, bq)

@@ -357,3 +357,100 @@ def test_multimodal_native_decode(spark):
     from gorillaspark.operators.multimodal import extract_features
     feats = extract_features(media, decoder="native").toPandas()
     assert len(feats) == 24 and all(len(f) == 8 for f in feats["feature"])
+
+
+def test_ngram_pair_budget_bounded_under_skew(spark):
+    """VERDICT r3 #5: the df-cap → pair-bound arithmetic, executable.
+
+    Pathological corpus: every doc shares one boilerplate shingle
+    (think a license header). Without ``max_df`` the shingle self-join
+    is quadratic — C(n,2) candidate pairs from that single shingle.
+    With ``max_df=f`` every surviving shingle has df ≤ f·n, so
+    per-shingle join fan-out is ≤ C(f·n, 2) and total candidate volume
+    is ≤ Σ_shingles C(df, 2) — bounded by the cap, independent of how
+    hot the hottest shingle was."""
+    n = 40
+    boiler = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} says {'alpha' if i % 2 else 'beta'} "
+             f"{i * 7919} | {boiler}") for i in range(n)],
+        "doc_id long, text string")
+
+    from gorillaspark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    # uncapped: the boilerplate shingles pair everything with everything
+    sh = shingles(docs, 3)
+    df_uncapped = (sh.groupBy("shingle").count()
+                   .agg(F.max("count")).collect()[0][0])
+    assert df_uncapped == n  # the skew really is pathological
+
+    max_df = 0.25
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=max_df)
+    pairs = capped.count()
+    # the arithmetic bound: every surviving shingle has df <= f*n,
+    # recompute the exact post-filter dfs and the implied pair budget
+    hot_cut = max_df * n
+    surviving = (sh.groupBy("shingle").count()
+                 .where(F.col("count") <= hot_cut))
+    assert surviving.agg(F.max("count")).collect()[0][0] <= hot_cut
+    budget = (surviving
+              .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+              .collect()[0][0])
+    assert pairs <= budget
+    # and the cap actually prevented the quadratic blow-up
+    assert pairs < n * (n - 1) / 2
+
+
+def test_ann_ivfpq_lossless_at_full_probe_full_refine(spark):
+    """Plumbing proof: with every IVF cell probed and the refine set
+    larger than the corpus, IVF-PQ must return EXACTLY the brute-force
+    top-k — the PQ approximation only ever selects candidates, never
+    final scores."""
+    import numpy as np
+
+    from gorillaspark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivfpq_topk_fixed_codebook,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n = 64, 120
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, dim)])
+         for i in range(n)], "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 8)
+    got = (ivfpq_topk_fixed_codebook(
+               emb, queries, k=5, n_centroids=16, nprobe=16,
+               n_sub=8, n_codes=16, dim=dim, refine=n)
+           .toPandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    want = (cosine_topk_bruteforce(emb, queries, k=5)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "nbr_id", "cosine"]],
+        want[["query_id", "rank", "nbr_id", "cosine"]])
+
+
+def test_ann_ivfpq_measured_recall(spark):
+    """Measured recall of the real (sub-linear) IVF-PQ configuration
+    on clustered data: candidates come from probed cells only and are
+    pre-ranked by 4-byte PQ codes, yet recall@5 stays high because the
+    refine step re-ranks exactly. Pinned, not assumed."""
+    import numpy as np
+
+    from gorillaspark.operators.similarity import ann_topk_ivfpq
+
+    rng = np.random.default_rng(5)
+    dim, n_clusters, per = 64, 8, 20
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        rows.append((i, [float(x) for x in c + rng.normal(0, 0.05, dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 16)
+    out = ann_topk_ivfpq(emb, queries, k=5, n_centroids=16, nprobe=4,
+                         n_sub=8, n_codes=16, dim=dim, refine=20).toPandas()
+    assert len(out) == 16
+    assert out["recall_at_k"].mean() >= 0.9  # clustered: near-exact
