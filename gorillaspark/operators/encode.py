@@ -94,16 +94,30 @@ def _scalar_encode(bts_firsts, offsets, ts, vals, predictor):
     return words, wc
 
 
+_DAY_MS = 86_400_000
+
+
+def _day_align(ts: "np.ndarray") -> "np.ndarray":
+    """Day-aligned block_ts derived worker-side from ts — the column
+    never travels through the shuffle or the Arrow boundary (numpy %
+    matches Spark pmod for negatives: result carries the divisor
+    sign). Must stay in lockstep with normalize.block_key."""
+    return ts - (ts % _DAY_MS)
+
+
 def _encode_table(tbl: "pa.Table", value_kind: str,
-                  predictor: str = "last_value") -> "pa.RecordBatch":
+                  predictor: str = "last_value",
+                  key_cols: tuple[str, ...] = ("series_key",)
+                  ) -> "pa.RecordBatch":
     """Encode one already-sorted Arrow table: group boundaries from the
-    (series_key, block_ts) change points, one segmented-kernel call.
+    (*key_cols, day(ts)) change points, one segmented-kernel call.
     Strings never materialize as Python objects; the words column is a
     zero-copy ListArray over the kernel's output buffer."""
     import pyarrow as pa
 
     tbl = tbl.combine_chunks()
-    keys = tbl.column("series_key").chunk(0)
+    key_arrs = [tbl.column(c).chunk(0) for c in key_cols]
+    keys = key_arrs[0]
     vcol = tbl.column("value").chunk(0)
     if vcol.null_count or tbl.column("ts_ms").chunk(0).null_count:
         raise ValueError(
@@ -111,8 +125,8 @@ def _encode_table(tbl: "pa.Table", value_kind: str,
             "format has no missing-value representation (validate or "
             "gap-fill upstream; note pandas NaN converts to Arrow null: "
             "true NaN doubles are fine, nulls are not)")
-    bts = tbl.column("block_ts").chunk(0).to_numpy()
     ts = tbl.column("ts_ms").chunk(0).to_numpy()
+    bts = _day_align(ts)
     vals = vcol.to_numpy()
     if vals.dtype == np.float64:
         vals = vals.view(np.uint64)
@@ -124,9 +138,10 @@ def _encode_table(tbl: "pa.Table", value_kind: str,
     change = np.empty(n, dtype=bool)
     change[0] = True
     if n > 1:
-        key_neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
-        change[1:] = key_neq.to_numpy(zero_copy_only=False) \
-            | (bts[1:] != bts[:-1])
+        change[1:] = bts[1:] != bts[:-1]
+        for arr in key_arrs:
+            key_neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+            change[1:] |= key_neq.to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(change)
     offsets = np.empty(starts.shape[0] + 1, dtype=np.int64)
     offsets[:-1] = starts
@@ -142,7 +157,7 @@ def _encode_table(tbl: "pa.Table", value_kind: str,
         pa.array(list_offsets), pa.array(words.view(np.int64)))
     return pa.RecordBatch.from_arrays(
         [
-            pc.take(keys, pa.array(starts)),
+            *[pc.take(arr, pa.array(starts)) for arr in key_arrs],
             pa.array(bts[starts]),
             pa.array((offsets[1:] - offsets[:-1]).astype(np.int32)),
             pa.array(np.full(len(starts), value_kind, dtype=object),
@@ -151,13 +166,14 @@ def _encode_table(tbl: "pa.Table", value_kind: str,
                      type=pa.string()),
             words_col.cast(pa.list_(pa.int64())),
         ],
-        names=["series_key", "block_ts", "n_points", "value_kind",
+        names=[*key_cols, "block_ts", "n_points", "value_kind",
                "predictor", "words"],
     )
 
 
 def _encode_partition(batches, value_kind: str,
-                      predictor: str = "last_value"):
+                      predictor: str = "last_value",
+                      key_cols: tuple[str, ...] = ("series_key",)):
     """Carry the trailing (possibly incomplete) block across Arrow batch
     boundaries; each yielded batch encodes only whole blocks."""
     import pyarrow as pa
@@ -170,45 +186,103 @@ def _encode_partition(batches, value_kind: str,
         if held is not None:
             tbl = pa.concat_tables([held, tbl]).combine_chunks()
         n = tbl.num_rows
-        keys = tbl.column("series_key")
-        bts = tbl.column("block_ts")
-        last_key = keys[n - 1]
-        last_bts = bts[n - 1]
+        if tbl.column("ts_ms").null_count:
+            raise ValueError(
+                "encode_points received NULL ts rows — the Gorilla "
+                "format has no missing-value representation (validate "
+                "or gap-fill upstream)")
+        bts = _day_align(tbl.column("ts_ms").to_numpy())
         # size of the trailing group (sorted ⇒ contiguous at the end)
-        tail_eq = pc.and_(pc.equal(keys, last_key), pc.equal(bts, last_bts))
-        tail_np = tail_eq.combine_chunks().to_numpy(zero_copy_only=False)
+        tail_np = bts == bts[-1]
+        for c in key_cols:
+            col = tbl.column(c)
+            key_eq = pc.equal(col, col[n - 1])
+            tail_np = tail_np & key_eq.combine_chunks() \
+                .to_numpy(zero_copy_only=False)
         if tail_np.all():
             held = tbl
             continue
         tail_len = int(tail_np[::-1].argmin())
         held = tbl.slice(n - tail_len)
         yield _encode_table(tbl.slice(0, n - tail_len), value_kind,
-                            predictor)
+                            predictor, key_cols)
     if held is not None and held.num_rows:
-        yield _encode_table(held, value_kind, predictor)
+        yield _encode_table(held, value_kind, predictor, key_cols)
+
+
+_HASHED_BLOCK_SCHEMA = StructType([
+    StructField("_sid", LongType(), False),
+    StructField("_sid2", IntegerType(), False),
+    StructField("block_ts", LongType(), False),
+    StructField("n_points", IntegerType(), False),
+    StructField("value_kind", StringType(), False),
+    StructField("predictor", StringType(), False),
+    StructField("words", ArrayType(LongType(), False), False),
+])
 
 
 def encode_points(points: DataFrame, value_kind: str = "double",
                   partitions: int | None = None,
-                  predictor: str = "last_value") -> DataFrame:
+                  predictor: str = "last_value",
+                  hashed_shuffle: bool = False) -> DataFrame:
     """points(series_key, ts_ms, value) → Gorilla blocks.
 
     One shuffle: hash-repartition on the block key, sort within
     partitions, stream Arrow batches through the segmented kernel
     (``mapInArrow`` — no pandas/object conversion in the hot path).
+
+    ``hashed_shuffle=True`` is the string-free shuffle variant (the
+    encode analogue of ``rollup_tier(hashed_keys=True)``): the shuffle,
+    sort, and Arrow feed carry two integer hashes of the series key
+    (xxhash64 + murmur3, ~96 effective bits — collision merges two
+    series at ~n²/2^97, <1e-9 even at 1e13 series) instead of the
+    string; the string is re-attached per *block* (not per point) by
+    joining a distinct (hash → key) dimension that partial aggregation
+    keeps tiny. Output rows are bit-identical to the default path
+    (pinned by test_hashed_shuffle_encode_bit_identical). MEASURED
+    honestly (pinned 2/8-core A/B, BENCH notes): on this box with
+    short keys and tmpfs shuffle the extra distinct pass makes it
+    ~5-10% SLOWER than the default — the variant pays off only when
+    shuffle bytes are expensive (real network) and keys are wide;
+    default stays the string path.
     """
     from .normalize import block_key
 
-    pts = points.withColumn("block_ts", block_key("ts_ms"))
+    # block_ts is repartition-key-only: the physical plan evaluates the
+    # day-align expression for the shuffle hash, but the COLUMN never
+    # rides through the shuffle or the Arrow boundary — the encode
+    # worker re-derives it from ts_ms (_day_align), and the sort key
+    # drops it entirely because day(ts) is monotone in ts, so
+    # (key, ts) order == (key, day, ts) order. 8 fewer bytes per point
+    # through the two most expensive layers of the encode plan.
+    pts = points.select("series_key", "ts_ms", "value")
     n_part = partitions or pts.sparkSession.conf.get(
         "spark.sql.shuffle.partitions")
+    if not hashed_shuffle:
+        laid_out = (
+            pts.repartition(int(n_part), F.col("series_key"),
+                            block_key("ts_ms"))
+            .sortWithinPartitions("series_key", "ts_ms")
+        )
+        return laid_out.mapInArrow(
+            lambda it: _encode_partition(it, value_kind, predictor),
+            BLOCK_SCHEMA)
+    hashed = pts.withColumn("_sid", F.xxhash64("series_key")) \
+                .withColumn("_sid2", F.hash("series_key"))
+    dim = hashed.select("_sid", "_sid2", "series_key").distinct()
     laid_out = (
-        pts.repartition(int(n_part), "series_key", "block_ts")
-        .sortWithinPartitions("series_key", "block_ts", "ts_ms")
+        hashed.select("_sid", "_sid2", "ts_ms", "value")
+        .repartition(int(n_part), F.col("_sid"), F.col("_sid2"),
+                     block_key("ts_ms"))
+        .sortWithinPartitions("_sid", "_sid2", "ts_ms")
     )
-    return laid_out.mapInArrow(
-        lambda it: _encode_partition(it, value_kind, predictor),
-        BLOCK_SCHEMA)
+    enc = laid_out.mapInArrow(
+        lambda it: _encode_partition(it, value_kind, predictor,
+                                     ("_sid", "_sid2")),
+        _HASHED_BLOCK_SCHEMA)
+    return (enc.join(dim, ["_sid", "_sid2"])
+            .select("series_key", "block_ts", "n_points",
+                    "value_kind", "predictor", "words"))
 
 
 def _scalar_decode(words, wc, predictors):
