@@ -84,6 +84,29 @@ def _load():
 NATIVE = _load()
 
 
+def _malloc_prefault() -> bool:
+    """Raise glibc's M_MMAP_THRESHOLD so the large per-batch decode
+    output buffers (~16 B/point, freed every Arrow batch) come from
+    the malloc free-list instead of fresh mmaps: freed pages stay
+    faulted, removing kernel page-zeroing from the per-batch cost.
+    tools/decode_cliff_probe.py quantifies the effect (cold-output
+    faults collapse 32-proc decode 5×; in the steady-state Spark path
+    this trims ~14% off the median batch). Heap high-water memory is
+    retained by the worker — bounded by one batch's output footprint.
+    Disable with SPARK_GRAFT_MALLOC_PREFAULT=0."""
+    if os.environ.get("SPARK_GRAFT_MALLOC_PREFAULT", "1") != "1":
+        return False
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        return bool(libc.mallopt(M_MMAP_THRESHOLD, 1 << 30))
+    except Exception:
+        return False
+
+
+_PREFAULT = _malloc_prefault()
+
+
 def _p64(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
