@@ -77,15 +77,21 @@ def rollup_tier(points: DataFrame, tier: str = "1m",
 
 
 def rollup_from_lower(lower: DataFrame, tier: str,
-                      p95_source: DataFrame | None = None) -> DataFrame:
+                      p95_source: DataFrame | None = None,
+                      p95_sketch: DataFrame | None = None) -> DataFrame:
     """Cascade a coarser tier from a finer one.
 
-    cnt/sum/min/max recombine exactly; avg = sum/cnt. p95 is exact only
-    from raw points, so pass ``p95_source`` (raw points) to attach it;
-    without it the column is NULL (documented as non-mergeable). When
-    re-reading raw is too expensive (the 100 TB cascade), use
-    :func:`gorillaspark.operators.sketch.rollup_sketch_p95` instead —
-    mergeable, 1 % relative error, no raw re-read above the fine tier.
+    cnt/sum/min/max recombine exactly; avg = sum/cnt. Exact p95 is not
+    mergeable, so the p95 column has three modes:
+
+    * ``p95_source`` (raw points) — exact p95 via a pruned two-column
+      re-read; correct but re-scans raw at every tier;
+    * ``p95_sketch`` (a fine-tier DDSketch from
+      :func:`gorillaspark.operators.sketch.dd_sketch_tier`) — the
+      100 TB path: the sketch is MERGED up to ``tier`` by summing bin
+      counts (no raw re-read) and p95 is extracted with the sketch's
+      ≤ 1 % relative-error bound;
+    * neither — the column is NULL (documented as non-mergeable).
     """
     span = TIERS[tier]
     up = (
@@ -107,6 +113,14 @@ def rollup_from_lower(lower: DataFrame, tier: str,
             .agg(F.percentile("value", F.lit(0.95)).alias("p95"))
         )
         up = up.join(p95, ["series_key", "bucket"], "left")
+    elif p95_sketch is not None:
+        from .sketch import _MS, dd_sketch_cascade, dd_sketch_quantile
+        q = dd_sketch_quantile(dd_sketch_cascade(p95_sketch, tier)) \
+            .select("series_key",
+                    F.timestamp_millis("bucket_ms").alias("bucket"),
+                    "p95")
+        assert tier in _MS
+        up = up.join(q, ["series_key", "bucket"], "left")
     else:
         up = up.withColumn("p95", F.lit(None).cast("double"))
     return up.select("series_key", "bucket", "cnt", "sum", "avg",

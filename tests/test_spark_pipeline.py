@@ -154,6 +154,43 @@ def test_rollup_cascade_consistency(spark, transcripts):
                            rtol=1e-12), col
 
 
+def test_rollup_cascade_sketch_p95_within_bound(spark, transcripts):
+    """The p95_sketch cascade mode: cnt/sum/min/max identical to the
+    exact cascade, p95 within the sketch's 1% relative-error bound of
+    the exact nearest-rank quantile — and NO raw re-read above the
+    fine tier (the join input is the merged sketch, not points)."""
+    from gorillaspark.operators.sketch import dd_sketch_tier
+
+    pts = turn_latency_points(transcripts)
+    m1 = rollup_tier(pts, "1m")
+    sk = dd_sketch_tier(pts.select(
+        "series_key", "ts_ms", F.col("value")), "1m")
+    h1 = rollup_from_lower(m1, "1h", p95_sketch=sk)
+    exact = rollup_from_lower(m1, "1h", p95_source=pts)
+    a = h1.toPandas().set_index(["series_key", "bucket"]).sort_index()
+    b = exact.toPandas().set_index(["series_key", "bucket"]).sort_index()
+    assert len(a) == len(b) and (a["cnt"] == b["cnt"]).all()
+    for col in ["sum", "min", "max"]:
+        assert np.allclose(a[col].to_numpy(dtype=float),
+                           b[col].to_numpy(dtype=float), rtol=1e-12)
+    # the sketch guarantee is vs the exact NEAREST-RANK quantile
+    # (F.percentile interpolates — a different convention that can
+    # diverge arbitrarily on sparse buckets, so it is not the bound)
+    from gorillaspark.operators.rollup import _bucket
+    nr = (_bucket(pts, "1 hour")
+          .groupBy("series_key", "bucket")
+          .agg(F.array_sort(F.collect_list("value")).alias("vs"))
+          .select("series_key", "bucket",
+                  F.element_at(
+                      "vs",
+                      F.floor((19 * F.size("vs") + 19) / 20)
+                      .cast("int")).alias("p95_nr"))
+          .toPandas().set_index(["series_key", "bucket"]).sort_index())
+    rel = np.abs(a["p95"].to_numpy() - nr["p95_nr"].to_numpy()) \
+        / np.maximum(np.abs(nr["p95_nr"].to_numpy()), 1e-12)
+    assert rel.max() <= 0.01 + 1e-9, rel.max()
+
+
 def test_rollup_salted_equals_plain(spark, transcripts):
     pts = turn_latency_points(transcripts)
     plain = rollup_tier(pts, "1m").drop("tier")
