@@ -74,6 +74,11 @@ def dd_sketch_tier(pts: DataFrame, tier: str = "1m",
     """points(series_key, ts_ms, value) → sketch rows
     (series_key, bucket_ms, sign, bin, cnt).
 
+    Values must be finite: NaN/±inf have no log bin (under Spark's
+    ANSI mode the bin cast fails loudly rather than mis-binning) —
+    the same contract as the codec's NULL rejection; filter or clamp
+    upstream.
+
     One hash aggregate — the sketch IS the grouped relation. Row count
     per (series, bucket) is bounded by the number of occupied bins:
     ≤ ~log_gamma(max/min) ≈ 1400 bins for alpha=0.01 over 6 decades,
@@ -136,6 +141,46 @@ def dd_sketch_quantile(sk: DataFrame, q_num: int = 19, q_den: int = 20,
     return hit.select("series_key", "bucket_ms",
                       F.col("total").alias("cnt"),
                       est.alias(out_col))
+
+
+def dd_sketch_quantiles(sk: DataFrame,
+                        qs: list[tuple[int, int, str]] | None = None,
+                        alpha: float = DEFAULT_ALPHA) -> DataFrame:
+    """Extract SEVERAL quantiles per (series_key, bucket_ms) in one
+    pass over the sketch — one window cumsum, one hash aggregate, no
+    matter how many quantiles (the dashboard shape: p50/p95/p99).
+
+    ``qs`` is a list of (q_num, q_den, out_col); default
+    [(1,2,'p50'), (19,20,'p95'), (99,100,'p99')]. Each estimate
+    carries the same ≤ alpha relative-error bound as
+    :func:`dd_sketch_quantile`.
+    """
+    if qs is None:
+        qs = [(1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99")]
+    g = gamma_of(alpha)
+    skey = (F.col("sign").cast("long")
+            * (F.lit(2 ** 32) + F.col("bin"))).alias("skey")
+    w = (Window.partitionBy("series_key", "bucket_ms")
+         .orderBy("skey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wg = Window.partitionBy("series_key", "bucket_ms")
+    cum = sk.select("series_key", "bucket_ms", "sign", "bin", "cnt",
+                    skey) \
+        .withColumn("cum", F.sum("cnt").over(w)) \
+        .withColumn("total", F.sum("cnt").over(wg))
+    est = (F.when(F.col("sign") == 0, F.lit(0.0))
+           .otherwise(F.col("sign")
+                      * (F.lit(2.0) * F.pow(F.lit(g), F.col("bin"))
+                         / F.lit(g + 1.0))))
+    aggs = []
+    for q_num, q_den, name in qs:
+        rank = F.floor((F.lit(q_num) * F.col("total")
+                        + F.lit(q_den - 1)) / F.lit(q_den))
+        hit = (F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank)
+        # exactly one row per group satisfies `hit` for each quantile
+        aggs.append(F.max(F.when(hit, est)).alias(name))
+    return (cum.groupBy("series_key", "bucket_ms")
+            .agg(F.max("total").alias("cnt"), *aggs))
 
 
 def rollup_sketch_p95(pts: DataFrame, tier: str = "1d",

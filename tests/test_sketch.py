@@ -155,3 +155,21 @@ def test_sketch_width_bounded(spark, corpus):
            .collect())
     assert r.n == 20_000 and r.bins <= hard_cap
     assert r.bins < r.n / 10
+
+
+def test_multi_quantile_matches_single(spark, corpus):
+    """dd_sketch_quantiles extracts p50/p95/p99 in one pass; each
+    column must equal the corresponding single-quantile extraction."""
+    from gorillaspark.operators.sketch import dd_sketch_quantiles
+
+    sk = dd_sketch_cascade(dd_sketch_tier(corpus, "1m"), "1d")
+    multi = {(r.series_key, r.bucket_ms): r
+             for r in dd_sketch_quantiles(sk).collect()}
+    for q_num, q_den, name in [(1, 2, "p50"), (19, 20, "p95"),
+                               (99, 100, "p99")]:
+        single = {(r.series_key, r.bucket_ms): r[name]
+                  for r in dd_sketch_quantile(
+                      sk, q_num, q_den, out_col=name).collect()}
+        assert set(single) == set(multi)
+        for k, v in single.items():
+            assert multi[k][name] == v, (name, k)
