@@ -92,12 +92,24 @@ def dd_sketch_tier(pts: DataFrame, tier: str = "1m",
 
 def dd_sketch_cascade(sk: DataFrame, tier: str) -> DataFrame:
     """Roll a finer sketch tier up to ``tier`` by summing bin counts —
-    no raw re-read; sketches are fully mergeable by construction."""
-    return (sk.groupBy(
-                "series_key",
-                (F.floor(F.col("bucket_ms") / _MS[tier]) * _MS[tier])
-                .alias("bucket_ms"),
-                "sign", "bin")
+    no raw re-read; sketches are fully mergeable by construction.
+
+    The merge repartitions by (series, coarse-bucket) EXPLICITLY
+    rather than letting the groupBy shuffle on the full
+    (series, bucket, sign, bin) key: a subset partitioning satisfies
+    the aggregate's clustering requirement, and — the point — it also
+    satisfies the (series, bucket) window partitioning of
+    :func:`dd_sketch_quantile`/:func:`dd_sketch_quantiles`, so the
+    quantile extraction after a cascade inserts NO further exchange
+    (plan-asserted in tests/test_plans.py). Map-side combine loses
+    nothing: the fine tier's output is scattered by its own hash, so
+    partial aggregation across same-day buckets had nothing to merge
+    locally anyway.
+    """
+    day = (F.floor(F.col("bucket_ms") / _MS[tier]) * _MS[tier])
+    return (sk.repartition(F.col("series_key"), day)
+            .groupBy("series_key", day.alias("bucket_ms"),
+                     "sign", "bin")
             .agg(F.sum("cnt").alias("cnt")))
 
 

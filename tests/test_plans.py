@@ -106,3 +106,25 @@ def test_global_topk_avoids_full_sort(spark):
     # per-partition top-k + merge; a global Sort would shuffle
     # everything to sort rows the LIMIT then throws away
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sketch_cascade_quantile_reuses_partitioning(spark):
+    """The sketch cascade's explicit (series, coarse-bucket)
+    repartition must be reused by the quantile window: exactly two
+    exchanges end-to-end (fine-tier aggregate + cascade), none for
+    the window sort."""
+    from pyspark.sql import functions as F
+
+    from gorillaspark.operators.sketch import (
+        dd_sketch_cascade,
+        dd_sketch_quantile,
+        dd_sketch_tier,
+    )
+    pts = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").cast("string").alias("series_key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("value").cast("double").alias("value"))
+    plan = _plan(dd_sketch_quantile(
+        dd_sketch_cascade(dd_sketch_tier(pts, "1m"), "1d")))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 2, f"{n_exchange} exchanges:\n{plan}"
