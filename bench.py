@@ -171,6 +171,9 @@ def main() -> None:
           lambda: cosine_topk_bruteforce(emb, qvecs, k=10).count())
     timed("ann_topk_lsh",
           lambda: cosine_topk_lsh(emb, qvecs, k=10).count())
+    from gorillaspark.operators.similarity import ivfpq_topk_fixed_codebook
+    timed("ann_topk_ivfpq",
+          lambda: ivfpq_topk_fixed_codebook(emb, qvecs, k=10).count())
     timed("embedding_near_dup_lsh",
           lambda: embedding_near_dup_pairs(emb, threshold=0.3).count())
 

@@ -94,31 +94,50 @@ def _work(args):
     offsets = np.arange(S + 1, dtype=np.int64) * L
     w, wc = encode_blocks_native(block_ts, offsets, ts, vs)
 
+    op, _, variant = variant.partition(":")
+
+    def work():
+        if op == "decode":
+            decode_blocks_native(w, wc, n_points_hint=N)
+        else:
+            encode_blocks_native(block_ts, offsets, ts, vs)
+
     if variant == "prefault":
         _mallopt_prefault()
-        decode_blocks_native(w, wc, n_points_hint=N)  # warm: fault once
+        work()  # warm: fault once
 
     _BARRIER.wait()
     if variant == "fault_only":
-        # same footprint decode touches: ts + vals + the two copies
+        # same footprint the op's output touches: decode = ts + vals +
+        # the two copies; encode = the words buffer (compressed, ~1/8)
         t0 = time.perf_counter()
-        a = np.empty(N, dtype=np.int64); a.fill(0)          # noqa: E702
-        b = np.empty(N, dtype=np.uint64); b.fill(0)         # noqa: E702
-        c = a.copy(); d = b.copy()                          # noqa: E702
-        dt = time.perf_counter() - t0
-        del a, b, c, d
+        if op == "decode":
+            a = np.empty(N, dtype=np.int64); a.fill(0)      # noqa: E702
+            b = np.empty(N, dtype=np.uint64); b.fill(0)     # noqa: E702
+            c = a.copy(); d = b.copy()                      # noqa: E702
+            dt = time.perf_counter() - t0
+            del a, b, c, d
+        else:
+            a = np.empty(len(w) or N // 8, dtype=np.uint64)
+            a.fill(0)
+            dt = time.perf_counter() - t0
+            del a
         return N, dt
     if variant == "fresh":
         t0 = time.perf_counter()
-        decode_blocks_native(w, wc, n_points_hint=N)
+        work()
         return N, time.perf_counter() - t0
     # prefault: min of reps, buffers recycled via the malloc free-list
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        decode_blocks_native(w, wc, n_points_hint=N)
+        work()
         best = min(best, time.perf_counter() - t0)
     return N, best
+
+
+_VARIANTS = [f"{op}:{v}" for op in ("decode", "encode")
+             for v in ("fresh", "prefault", "fault_only")]
 
 
 def measure():
@@ -126,7 +145,7 @@ def measure():
     for P in LEVELS:
         cpuset = set(range(P))
         lvl = {}
-        for variant in ("fresh", "prefault", "fault_only"):
+        for variant in _VARIANTS:
             ctx = mp.get_context("spawn")
             barrier = ctx.Barrier(P)
             with ctx.Pool(P, initializer=_init,
@@ -144,16 +163,26 @@ def measure():
     out["efficiency"] = {
         v: round(out["levels"][hi][v]["Mpts_s"]
                  / out["levels"][lo][v]["Mpts_s"] / r, 3)
-        for v in ("fresh", "prefault", "fault_only")}
+        for v in _VARIANTS}
     e = out["efficiency"]
-    if e["prefault"] >= 2 * e["fresh"] and e["fault_only"] <= 1.5 * e["fresh"]:
-        out["attribution"] = (
-            "cliff is cold-output page-fault contention (measurement "
-            "artifact of single-shot decode), not decode compute")
-    else:
-        out["attribution"] = (
-            "page faults do not fully explain the cliff — decode "
-            "compute itself degrades at the high level")
+    att = {}
+    for op in ("decode", "encode"):
+        if (e[f"{op}:prefault"] >= 2 * e[f"{op}:fresh"]
+                and e[f"{op}:fault_only"] <= 1.5 * e[f"{op}:fresh"]):
+            att[op] = ("cliff is cold-output page-fault contention "
+                       "(measurement artifact of single-shot runs), "
+                       f"not {op} compute")
+        elif e[f"{op}:prefault"] >= 0.6:
+            # membw_probe: pure streaming scales ~0.76 over 8→32 on
+            # this VM — prefault at/above that bound means the
+            # remaining gap is shared bandwidth, not codec compute
+            att[op] = (f"{op} with pre-faulted buffers scales at the "
+                       "box's memory-bandwidth bound; residual vs 1.0 "
+                       "is shared bandwidth, not compute")
+        else:
+            att[op] = (f"page faults do not fully explain the {op} "
+                       "cliff at this run's contention level")
+    out["attribution"] = att
     return out
 
 
@@ -162,16 +191,16 @@ def main():
     print(json.dumps(out))
     if "--write-md" in sys.argv:
         lo, hi = (str(x) for x in LEVELS[:2])
-        md = ["", f"## Decode-cliff probe (tools/decode_cliff_probe.py, "
+        md = ["", f"## Codec-cliff probe (tools/decode_cliff_probe.py, "
               f"{LEVELS[0]} vs {LEVELS[1]} pinned procs)", "",
               "| variant | " + f"{lo}-proc M pts/s | {hi}-proc M pts/s "
               "| efficiency |", "|---|---|---|---|"]
-        for v in ("fresh", "prefault", "fault_only"):
+        for v in _VARIANTS:
             md.append(
                 f"| {v} | {out['levels'][lo][v]['Mpts_s']} | "
                 f"{out['levels'][hi][v]['Mpts_s']} | "
                 f"{out['efficiency'][v]} |")
-        md += ["", f"Attribution: {out['attribution']}", ""]
+        md += ["", f"Attribution: {json.dumps(out['attribution'])}", ""]
         p = REPO / "BENCH" / "BASELINE.md"
         p.write_text(p.read_text() + "\n".join(md))
 
