@@ -8,9 +8,12 @@
 Pipeline per day-unit (resumable; see plans/checkpoint.py):
   scan transcripts (pruned to the unit's day) → stable turn ordering →
   latency points → Gorilla blocks (encode, write `blocks`) →
-  1m/1h/1d rollups (write `rollup_1m` …) → retention sweep →
-  compaction sweep (merge streaming-fragmented day blocks;
-  plans/maintenance.py — idempotent per table snapshot).
+  1m/1h/1d rollups (write `rollups`) → 1m DDSketch tier (write
+  `sketch_1m` — the mergeable-quantile base: coarse-tier p95 at query
+  time cascades from these rows with a 1% bound instead of re-reading
+  raw; operators/sketch.py) → retention sweep → compaction sweep
+  (merge streaming-fragmented day blocks; plans/maintenance.py —
+  idempotent per table snapshot).
 
 Every stage is stock DataFrame API + the segmented codec kernel; the
 unit key is the UTC day of the turn timestamp so partition pruning
@@ -28,6 +31,7 @@ from ..operators.encode import encode_points
 from ..operators.normalize import turn_latency_points, validate_points
 from ..operators.retention import RetentionPolicy, retention_sweep
 from ..operators.rollup import rollup_from_lower, rollup_tier
+from ..operators.sketch import dd_sketch_tier
 from ..plans.checkpoint import run_resumable
 from ..plans.maintenance import compact_sweep
 from ..plans.session import build_session
@@ -77,6 +81,16 @@ def main(argv=None) -> None:
     ran2 = run_resumable(spark, io, f"{args.job_id}-rollup", units,
                          day_rollups, out_table="rollups")
 
+    def day_sketch(day: str):
+        tday = transcripts.where(
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+            == day)
+        pts = validate_points(turn_latency_points(tday))
+        return dd_sketch_tier(pts, "1m")
+
+    ran3 = run_resumable(spark, io, f"{args.job_id}-sketch", units,
+                         day_sketch, out_table="sketch_1m")
+
     now_ms = args.now_ms or int(time.time() * 1000)
     dropped = retention_sweep(io, "blocks", "raw", now_ms,
                               RetentionPolicy())
@@ -84,6 +98,7 @@ def main(argv=None) -> None:
     # ingestion (idempotent per table snapshot; _meta lineage row)
     compacted = compact_sweep(spark, io, "blocks", job_id=args.job_id)
     print({"encoded_units": len(ran), "rollup_units": len(ran2),
+           "sketch_units": len(ran3),
            "retention_dropped_snapshots": dropped,
            "compacted_fragmented_groups": compacted})
     spark.stop()

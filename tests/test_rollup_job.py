@@ -111,3 +111,45 @@ def test_compaction_sweep_run_crash_resume(spark, tmp_path):
     m2 = {r.unit: r for r in unit_metrics(spark, io, "m1-compact").collect()}
     assert set(m2) == {frag_snap, snap2}
     assert m2[snap2].wall_ms == 0  # marked as a backfill
+
+
+def test_job_sketch_tier_merges_to_batch(spark, job_env, transcripts):
+    """The job's per-day sketch units, unioned across day-appends and
+    merged up, must equal the one-shot batch sketch — the resumable
+    job materializes a correct mergeable-quantile base table."""
+    from gorillaspark.operators.normalize import validate_points
+    from gorillaspark.operators.sketch import (
+        dd_sketch_cascade,
+        dd_sketch_tier,
+    )
+    from gorillaspark.plans.checkpoint import run_resumable
+
+    tpath, wh = job_env
+    io = ParquetTableIO(spark, wh)
+    ts = spark.read.parquet(tpath)
+    units = rollup_job.day_units(ts)
+
+    def day_sketch(day):
+        tday = ts.where(F.date_format(
+            F.col("ts").cast("timestamp"), "yyyy-MM-dd") == day)
+        return dd_sketch_tier(
+            validate_points(turn_latency_points(tday)), "1m")
+
+    ran = run_resumable(spark, io, "jt-sketch", units, day_sketch,
+                        out_table="sketch_1m")
+    assert set(ran) == set(units)
+    pts = validate_points(turn_latency_points(ts))
+    stored = dd_sketch_cascade(io.read("sketch_1m"), "1d").toPandas()
+    direct = dd_sketch_cascade(dd_sketch_tier(pts, "1m"), "1d").toPandas()
+    key = ["series_key", "bucket_ms", "sign", "bin"]
+    s = stored.sort_values(key).reset_index(drop=True)[key + ["cnt"]]
+    d = direct.sort_values(key).reset_index(drop=True)[key + ["cnt"]]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        s.astype({"cnt": "int64"}), d.astype({"cnt": "int64"}))
+    # resume: no duplicate sketch rows
+    n1 = io.read("sketch_1m").count()
+    ran2 = run_resumable(spark, io, "jt-sketch", units, day_sketch,
+                         out_table="sketch_1m")
+    assert ran2 == {}
+    assert io.read("sketch_1m").count() == n1
