@@ -78,7 +78,8 @@ def rollup_tier(points: DataFrame, tier: str = "1m",
 
 def rollup_from_lower(lower: DataFrame, tier: str,
                       p95_source: DataFrame | None = None,
-                      p95_sketch: DataFrame | None = None) -> DataFrame:
+                      p95_sketch: DataFrame | None = None,
+                      p95_alpha: float | None = None) -> DataFrame:
     """Cascade a coarser tier from a finer one.
 
     cnt/sum/min/max recombine exactly; avg = sum/cnt. Exact p95 is not
@@ -90,7 +91,9 @@ def rollup_from_lower(lower: DataFrame, tier: str,
       :func:`gorillaspark.operators.sketch.dd_sketch_tier`) — the
       100 TB path: the sketch is MERGED up to ``tier`` by summing bin
       counts (no raw re-read) and p95 is extracted with the sketch's
-      ≤ 1 % relative-error bound;
+      ≤ alpha relative-error bound. ``p95_alpha`` MUST match the
+      alpha the sketch was built with (defaults to the module
+      default) — bins are meaningless under a different gamma;
     * neither — the column is NULL (documented as non-mergeable).
     """
     span = TIERS[tier]
@@ -114,12 +117,14 @@ def rollup_from_lower(lower: DataFrame, tier: str,
         )
         up = up.join(p95, ["series_key", "bucket"], "left")
     elif p95_sketch is not None:
-        from .sketch import _MS, dd_sketch_cascade, dd_sketch_quantile
-        q = dd_sketch_quantile(dd_sketch_cascade(p95_sketch, tier)) \
+        from .sketch import (DEFAULT_ALPHA, dd_sketch_cascade,
+                             dd_sketch_quantile)
+        alpha = DEFAULT_ALPHA if p95_alpha is None else p95_alpha
+        q = dd_sketch_quantile(dd_sketch_cascade(p95_sketch, tier),
+                               alpha=alpha) \
             .select("series_key",
                     F.timestamp_millis("bucket_ms").alias("bucket"),
                     "p95")
-        assert tier in _MS
         up = up.join(q, ["series_key", "bucket"], "left")
     else:
         up = up.withColumn("p95", F.lit(None).cast("double"))

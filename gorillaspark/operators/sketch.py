@@ -58,10 +58,21 @@ def _bucket(tier: str):
 
 def _sign_bin(value, alpha: float):
     """(sign, bin) expressions for a double column: sign ∈ {-1,0,1},
-    bin = ceil(ln|v| / ln gamma) (0 for v == 0)."""
+    bin = ceil(ln|v| / ln gamma) (0 for v == 0).
+
+    NULLs fail loudly (raise_error), not silently: a NULL would
+    otherwise fall through every when() into the zero bin with a NULL
+    bin key, counting toward the quantile total and sorting first —
+    the same reject-don't-misbin stance the codec takes (NaN/±inf
+    already fail at the ANSI bin cast)."""
     lng = math.log(gamma_of(alpha))
     v = F.col(value) if isinstance(value, str) else value
-    sign = (F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1))
+    null_err = F.raise_error(F.lit(
+        "dd_sketch received a NULL value — the sketch has no "
+        "missing-value bin (validate or gap-fill upstream; pandas NaN "
+        "converts to Arrow NULL)"))
+    sign = (F.when(v.isNull(), null_err.cast("int"))
+            .when(v > 0, F.lit(1)).when(v < 0, F.lit(-1))
             .otherwise(F.lit(0)).cast("int").alias("sign"))
     bin_ = (F.when(v == 0, F.lit(0))
             .otherwise(F.ceil(F.log(F.abs(v)) / F.lit(lng)))

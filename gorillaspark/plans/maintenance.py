@@ -91,6 +91,12 @@ def compact_sweep(spark: SparkSession, io, table: str = "blocks",
     rows_out = compacted.count()
     snap = io.rewrite(table, compacted, commit_key=key,
                       expected_snapshot_id=snap_id)
+    if snap is None:
+        # nothing landed: either retention removed the anchor snapshot
+        # (rewrite aborted) or a concurrent sweep won the same commit
+        # key (that sweep owns the lineage row) — recording a success
+        # here would fabricate a compaction that never happened
+        return 0
     record_unit(spark, io, f"{job_id}-compact", unit=str(snap_id),
                 rows_out=rows_out,
                 out_partitions=compacted.rdd.getNumPartitions(),

@@ -121,20 +121,17 @@ def sketch_snapshot(spark, points_path: str, tier: str = "1m",
     import os
     import uuid
 
-    from ..operators.sketch import DEFAULT_ALPHA, _MS, _sign_bin
+    from ..operators.sketch import DEFAULT_ALPHA, dd_sketch_tier
     alpha = DEFAULT_ALPHA if alpha is None else alpha
     schema = spark.read.parquet(points_path).schema
     src = points_path
     if os.path.isfile(points_path):
         src = f"{points_path[:-1]}[{points_path[-1]}]"
     stream = spark.readStream.schema(schema).parquet(src)
-    sign, bin_ = _sign_bin("value", alpha)
-    agg = (stream.groupBy(
-               "series_key",
-               (F.floor(F.col("ts_ms") / _MS[tier]) * _MS[tier])
-               .alias("bucket_ms"),
-               sign, bin_)
-           .agg(F.count(F.lit(1)).alias("cnt")))
+    # the batch operator works unchanged on a streaming DataFrame —
+    # ONE definition of the sketch aggregate, so batch/stream parity
+    # is structural, not a convention two copies must maintain
+    agg = dd_sketch_tier(stream, tier, alpha)
     name = f"gs_sketch_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())

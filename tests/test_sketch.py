@@ -173,3 +173,15 @@ def test_multi_quantile_matches_single(spark, corpus):
         assert set(single) == set(multi)
         for k, v in single.items():
             assert multi[k][name] == v, (name, k)
+
+
+def test_null_values_fail_loudly(spark):
+    """NULL values must raise, not silently land in the zero bin and
+    skew quantiles (the codec's reject-don't-misbin contract)."""
+    import pyspark
+
+    pts = spark.createDataFrame(
+        [("s", 86_400_000, 1.0), ("s", 86_400_001, None)],
+        "series_key string, ts_ms long, value double")
+    with pytest.raises(Exception, match="NULL value"):
+        dd_sketch_tier(pts, "1m").collect()

@@ -380,11 +380,14 @@ def main() -> None:
             "artifact in isolation):", "",
             f"| variant | {lo_p}-proc M pts/s | {hi_p}-proc M pts/s | "
             "efficiency |", "|---|---|---|---|"]
-        for v in ("fresh", "prefault", "fault_only"):
+        # variant keys are 'decode:fresh', 'encode:prefault', … —
+        # report whatever the probe measured, in its own order
+        for v in lv[lo_p]:
             md.append(f"| {v} | {lv[lo_p][v]['Mpts_s']} | "
                       f"{lv[hi_p][v]['Mpts_s']} | "
                       f"**{cliff['efficiency'][v]}** |")
-        md += ["", f"Attribution: {cliff['attribution']}", ""]
+        md += ["", f"Attribution: {json.dumps(cliff['attribution'])}",
+               ""]
     if membw:
         bw = membw["triad_GBps_by_procs"]
         md += [

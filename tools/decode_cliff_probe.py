@@ -78,6 +78,12 @@ def _mallopt_prefault() -> bool:
 def _work(args):
     cpuset, variant = args
     os.sched_setaffinity(0, cpuset)
+    # codec/native.py applies mallopt(M_MMAP_THRESHOLD) at import for
+    # the production path — which would keep the data-gen/encode
+    # allocations below on the free-list and pre-fault the very pages
+    # the 'fresh'/'fault_only' CONTROL variants must observe cold.
+    # Only the 'prefault' variant may see it (and applies it itself).
+    os.environ["SPARK_GRAFT_MALLOC_PREFAULT"] = "0"
     import numpy as np
 
     from gorillaspark.codec.native import (
