@@ -185,3 +185,71 @@ def test_null_values_fail_loudly(spark):
         "series_key string, ts_ms long, value double")
     with pytest.raises(Exception, match="NULL value"):
         dd_sketch_tier(pts, "1m").collect()
+
+
+def _py_sketch_quantile(vals, q_num, q_den, alpha=DEFAULT_ALPHA):
+    """Pure-python mirror of the sketch formulas (bin, skey order,
+    integer rank, midpoint estimate) — the property-test oracle."""
+    g = gamma_of(alpha)
+    lng = math.log(g)
+    bins = {}
+    for v in vals:
+        if v > 0:
+            k = (1, math.ceil(math.log(v) / lng))
+        elif v < 0:
+            k = (-1, math.ceil(math.log(-v) / lng))
+        else:
+            k = (0, 0)
+        bins[k] = bins.get(k, 0) + 1
+    total = len(vals)
+    rank = (q_num * total + q_den - 1) // q_den
+    cum = 0
+    for sign, b in sorted(bins, key=lambda k: k[0] * (2 ** 32 + k[1])):
+        cum += bins[(sign, b)]
+        if cum >= rank:
+            return 0.0 if sign == 0 else sign * 2.0 * g ** b / (g + 1.0)
+    raise AssertionError("rank not reached")
+
+
+def test_sketch_math_property():
+    """Hypothesis: for ANY finite value list the midpoint estimate of
+    the bin holding the nearest-rank p95 is within alpha relative
+    error of that exact order statistic — the published DDSketch
+    guarantee, checked against the same formulas the Spark/DuckDB
+    implementations use (pure python, no Spark per example)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.one_of(
+        st.floats(min_value=1e-12, max_value=1e12),
+        st.floats(min_value=-1e12, max_value=-1e-12),
+        st.just(0.0))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(finite, min_size=1, max_size=200))
+    def check(vals):
+        est = _py_sketch_quantile(vals, 19, 20)
+        vs = sorted(vals)
+        exact = vs[max((19 * len(vs) + 19) // 20, 1) - 1]
+        if exact == 0.0:
+            assert est == 0.0
+        else:
+            assert abs(est - exact) / abs(exact) <= DEFAULT_ALPHA + 1e-12
+
+    check()
+
+
+def test_python_mirror_matches_spark(spark, corpus):
+    """The property-test oracle and the Spark implementation are the
+    same math: spot-check them equal on the shared corpus."""
+    import numpy as np
+
+    got = {(r.series_key, r.bucket_ms): r.p95
+           for r in rollup_sketch_p95(corpus, "1d", "1m").collect()}
+    groups = {}
+    for r in corpus.collect():
+        k = (r.series_key, r.ts_ms // 86_400_000 * 86_400_000)
+        groups.setdefault(k, []).append(r.value)
+    for k, vs in groups.items():
+        assert np.isclose(got[k], _py_sketch_quantile(vs, 19, 20),
+                          rtol=1e-12, atol=0), k
