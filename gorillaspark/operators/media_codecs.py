@@ -3,8 +3,10 @@
 The sandbox ships no PIL/ffmpeg/torchaudio, but two real interchange
 formats need nothing beyond byte arithmetic, so their decode paths are
 REAL here (not stubbed): RIFF/WAVE PCM-16 audio and uncompressed
-24-bit BI_RGB BMP images. Compressed formats (JPEG/PNG/MP4) stay
-honestly stubbed in multimodal.py — wiring a real library on a real
+24-bit BI_RGB BMP images — and PNG, whose only compressor is
+DEFLATE (stdlib zlib), is decoded for real too (8-bit grey/RGB/RGBA,
+non-interlaced, all five row filters). JPEG/MP4 stay honestly stubbed
+in multimodal.py — wiring a real library on a real
 cluster swaps only the per-format branch, the Spark plumbing is
 identical.
 
@@ -143,7 +145,9 @@ def bmp_decode(payload: bytes) -> np.ndarray:
 
 
 def image_features(payload: bytes) -> dict:
-    """Exact-integer image statistics from a BMP payload.
+    """Exact-integer image statistics from a BMP or PNG payload
+    (PNG: real zlib+unfilter decode, png_decode below; grey/RGBA
+    normalize to RGB first).
 
     Channel sums are exact int64 (the oracle divides later if it wants
     means). ``ahash`` is an 8×8 average hash computed entirely in
@@ -153,7 +157,10 @@ def image_features(payload: bytes) -> dict:
     64·blocksum·blockarea_total > totalsum·blockarea·64 — reduced to
     the cross-multiplied integer comparison below.
     """
-    px = bmp_decode(payload).astype(np.int64)
+    if payload[:8] == _PNG_MAGIC:
+        px = _to_rgb(png_decode(payload)).astype(np.int64)
+    else:
+        px = bmp_decode(payload).astype(np.int64)
     h, w, _ = px.shape
     sums = px.sum(axis=(0, 1))
     lum = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
@@ -219,3 +226,121 @@ def gsv1_sample_frames(payload: bytes, every_ms: int):
         if ts >= next_ts:
             yield i, ts, bmp
             next_ts = (ts // every_ms + 1) * every_ms
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit greyscale / RGB / RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+#
+# "Compressed formats need libraries absent from this sandbox" is true
+# for JPEG/MP4 (DCT/entropy coders) but NOT for PNG: its only
+# compressor is DEFLATE, and zlib is in the Python standard library.
+# The rest of the format is chunk framing (CRC32 = zlib.crc32) and the
+# five per-row byte-prediction filters — plain numpy. So PNG decode is
+# REAL here; only JPEG/MP4 remain honestly stubbed.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode (h, w) grey, (h, w, 3) RGB or (h, w, 4) RGBA uint8 as a
+    non-interlaced 8-bit PNG (filter 0 rows, one IDAT)."""
+    import zlib
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    rows[:, 1:] = px.reshape(h, w * c)          # filter byte 0 per row
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    """Reverse the five PNG row filters (spec §9): per-row filter byte
+    then w*c filtered bytes. Up/None vectorize; Sub/Average/Paeth have
+    an x-recurrence, resolved per pixel column group."""
+    stride = 1 + w * c
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w * c), dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y, 0])
+        cur = raw[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(
+            w * c, dtype=np.int32)
+        if f == 0:                                   # None
+            rec = cur
+        elif f == 2:                                 # Up
+            rec = (cur + prior) & 0xFF
+        else:
+            rec = np.empty(w * c, dtype=np.int32)
+            for x in range(w * c):
+                left = rec[x - c] if x >= c else 0
+                up = prior[x]
+                ul = prior[x - c] if x >= c else 0
+                if f == 1:                           # Sub
+                    pred = left
+                elif f == 3:                         # Average
+                    pred = (left + up) >> 1
+                elif f == 4:                         # Paeth
+                    p = left + up - ul
+                    pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (left if pa <= pb and pa <= pc_
+                            else up if pb <= pc_ else ul)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                rec[x] = (cur[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit grey/RGB/RGBA PNG to an
+    (h, w, c) uint8 array (c = 1, 3 or 4). Walks the chunk list,
+    inflates the concatenated IDATs, reverses all five row filters.
+    Palette/16-bit/interlaced variants are rejected explicitly."""
+    import zlib
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    w = h = color_type = None
+    idat = []
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or interlace or color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG variant unsupported (depth={depth}, "
+                    f"color_type={color_type}, interlace={interlace})")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    c = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + w * c):
+        raise ValueError("PNG row data size mismatch")
+    return _png_unfilter(raw, h, w, c)
+
+
+def _to_rgb(px: np.ndarray) -> np.ndarray:
+    """(h, w, c) → (h, w, 3): grey replicates, RGBA drops alpha."""
+    if px.shape[2] == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]

@@ -7,7 +7,7 @@ decoding is REAL for the library-free formats — PCM WAV audio,
 uncompressed 24-bit BMP images, and the GSV1 frame container (see
 media_codecs.py) — via ``decoder='native'`` and the typed operators
 :func:`audio_stats` / :func:`image_stats` / :func:`video_frame_stats`.
-Compressed formats (JPEG/PNG/MP4) stay honestly stubbed — the sandbox
+JPEG/MP4 stay honestly stubbed — the sandbox
 ships no image/audio libs — behind ``decoder=`` hooks that raise
 ``NotImplementedError``. Swapping in PIL/torchaudio on a real cluster
 changes only the per-format branch: batch shapes, schemas and
@@ -100,7 +100,8 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
                    (a["sumsq"] / n) ** 0.5 / 32768.0,
                    a["peak"] / 32768.0,
                    a["zero_crossings"] / n]
-    elif payload[:2] == b"BM" or payload[:4] == b"GSV1":
+    elif (payload[:2] == b"BM" or payload[:4] == b"GSV1"
+          or payload[:8] == b"\x89PNG\r\n\x1a\n"):
         frames = 0
         if payload[:4] == b"GSV1":
             frames = sum(1 for _ in mc.gsv1_frames(bytes(payload)))
@@ -114,9 +115,9 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
         out[6] = frames
     else:
         raise NotImplementedError(
-            "payload is not WAV/BMP/GSV1; compressed formats (JPEG/PNG/"
-            "MP4) need media libraries absent from this environment — "
-            "plug a real decoder into this branch on a real cluster")
+            "payload is not WAV/BMP/PNG/GSV1; JPEG/MP4 need media "
+            "libraries absent from this environment — plug a real "
+            "decoder into this branch on a real cluster")
     return out
 
 
@@ -124,7 +125,7 @@ def extract_features(media: DataFrame, decoder: str = "stub",
                      dim: int = 8) -> DataFrame:
     """Batched feature extraction over the binary column.
 
-    ``decoder='native'`` really decodes WAV/BMP/GSV1 payloads
+    ``decoder='native'`` really decodes WAV/BMP/PNG/GSV1 payloads
     (media_codecs.py — no external libs needed); ``decoder='stub'``
     raises NotImplementedError (compressed formats need media libs
     absent from this container); ``decoder='fake'`` uses the
@@ -145,7 +146,7 @@ def extract_features(media: DataFrame, decoder: str = "stub",
                     raise NotImplementedError(
                         "media decoding requires image/audio libraries not "
                         "present in this environment; use decoder='native' "
-                        "for WAV/BMP/GSV1, decoder='fake' for plumbing "
+                        "for WAV/BMP/PNG/GSV1, decoder='fake' for plumbing "
                         "tests, or plug a real decoder here")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

@@ -1766,6 +1766,41 @@ def _synth_bmp_udf():
     return to_bmp
 
 
+def _synth_png_udf():
+    """Same deterministic pixels as _synth_bmp_udf, PNG-encoded —
+    decoding must produce identical stats, so the PNG query shares the
+    BMP analytic oracle (proving the zlib+unfilter decode for real)."""
+    from .operators import media_codecs as mc
+
+    @pandas_udf("binary")
+    def to_png(ids: pd.Series) -> pd.Series:
+        yy, xx = np.mgrid[0:16, 0:32]
+
+        def one(d):
+            px = np.stack([(d * 31 + yy * 7 + xx * 3 + c * 5) % 256
+                           for c in range(3)], axis=2).astype(np.uint8)
+            return mc.png_encode(px)
+
+        return ids.map(one)
+
+    return to_png
+
+
+def q_media_png_stats(spark, sf_dir):
+    """Identical pixels to media_image_stats but PNG-encoded: the real
+    zlib-inflate + row-unfilter decode path must reproduce the same
+    analytic statistics (shared oracle)."""
+    from .operators.multimodal import image_stats
+    docs = _docs(spark, sf_dir)
+    png = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_png_udf()(F.col("doc_id")).alias("payload"))
+    st = image_stats(png)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("width").cast("long").alias("width"),
+                     F.col("height").cast("long").alias("height"),
+                     "sum_r", "sum_g", "sum_b", "ahash")
+
+
 def q_media_image_stats(spark, sf_dir):
     from .operators.multimodal import image_stats
     docs = _docs(spark, sf_dir)
@@ -1873,11 +1908,13 @@ _MEDIA_FRAMES_SQL = """
 QUERIES.update({
     "media_audio_stats": q_media_audio_stats,
     "media_image_stats": q_media_image_stats,
+    "media_png_stats": q_media_png_stats,
     "media_frame_ahash": q_media_frame_ahash,
 })
 ORACLES.update({
     "media_audio_stats": _MEDIA_AUDIO_SQL,
     "media_image_stats": _MEDIA_IMAGE_SQL,
+    "media_png_stats": _MEDIA_IMAGE_SQL,   # same pixels, PNG-encoded
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
 })
 
@@ -2069,6 +2106,9 @@ ORACLES.update({
 # top_customers) is back in; the entries below — all green in r1-r3
 # driver runs, each with an in-window sibling — sit out this round.
 _EXTRA_NAMES = [
+    "media_png_stats",         # kept: media_image_stats (same pixels
+                               #       + analytic oracle; PNG decode
+                               #       pytest-oracled)
     "rollup_1d_sketch_quantiles",  # kept: rollup_1d_sketch_p95 (same
                                #       sketch; this adds p50/p99 in
                                #       one pass — pytest-oracled)
