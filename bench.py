@@ -39,6 +39,10 @@ _BUDGET_S = {
     "decode_blocks": 0.462,
     "rollup_1m": 0.955,
     "rollup_cascade_1h_1d": 1.152,
+    # new in round 4 — seeded from their best round-4 readings so the
+    # detector covers them from round 5 on
+    "rollup_sketch_1d": 1.299,
+    "ann_topk_ivfpq": 2.248,
     "gapfill_1h": 0.901,
     "sf_rollup_1m": 0.448,
     "sf_latency_stats_per_series": 0.442,
