@@ -519,3 +519,27 @@ def test_png_roundtrip_and_filters():
            + mc._png_chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         mc.png_decode(bad)
+
+
+def test_png_through_spark_native_path(spark):
+    """PNG payloads flow through the Spark extract_features 'native'
+    decoder (mapInPandas over binary rows) and land the same feature
+    vector as the identical pixels BMP-encoded."""
+    from gorillaspark.operators import media_codecs as mc
+    from gorillaspark.operators.multimodal import extract_features
+
+    rng = np.random.default_rng(13)
+    px = [rng.integers(0, 256, size=(16, 32, 3)).astype(np.uint8)
+          for _ in range(6)]
+    rows = ([(i, "image", bytearray(mc.png_encode(p)))
+             for i, p in enumerate(px)]
+            + [(100 + i, "image", bytearray(mc.bmp_encode(p)))
+               for i, p in enumerate(px)])
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = extract_features(media, decoder="native").toPandas() \
+        .set_index("media_id").sort_index()
+    assert len(out) == 12
+    for i in range(6):
+        assert list(out.loc[i, "feature"]) == \
+            list(out.loc[100 + i, "feature"]), i
