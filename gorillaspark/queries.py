@@ -163,7 +163,7 @@ def _sketch_p95_sql():
             SUM(cnt) OVER (PARTITION BY series_key, bucket_ms) AS total
           FROM sk
         )
-        SELECT series_key, bucket_ms, total AS cnt,
+        SELECT series_key, bucket_ms, CAST(total AS BIGINT) AS cnt,
                ROUND(CASE WHEN sign = 0 THEN 0.0
                           ELSE sign * 2.0 * pow({g!r}, bin)
                                / ({g!r} + 1.0) END, 6) AS p95
@@ -219,7 +219,7 @@ def _sketch_quantiles_sql():
             SUM(cnt) OVER (PARTITION BY series_key, bucket_ms) AS total
           FROM sk
         )
-        SELECT series_key, bucket_ms, max(total) AS cnt,
+        SELECT series_key, bucket_ms, CAST(max(total) AS BIGINT) AS cnt,
                {agg(1, 2, 'p50')},
                {agg(19, 20, 'p95')},
                {agg(99, 100, 'p99')}

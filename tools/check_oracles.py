@@ -73,6 +73,14 @@ def main() -> int:
         bad_cols = []
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind != bv.dtype.kind:
+                # the driver hashes raw values: int64 40 vs float64 40.0
+                # is a red row even though allclose passes (the r4
+                # sketch-oracle HUGEINT bug slipped through here)
+                print(f"FAIL {name}: dtype kind mismatch in {c}: "
+                      f"spark {av.dtype} vs oracle {bv.dtype}")
+                bad_cols.append(c)
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = np.allclose(av.astype(float), bv.astype(float),
                                  rtol=0, atol=1e-9, equal_nan=True)
