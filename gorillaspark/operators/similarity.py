@@ -494,12 +494,25 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
        (fixed codebook = first vectors by id, as
        :func:`ivf_topk_fixed_codebook`); queries probe ``nprobe``
        cells → candidate set ~= corpus * nprobe / n_centroids.
-    2. PQ scoring: every candidate is scored against the query using
-       ONLY its PQ code (via the reconstructed quantized vector — a
-       join of 4-byte codes with the broadcast codebook), i.e. the
-       asymmetric-distance step that reads ~4 bytes/vector instead of
-       256. Top ``refine`` per query survive (round-6 score, ties →
-       lowest id — cross-engine stable).
+    2. ADC scoring: each vector's ``n_sub`` codes are bit-packed into
+       ONE integer (n_sub * ceil(log2 n_codes) bits — 32 bits at the
+       defaults, the literal 4-bytes-per-candidate promise), and a
+       per-query lookup table ``LUT(query)[m * n_codes + code] =
+       dot(q_sub_m, codeword)`` (n_sub * n_codes BIGINTs per query) is
+       broadcast as one array row per query. A candidate's approximate
+       score is a static whole-stage-codegen expression — n_sub
+       ``element_at`` lookups on shift/mask-extracted codes, summed —
+       so the scoring stage is ONE join of (query_id, nbr_id) with the
+       packed-code relation plus a broadcast: no per-subspace row
+       explosion, no groupBy shuffle (the r5 probe showed the exploded
+       (vid, m, code) form shuffled 12x more than recon-join scoring;
+       the packed form shuffles ~30x less — tools/ivfpq_adc_probe.py).
+       LUT entries are quantized to integers (``floor(dot * 1e6 +
+       0.5)`` as BIGINT) so per-candidate sums are exact integer
+       sums: order-independent, bit-identical across engines (no
+       float-associativity drift — the hazard the sketch's ln()
+       contract has). Top ``refine`` per query survive (ties → lowest
+       id — cross-engine stable).
     3. Refine: exact cosine on the surviving ``refine`` vectors only,
        row_number <= k.
 
@@ -534,7 +547,7 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
               .where(F.col("_rn") <= nprobe)
               .select(F.col("_vid").alias("query_id"), "q_unit", "cell"))
 
-    # --- PQ codes + reconstructions
+    # --- PQ codes + per-query ADC lookup table
     subs = F.array(*[
         F.slice("unit", m * sub_w + 1, sub_w) for m in range(n_sub)])
     codebook = (normed.where(F.col(id_col) < n_codes)
@@ -542,22 +555,55 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
                         F.posexplode(subs).alias("m", "cw")))
     codes = pq_codes_fixed_codebook(emb, n_sub, n_codes, dim,
                                     vec_col, id_col)
-    recon = pq_reconstruct(codes, codebook) \
-        .withColumnRenamed("vid", "nbr_id")
 
-    # --- candidates scored from PQ reconstructions only
+    n_bits = max(1, (n_codes - 1).bit_length())
+    if n_sub * n_bits > 63:
+        raise ValueError(f"packed PQ code needs {n_sub * n_bits} bits; "
+                         f"reduce n_sub or n_codes to fit a BIGINT")
+    packed = (codes.groupBy("vid").agg(
+        F.sum(F.expr(f"shiftleft(cast(code AS BIGINT), m * {n_bits})"))
+        .alias("packed")))  # disjoint bit ranges: sum == bitwise OR
+
+    q_units = probes.select("query_id", "q_unit").distinct()
+    q_subs = q_units.select(
+        "query_id",
+        F.posexplode(F.array(*[
+            F.slice("q_unit", m * sub_w + 1, sub_w)
+            for m in range(n_sub)])).alias("m", "q_sub"))
+    # integer-quantized LUT: exact BIGINT sums are aggregation-order
+    # independent, so Spark and the SQL oracle can never drift; one
+    # array row per query, indexed [m * n_codes + code]
+    lut = (q_subs.join(F.broadcast(codebook), "m")
+           .select("query_id", "m", "code",
+                   F.floor(_dot("q_sub", "cw") * F.lit(1e6) + F.lit(0.5))
+                   .alias("lut_i")))
+    lut_arr = (lut.groupBy("query_id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("m", "code", "lut_i")))
+                   .getField("lut_i").alias("lut_arr")))
+
+    # --- candidates scored from the packed 4-byte codes only (ADC)
     cands = (assigned.join(F.broadcast(probes.select("query_id", "cell")
                                        .distinct()), "cell")
              .where(F.col("query_id") != F.col("nbr_id"))
              .select("query_id", "nbr_id").distinct())
-    q_units = probes.select("query_id", "q_unit").distinct()
-    approx = (cands.join(recon, "nbr_id")
-              .join(F.broadcast(q_units), "query_id")
-              .withColumn("approx", F.round(_dot("q_unit", "recon"), 6)))
+    adc_terms = [
+        F.element_at(
+            "lut_arr",
+            (F.shiftright("packed", m * n_bits)
+             .bitwiseAND(F.lit(n_codes - 1))
+             + F.lit(m * n_codes + 1)).cast("int"))
+        for m in range(n_sub)]
+    approx = (cands.join(packed.withColumnRenamed("vid", "nbr_id"),
+                         "nbr_id")
+              .join(F.broadcast(lut_arr), "query_id")
+              .withColumn("approx_i", sum(adc_terms[1:], adc_terms[0]))
+              .select("query_id", "nbr_id", "approx_i"))
     w_ref = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("nbr_id"))
+        F.desc("approx_i"), F.asc("nbr_id"))
     survivors = (approx.withColumn("_rr", F.row_number().over(w_ref))
                  .where(F.col("_rr") <= refine)
+                 .join(F.broadcast(q_units), "query_id")
                  .select("query_id", "nbr_id", "q_unit"))
 
     # --- exact refine on the survivors

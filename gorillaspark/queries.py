@@ -799,11 +799,12 @@ def q_ann_topk_ivf(spark, sf_dir):
 
 def q_ann_topk_ivfpq(spark, sf_dir):
     """IVF-PQ on the deterministic fixed codebook: IVF cell probing,
-    candidates scored from 4-byte product-quantization codes (via the
-    PQ reconstruction — the asymmetric-distance step that reads codes
-    + a broadcast codebook instead of 256 bytes of floats per vector),
-    top-40 refined with exact cosine. The oracle rebuilds the entire
-    index — cells, PQ codebook, code assignment, reconstruction,
+    candidates scored from 4-byte product-quantization codes via a
+    broadcast per-query ADC lookup table (integer-quantized
+    LUT(query, m, code) = dot(q_sub, codeword), summed exactly per
+    candidate — candidate traffic really is the codes, never the
+    floats), top-40 refined with exact cosine. The oracle rebuilds
+    the entire index — cells, PQ codebook, code assignment, ADC LUT,
     approximate ranking and refine — in SQL. Measured-recall variant
     pinned in tests/test_training_ops.py (ann_topk_ivfpq)."""
     from .operators.similarity import ivfpq_topk_fixed_codebook
@@ -859,23 +860,26 @@ _ANN_IVFPQ_SQL = """
                                  - p.cw_n2 / 2) DESC, p.code) AS rn
             FROM subs s JOIN pqcb p USING (m))
         WHERE rn = 1),
-    recon AS (
-        SELECT c.vid AS nbr_id, flatten(list(p.cw ORDER BY c.m)) AS recon
-        FROM codes c JOIN pqcb p ON p.m = c.m AND p.code = c.code
-        GROUP BY c.vid),
+    lut AS (
+        SELECT q.vec_id AS query_id, p.m, p.code,
+               CAST(floor(list_dot_product(
+                   list_slice(q.unit, p.m * 8 + 1, p.m * 8 + 8), p.cw)
+                   * 1000000.0 + 0.5) AS BIGINT) AS lut_i
+        FROM u q CROSS JOIN pqcb p WHERE q.vec_id < 32),
     cands AS (
         SELECT DISTINCT p.query_id, a.nbr_id
         FROM probes p JOIN assigned a USING (cell)
         WHERE a.nbr_id <> p.query_id),
     approx AS (
-        SELECT c.query_id, c.nbr_id,
-               ROUND(list_dot_product(qu.unit, r.recon), 6) AS approx
-        FROM cands c JOIN recon r USING (nbr_id)
-             JOIN u qu ON qu.vec_id = c.query_id),
+        SELECT c.query_id, c.nbr_id, sum(l.lut_i) AS approx_i
+        FROM cands c JOIN codes k ON k.vid = c.nbr_id
+             JOIN lut l ON l.query_id = c.query_id
+                       AND l.m = k.m AND l.code = k.code
+        GROUP BY 1, 2),
     surv AS (
         SELECT query_id, nbr_id FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY approx DESC, nbr_id) AS rr FROM approx)
+                ORDER BY approx_i DESC, nbr_id) AS rr FROM approx)
         WHERE rr <= 40),
     exact AS (
         SELECT s.query_id, s.nbr_id,
