@@ -32,7 +32,7 @@ from ..operators.normalize import turn_latency_points, validate_points
 from ..operators.retention import RetentionPolicy, retention_sweep
 from ..operators.rollup import rollup_from_lower, rollup_tier
 from ..operators.sketch import dd_sketch_tier
-from ..plans.checkpoint import run_resumable
+from ..plans.checkpoint import run_resumable_shared
 from ..plans.maintenance import compact_sweep
 from ..plans.session import build_session
 from ..sources.tableio import open_table_io
@@ -58,38 +58,33 @@ def main(argv=None) -> None:
     transcripts = spark.read.parquet(args.transcripts)
     units = day_units(transcripts)
 
-    def day_blocks(day: str):
+    def day_points(day: str):
+        """The unit's shared input: scan the day's transcripts ONCE,
+        derive latency points once; all three sinks below consume this
+        (persisted by run_resumable_shared), so ingest cost is 1x, not
+        3x, per unit — each stage still commits its own _meta row."""
         tday = transcripts.where(
             F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
             == day)
-        pts = validate_points(turn_latency_points(tday))
-        return encode_points(pts, "double")
+        return validate_points(turn_latency_points(tday))
 
-    ran = run_resumable(spark, io, f"{args.job_id}-encode", units,
-                        day_blocks, out_table="blocks")
-
-    def day_rollups(day: str):
-        tday = transcripts.where(
-            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
-            == day)
-        pts = validate_points(turn_latency_points(tday))
+    def day_rollups(pts):
         m1 = rollup_tier(pts, "1m")
         h1 = rollup_from_lower(m1, "1h", p95_source=pts)
         d1 = rollup_from_lower(h1, "1d", p95_source=pts)
         return m1.unionByName(h1).unionByName(d1)
 
-    ran2 = run_resumable(spark, io, f"{args.job_id}-rollup", units,
-                         day_rollups, out_table="rollups")
-
-    def day_sketch(day: str):
-        tday = transcripts.where(
-            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
-            == day)
-        pts = validate_points(turn_latency_points(tday))
-        return dd_sketch_tier(pts, "1m")
-
-    ran3 = run_resumable(spark, io, f"{args.job_id}-sketch", units,
-                         day_sketch, out_table="sketch_1m")
+    rans = run_resumable_shared(
+        spark, io,
+        [(f"{args.job_id}-encode",
+          lambda pts: encode_points(pts, "double"), "blocks"),
+         (f"{args.job_id}-rollup", day_rollups, "rollups"),
+         (f"{args.job_id}-sketch",
+          lambda pts: dd_sketch_tier(pts, "1m"), "sketch_1m")],
+        units, day_points)
+    ran = rans[f"{args.job_id}-encode"]
+    ran2 = rans[f"{args.job_id}-rollup"]
+    ran3 = rans[f"{args.job_id}-sketch"]
 
     now_ms = args.now_ms or int(time.time() * 1000)
     dropped = retention_sweep(io, "blocks", "raw", now_ms,

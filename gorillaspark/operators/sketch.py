@@ -26,8 +26,11 @@ Determinism/portability notes (the oracle contract depends on these):
 
 * bins use natural log; JVM ``Math.log`` and DuckDB's libm agree to
   the last ulp on this box, and a disagreement could only flip a bin
-  when ``ln(v)/ln(gamma)`` sits within 1 ulp of an integer — measure
-  zero for real-valued inputs, absent by inspection for the testdata;
+  when ``ln(v)/ln(gamma)`` sits within 1 ulp of an integer — pinned
+  by tests/test_sketch_bin_contract.py: every driver-corpus value
+  clears the nearest boundary by >= 1e-9 (measured 1.7e-5; |v| = 1 is
+  the IEEE-exact ``ln(1)=0`` case), and adversarial values one ulp
+  either side of ``gamma^k`` boundaries bin identically cross-engine;
 * the quantile rank is pure integer arithmetic
   (``ceil(q_num*total/q_den)`` via ``(a+b-1) div b``), never
   ``ceil(0.95*n)`` in floating point;

@@ -97,23 +97,72 @@ def run_resumable(spark: SparkSession, io, job_id: str,
     done = completed_units(spark, io, job_id)
     ran: dict[str, int] = {}
     for unit in pending_units(units, done):
-        t0 = time.time()
-        out = unit_fn(unit)
-        out = out.cache()
-        rows_out = out.count()
-        n_part = out.rdd.getNumPartitions()
-        # cheap volume estimate: words column when present (encoded
-        # blocks), else row count * avg-ish width
-        if "words" in out.columns:
-            bytes_est = (out.agg(F.sum(F.size("words")))
-                         .collect()[0][0] or 0) * 8
-        else:
-            bytes_est = rows_out * 64
-        snap = io.append(out_table, out, commit_key=f"{job_id}/{unit}")
-        out.unpersist()
-        record_unit(spark, io, job_id, unit, rows_out, n_part,
-                    int(bytes_est),
-                    snap.snapshot_id if snap else None,
-                    int((time.time() - t0) * 1000))
-        ran[unit] = rows_out
+        ran[unit] = _commit_unit(spark, io, job_id, unit,
+                                 unit_fn(unit), out_table)
+    return ran
+
+
+def _commit_unit(spark: SparkSession, io, job_id: str, unit: str,
+                 out: DataFrame, out_table: str) -> int:
+    """Materialize + append one unit's output and record its
+    lineage/metrics row. Returns rows_out."""
+    t0 = time.time()
+    out = out.cache()
+    rows_out = out.count()
+    n_part = out.rdd.getNumPartitions()
+    # cheap volume estimate: words column when present (encoded
+    # blocks), else row count * avg-ish width
+    if "words" in out.columns:
+        bytes_est = (out.agg(F.sum(F.size("words")))
+                     .collect()[0][0] or 0) * 8
+    else:
+        bytes_est = rows_out * 64
+    snap = io.append(out_table, out, commit_key=f"{job_id}/{unit}")
+    out.unpersist()
+    record_unit(spark, io, job_id, unit, rows_out, n_part,
+                int(bytes_est),
+                snap.snapshot_id if snap else None,
+                int((time.time() - t0) * 1000))
+    return rows_out
+
+
+def run_resumable_shared(spark: SparkSession, io,
+                         stages: list[tuple],
+                         units: list[str],
+                         shared_fn) -> dict[str, dict[str, int]]:
+    """Drive several resumable stages off ONE shared scan per unit.
+
+    ``stages`` is a list of ``(job_id, stage_fn, out_table)`` where
+    ``stage_fn(shared_df) -> DataFrame``; ``shared_fn(unit)`` derives
+    the unit's shared input (e.g. the day's latency points), which is
+    persisted once and fed to every stage still pending for that unit.
+    Each stage keeps its OWN ``_meta`` ledger and idempotent commit
+    key, so resumability semantics are identical to running
+    :func:`run_resumable` per stage — but the expensive source scan
+    happens once per unit instead of once per stage per unit (at
+    100 TB the difference between 1x and len(stages)x ingest cost).
+
+    Returns {job_id: {unit: rows_out}} for units executed this
+    invocation.
+    """
+    done = {job_id: completed_units(spark, io, job_id)
+            for job_id, _, _ in stages}
+    ran: dict[str, dict[str, int]] = {job_id: {}
+                                      for job_id, _, _ in stages}
+    for unit in units:
+        todo = [(j, fn, tbl) for j, fn, tbl in stages
+                if unit not in done[j]]
+        if not todo:
+            continue
+        shared = shared_fn(unit)
+        if len(todo) > 1:  # a single pending stage needs no pin
+            shared = shared.persist()
+        try:
+            for job_id, stage_fn, out_table in todo:
+                ran[job_id][unit] = _commit_unit(
+                    spark, io, job_id, unit, stage_fn(shared),
+                    out_table)
+        finally:
+            if len(todo) > 1:
+                shared.unpersist()
     return ran

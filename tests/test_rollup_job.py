@@ -22,26 +22,30 @@ def job_env(spark, tmp_path_factory, transcripts):
     return tpath, wh
 
 
+def _day_points(transcripts, day):
+    from gorillaspark.operators.normalize import validate_points
+    tday = transcripts.where(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+        == day)
+    return validate_points(turn_latency_points(tday))
+
+
 def _run(spark, tpath, wh, job_id="jt"):
     # drive the job's unit loop directly against the session fixture
     # (spark-submit wraps exactly this; build_session would start a
-    # second context in-process)
+    # second context in-process); same shared-scan shape as
+    # rollup_job.main: one transcripts scan per unit feeds all sinks
     io = ParquetTableIO(spark, wh)
     transcripts = spark.read.parquet(tpath)
     units = rollup_job.day_units(transcripts)
     from gorillaspark.operators.encode import encode_points
-    from gorillaspark.operators.normalize import validate_points
-    from gorillaspark.plans.checkpoint import run_resumable
+    from gorillaspark.plans.checkpoint import run_resumable_shared
 
-    def day_blocks(day):
-        tday = transcripts.where(
-            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
-            == day)
-        return encode_points(validate_points(turn_latency_points(tday)))
-
-    ran = run_resumable(spark, io, f"{job_id}-encode", units, day_blocks,
-                        out_table="blocks")
-    return io, units, ran
+    rans = run_resumable_shared(
+        spark, io,
+        [(f"{job_id}-encode", lambda pts: encode_points(pts), "blocks")],
+        units, lambda day: _day_points(transcripts, day))
+    return io, units, rans[f"{job_id}-encode"]
 
 
 def test_job_runs_and_resumes(spark, job_env, transcripts):
@@ -153,3 +157,71 @@ def test_job_sketch_tier_merges_to_batch(spark, job_env, transcripts):
                          out_table="sketch_1m")
     assert ran2 == {}
     assert io.read("sketch_1m").count() == n1
+
+
+def test_shared_run_partial_resume_and_single_scan(spark, job_env,
+                                                   tmp_path):
+    """r5: the job derives each day-unit's latency points ONCE and
+    feeds blocks/rollups/sketch from the persisted shared frame.
+    (a) Resumability is per-stage: a warehouse where only the encode
+    stage completed re-runs rollup+sketch and nothing else.
+    (b) Physical plans: with the shared frame materialized, every
+    stage reads InMemoryTableScan — the transcripts parquet is
+    scanned exactly once per unit (by the cache fill)."""
+    from gorillaspark.operators.encode import encode_points
+    from gorillaspark.operators.rollup import rollup_from_lower, rollup_tier
+    from gorillaspark.operators.sketch import dd_sketch_tier
+    from gorillaspark.plans.checkpoint import run_resumable_shared
+
+    tpath, _ = job_env
+    wh = str(tmp_path / "wh")
+    io = ParquetTableIO(spark, wh)
+    transcripts = spark.read.parquet(tpath)
+    units = rollup_job.day_units(transcripts)
+
+    def day_rollups(pts):
+        m1 = rollup_tier(pts, "1m")
+        h1 = rollup_from_lower(m1, "1h", p95_source=pts)
+        return m1.unionByName(h1)
+
+    stages = [("sh-encode", lambda pts: encode_points(pts), "blocks"),
+              ("sh-rollup", day_rollups, "rollups"),
+              ("sh-sketch", lambda pts: dd_sketch_tier(pts, "1m"),
+               "sketch_1m")]
+    shared_fn = lambda day: _day_points(transcripts, day)  # noqa: E731
+
+    # encode alone first — simulates a crash after stage 1 completed
+    r1 = run_resumable_shared(spark, io, stages[:1], units, shared_fn)
+    assert set(r1["sh-encode"]) == set(units)
+    # full run resumes: encode skipped, rollup+sketch run every unit
+    r2 = run_resumable_shared(spark, io, stages, units, shared_fn)
+    assert r2["sh-encode"] == {}
+    assert set(r2["sh-rollup"]) == set(units)
+    assert set(r2["sh-sketch"]) == set(units)
+    assert completed_units(spark, io, "sh-rollup") == set(units)
+    # third run: global no-op
+    r3 = run_resumable_shared(spark, io, stages, units, shared_fn)
+    assert all(v == {} for v in r3.values())
+    # blocks written through the shared path match the direct encode
+    total_pts = io.read("blocks").agg(F.sum("n_points")).collect()[0][0]
+    assert total_pts == turn_latency_points(transcripts).count()
+
+    # (b) plan shape: all three stage plans read the persisted shared
+    # frame, not the parquet source
+    pts = shared_fn(units[0]).persist()
+    try:
+        pts.count()  # cache fill — the unit's one parquet scan
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        for _, stage_fn, _ in stages:
+            plan = (stage_fn(pts)._jdf.queryExecution()
+                    .explainString(mode))
+            assert "InMemoryTableScan" in plan, plan
+            # InMemoryRelation prints its cached CHILD plan (which
+            # contains the original parquet scan text); the executed
+            # operators are everything before it — no parquet there
+            assert "Scan parquet" not in plan.split("InMemoryRelation")[0], \
+                plan
+    finally:
+        pts.unpersist()
