@@ -2105,33 +2105,37 @@ ORACLES.update({
 # round rotate back into the driver window in a later one, displacing
 # stable long-green entries, so every family periodically gets
 # driver-grade (rows+schema+hash) evidence, not just pytest evidence.
-# Round 4 window: the full r3 EXTRA set (sessionize, rollup_1m_hashed,
-# rollup_1h, session_error_counts, histogram_1h, ann_topk_ivf_fullprobe,
-# top_customers) is back in; the entries below — all green in r1-r3
-# driver runs, each with an in-window sibling — sit out this round.
+# Round 5 window: the full r4 EXTRA set is back in — media_png_stats
+# and rollup_1d_sketch_quantiles get their FIRST driver-grade evidence
+# (VERDICT r4 #5), plus rollup_1d, moving_avg_3, gapfill_1h_ffill,
+# codec_roundtrip_v1, codec_roundtrip_dfcm, shipping_priority,
+# error_free_user_days, distinct_series_per_day. The entries below —
+# every one green in the r4 driver run (and most since r1), each with
+# an in-window or rotating-in sibling — sit out this round.
 _EXTRA_NAMES = [
-    "media_png_stats",         # kept: media_image_stats (same pixels
-                               #       + analytic oracle; PNG decode
-                               #       pytest-oracled)
-    "rollup_1d_sketch_quantiles",  # kept: rollup_1d_sketch_p95 (same
-                               #       sketch; this adds p50/p99 in
-                               #       one pass — pytest-oracled)
-    "rollup_1d",               # kept: rollup_1m/1h + 1d via
-                               #       rollup_1d_sketch_p95 + histogram_1d
-    "moving_avg_3",            # kept: zscore_per_point, ewma_final
-                               #       (same window machinery)
-    "gapfill_1h_ffill",        # kept: gapfill_1h_interp (superset:
-                               #       interp + ffill boundary logic)
-    "codec_roundtrip_v1",      # kept: codec_roundtrip; v1 wire is
-                               #       golden- + RefDecode-interop-tested
-    "codec_roundtrip_dfcm",    # kept: codec_roundtrip; DFCM quirks
-                               #       pinned by goldens + pytest
-    "shipping_priority",       # kept: pricing_summary, region_revenue,
-                               #       top_customers (TPC-H join family)
-    "error_free_user_days",    # kept: session_error_counts[_2tier]
-                               #       (same anti-join semantics)
-    "distinct_series_per_day", # kept: block_inventory / retention_1d
-                               #       (same per-day series grouping)
+    "rollup_1m_hashed",        # kept: rollup_1m (same tier; hashed
+                               #       shuffle variant, pytest-equal)
+    "rollup_1h",               # kept: rollup_1h_cascade + rollup_1d
+                               #       (rotating in)
+    "sessionize",              # kept: sessionize_native (same output,
+                               #       pytest-equal) + session_error_
+                               #       counts_2tier consumes sessions
+    "top_customers",           # kept: pricing_summary +
+                               #       shipping_priority (rotating in)
+    "region_revenue",          # kept: pricing_summary +
+                               #       shipping_priority (rotating in)
+    "histogram_1h",            # kept: histogram_1d_cascade (superset:
+                               #       cascade merges the 1h tier)
+    "ann_topk_ivf_fullprobe",  # kept: ann_topk_ivf (same index; full-
+                               #       probe losslessness pytest-pinned)
+    "gapfill_1h_interp",       # kept: gapfill_1h_ffill (rotating in;
+                               #       interp superset pytest-oracled)
+    "ewma_final",              # kept: moving_avg_3 (rotating in) +
+                               #       zscore_per_point (same window
+                               #       machinery)
+    "session_error_counts",    # kept: session_error_counts_2tier +
+                               #       error_free_user_days (rotating
+                               #       in, same anti-join semantics)
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Cluster-shaped scaling datapoint (r5 verdict task 6): does encode/
+rollup scale when workers OWN their resources, as the shared-silicon
+attribution predicts?
+
+In-process 2→8-core scaling measured 0.54-0.57 for encode/rollup
+(BENCH/BASELINE.md), attributed to shared JVM/allocator/L3 rather
+than plan structure. A real cluster runs separate executor PROCESSES.
+Emulate exactly that:
+
+  * solo4: one 4-core pinned process runs the job on HALF the corpus
+    (the per-executor reference level);
+  * split: TWO 4-core processes on disjoint cpusets (0-3 / 4-7) with
+    separate spark.local.dirs run the two corpus halves
+    CONCURRENTLY (file-barrier-synchronized timed sections) — a
+    2-executor cluster on this box;
+  * solo8: one 8-core pinned process runs the full corpus — the
+    in-process scaling the committed tables already measured.
+
+If split aggregate throughput ~= 2x the solo4 level, per-executor
+isolation recovers the scaling the single process loses and the
+"cluster scales where one JVM doesn't" claim has direct evidence;
+if split degrades like solo8, the box's silicon (memory bandwidth)
+is the ceiling and the plan owns the problem.
+
+Prints one JSON line; paste the table into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_CONV = int(os.environ.get("SPLIT_N_CONV", "40000"))
+MEAN_TURNS = int(os.environ.get("SPLIT_MEAN_TURNS", "300"))
+REPS = int(os.environ.get("SPLIT_REPS", "3"))
+STAGES = ("encode", "rollup")
+
+
+def _single(cpus: int, tpath: str, barrier: str, tag: str) -> None:
+    """Child: build session on local[cpus], cache points, signal
+    READY, wait for GO, run timed reps, print RESULT json."""
+    from gorillaspark.operators.encode import encode_points
+    from gorillaspark.operators.normalize import turn_latency_points
+    from gorillaspark.operators.rollup import rollup_tier
+    from gorillaspark.plans.session import build_session
+
+    local_dir = tempfile.mkdtemp(
+        prefix=f"gssplit-{tag}-",
+        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None)
+    os.environ["SPARK_GRAFT_LOCAL_DIR"] = local_dir
+    spark = build_session(app=f"split-{tag}", master=f"local[{cpus}]",
+                         shuffle_partitions=32,
+                         extra={"spark.sql.adaptive.coalescePartitions."
+                                "enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    pts = turn_latency_points(spark.read.parquet(tpath)).cache()
+    n_pts = pts.count()
+
+    stages = {
+        "encode": lambda: encode_points(pts, "double")
+        .write.format("noop").mode("overwrite").save(),
+        "rollup": lambda: rollup_tier(pts, "1m", hashed_keys=True)
+        .count(),
+    }
+    for fn in stages.values():  # warm-ups before the barrier
+        fn()
+
+    Path(f"{barrier}.ready.{tag}").touch()
+    while not Path(f"{barrier}.go").exists():
+        time.sleep(0.05)
+
+    res = {"tag": tag, "cpus": cpus, "n_points": n_pts}
+    for name, fn in stages.items():
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn()
+            times.append(round(time.perf_counter() - t0, 3))
+        res[f"{name}_reps"] = times
+        res[f"{name}_s"] = min(times)
+    spark.stop()
+    shutil.rmtree(local_dir, ignore_errors=True)
+    print("RESULT " + json.dumps(res))
+
+
+def _launch(cores: str, cpus: int, tpath: str, barrier: str,
+            tag: str) -> subprocess.Popen:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+    return subprocess.Popen(
+        ["taskset", "-c", cores, sys.executable,
+         str(Path(__file__).resolve()), "--single", str(cpus), tpath,
+         barrier, tag],
+        stdout=subprocess.PIPE, text=True, cwd=str(REPO), env=env)
+
+
+def _collect(p: subprocess.Popen) -> dict:
+    out, _ = p.communicate()
+    if p.returncode != 0:
+        raise RuntimeError(f"child failed rc={p.returncode}")
+    for line in out.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line: {out[-500:]}")
+
+
+def _run_group(specs: list[tuple[str, int, str, str]]) -> list[dict]:
+    """Launch all specs, release the barrier once every child is
+    ready, and collect results — timed sections fully overlap."""
+    bdir = tempfile.mkdtemp(prefix="gssplit-bar-")
+    barrier = f"{bdir}/bar"
+    procs = [(_launch(cores, cpus, tpath, barrier, tag), tag)
+             for cores, cpus, tpath, tag in specs]
+    deadline = time.time() + 600
+    while not all(Path(f"{barrier}.ready.{t}").exists()
+                  for _, t in procs):
+        if time.time() > deadline:
+            for p, _ in procs:
+                p.kill()
+            raise RuntimeError("children never became ready")
+        time.sleep(0.1)
+    Path(f"{barrier}.go").touch()
+    out = [_collect(p) for p, _ in procs]
+    shutil.rmtree(bdir, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        _single(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+        return
+
+    from pyspark.sql import functions as F
+
+    from gorillaspark.plans.session import build_session
+    from gorillaspark.sources.transcripts import generate_transcripts
+
+    tdir = tempfile.mkdtemp(
+        prefix="gssplit-corpus-",
+        dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None)
+    s = build_session(app="split-gen", master="local[32]")
+    s.sparkContext.setLogLevel("ERROR")
+    tr = generate_transcripts(s, n_conv=N_CONV, mean_turns=MEAN_TURNS,
+                              hot_share=0.2)
+    # disjoint halves by conversation (a cluster's input split)
+    half = F.abs(F.xxhash64("conv_id")) % 2
+    tr.withColumn("_h", half).where(F.col("_h") == 0).drop("_h") \
+        .write.mode("overwrite").parquet(f"{tdir}/half0")
+    tr.withColumn("_h", half).where(F.col("_h") == 1).drop("_h") \
+        .write.mode("overwrite").parquet(f"{tdir}/half1")
+    tr.write.mode("overwrite").parquet(f"{tdir}/full")
+    s.stop()
+
+    runs: dict[str, list[dict]] = {}
+    grids = {
+        "solo4_half": [("0-3", 4, f"{tdir}/half0", "solo4")],
+        "split_2x4": [("0-3", 4, f"{tdir}/half0", "a"),
+                      ("4-7", 4, f"{tdir}/half1", "b")],
+        "solo8_full": [("0-7", 8, f"{tdir}/full", "solo8")],
+    }
+    for name, specs in grids.items():
+        runs[name] = _run_group(specs)
+
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    out: dict = {"n_conv": N_CONV, "reps": REPS, "runs": runs,
+                 "efficiency": {}}
+    for st in STAGES:
+        solo4 = runs["solo4_half"][0]
+        tp_solo4 = solo4["n_points"] / solo4[f"{st}_s"]
+        split = runs["split_2x4"]
+        total_pts = sum(r["n_points"] for r in split)
+        # aggregate throughput while both executors are busy: the
+        # barrier aligns starts; use the slower child's wall time
+        tp_split = total_pts / max(r[f"{st}_s"] for r in split)
+        solo8 = runs["solo8_full"][0]
+        tp_solo8 = solo8["n_points"] / solo8[f"{st}_s"]
+        out["efficiency"][st] = {
+            "solo4_half_mpts_s": round(tp_solo4 / 1e6, 3),
+            "split_2x4_mpts_s": round(tp_split / 1e6, 3),
+            "solo8_full_mpts_s": round(tp_solo8 / 1e6, 3),
+            "split_vs_2x_solo4": round(tp_split / (2 * tp_solo4), 3),
+            "solo8_vs_2x_solo4": round(tp_solo8 / (2 * tp_solo4), 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
