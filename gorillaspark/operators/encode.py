@@ -117,7 +117,6 @@ def _encode_table(tbl: "pa.Table", value_kind: str,
 
     tbl = tbl.combine_chunks()
     key_arrs = [tbl.column(c).chunk(0) for c in key_cols]
-    keys = key_arrs[0]
     vcol = tbl.column("value").chunk(0)
     if vcol.null_count or tbl.column("ts_ms").chunk(0).null_count:
         raise ValueError(

@@ -267,8 +267,12 @@ def png_encode(pixels: np.ndarray) -> bytes:
 
 def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     """Reverse the five PNG row filters (spec §9): per-row filter byte
-    then w*c filtered bytes. Up/None vectorize; Sub/Average/Paeth have
-    an x-recurrence, resolved per pixel column group."""
+    then w*c filtered bytes. None/Up/Sub are fully vectorized (Sub's
+    x-recurrence is a plain prefix sum mod 256 per byte lane);
+    Average/Paeth keep only the inherent w-step recurrence, each step
+    a length-c numpy op — O(h*w) tiny vector ops instead of the
+    O(h*w*c) per-byte interpreter loop the r4 advice flagged (libpng
+    favors Paeth, so real images hit the slow path every row)."""
     stride = 1 + w * c
     raw = raw.reshape(h, stride)
     out = np.zeros((h, w * c), dtype=np.uint8)
@@ -281,24 +285,32 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
             rec = cur
         elif f == 2:                                 # Up
             rec = (cur + prior) & 0xFF
-        else:
-            rec = np.empty(w * c, dtype=np.int32)
-            for x in range(w * c):
-                left = rec[x - c] if x >= c else 0
-                up = prior[x]
-                ul = prior[x - c] if x >= c else 0
-                if f == 1:                           # Sub
-                    pred = left
-                elif f == 3:                         # Average
+        elif f == 1:                                 # Sub: prefix sum
+            rec = (np.cumsum(cur.reshape(w, c), axis=0,
+                             dtype=np.int64) & 0xFF).reshape(-1)
+        elif f in (3, 4):                            # Average / Paeth
+            cur2 = cur.reshape(w, c)
+            prior2 = prior.reshape(w, c)
+            rec2 = np.empty((w, c), dtype=np.int32)
+            left = np.zeros(c, dtype=np.int32)
+            ul = np.zeros(c, dtype=np.int32)
+            for x in range(w):
+                up = prior2[x]
+                if f == 3:
                     pred = (left + up) >> 1
-                elif f == 4:                         # Paeth
-                    p = left + up - ul
-                    pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = (left if pa <= pb and pa <= pc_
-                            else up if pb <= pc_ else ul)
                 else:
-                    raise ValueError(f"bad PNG filter {f}")
-                rec[x] = (cur[x] + pred) & 0xFF
+                    p = left + up - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc_ = np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc_), left,
+                                    np.where(pb <= pc_, up, ul))
+                left = (cur2[x] + pred) & 0xFF
+                rec2[x] = left
+                ul = up
+            rec = rec2.reshape(-1)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
         out[y] = rec.astype(np.uint8)
     return out.reshape(h, w, c)
 

@@ -187,7 +187,13 @@ class ParquetTableIO:
             snap = Snapshot(snapshot_id=uuid.uuid4().hex[:16],
                             committed_at_ms=int(time.time() * 1000),
                             files=[path], commit_key=commit_key)
-            snaps.append(snap)
+            # insert at the anchor position, NOT the manifest tail:
+            # a cumulative read at any concurrent snapshot X that
+            # landed after the anchor must still see the compacted
+            # rows (the emptied base snapshots precede X), and
+            # _backfill_lineage's read-up-to-rewrite must not include
+            # concurrent appends (ADVICE r4)
+            snaps.insert(n_replace, snap)
             tmp = self._manifest_path(table) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump([s.__dict__ for s in snaps], f)

@@ -124,10 +124,19 @@ def sketch_snapshot(spark, points_path: str, tier: str = "1m",
     from ..operators.sketch import DEFAULT_ALPHA, dd_sketch_tier
     alpha = DEFAULT_ALPHA if alpha is None else alpha
     schema = spark.read.parquet(points_path).schema
-    src = points_path
+    reader = spark.readStream.schema(schema)
     if os.path.isfile(points_path):
-        src = f"{points_path[:-1]}[{points_path[-1]}]"
-    stream = spark.readStream.schema(schema).parquet(src)
+        # single-file input: stream the parent directory filtered to
+        # the exact basename — robust for paths whose own characters
+        # are glob metacharacters (the old trailing-char bracket trick
+        # broke when the LAST char was ']' and silently changed
+        # meaning with glob chars earlier in the path; ADVICE r4)
+        import re
+        parent, base = os.path.split(points_path)
+        safe = re.sub(r"([*?\[\]{}\\])", r"\\\1", base)
+        stream = reader.option("pathGlobFilter", safe).parquet(parent)
+    else:
+        stream = reader.parquet(points_path)
     # the batch operator works unchanged on a streaming DataFrame —
     # ONE definition of the sketch aggregate, so batch/stream parity
     # is structural, not a convention two copies must maintain

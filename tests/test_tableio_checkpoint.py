@@ -214,3 +214,31 @@ def test_compact_sweep_with_concurrent_append(spark, tmp_path):
     # day-1 fragments merged to one block; late s2 block survived
     assert final.where(F.col("series_key") == "s1").count() == 1
     assert final.where(F.col("series_key") == "s2").count() == 1
+
+
+def test_rewrite_time_travel_consistent_at_concurrent_snapshot(spark, io):
+    """ADVICE r4: the rewrite snapshot is inserted at the anchor
+    position, not the manifest tail — so a cumulative read pinned at a
+    concurrent snapshot X (landed after the anchor, before the swap)
+    still sees the compacted base rows alongside X's own, and the
+    rewrite snapshot's own cumulative read contains ONLY compacted
+    rows (what _backfill_lineage counts)."""
+    io.append("t", spark.range(5).withColumn("v", F.lit("old")),
+              commit_key="w/0")
+    anchor = io.current_snapshot_id("t")
+    compacted = io.read("t", snapshot_id=anchor)
+    late = io.append("t", spark.range(3).withColumn("v", F.lit("late")),
+                     commit_key="w/1")
+    snap = io.rewrite("t", compacted, commit_key=f"compact/{anchor}",
+                      expected_snapshot_id=anchor)
+    assert snap is not None
+    # time travel at the concurrent snapshot: base rows NOT collapsed
+    at_late = io.read("t", snapshot_id=late.snapshot_id)
+    assert at_late.count() == 8
+    assert at_late.where(F.col("v") == "old").count() == 5
+    # the rewrite's own cumulative read excludes concurrent appends
+    at_rewrite = io.read("t", snapshot_id=snap.snapshot_id)
+    assert at_rewrite.count() == 5
+    assert at_rewrite.where(F.col("v") == "late").count() == 0
+    # manifest order: rewrite sits at the anchor slot, late stays last
+    assert io.current_snapshot_id("t") == late.snapshot_id
