@@ -61,6 +61,24 @@ def streaming_role_rates(turns: DataFrame, span: str = "1 minute",
     )
 
 
+def _stream_parquet(spark, path: str) -> DataFrame:
+    """readStream a parquet directory, or a SINGLE parquet file by
+    streaming its parent directory filtered to the exact basename
+    (glob metacharacters escaped) — FileStreamSource insists on a
+    directory; the old trailing-char bracket-glob trick broke when the
+    path's last char was ']' and changed meaning with glob chars
+    earlier in the path (ADVICE r4)."""
+    import os
+    import re
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        parent, base = os.path.split(path)
+        safe = re.sub(r"([*?\[\]{}\\])", r"\\\1", base)
+        return reader.option("pathGlobFilter", safe).parquet(parent)
+    return reader.parquet(path)
+
+
 def rates_snapshot(spark, events_path: str, span: str = "1 hour",
                    ts_col: str = "ts",
                    key_col: str = "event_type") -> DataFrame:
@@ -75,15 +93,8 @@ def rates_snapshot(spark, events_path: str, span: str = "1 hour",
     the watermark never passes the final windows; a live pipeline
     would use append mode + watermark as in :func:`streaming_rollup`.
     """
-    import os
     import uuid
-    schema = spark.read.parquet(events_path).schema
-    src = events_path
-    if os.path.isfile(events_path):
-        # FileStreamSource insists on a directory path; a one-char glob
-        # makes a single parquet file streamable without staging a copy
-        src = f"{events_path[:-1]}[{events_path[-1]}]"
-    stream = spark.readStream.schema(schema).parquet(src)
+    stream = _stream_parquet(spark, events_path)
     name = f"gs_snapshot_{uuid.uuid4().hex[:8]}"
     agg = (stream.groupBy(
                F.window(F.col(ts_col).cast("timestamp"), span).alias("w"),
@@ -102,7 +113,8 @@ def rates_snapshot(spark, events_path: str, span: str = "1 hour",
 
 
 def sketch_snapshot(spark, points_path: str, tier: str = "1m",
-                    alpha: float | None = None) -> DataFrame:
+                    alpha: float | None = None,
+                    transform=None) -> DataFrame:
     """Streaming DDSketch tier to completion: the mergeable-quantile
     counterpart of :func:`rates_snapshot`.
 
@@ -115,28 +127,19 @@ def sketch_snapshot(spark, points_path: str, tier: str = "1m",
     now carry a quantile with the sketch's stated 1% error bound
     instead of deferring to a batch backfill.
 
-    ``points_path`` holds (series_key, ts_ms, value) parquet; returns
-    the final sketch snapshot (series_key, bucket_ms, sign, bin, cnt).
+    ``points_path`` holds (series_key, ts_ms, value) parquet — or any
+    parquet whose rows ``transform`` (a stream-safe projection applied
+    before the sketch, e.g. the events→points select) maps to that
+    shape. Returns the final sketch snapshot
+    (series_key, bucket_ms, sign, bin, cnt).
     """
-    import os
     import uuid
 
     from ..operators.sketch import DEFAULT_ALPHA, dd_sketch_tier
     alpha = DEFAULT_ALPHA if alpha is None else alpha
-    schema = spark.read.parquet(points_path).schema
-    reader = spark.readStream.schema(schema)
-    if os.path.isfile(points_path):
-        # single-file input: stream the parent directory filtered to
-        # the exact basename — robust for paths whose own characters
-        # are glob metacharacters (the old trailing-char bracket trick
-        # broke when the LAST char was ']' and silently changed
-        # meaning with glob chars earlier in the path; ADVICE r4)
-        import re
-        parent, base = os.path.split(points_path)
-        safe = re.sub(r"([*?\[\]{}\\])", r"\\\1", base)
-        stream = reader.option("pathGlobFilter", safe).parquet(parent)
-    else:
-        stream = reader.parquet(points_path)
+    stream = _stream_parquet(spark, points_path)
+    if transform is not None:
+        stream = transform(stream)
     # the batch operator works unchanged on a streaming DataFrame —
     # ONE definition of the sketch aggregate, so batch/stream parity
     # is structural, not a convention two copies must maintain
