@@ -45,15 +45,18 @@ def build_session(app: str = "gorillaspark",
         # → ObjectHashAggregate), whose default sort-based fallback
         # triggers at just 128 in-memory groups — a (series, bucket)
         # rollup has millions, so the default silently turns the hash
-        # aggregate into an external SORT per partition. 131072 keeps
+        # aggregate into an external SORT per partition. 2097152 keeps
         # it a true hash aggregate for realistic per-task group counts
-        # while retaining the sort fallback as a memory backstop (each
-        # percentile buffer holds all group values — millions of live
-        # buffers per task is an OOM, not a win). Env-tunable so
-        # memory-constrained executors can lower it further.
+        # (measured r5: a 317k-groups-per-task 1m rollup is 8-11%
+        # slower at 131072, where the fallback trips, and the r4
+        # 16x-lower default bought nothing where it didn't — ADVICE
+        # r4). Env-tunable down for memory-constrained executors: each
+        # percentile buffer holds all group values, so millions of
+        # live buffers per task is an OOM, not a win.
         .config("spark.sql.objectHashAggregate.sortBased."
                 "fallbackThreshold",
-                os.environ.get("SPARK_GRAFT_OBJ_HASH_FALLBACK", "131072"))
+                os.environ.get("SPARK_GRAFT_OBJ_HASH_FALLBACK",
+                               "2097152"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
