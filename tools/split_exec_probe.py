@@ -152,11 +152,23 @@ def main() -> None:
     s.sparkContext.setLogLevel("ERROR")
     tr = generate_transcripts(s, n_conv=N_CONV, mean_turns=MEAN_TURNS,
                               hot_share=0.2)
-    # disjoint halves by conversation (a cluster's input split)
-    half = F.abs(F.xxhash64("conv_id")) % 2
-    tr.withColumn("_h", half).where(F.col("_h") == 0).drop("_h") \
+    # disjoint, SIZE-BALANCED halves by conversation: alternate convs
+    # in descending-size order between the halves (what a cluster
+    # scheduler's per-split assignment approximates). The first probe
+    # run split by raw conv hash and the 9.0M/6.0M point imbalance
+    # dominated the total/max(t) aggregate (smaller half idled 29% of
+    # the window) — balance first, so the metric measures contention,
+    # not skew.
+    from pyspark.sql import Window as W
+    sizes = tr.groupBy("conv_id").count()
+    halves = sizes.withColumn(
+        "_h", (F.row_number().over(
+            W.orderBy(F.desc("count"), F.asc("conv_id"))) % 2)
+        .cast("int")).select("conv_id", "_h")
+    tagged = tr.join(F.broadcast(halves), "conv_id")
+    tagged.where(F.col("_h") == 0).drop("_h") \
         .write.mode("overwrite").parquet(f"{tdir}/half0")
-    tr.withColumn("_h", half).where(F.col("_h") == 1).drop("_h") \
+    tagged.where(F.col("_h") == 1).drop("_h") \
         .write.mode("overwrite").parquet(f"{tdir}/half1")
     tr.write.mode("overwrite").parquet(f"{tdir}/full")
     s.stop()
