@@ -496,7 +496,10 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
        cells → candidate set ~= corpus * nprobe / n_centroids.
     2. ADC scoring: each vector's ``n_sub`` codes are bit-packed into
        ONE integer (n_sub * ceil(log2 n_codes) bits — 32 bits at the
-       defaults, the literal 4-bytes-per-candidate promise), and a
+       defaults, the literal 4-bytes-per-candidate promise; up to 64
+       bits fits, so 8 subspaces x 256-code production codebooks pack
+       too — the sign bit is safe because extraction uses unsigned
+       shifts and disjoint-bit sums), and a
        per-query lookup table ``LUT(query)[m * n_codes + code] =
        dot(q_sub_m, codeword)`` (n_sub * n_codes BIGINTs per query) is
        broadcast as one array row per query. A candidate's approximate
@@ -557,7 +560,7 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
                                     vec_col, id_col)
 
     n_bits = max(1, (n_codes - 1).bit_length())
-    if n_sub * n_bits > 63:
+    if n_sub * n_bits > 64:
         raise ValueError(f"packed PQ code needs {n_sub * n_bits} bits; "
                          f"reduce n_sub or n_codes to fit a BIGINT")
     packed = (codes.groupBy("vid").agg(
@@ -590,7 +593,7 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
     adc_terms = [
         F.element_at(
             "lut_arr",
-            (F.shiftright("packed", m * n_bits)
+            (F.shiftrightunsigned("packed", m * n_bits)
              .bitwiseAND(F.lit(n_codes - 1))
              + F.lit(m * n_codes + 1)).cast("int"))
         for m in range(n_sub)]

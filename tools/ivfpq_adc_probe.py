@@ -180,7 +180,7 @@ def main() -> None:
     adc_terms = [
         F.element_at(
             "lut_arr",
-            (F.shiftright("packed", m * n_bits)
+            (F.shiftrightunsigned("packed", m * n_bits)
              .bitwiseAND(F.lit(n_codes - 1))
              + F.lit(m * n_codes + 1)).cast("int"))
         for m in range(n_sub)]

@@ -152,23 +152,20 @@ def main() -> None:
     s.sparkContext.setLogLevel("ERROR")
     tr = generate_transcripts(s, n_conv=N_CONV, mean_turns=MEAN_TURNS,
                               hot_share=0.2)
-    # disjoint, SIZE-BALANCED halves by conversation: alternate convs
-    # in descending-size order between the halves (what a cluster
-    # scheduler's per-split assignment approximates). The first probe
-    # run split by raw conv hash and the 9.0M/6.0M point imbalance
-    # dominated the total/max(t) aggregate (smaller half idled 29% of
-    # the window) — balance first, so the metric measures contention,
-    # not skew.
-    from pyspark.sql import Window as W
-    sizes = tr.groupBy("conv_id").count()
-    halves = sizes.withColumn(
-        "_h", (F.row_number().over(
-            W.orderBy(F.desc("count"), F.asc("conv_id"))) % 2)
-        .cast("int")).select("conv_id", "_h")
-    tagged = tr.join(F.broadcast(halves), "conv_id")
-    tagged.where(F.col("_h") == 0).drop("_h") \
+    # disjoint, SIZE-BALANCED halves at ROW granularity (a cluster's
+    # input-split assignment): conv-level splits cannot balance this
+    # corpus — its skew design routes ~20% of ALL turns into one
+    # mega-conversation (conv000000, 3.0M of 15.1M turns), so any
+    # whole-conv assignment is >=±1.5M points lopsided and the
+    # total/max(t) aggregate bills the smaller half's idle tail (the
+    # first probe run measured exactly that). Hash rows instead: both
+    # executors see slices of the hot conv, as both would see its
+    # row groups on a real cluster, and each runs the identical
+    # shuffle+encode job on its half.
+    half = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2))
+    tr.withColumn("_h", half).where(F.col("_h") == 0).drop("_h") \
         .write.mode("overwrite").parquet(f"{tdir}/half0")
-    tagged.where(F.col("_h") == 1).drop("_h") \
+    tr.withColumn("_h", half).where(F.col("_h") == 1).drop("_h") \
         .write.mode("overwrite").parquet(f"{tdir}/half1")
     tr.write.mode("overwrite").parquet(f"{tdir}/full")
     s.stop()
