@@ -88,6 +88,18 @@ def test_ivfpq_recall_clustered(spark, clustered):
     # the documented collapse: tied ADC scores + shallow refine
     assert shallow["recall_at_k"].mean() < 0.85, \
         shallow["recall_at_k"].mean()
+    # production 8-bit codebooks (256 codes — 64-bit packed, unsigned
+    # extraction) partially restore shallow-refine recall by giving
+    # ~16 codewords per cluster per subspace (measured 0.77 vs 0.59);
+    # the remaining gap to deep refine is quantization noise at the
+    # within-cluster scale — the residual-PQ motivation, pinned here
+    # as a measured fact rather than a docstring claim
+    wide = ann_topk_ivfpq(clustered, q, k=10, n_centroids=16,
+                          nprobe=4, n_sub=8, n_codes=256, dim=64,
+                          refine=40).toPandas()
+    assert wide["recall_at_k"].mean() >= \
+        shallow["recall_at_k"].mean() + 0.1, \
+        (wide["recall_at_k"].mean(), shallow["recall_at_k"].mean())
 
 
 def test_lsh_recall_clustered(spark, clustered):
