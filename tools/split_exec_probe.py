@@ -167,6 +167,12 @@ def main() -> None:
         .write.mode("overwrite").parquet(f"{tdir}/half0")
     tr.withColumn("_h", half).where(F.col("_h") == 1).drop("_h") \
         .write.mode("overwrite").parquet(f"{tdir}/half1")
+    quarter = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(1)),
+                     F.lit(4))
+    for i in range(4):
+        tr.withColumn("_q", quarter).where(F.col("_q") == i) \
+            .drop("_q").write.mode("overwrite") \
+            .parquet(f"{tdir}/quarter{i}")
     tr.write.mode("overwrite").parquet(f"{tdir}/full")
     s.stop()
 
@@ -176,6 +182,14 @@ def main() -> None:
         "split_2x4": [("0-3", 4, f"{tdir}/half0", "a"),
                       ("4-7", 4, f"{tdir}/half1", "b")],
         "solo8_full": [("0-7", 8, f"{tdir}/full", "solo8")],
+        # the north rule's literal shape: N executors vs 4N executors
+        # (N=1): one 2-core worker on a quarter vs four 2-core workers
+        # on all four quarters concurrently
+        "solo2_quarter": [("0-1", 2, f"{tdir}/quarter0", "solo2")],
+        "split_4x2": [("0-1", 2, f"{tdir}/quarter0", "q0"),
+                      ("2-3", 2, f"{tdir}/quarter1", "q1"),
+                      ("4-5", 2, f"{tdir}/quarter2", "q2"),
+                      ("6-7", 2, f"{tdir}/quarter3", "q3")],
     }
     for name, specs in grids.items():
         runs[name] = _run_group(specs)
@@ -184,22 +198,33 @@ def main() -> None:
 
     out: dict = {"n_conv": N_CONV, "reps": REPS, "runs": runs,
                  "efficiency": {}}
+
+    def _agg(group: str, st: str) -> float:
+        rs = runs[group]
+        return sum(r["n_points"] for r in rs) / max(r[f"{st}_s"]
+                                                    for r in rs)
+
     for st in STAGES:
         solo4 = runs["solo4_half"][0]
         tp_solo4 = solo4["n_points"] / solo4[f"{st}_s"]
-        split = runs["split_2x4"]
-        total_pts = sum(r["n_points"] for r in split)
-        # aggregate throughput while both executors are busy: the
-        # barrier aligns starts; use the slower child's wall time
-        tp_split = total_pts / max(r[f"{st}_s"] for r in split)
+        # aggregate throughput while all executors are busy: the
+        # barrier aligns starts; bill to the slowest child's wall time
+        tp_split = _agg("split_2x4", st)
         solo8 = runs["solo8_full"][0]
         tp_solo8 = solo8["n_points"] / solo8[f"{st}_s"]
+        solo2 = runs["solo2_quarter"][0]
+        tp_solo2 = solo2["n_points"] / solo2[f"{st}_s"]
+        tp_4x2 = _agg("split_4x2", st)
         out["efficiency"][st] = {
             "solo4_half_mpts_s": round(tp_solo4 / 1e6, 3),
             "split_2x4_mpts_s": round(tp_split / 1e6, 3),
             "solo8_full_mpts_s": round(tp_solo8 / 1e6, 3),
             "split_vs_2x_solo4": round(tp_split / (2 * tp_solo4), 3),
             "solo8_vs_2x_solo4": round(tp_solo8 / (2 * tp_solo4), 3),
+            "solo2_quarter_mpts_s": round(tp_solo2 / 1e6, 3),
+            "split_4x2_mpts_s": round(tp_4x2 / 1e6, 3),
+            # the north-rule number: 1 executor -> 4 executors
+            "eff_1_to_4_executors": round(tp_4x2 / (4 * tp_solo2), 3),
         }
     print(json.dumps(out))
 
