@@ -5,10 +5,12 @@ formats need nothing beyond byte arithmetic, so their decode paths are
 REAL here (not stubbed): RIFF/WAVE PCM-16 audio and uncompressed
 24-bit BI_RGB BMP images — and PNG, whose only compressor is
 DEFLATE (stdlib zlib), is decoded for real too (8-bit grey/RGB/RGBA,
-non-interlaced, all five row filters). JPEG/MP4 stay honestly stubbed
-in multimodal.py — wiring a real library on a real
-cluster swaps only the per-format branch, the Spark plumbing is
-identical.
+non-interlaced, all five row filters). Baseline JPEG joined in r5:
+huffman + 8x8 DCT are numpy-sized problems, so encode AND decode are
+real below (SOF0, 4:4:4/4:2:0/4:2:2, restart markers; progressive /
+arithmetic / 12-bit raise). Only MP4 remains honestly stubbed in
+multimodal.py — video needs real codecs; wiring a library on a real
+cluster swaps only that branch, the Spark plumbing is identical.
 
 Also defines GSV1, a minimal documented frame container (magic +
 frame interval + length-prefixed BMP frames) so video frame-sampling
@@ -159,6 +161,8 @@ def image_features(payload: bytes) -> dict:
     """
     if payload[:8] == _PNG_MAGIC:
         px = _to_rgb(png_decode(payload)).astype(np.int64)
+    elif payload[:2] == b"\xff\xd8":
+        px = _to_rgb(jpeg_decode(payload)).astype(np.int64)
     else:
         px = bmp_decode(payload).astype(np.int64)
     h, w, _ = px.shape
@@ -356,3 +360,491 @@ def _to_rgb(px: np.ndarray) -> np.ndarray:
     if px.shape[2] == 1:
         return np.repeat(px, 3, axis=2)
     return px[:, :, :3]
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF) — pure numpy + byte arithmetic, no libraries
+# ---------------------------------------------------------------------------
+# Real baseline-DCT JPEG, the r5 re-litigation of the "JPEG needs
+# media libs" stub (the same move PNG made in r4 when zlib turned out
+# to be stdlib): huffman coding and the 8x8 DCT need nothing beyond
+# numpy. Scope, honestly stated: baseline sequential (SOF0), 8-bit,
+# grayscale or YCbCr at 4:4:4 / 4:2:0 / 4:2:2, restart markers
+# supported; progressive (SOF2), arithmetic coding, 12-bit and
+# hierarchical modes raise NotImplementedError. The encoder emits its
+# OWN canonical huffman tables in DHT (fixed-length canonical codes
+# over the symbols actually used — every JPEG carries its tables, so
+# any valid table interoperates) and the Annex-K quantization tables
+# scaled by libjpeg's quality convention. Entropy decode is an
+# inherent bit-serial loop (Python-slow per coefficient, like PNG's
+# Paeth recurrence); DCT/IDCT/color are batched numpy.
+
+_JPEG_QL = np.array([  # Annex K table K.1 (luminance)
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+_JPEG_QC = np.array([  # Annex K table K.2 (chrominance)
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int64)
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry zigzag permutation, generated (not memorized):
+    index i in the stream maps to flat position zz[i] in the block."""
+    order = sorted(((x + y, (y if (x + y) % 2 == 0 else x), x, y)
+                    for y in range(8) for x in range(8)))
+    return np.array([y * 8 + x for _, _, x, y in order], dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+
+def _dct_mat() -> np.ndarray:
+    k = np.arange(8)
+    A = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    A *= np.sqrt(2.0 / 8.0)
+    A[0] *= np.sqrt(0.5)
+    return A
+
+
+_DCT_A = _dct_mat()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)          # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)          # pad with 1s
+        return bytes(self.out)
+
+    def restart(self, i: int) -> None:
+        """Byte-align and emit RSTn (raw, not subject to stuffing)."""
+        if self.n:
+            self.put(0x7F, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (i % 8)])
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.restart_hit = False
+
+    def _fill(self) -> None:
+        if self.pos < len(self.d) and self.d[self.pos] == 0xFF:
+            nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) \
+                else 0xD9
+            if nxt == 0x00:                     # stuffed data 0xFF
+                self.pos += 2
+                b = 0xFF
+            elif 0xD0 <= nxt <= 0xD7:           # RSTn: flag, add NO bits
+                self.pos += 2
+                self.acc = 0
+                self.n = 0
+                self.restart_hit = True
+                return
+            else:                               # EOI/marker: pad with 1s
+                b = 0xFF                        # (position not advanced)
+        elif self.pos < len(self.d):
+            b = self.d[self.pos]
+            self.pos += 1
+        else:
+            b = 0xFF                            # truncated stream: pad
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, nbits: int) -> int:
+        while self.n < nbits:
+            self._fill()
+        v = (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
+        self.n -= nbits
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume pad bits up to the RSTn marker; never reads past
+        it — the first post-marker bit stays for the next MCU."""
+        while not self.restart_hit:
+            if self.n:
+                self.bits(1)
+            else:
+                self._fill()
+        self.restart_hit = False
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, value bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _canonical_table(symbols: set) -> tuple[list, list, dict]:
+    """Fixed-length canonical huffman over the used symbols:
+    (bits[16], symbol list, {symbol: (code, length)}). n <= 2^L - 1
+    keeps the all-ones code unused, as JPEG convention requires."""
+    syms = sorted(symbols) or [0]
+    L = max(1, (len(syms) + 1 - 1).bit_length())
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    enc = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, syms, enc
+
+
+def _block_symbols(coeffs: np.ndarray, dc_prev: int) -> tuple:
+    """Symbols+bits for one quantized zigzag block: returns
+    (dc_symbol, dc_bits, [(ac_symbol, ac_bits), ...], new_dc)."""
+    dc = int(coeffs[0])
+    s, bits = _magnitude(dc - dc_prev)
+    acs = []
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(coeffs[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for i in range(1, 64):
+        v = int(coeffs[i])
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            acs.append((0xF0, (0, 0)))          # ZRL
+            run -= 16
+        vs, vb = _magnitude(v)
+        acs.append(((run << 4) | vs, (vs, vb)))
+        run = 0
+    if last_nz < 63:
+        acs.append((0x00, (0, 0)))              # EOB
+    return s, bits, acs, dc
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90,
+                subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w) grey or (h, w, 3) RGB uint8 as baseline JFIF.
+
+    ``subsample``: '444' (no chroma subsampling), '420' (2x2) or
+    '422' (2x1). Quant = Annex-K tables under the libjpeg quality
+    convention; huffman = per-image fixed-length canonical tables
+    declared in DHT (two passes: collect symbols, then emit)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    grey = px.ndim == 2
+    h, w = px.shape[:2]
+    q = 5000 // max(1, min(100, quality)) if quality < 50 \
+        else 200 - 2 * min(100, quality)
+    QL = np.clip((_JPEG_QL * q + 50) // 100, 1, 255)
+    QC = np.clip((_JPEG_QC * q + 50) // 100, 1, 255)
+
+    if grey:
+        planes = [px.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        quant = [QL]
+    else:
+        rgb = px.astype(np.float64)
+        R, G, B = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        hs, vs_ = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[subsample]
+
+        def ds(p, fx, fy):
+            if fx == 1 and fy == 1:
+                return p
+            ph = -(-p.shape[0] // fy) * fy
+            pw = -(-p.shape[1] // fx) * fx
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            return pp.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+        planes = [Y - 128.0, ds(Cb, hs, vs_) - 128.0,
+                  ds(Cr, hs, vs_) - 128.0]
+        samp = [(hs, vs_), (1, 1), (1, 1)]
+        quant = [QL, QC, QC]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component: pad plane to the MCU grid, batch-DCT, quantize
+    comp_zz = []
+    for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+        pw, ph = mcux * 8 * sh, mcuy * 8 * sv
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                    mode="edge")
+        blocks = (pp.reshape(ph // 8, 8, pw // 8, 8)
+                  .transpose(0, 2, 1, 3))       # (by, bx, 8, 8)
+        co = np.einsum("ux,yvxw,zw->yvuz", _DCT_A, blocks, _DCT_A)
+        qz = np.round(co / quant[ci][None, None]).astype(np.int64)
+        comp_zz.append(qz.reshape(ph // 8, pw // 8, 64)[:, :, _ZZ])
+
+    dri = restart_interval
+
+    def mcu_blocks():
+        for mi in range(mcuy * mcux):
+            my, mx = divmod(mi, mcux)
+            for ci, (sh, sv) in enumerate(samp):
+                for v in range(sv):
+                    for u in range(sh):
+                        yield mi, ci, comp_zz[ci][my * sv + v,
+                                                  mx * sh + u]
+
+    # pass 1: symbol sets per table class (0 = luma, 1 = chroma)
+    dc_syms = [set(), set()]
+    ac_syms = [set(), set()]
+    dc_prev = [0] * len(planes)
+    last_mi = 0
+    for mi, ci, zz in mcu_blocks():
+        if dri and mi != last_mi and mi % dri == 0:
+            dc_prev = [0] * len(planes)
+        last_mi = mi
+        cls = 0 if ci == 0 else 1
+        s, _, acs, dc_prev[ci] = _block_symbols(zz, dc_prev[ci])
+        dc_syms[cls].add(s)
+        ac_syms[cls].update(sym for sym, _ in acs)
+    ncls = 1 if grey else 2
+    dc_tabs = [_canonical_table(dc_syms[c]) for c in range(ncls)]
+    ac_tabs = [_canonical_table(ac_syms[c]) for c in range(ncls)]
+
+    # pass 2: entropy-coded data (RSTn every `dri` MCUs when set)
+    bw = _BitWriter()
+    dc_prev = [0] * len(planes)
+    last_mi = 0
+    for mi, ci, zz in mcu_blocks():
+        if dri and mi != last_mi and mi % dri == 0:
+            bw.restart(mi // dri - 1)
+            dc_prev = [0] * len(planes)
+        last_mi = mi
+        cls = 0 if ci == 0 else 1
+        s, bits, acs, dc_prev[ci] = _block_symbols(zz, dc_prev[ci])
+        code, ln = dc_tabs[cls][2][s]
+        bw.put(code, ln)
+        bw.put(bits, s)
+        for sym, (vs, vb) in acs:
+            code, ln = ac_tabs[cls][2][sym]
+            bw.put(code, ln)
+            bw.put(vb, vs)
+    entropy = bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(QL.reshape(-1)[_ZZ]
+                                           .astype(np.uint8)))
+    if not grey:
+        out += seg(0xDB, bytes([0x01]) + bytes(QC.reshape(-1)[_ZZ]
+                                               .astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for cls in range(ncls):
+        for is_ac, tabs in ((0, dc_tabs), (1, ac_tabs)):
+            bits, syms, _ = tabs[cls]
+            out += seg(0xC4, bytes([(is_ac << 4) | cls]) + bytes(bits)
+                       + bytes(syms))
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Decode baseline JFIF to (h, w, c) uint8, c = 1 (grey) or 3
+    (RGB). Reads DQT/DHT/SOF0/SOS/DRI from the stream (any valid
+    tables, not just ours); handles 4:4:4/4:2:0/4:2:2 and restart
+    markers; rejects progressive/arithmetic/12-bit explicitly."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    comps = []           # (id, sh, sv, tq)
+    h = w = 0
+    dri = 0
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2:pos + ln]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZZ] = np.frombuffer(body, np.uint8, 64, off + 1)
+                qt[tq] = tab.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1:off + 17])
+                syms = body[off + 17:off + 17 + sum(bits)]
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + sum(bits)
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append([cid, hv >> 4, hv & 15, tq])
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
+                "(SOF0) is supported")
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i:3 + 2 * i]
+                scan.append((cid, tt >> 4, tt & 15))
+            pos += ln
+            break
+        pos += ln
+    if scan is None or not comps:
+        raise ValueError("truncated JPEG: no SOS/SOF")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    br = _BitReader(payload, pos)
+    order = []
+    for cid, td, ta in scan:
+        ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+        order.append((ci, td, ta))
+    coeffs = [np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64)
+              for c in comps]
+    dc_prev = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_i and mcu_i % dri == 0:
+                br.sync_restart()
+                dc_prev = [0] * len(comps)
+            mcu_i += 1
+            for ci, td, ta in order:
+                _, sh, sv, _ = comps[ci]
+                for v in range(sv):
+                    for u in range(sh):
+                        blk = coeffs[ci][my * sv + v, mx * sh + u]
+                        s = br.huff(huff[(0, td)])
+                        dc_prev[ci] += _extend(br.bits(s), s)
+                        blk[0] = dc_prev[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(huff[(1, ta)])
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break           # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            blk[k] = _extend(br.bits(size), size)
+                            k += 1
+
+    planes = []
+    for ci, (cid, sh, sv, tq) in enumerate(comps):
+        zz = coeffs[ci]
+        deq = np.zeros((zz.shape[0], zz.shape[1], 64))
+        deq[:, :, _ZZ] = zz * qt[tq].reshape(-1)[_ZZ][None, None]
+        blocks = deq.reshape(zz.shape[0], zz.shape[1], 8, 8)
+        px = np.einsum("ux,yvuz,zw->yvxw", _DCT_A, blocks, _DCT_A)
+        plane = (px.transpose(0, 2, 1, 3)
+                 .reshape(zz.shape[0] * 8, zz.shape[1] * 8)) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // sv, 0), hmax // sh, 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        Y, Cb, Cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        out = np.stack([Y + 1.402 * Cr,
+                        Y - 0.344136 * Cb - 0.714136 * Cr,
+                        Y + 1.772 * Cb], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

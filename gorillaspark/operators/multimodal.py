@@ -7,9 +7,10 @@ decoding is REAL for the library-free formats — PCM WAV audio,
 uncompressed 24-bit BMP images, and the GSV1 frame container (see
 media_codecs.py) — via ``decoder='native'`` and the typed operators
 :func:`audio_stats` / :func:`image_stats` / :func:`video_frame_stats`.
-JPEG/MP4 stay honestly stubbed — the sandbox
-ships no image/audio libs — behind ``decoder=`` hooks that raise
-``NotImplementedError``. Swapping in PIL/torchaudio on a real cluster
+media_codecs.py grew a real baseline JPEG codec in r5, so only
+MP4/compressed video stays honestly stubbed — the sandbox ships no
+video codecs — behind ``decoder=`` hooks that raise
+``NotImplementedError``. Swapping in ffmpeg/torchaudio on a real cluster
 changes only the per-format branch: batch shapes, schemas and
 partitioning are already exercised end-to-end.
 """
@@ -101,7 +102,8 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
                    a["peak"] / 32768.0,
                    a["zero_crossings"] / n]
     elif (payload[:2] == b"BM" or payload[:4] == b"GSV1"
-          or payload[:8] == b"\x89PNG\r\n\x1a\n"):
+          or payload[:8] == b"\x89PNG\r\n\x1a\n"
+          or payload[:2] == b"\xff\xd8"):
         frames = 0
         if payload[:4] == b"GSV1":
             frames = sum(1 for _ in mc.gsv1_frames(bytes(payload)))
@@ -115,9 +117,10 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
         out[6] = frames
     else:
         raise NotImplementedError(
-            "payload is not WAV/BMP/PNG/GSV1; JPEG/MP4 need media "
-            "libraries absent from this environment — plug a real "
-            "decoder into this branch on a real cluster")
+            "payload is not WAV/BMP/PNG/JPEG/GSV1; MP4/compressed "
+            "video needs codec libraries absent from this "
+            "environment — plug a real decoder into this branch on "
+            "a real cluster")
     return out
 
 
@@ -125,7 +128,7 @@ def extract_features(media: DataFrame, decoder: str = "stub",
                      dim: int = 8) -> DataFrame:
     """Batched feature extraction over the binary column.
 
-    ``decoder='native'`` really decodes WAV/BMP/PNG/GSV1 payloads
+    ``decoder='native'`` really decodes WAV/BMP/PNG/JPEG/GSV1 payloads
     (media_codecs.py — no external libs needed); ``decoder='stub'``
     raises NotImplementedError (compressed formats need media libs
     absent from this container); ``decoder='fake'`` uses the
@@ -144,10 +147,11 @@ def extract_features(media: DataFrame, decoder: str = "stub",
                     feats.append(_native_feature(bytes(payload), dim))
                 else:
                     raise NotImplementedError(
-                        "media decoding requires image/audio libraries not "
-                        "present in this environment; use decoder='native' "
-                        "for WAV/BMP/PNG/GSV1, decoder='fake' for plumbing "
-                        "tests, or plug a real decoder here")
+                        "media decoding requires video codec libraries "
+                        "not present in this environment; use "
+                        "decoder='native' for WAV/BMP/PNG/JPEG/GSV1, "
+                        "decoder='fake' for plumbing tests, or plug a "
+                        "real decoder here")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

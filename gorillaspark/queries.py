@@ -1830,6 +1830,78 @@ def q_media_png_stats(spark, sf_dir):
                      "sum_r", "sum_g", "sum_b", "ahash")
 
 
+def _synth_jpeg_udf():
+    """Per-doc block-constant grayscale, baseline-JPEG-encoded. The
+    family is chosen so the lossy codec is EXACT on it: every 8x8
+    block is constant, so only the DC coefficient is nonzero, and at
+    quality 95 the luma quant step (2) divides (v-128)*8 for every v
+    — DC reconstructs exactly, chroma doesn't exist (grayscale), and
+    decode returns the source bytes (pinned over 300 ids in
+    tests/test_training_ops.py). That is what lets a DuckDB oracle
+    predict the decoded statistics of a real huffman+IDCT decode
+    analytically."""
+    from .operators import media_codecs as mc
+
+    @pandas_udf("binary")
+    def to_jpeg(ids: pd.Series) -> pd.Series:
+        yy, xx = np.mgrid[0:16, 0:32]
+        bi = (yy // 8) * 4 + (xx // 8)
+
+        def one(d):
+            v = ((d * 31 + bi * 17) % 256).astype(np.uint8)
+            return mc.jpeg_encode(v, quality=95)
+
+        return ids.map(one)
+
+    return to_jpeg
+
+
+def q_media_jpeg_stats(spark, sf_dir):
+    """Real baseline-JPEG decode (huffman + IDCT, media_codecs.py r5)
+    value-checked end to end: block-constant grayscale JPEGs decode
+    exactly (see _synth_jpeg_udf), so the analytic pixel-formula
+    oracle must match the decoded stats bit for bit."""
+    from .operators.multimodal import image_stats
+    docs = _docs(spark, sf_dir)
+    jpg = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_jpeg_udf()(F.col("doc_id")).alias("payload"))
+    st = image_stats(jpg)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("width").cast("long").alias("width"),
+                     F.col("height").cast("long").alias("height"),
+                     "sum_r", "sum_g", "sum_b", "ahash")
+
+
+_MEDIA_JPEG_SQL = """
+    WITH px AS (
+      SELECT d.doc_id, x.x, y.y,
+             (d.doc_id*31 + ((y.y // 8) * 4 + (x.x // 8)) * 17) % 256 AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) y
+    ),
+    lum AS (SELECT doc_id, v, 1000*v AS l,
+                   (y // 2) * 8 + (x // 4) AS bit FROM px),
+    blocks AS (SELECT doc_id, bit, sum(l) AS bsum, count(*) AS area
+               FROM lum GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY 1),
+    ah AS (SELECT b.doc_id,
+                  sum(CASE WHEN b.bsum * 512 > t.total * b.area
+                           THEN (1::HUGEINT << CAST(b.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1),
+    sums AS (SELECT doc_id, sum(v) AS s FROM px GROUP BY 1)
+    SELECT s.doc_id, CAST(32 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(s.s AS BIGINT) AS sum_r, CAST(s.s AS BIGINT) AS sum_g,
+           CAST(s.s AS BIGINT) AS sum_b,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM sums s JOIN ah USING (doc_id)
+"""
+
+
 def q_media_image_stats(spark, sf_dir):
     from .operators.multimodal import image_stats
     docs = _docs(spark, sf_dir)
@@ -1938,12 +2010,14 @@ QUERIES.update({
     "media_audio_stats": q_media_audio_stats,
     "media_image_stats": q_media_image_stats,
     "media_png_stats": q_media_png_stats,
+    "media_jpeg_stats": q_media_jpeg_stats,
     "media_frame_ahash": q_media_frame_ahash,
 })
 ORACLES.update({
     "media_audio_stats": _MEDIA_AUDIO_SQL,
     "media_image_stats": _MEDIA_IMAGE_SQL,
     "media_png_stats": _MEDIA_IMAGE_SQL,   # same pixels, PNG-encoded
+    "media_jpeg_stats": _MEDIA_JPEG_SQL,  # exact-by-construction JPEG
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
 })
 
@@ -2165,6 +2239,10 @@ _EXTRA_NAMES = [
                                #       FNV signature machinery; slot
                                #       freed for the NEW streaming
                                #       sketch driver query)
+    "media_jpeg_stats",        # NEW r5 (real baseline JPEG codec):
+                               #       pytest-oracled in EXTRA this
+                               #       round, window already full —
+                               #       rotate in next round
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}

@@ -543,3 +543,91 @@ def test_png_through_spark_native_path(spark):
     for i in range(6):
         assert list(out.loc[i, "feature"]) == \
             list(out.loc[100 + i, "feature"]), i
+
+
+def test_jpeg_roundtrip_quality_and_modes():
+    """Real baseline JPEG codec (r5: huffman + 8x8 DCT are numpy-sized
+    problems — the same stub re-litigation PNG got in r4): encode and
+    decode with no libraries. PSNR bounds are physics, not hope:
+    smooth content survives 4:2:0; random chroma does not (and the
+    test pins that honestly rather than avoiding it)."""
+    from gorillaspark.operators import media_codecs as mc
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    smooth = np.stack([(yy * 2 + 10) % 256, (xx * 3) % 256,
+                       ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+    for sub, bound in [("444", 50), ("422", 45), ("420", 44)]:
+        dec = mc.jpeg_decode(mc.jpeg_encode(smooth, 95, sub))
+        assert dec.shape == smooth.shape
+        assert psnr(smooth, dec) >= bound, (sub, psnr(smooth, dec))
+    # grayscale ramp: quantization-exact at q95
+    grey = (yy * 4 % 256).astype(np.uint8)
+    dg = mc.jpeg_decode(mc.jpeg_encode(grey, 95))
+    assert dg.shape == (48, 64, 1)
+    assert psnr(grey[:, :, None], dg) >= 60
+    # full-entropy noise: 4:4:4 keeps it, 4:2:0 must NOT (chroma
+    # decimation is lossy by design on incompressible chroma)
+    noise = np.random.default_rng(4).integers(
+        0, 256, (24, 32, 3)).astype(np.uint8)
+    p444 = psnr(noise, mc.jpeg_decode(mc.jpeg_encode(noise, 95, "444")))
+    p420 = psnr(noise, mc.jpeg_decode(mc.jpeg_encode(noise, 95, "420")))
+    assert p444 >= 30 and p420 < 20, (p444, p420)
+    # odd, non-multiple-of-MCU sizes survive edge padding + crop
+    for shape in [(7, 5, 3), (17, 9, 3), (9, 17)]:
+        img = np.random.default_rng(1).integers(
+            0, 256, shape).astype(np.uint8)
+        d = mc.jpeg_decode(mc.jpeg_encode(img, 97))
+        assert d.shape[:2] == shape[:2]
+
+
+def test_jpeg_restart_markers_and_rejection():
+    from gorillaspark.operators import media_codecs as mc
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(yy * 2) % 256, (xx * 3) % 256,
+                    ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+    base = mc.jpeg_decode(mc.jpeg_encode(img, 95, "420"))
+    for dri in (1, 3):
+        enc = mc.jpeg_encode(img, 95, "420", restart_interval=dri)
+        assert b"\xff\xdd" in enc              # DRI segment present
+        # decode across RSTn boundaries is bit-identical to no-DRI
+        assert np.array_equal(mc.jpeg_decode(enc), base)
+    # progressive (SOF2) rejected explicitly, not mis-decoded
+    enc = bytearray(mc.jpeg_encode(img, 95))
+    enc[enc.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        mc.jpeg_decode(bytes(enc))
+
+
+def test_jpeg_feeds_image_features_and_native_feature():
+    """JPEG payloads flow through the same feature path as BMP/PNG."""
+    from gorillaspark.operators import media_codecs as mc
+    from gorillaspark.operators.multimodal import _native_feature
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = np.stack([(yy * 5) % 256, (xx * 5) % 256,
+                    ((xx * yy) // 4) % 256], -1).astype(np.uint8)
+    payload = mc.jpeg_encode(img, 92)
+    f = mc.image_features(payload)
+    assert (f["width"], f["height"]) == (40, 32)
+    dec = mc.jpeg_decode(payload).astype(np.int64)
+    assert f["sum_r"] == int(dec[:, :, 0].sum())
+    feat = _native_feature(payload, 8)
+    assert feat[0] == np.float32(40 / 1e4)
+    assert 0.0 <= feat[2] <= 1.0
+
+
+def test_jpeg_block_constant_family_is_exact():
+    """The media_jpeg_stats oracle's validity rests on this: the
+    block-constant grayscale family round-trips the lossy codec
+    EXACTLY (DC-only blocks; q95 luma quant step 2 divides (v-128)*8
+    for every v), for every id shape the driver corpus can produce."""
+    from gorillaspark.operators import media_codecs as mc
+    yy, xx = np.mgrid[0:16, 0:32]
+    bi = (yy // 8) * 4 + (xx // 8)
+    for d in range(300):
+        img = ((d * 31 + bi * 17) % 256).astype(np.uint8)
+        dec = mc.jpeg_decode(mc.jpeg_encode(img, quality=95))[:, :, 0]
+        assert np.array_equal(dec, img), d
