@@ -236,12 +236,14 @@ def gsv1_sample_frames(payload: bytes, every_ms: int):
 # PNG (8-bit greyscale / RGB / RGBA, non-interlaced)
 # ---------------------------------------------------------------------------
 #
-# "Compressed formats need libraries absent from this sandbox" is true
-# for JPEG/MP4 (DCT/entropy coders) but NOT for PNG: its only
-# compressor is DEFLATE, and zlib is in the Python standard library.
-# The rest of the format is chunk framing (CRC32 = zlib.crc32) and the
-# five per-row byte-prediction filters — plain numpy. So PNG decode is
-# REAL here; only JPEG/MP4 remain honestly stubbed.
+# "Compressed formats need libraries absent from this sandbox" kept
+# shrinking as the stubs were re-litigated: PNG's only compressor is
+# DEFLATE (stdlib zlib) — decoded for real since r4; baseline JPEG's
+# huffman + 8x8 DCT are numpy-sized — real codec since r5 (below);
+# and MP4 is a CONTAINER — the ISO-BMFF mux/demux below is pure byte
+# arithmetic, with Motion-JPEG samples decoding for real through the
+# JPEG codec. Only compressed video bitstreams (H.264/HEVC) remain
+# honestly stubbed.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -848,3 +850,202 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                         Y - 0.344136 * Cb - 0.714136 * Cr,
                         Y + 1.772 * Cb], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO base media file format) — real mux/demux, pure bytes
+# ---------------------------------------------------------------------------
+# The container is byte arithmetic: length-prefixed boxes, a sample
+# table (stsd/stts/stsc/stsz/stco) and an mdat blob. With 'jpeg'
+# (Motion-JPEG, a real QuickTime/MP4 sample format) entries the frame
+# DECODE path is real too, via jpeg_decode above. Compressed video
+# sample formats (avc1/hev1/...) demux fine but their frame decode
+# raises — bitstream codecs genuinely need libraries.
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def mp4_mux(frames: list, frame_ms: int = 500, fourcc: bytes = b"jpeg",
+            width: int = 0, height: int = 0) -> bytes:
+    """Mux video sample payloads into a minimal valid MP4: ftyp +
+    mdat + moov with a one-trak sample table (1000-tick timescale,
+    constant ``frame_ms`` per sample, one chunk). ``fourcc='jpeg'``
+    (Motion-JPEG) makes every sample independently decodable by
+    :func:`jpeg_decode`."""
+    n = len(frames)
+    dur = n * frame_ms
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isomiso2mp41")
+    mdat_off = len(ftyp) + 8
+    mdat = _box(b"mdat", b"".join(frames))
+
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, 1000, dur) + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                    0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(
+        ">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, dur)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"gorillaspark\x00")
+    # VisualSampleEntry: 86-byte body per ISO 14496-12 §12.1.3
+    entry = _box(fourcc, b"\x00" * 6 + struct.pack(">H", 1)
+                 + b"\x00" * 16
+                 + struct.pack(">HH", width, height)
+                 + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+                 + b"\x00" * 32
+                 + struct.pack(">Hh", 24, -1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_ms))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, mdat_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1)
+                               + _full(b"url ", 0, 1, b"")))
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        body_off = pos + 8
+        if size == 1:                            # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body_off = pos + 16
+        elif size == 0:                          # to end of enclosing
+            size = end - pos
+        yield tag, body_off, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, path: list):
+    """First box matching the tag path; returns (body_off, box_end)."""
+    for tag, off, bend in _walk_boxes(data, start, end):
+        if tag == path[0]:
+            if len(path) == 1:
+                return off, bend
+            return _find_box(data, off, bend, path[1:])
+    raise ValueError(f"MP4 box {b'/'.join(path).decode()} not found")
+
+
+def mp4_demux(payload: bytes) -> dict:
+    """Parse the sample table of the first video trak: returns
+    {fourcc, timescale, width, height, sample_ts (media-ms),
+    samples (list of bytes)}. Handles general stsc chunk runs and
+    both stco offsets; full-box versions beyond 0 and co64 raise."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    moov, moov_end = _find_box(payload, 0, len(payload), [b"moov"])
+    video = None
+    for tag, off, bend in _walk_boxes(payload, moov, moov_end):
+        if tag != b"trak":
+            continue
+        h_off, h_end = _find_box(payload, off, bend,
+                                 [b"mdia", b"hdlr"])
+        if payload[h_off + 8:h_off + 12] == b"vide":
+            video = (off, bend)
+            break
+    if video is None:
+        raise ValueError("no video trak")
+    toff, tend = video
+    md_off, _ = _find_box(payload, toff, tend, [b"mdia", b"mdhd"])
+    if payload[md_off]:
+        raise NotImplementedError("mdhd version 1 unsupported")
+    (timescale,) = struct.unpack_from(">I", payload, md_off + 12)
+    sb, sb_end = _find_box(payload, toff, tend,
+                           [b"mdia", b"minf", b"stbl"])
+    boxes = {tag: (off, bend)
+             for tag, off, bend in _walk_boxes(payload, sb, sb_end)}
+    if b"co64" in boxes:
+        raise NotImplementedError("co64 (64-bit offsets) unsupported")
+
+    def full(tag):
+        off, bend = boxes[tag]
+        if payload[off]:
+            raise NotImplementedError(f"{tag.decode()} v>0 unsupported")
+        return off + 4, bend
+
+    off, _ = full(b"stsd")
+    fourcc = payload[off + 4 + 4:off + 4 + 8]
+    w, h = struct.unpack_from(">HH", payload, off + 4 + 8 + 24)
+
+    off, _ = full(b"stts")
+    (n_ent,) = struct.unpack_from(">I", payload, off)
+    ts, t = [], 0
+    for i in range(n_ent):
+        cnt, delta = struct.unpack_from(">II", payload, off + 4 + 8 * i)
+        for _ in range(cnt):
+            ts.append(t * 1000 // timescale)
+            t += delta
+    n = len(ts)
+
+    off, _ = full(b"stsz")
+    uniform, cnt = struct.unpack_from(">II", payload, off)
+    sizes = [uniform] * cnt if uniform else list(
+        struct.unpack_from(f">{cnt}I", payload, off + 8))
+
+    off, _ = full(b"stco")
+    (n_chunks,) = struct.unpack_from(">I", payload, off)
+    chunk_offs = list(struct.unpack_from(f">{n_chunks}I", payload,
+                                         off + 4))
+
+    off, send = full(b"stsc")
+    (n_runs,) = struct.unpack_from(">I", payload, off)
+    runs = [struct.unpack_from(">III", payload, off + 4 + 12 * i)
+            for i in range(n_runs)]
+    spc = []                                    # samples per chunk
+    for i, (first, per, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < n_runs else n_chunks
+        spc += [per] * (last - first + 1)
+
+    samples, si = [], 0
+    for ci, coff in enumerate(chunk_offs):
+        pos = coff
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= n:
+                break
+            samples.append(payload[pos:pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    return {"fourcc": fourcc, "timescale": timescale, "width": w,
+            "height": h, "sample_ts": ts, "samples": samples}
+
+
+def mp4_frames(payload: bytes):
+    """Demux an MP4 and yield (frame_index, frame_ts_ms,
+    frame_bytes) — Motion-JPEG samples are directly decodable by
+    :func:`jpeg_decode` / :func:`image_features`; compressed video
+    fourccs raise at decode time, not here."""
+    d = mp4_demux(payload)
+    for i, (ts, s) in enumerate(zip(d["sample_ts"], d["samples"])):
+        yield i, ts, s
+
+
+def mp4_sample_frames(payload: bytes, every_ms: int):
+    """Same boundary-crossing sampling policy as gsv1_sample_frames."""
+    next_ts = 0
+    for i, ts, s in mp4_frames(payload):
+        if ts >= next_ts:
+            yield i, ts, s
+            next_ts = (ts // every_ms + 1) * every_ms

@@ -103,11 +103,16 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
                    a["zero_crossings"] / n]
     elif (payload[:2] == b"BM" or payload[:4] == b"GSV1"
           or payload[:8] == b"\x89PNG\r\n\x1a\n"
-          or payload[:2] == b"\xff\xd8"):
+          or payload[:2] == b"\xff\xd8"
+          or payload[4:8] == b"ftyp"):
         frames = 0
         if payload[:4] == b"GSV1":
             frames = sum(1 for _ in mc.gsv1_frames(bytes(payload)))
             _, _, payload = next(mc.gsv1_frames(bytes(payload)))
+        elif payload[4:8] == b"ftyp":
+            d = mc.mp4_demux(bytes(payload))
+            frames = len(d["samples"])
+            payload = d["samples"][0]
         im = mc.image_features(payload)
         area = max(im["width"] * im["height"], 1)
         out[:6] = [im["width"] / 1e4, im["height"] / 1e4,
@@ -239,9 +244,12 @@ def image_stats(media: DataFrame, id_col: str = "media_id",
 def video_frame_stats(media: DataFrame, every_ms: int = 1000,
                       id_col: str = "media_id",
                       payload_col: str = "payload") -> DataFrame:
-    """REAL GSV1 demux + per-frame BMP decode, sampled every
-    ``every_ms``: one output row per sampled frame (1→N fan-out
-    inside the Arrow batch — the distributed frame-extraction shape).
+    """REAL demux + per-frame decode, sampled every ``every_ms``:
+    one output row per sampled frame (1→N fan-out inside the Arrow
+    batch — the distributed frame-extraction shape). Containers: GSV1
+    (BMP frames) and, from r5, real ISO-BMFF MP4 with Motion-JPEG
+    samples (media_codecs.mp4_demux + jpeg_decode — compressed video
+    fourccs demux but raise at frame decode).
     """
     cols = media.select(F.col(id_col).alias("media_id"),
                         F.col(payload_col).alias("payload"))
@@ -250,8 +258,11 @@ def video_frame_stats(media: DataFrame, every_ms: int = 1000,
         for pdf in batches:
             recs = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                for idx, ts, bmp in mc.gsv1_sample_frames(bytes(p),
-                                                          every_ms):
+                p = bytes(p)
+                sampler = (mc.mp4_sample_frames
+                           if p[4:8] == b"ftyp"
+                           else mc.gsv1_sample_frames)
+                for idx, ts, bmp in sampler(p, every_ms):
                     im = mc.image_features(bmp)
                     recs.append({"media_id": mid, "frame_index": idx,
                                  "frame_ts_ms": ts, "width": im["width"],

@@ -1902,6 +1902,78 @@ _MEDIA_JPEG_SQL = """
 """
 
 
+def _synth_mp4_udf():
+    """Per-doc MP4: a REAL ISO-BMFF container (ftyp/mdat/moov with a
+    full sample table) holding 3 + doc_id%4 Motion-JPEG frames at
+    500 ms — each frame a block-constant grayscale JPEG from the
+    quantization-exact family (_synth_jpeg_udf), so the whole
+    demux→huffman→IDCT chain is analytically value-checkable."""
+    from .operators import media_codecs as mc
+
+    @pandas_udf("binary")
+    def to_mp4(ids: pd.Series) -> pd.Series:
+        yy, xx = np.mgrid[0:16, 0:32]
+        bi = (yy // 8) * 4 + (xx // 8)
+
+        def one(d):
+            frames = [mc.jpeg_encode(
+                ((d * 31 + k * 37 + bi * 17) % 256).astype(np.uint8),
+                quality=95) for k in range(3 + d % 4)]
+            return mc.mp4_mux(frames, frame_ms=500, width=32, height=16)
+
+        return ids.map(one)
+
+    return to_mp4
+
+
+def q_media_mp4_stats(spark, sf_dir):
+    """Real MP4 demux (stsd/stts/stsc/stsz/stco sample-table walk) +
+    real Motion-JPEG frame decode, sampled every 1000 ms of 500 ms
+    frames (⇒ even frame indices), per-frame integer ahash — all
+    value-checked against a pixel-formula DuckDB oracle."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_mp4_udf()(F.col("doc_id")).alias("payload"))
+    st = video_frame_stats(vid, every_ms=1000)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long").alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
+_MEDIA_MP4_SQL = """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, 2 + doc_id % 4)) AS k
+      FROM documents
+    ), sampled AS (SELECT doc_id, k FROM f WHERE k % 2 = 0),
+    px AS (
+      SELECT s.doc_id, s.k, x.x, y.y,
+             (s.doc_id*31 + s.k*37
+              + ((y.y // 8) * 4 + (x.x // 8)) * 17) % 256 AS v
+      FROM sampled s
+      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) y
+    ),
+    lum AS (SELECT doc_id, k, 1000*v AS l,
+                   (y // 2) * 8 + (x // 4) AS bit FROM px),
+    blocks AS (SELECT doc_id, k, bit, sum(l) AS bsum, count(*) AS area
+               FROM lum GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, k, sum(bsum) AS total
+            FROM blocks GROUP BY 1, 2),
+    ah AS (SELECT b.doc_id, b.k,
+                  sum(CASE WHEN b.bsum * 512 > t.total * b.area
+                           THEN (1::HUGEINT << CAST(b.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM blocks b JOIN tot t USING (doc_id, k) GROUP BY 1, 2)
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_index,
+           CAST(k * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM ah
+"""
+
+
 def q_media_image_stats(spark, sf_dir):
     from .operators.multimodal import image_stats
     docs = _docs(spark, sf_dir)
@@ -2011,6 +2083,7 @@ QUERIES.update({
     "media_image_stats": q_media_image_stats,
     "media_png_stats": q_media_png_stats,
     "media_jpeg_stats": q_media_jpeg_stats,
+    "media_mp4_stats": q_media_mp4_stats,
     "media_frame_ahash": q_media_frame_ahash,
 })
 ORACLES.update({
@@ -2018,6 +2091,7 @@ ORACLES.update({
     "media_image_stats": _MEDIA_IMAGE_SQL,
     "media_png_stats": _MEDIA_IMAGE_SQL,   # same pixels, PNG-encoded
     "media_jpeg_stats": _MEDIA_JPEG_SQL,  # exact-by-construction JPEG
+    "media_mp4_stats": _MEDIA_MP4_SQL,  # real demux + exact MJPEG
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
 })
 
@@ -2243,6 +2317,9 @@ _EXTRA_NAMES = [
                                #       pytest-oracled in EXTRA this
                                #       round, window already full —
                                #       rotate in next round
+    "media_mp4_stats",         # NEW r5 (real ISO-BMFF demux + MJPEG
+                               #       decode): pytest-oracled in
+                               #       EXTRA; rotate in next round
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}

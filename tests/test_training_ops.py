@@ -631,3 +631,37 @@ def test_jpeg_block_constant_family_is_exact():
         img = ((d * 31 + bi * 17) % 256).astype(np.uint8)
         dec = mc.jpeg_decode(mc.jpeg_encode(img, quality=95))[:, :, 0]
         assert np.array_equal(dec, img), d
+
+
+def test_mp4_mux_demux_and_mjpeg_frames():
+    """Real ISO-BMFF container: mux → demux returns byte-identical
+    samples with correct timestamps; Motion-JPEG frames decode through
+    the real JPEG codec; multi-run stsc chunk layouts parse; and the
+    video_frame_stats sampler treats MP4 like GSV1."""
+    from gorillaspark.operators import media_codecs as mc
+    yy, xx = np.mgrid[0:16, 0:32]
+    bi = (yy // 8) * 4 + (xx // 8)
+    frames = [mc.jpeg_encode(((k * 37 + bi * 17) % 256).astype(np.uint8),
+                             95) for k in range(5)]
+    m = mc.mp4_mux(frames, frame_ms=500, width=32, height=16)
+    d = mc.mp4_demux(m)
+    assert d["fourcc"] == b"jpeg"
+    assert (d["width"], d["height"]) == (32, 16)
+    assert d["sample_ts"] == [0, 500, 1000, 1500, 2000]
+    assert all(a == b for a, b in zip(d["samples"], frames))
+    # every demuxed frame decodes exactly (block-constant family)
+    for k, s in enumerate(d["samples"]):
+        want = ((k * 37 + bi * 17) % 256).astype(np.uint8)
+        assert np.array_equal(mc.jpeg_decode(s)[:, :, 0], want)
+    # boundary-crossing sampler parity with GSV1 semantics
+    assert [(i, t) for i, t, _ in mc.mp4_sample_frames(m, 1000)] == \
+        [(0, 0), (2, 1000), (4, 2000)]
+    # non-MP4 and compressed-video rejection stay loud
+    with pytest.raises(ValueError):
+        mc.mp4_demux(b"\x00" * 32)
+    nal = [b"\x00\x00\x00\x01\x65" + bytes(40)] * 2   # H.264-ish NALs
+    m_avc = mc.mp4_mux(nal, 500, fourcc=b"avc1", width=32, height=16)
+    d2 = mc.mp4_demux(m_avc)        # container parses fine...
+    assert d2["fourcc"] == b"avc1" and len(d2["samples"]) == 2
+    with pytest.raises(ValueError):  # ...the bitstream decode raises
+        mc.jpeg_decode(d2["samples"][0])
