@@ -91,7 +91,7 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
     NotImplementedError — plug a real library there on a real cluster.
     """
     out = np.zeros(dim, dtype=np.float32)
-    if payload[:4] == b"RIFF":
+    if payload[:4] == b"RIFF" or payload[:4] == b"fLaC":
         a = mc.audio_features(payload)
         n = max(a["n_samples"], 1)
         out[:7] = [a["sample_rate"] / 1e5, a["n_channels"],
@@ -133,7 +133,7 @@ def extract_features(media: DataFrame, decoder: str = "stub",
                      dim: int = 8) -> DataFrame:
     """Batched feature extraction over the binary column.
 
-    ``decoder='native'`` really decodes WAV/BMP/PNG/JPEG/GSV1 payloads
+    ``decoder='native'`` really decodes WAV/FLAC/BMP/PNG/JPEG/GSV1/MP4 payloads
     (media_codecs.py — no external libs needed); ``decoder='stub'``
     raises NotImplementedError (compressed formats need media libs
     absent from this container); ``decoder='fake'`` uses the
@@ -204,7 +204,7 @@ FRAME_STATS_SCHEMA = StructType([
 
 def audio_stats(media: DataFrame, id_col: str = "media_id",
                 payload_col: str = "payload") -> DataFrame:
-    """REAL WAV decode → exact-integer audio statistics per row.
+    """REAL WAV/FLAC decode → exact-integer audio statistics per row.
 
     All outputs are integers (sumsq is the exact sum of squared
     samples), so RMS = sqrt(sumsq/n) derived downstream is

@@ -1747,6 +1747,38 @@ def _synth_wav_udf():
     return to_wav
 
 
+def _synth_flac_udf():
+    """Same samples as _synth_wav_udf, FLAC-encoded: the real
+    rice+fixed-predictor decode is LOSSLESS, so the FLAC query shares
+    the WAV analytic oracle verbatim — a compressed-audio codec
+    value-checked end to end."""
+    from .operators import media_codecs as mc
+
+    @pandas_udf("binary")
+    def to_flac(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: mc.flac_encode(
+            ((np.frombuffer(t.encode(), np.uint8).astype(np.int64) - 100)
+             * 250).astype(np.int16), 16000))
+
+    return to_flac
+
+
+def q_media_flac_stats(spark, sf_dir):
+    """Real FLAC decode (rice coding + fixed predictors + CRC verify,
+    media_codecs.py r5) value-checked: lossless, so the analytic
+    per-character sample oracle of media_audio_stats applies as-is."""
+    from .operators.multimodal import audio_stats
+    docs = _docs(spark, sf_dir)
+    fl = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                     _synth_flac_udf()(F.col("text")).alias("payload"))
+    st = audio_stats(fl)
+    return st.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms",
+        _floor6(F.sqrt(F.col("sumsq") / F.col("n_samples"))).alias("rms"))
+
+
 def q_media_audio_stats(spark, sf_dir):
     from .operators.multimodal import audio_stats
     docs = _docs(spark, sf_dir)
@@ -2084,6 +2116,7 @@ QUERIES.update({
     "media_png_stats": q_media_png_stats,
     "media_jpeg_stats": q_media_jpeg_stats,
     "media_mp4_stats": q_media_mp4_stats,
+    "media_flac_stats": q_media_flac_stats,
     "media_frame_ahash": q_media_frame_ahash,
 })
 ORACLES.update({
@@ -2092,6 +2125,7 @@ ORACLES.update({
     "media_png_stats": _MEDIA_IMAGE_SQL,   # same pixels, PNG-encoded
     "media_jpeg_stats": _MEDIA_JPEG_SQL,  # exact-by-construction JPEG
     "media_mp4_stats": _MEDIA_MP4_SQL,  # real demux + exact MJPEG
+    "media_flac_stats": _MEDIA_AUDIO_SQL,  # lossless: same oracle as WAV
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
 })
 
@@ -2320,6 +2354,9 @@ _EXTRA_NAMES = [
     "media_mp4_stats",         # NEW r5 (real ISO-BMFF demux + MJPEG
                                #       decode): pytest-oracled in
                                #       EXTRA; rotate in next round
+    "media_flac_stats",        # NEW r5 (real FLAC codec, lossless —
+                               #       shares the WAV oracle):
+                               #       pytest-oracled in EXTRA
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
