@@ -60,6 +60,11 @@ _BUDGET_S = {
     "ann_topk_bruteforce": 1.289,
     "ann_topk_lsh": 1.322,
     "embedding_near_dup_lsh": 1.382,
+    # new r5: the real media codecs through the Spark feature path
+    # (per-payload Python decode is the tracked cost; FLAC rice runs
+    # through the C kernel when present, numpy set-bit walk otherwise)
+    "media_decode_jpeg": 4.362,
+    "media_decode_flac": 7.025,
 }
 # 1.5x: wide enough that routine tenant noise (±20-40%) stays quiet,
 # tight enough that a 2x+ structural regression (the r3
@@ -182,6 +187,21 @@ def main() -> None:
           lambda: ivfpq_topk_fixed_codebook(emb, qvecs, k=10).count())
     timed("embedding_near_dup_lsh",
           lambda: embedding_near_dup_pairs(emb, threshold=0.3).count())
+
+    # ---- media decode suite (r5: the real pure-numpy codecs) ---------
+    # distributed decode of per-doc JPEG images + FLAC audio through
+    # the native feature path — tracks the codecs' Spark-side
+    # throughput per round (the per-payload Python decode IS the cost)
+    from gorillaspark.queries import _synth_flac_udf, _synth_jpeg_udf
+    from gorillaspark.operators.multimodal import audio_stats, image_stats
+    media_j = docs.select(F.col("doc_id").alias("media_id"),
+                          _synth_jpeg_udf()(F.col("doc_id"))
+                          .alias("payload"))
+    media_f = docs.select(F.col("doc_id").alias("media_id"),
+                          _synth_flac_udf()(F.col("text"))
+                          .alias("payload"))
+    timed("media_decode_jpeg", lambda: image_stats(media_j).count())
+    timed("media_decode_flac", lambda: audio_stats(media_f).count())
 
     total = round(sum(queries.values()), 3)
     regressions = [

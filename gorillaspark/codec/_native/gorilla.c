@@ -240,3 +240,33 @@ int64_t gs_decode_blocks(const uint64_t *words, const int64_t *wc,
     }
     return total;
 }
+
+/* FLAC rice-partition decode (media_codecs.py): MSB-first bitstream,
+ * cnt codes of parameter k starting at start_bit; zigzag-decoded
+ * residuals into out. Returns the end bit position, or -1 on
+ * truncation. Entropy decode is inherently bit-serial; this keeps the
+ * per-bit cost at C speed (the numpy set-bit walk is the fallback). */
+long long gs_rice_decode(const unsigned char *d, long long nbytes,
+                         long long start_bit, long long cnt, int k,
+                         long long *out) {
+    long long bit = start_bit, nbits = nbytes * 8;
+    for (long long i = 0; i < cnt; i++) {
+        long long q = 0;
+        for (;;) {
+            if (bit >= nbits) return -1;
+            int b = (d[bit >> 3] >> (7 - (bit & 7))) & 1;
+            bit++;
+            if (b) break;
+            q++;
+        }
+        unsigned long long u = (unsigned long long)q << k;
+        for (int j = k - 1; j >= 0; j--) {
+            if (bit >= nbits) return -1;
+            u |= (unsigned long long)((d[bit >> 3] >> (7 - (bit & 7))) & 1)
+                 << j;
+            bit++;
+        }
+        out[i] = (long long)(u >> 1) ^ -(long long)(u & 1);
+    }
+    return bit;
+}

@@ -76,6 +76,11 @@ def _load():
         lib.gs_decode_blocks.restype = ctypes.c_int64
         lib.gs_decode_blocks.argtypes = [U64, I64, ctypes.c_int64, I64,
                                          U64, I64, ctypes.c_int64]
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.gs_rice_decode.restype = ctypes.c_int64
+        lib.gs_rice_decode.argtypes = [U8, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int, I64]
         return lib
     except Exception:
         return None
@@ -165,3 +170,20 @@ def decode_blocks_native(words: np.ndarray, word_counts: np.ndarray,
             return None
         return (out_off.copy(), out_ts[:total].copy(),
                 out_vals[:total].copy())
+
+
+def rice_decode_native(data: bytes, start_bit: int, cnt: int,
+                       k: int):
+    """C fast path for FLAC rice partitions: (int64 residuals,
+    end_bit), or None when the kernel is unavailable / the stream is
+    truncated (caller falls back to the numpy path)."""
+    if NATIVE is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(cnt, dtype=np.int64)
+    end = NATIVE.gs_rice_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data), start_bit, cnt, k, _p64(out))
+    if end < 0:
+        return None
+    return out, int(end)

@@ -1182,6 +1182,118 @@ _FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
                 4: [4, -6, 4, -1]}
 
 
+def _rice_decode_fast(r: _MSBReader, cnt: int, k: int) -> np.ndarray:
+    """Decode ``cnt`` rice(k) codes with a set-bit pointer walk over a
+    numpy-unpacked bit window instead of per-bit reader calls: the
+    only per-code Python is the unary-terminator scan (skipping set
+    bits that belong to previous codes' k-bit suffixes); quotients and
+    suffix values are then computed vectorized. ~3x the naive loop —
+    and when the lazily-built C kernel is present (codec/native.py,
+    same silent-fallback contract as the Gorilla codec) the whole
+    partition decodes at C speed instead."""
+    start_bit = r.pos * 8 - r.n
+    try:
+        from ..codec.native import rice_decode_native
+        fast = rice_decode_native(r.d, start_bit, cnt, k)
+    except Exception:
+        fast = None
+    if fast is not None:
+        vals, end_bit = fast
+        r.pos = end_bit >> 3
+        r.acc = 0
+        r.n = 0
+        rem = end_bit & 7
+        if rem:
+            r.acc = r.d[r.pos] & ((1 << (8 - rem)) - 1)
+            r.n = 8 - rem
+            r.pos += 1
+        return vals
+    w0 = start_bit // 8
+    need = w0 + ((cnt * (k + 34)) >> 3) + 64
+    ts = np.empty(cnt, dtype=np.int64)
+    curs = np.empty(cnt, dtype=np.int64)
+    while True:
+        win = np.frombuffer(r.d, dtype=np.uint8,
+                            count=min(need, len(r.d)) - w0, offset=w0)
+        bits = np.unpackbits(win)
+        ones = np.flatnonzero(bits)
+        cur = start_bit - w0 * 8
+        p = int(np.searchsorted(ones, cur))
+        i = 0
+        ok = True
+        n1 = len(ones)
+        olist = ones.tolist()
+        while i < cnt:
+            while p < n1 and olist[p] < cur:
+                p += 1
+            if p >= n1:
+                ok = False
+                break
+            t = olist[p]
+            p += 1
+            curs[i] = cur
+            ts[i] = t
+            cur = t + 1 + k
+            i += 1
+        if ok and cur <= len(bits):
+            break
+        if need >= len(r.d) + w0:
+            raise ValueError("truncated FLAC rice partition")
+        need = need * 2
+    q = ts - curs
+    if k:
+        idx = ts[:, None] + 1 + np.arange(k)
+        pw = 1 << np.arange(k - 1, -1, -1, dtype=np.int64)
+        u = (q << k) | (bits[idx].astype(np.int64) @ pw)
+    else:
+        u = q
+    vals = (u >> 1) ^ -(u & 1)
+    # reposition the bit reader after the partition
+    abs_bit = w0 * 8 + cur
+    r.pos = abs_bit >> 3
+    r.acc = 0
+    r.n = 0
+    rem = abs_bit & 7
+    if rem:
+        r.acc = r.d[r.pos] & ((1 << (8 - rem)) - 1)
+        r.n = 8 - rem
+        r.pos += 1
+    return vals
+
+
+def _rice_encode_fast(fw: _MSBWriter, u: np.ndarray, k: int) -> None:
+    """Vectorized rice(k) encoding of zigzagged values: code bit
+    positions computed in numpy (terminator at start+q, k suffix bits
+    after), packed with np.packbits, appended to the writer in whole
+    bytes — no per-sample Python in the hot path."""
+    q = (u >> k).astype(np.int64)
+    lens = q + 1 + k
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    total = int(starts[-1] + lens[-1]) if len(u) else 0
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[starts + q] = 1
+    if k:
+        idx = (starts + q + 1)[:, None] + np.arange(k)
+        vals = (u[:, None] >> np.arange(k - 1, -1, -1)) & 1
+        bits[idx.reshape(-1)] = vals.reshape(-1).astype(np.uint8)
+    # merge with the writer's partial byte so the whole partition
+    # appends as one bytes() extend instead of per-byte put() calls
+    if fw.n:
+        acc_bits = np.array([(fw.acc >> (fw.n - 1 - i)) & 1
+                             for i in range(fw.n)], dtype=np.uint8)
+        bits = np.concatenate([acc_bits, bits])
+        total += fw.n
+        fw.acc = 0
+        fw.n = 0
+    packed = np.packbits(bits)
+    nfull = total >> 3
+    fw.out += packed[:nfull].tobytes()
+    rem = total & 7
+    if rem:
+        fw.acc = int(packed[nfull]) >> (8 - rem)
+        fw.n = rem
+
+
 def _write_rice_residuals(fw: _MSBWriter, res: np.ndarray, order: int,
                           bs: int, partition_order: int,
                           escape: bool) -> None:
@@ -1202,9 +1314,12 @@ def _write_rice_residuals(fw: _MSBWriter, res: np.ndarray, order: int,
         mean = int(u.mean()) if len(u) else 0
         k = min(max(mean, 1).bit_length() - 1, 14)
         fw.put(k, 4)
-        for vv in u:
-            fw.unary(int(vv) >> k)
-            fw.put(int(vv), k)
+        if len(u) > 64:
+            _rice_encode_fast(fw, u, k)
+        else:
+            for vv in u:
+                fw.unary(int(vv) >> k)
+                fw.put(int(vv), k)
 
 
 def _write_subframe(fw: _MSBWriter, blk: np.ndarray, cbps: int,
@@ -1394,7 +1509,9 @@ def flac_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 
     inter = np.empty(got * n_channels, dtype=np.int64)
     for c in range(n_channels):
-        inter[c::n_channels] = out[c][:got]
+        cat = (np.concatenate(out[c]) if out[c]
+               else np.empty(0, dtype=np.int64))
+        inter[c::n_channels] = cat[:got]
     return sample_rate, n_channels, inter
 
 
@@ -1478,34 +1595,50 @@ def _flac_frame(payload: bytes, pos: int, got: int, bps: int,
                 raise ValueError("reserved residual method")
             pbits = 4 if method == 0 else 5
             po = r.bits(4)
-            res = []
+            parts = []
             for p in range(1 << po):
                 cnt = (bs >> po) - (order if p == 0 else 0)
                 k = r.bits(pbits)
                 if k == (1 << pbits) - 1:    # escape: raw
                     rb = r.bits(5)
-                    res += [r.sbits(rb) if rb else 0
-                            for _ in range(cnt)]
+                    parts.append(np.array(
+                        [r.sbits(rb) if rb else 0 for _ in range(cnt)],
+                        dtype=np.int64))
+                elif cnt > 64:
+                    parts.append(_rice_decode_fast(r, cnt, k))
                 else:
+                    pp = []
                     for _ in range(cnt):
                         q = r.unary()
                         u = (q << k) | r.bits(k)
-                        res.append((u >> 1) ^ -(u & 1))
+                        pp.append((u >> 1) ^ -(u & 1))
+                    parts.append(np.array(pp, dtype=np.int64))
+            res = (np.concatenate(parts) if parts
+                   else np.empty(0, dtype=np.int64))
             blk = np.empty(bs, dtype=np.int64)
             blk[:order] = warm
             if st >= 32:
+                # true recurrence (the shift makes it non-linear in
+                # integer arithmetic) — sequential, LPC only
                 for i in range(order, bs):
                     acc = 0
                     for j in range(order):
                         acc += qlp[j] * blk[i - 1 - j]
                     blk[i] = res[i - order] + (acc >> shift)
+            elif order == 0:
+                blk[:] = res
             else:
-                co = _FIXED_COEFS[order]
-                for i in range(order, bs):
-                    acc = 0
-                    for j, cf in enumerate(co):
-                        acc += cf * blk[i - 1 - j]
-                    blk[i] = res[i - order] + acc
+                # FIXED order o == o-fold integration: reconstruct by
+                # repeated cumsum seeded with the warm-up samples'
+                # difference chain — no per-sample Python
+                warm_a = np.asarray(warm, dtype=np.int64)
+                diffs = [warm_a]
+                for _ in range(order - 1):
+                    diffs.append(np.diff(diffs[-1]))
+                cur = np.asarray(res, dtype=np.int64)
+                for j in range(order, 0, -1):
+                    cur = diffs[j - 1][-1] + np.cumsum(cur)
+                blk[order:] = cur
         else:
             raise ValueError(f"reserved subframe type {st}")
         chans.append(blk << wasted)
@@ -1527,5 +1660,5 @@ def _flac_frame(payload: bytes, pos: int, got: int, bps: int,
     if crc16 != _crc16(payload[fstart:fend]):
         raise ValueError("FLAC frame CRC-16 mismatch")
     for c in range(len(chans)):
-        out[c] += list(chans[c])
+        out[c].append(np.asarray(chans[c], dtype=np.int64))
     return fend + 2, got + bs
