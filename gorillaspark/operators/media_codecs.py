@@ -49,6 +49,30 @@ def wav_encode(samples: np.ndarray, sample_rate: int = 16000,
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
 
 
+def _loud_corruption(fn):
+    """Public-decoder wrapper: truncated/corrupt payloads surface as
+    ValueError (the ingestion contract), never as the internal
+    IndexError/KeyError/struct.error/zlib.error a malformed buffer
+    happens to trip first — at 100 TB these parsers read untrusted
+    bytes and an executor task must fail with the real story."""
+    import functools
+    import zlib as _zlib
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (ValueError, NotImplementedError):
+            raise
+        except (IndexError, KeyError, struct.error,
+                _zlib.error, OverflowError) as e:
+            raise ValueError(
+                f"corrupt or truncated payload in {fn.__name__}: "
+                f"{type(e).__name__}: {e}") from e
+    return wrapped
+
+
+@_loud_corruption
 def wav_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a PCM-16 WAV: (sample_rate, n_channels, int16 samples).
 
@@ -127,6 +151,7 @@ def bmp_encode(pixels: np.ndarray) -> bytes:
     return file_hdr + info_hdr + data
 
 
+@_loud_corruption
 def bmp_decode(payload: bytes) -> np.ndarray:
     """Decode a 24-bit BI_RGB BMP into an (h, w, 3) uint8 RGB array.
 
@@ -215,6 +240,7 @@ def gsv1_encode(frames: list[np.ndarray], frame_interval_ms: int) -> bytes:
     return b"".join(out)
 
 
+@_loud_corruption
 def gsv1_frames(payload: bytes):
     """Demux GSV1: yields (frame_index, frame_ts_ms, bmp_bytes)."""
     if payload[:4] != _GSV1_MAGIC:
@@ -326,6 +352,7 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+@_loud_corruption
 def png_decode(payload: bytes) -> np.ndarray:
     """Decode a non-interlaced 8-bit grey/RGB/RGBA PNG to an
     (h, w, c) uint8 array (c = 1, 3 or 4). Walks the chunk list,
@@ -356,8 +383,16 @@ def png_decode(payload: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     c = {0: 1, 2: 3, 6: 4}[color_type]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (1 + w * c):
+    expected = h * (1 + w * c)
+    # DEFLATE tops out near 1032:1; IHDR dimensions implying more
+    # output than the payload could carry are corruption (or a
+    # decompression bomb), not data — refuse before allocating
+    if expected > len(payload) * 1100 + 4096:
+        raise ValueError("implausible PNG dimensions for payload size")
+    z = zlib.decompressobj()
+    raw = np.frombuffer(z.decompress(b"".join(idat), expected + 1),
+                        dtype=np.uint8)
+    if raw.size != expected:
         raise ValueError("PNG row data size mismatch")
     return _png_unfilter(raw, h, w, c)
 
@@ -715,6 +750,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+@_loud_corruption
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Decode baseline JFIF to (h, w, c) uint8, c = 1 (grey) or 3
     (RGB). Reads DQT/DHT/SOF0/SOS/DRI from the stream (any valid
@@ -796,8 +832,16 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("zero sampling factor in JPEG SOF")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # every coded block costs >= 1 bit; SOF dimensions implying more
+    # blocks than the entropy data could hold are corruption — refuse
+    # before allocating the coefficient planes
+    if mcux * mcuy * sum(c[1] * c[2] for c in comps) > \
+            8 * len(payload):
+        raise ValueError("implausible JPEG dimensions for payload size")
     br = _BitReader(payload, pos)
     order = []
     for cid, td, ta in scan:
@@ -954,6 +998,7 @@ def _find_box(data: bytes, start: int, end: int, path: list):
     raise ValueError(f"MP4 box {b'/'.join(path).decode()} not found")
 
 
+@_loud_corruption
 def mp4_demux(payload: bytes) -> dict:
     """Parse the sample table of the first video trak: returns
     {fourcc, timescale, width, height, sample_ts (media-ms),
@@ -995,11 +1040,17 @@ def mp4_demux(payload: bytes) -> dict:
     fourcc = payload[off + 4 + 4:off + 4 + 8]
     w, h = struct.unpack_from(">HH", payload, off + 4 + 8 + 24)
 
+    cap = len(payload)  # a sample needs >= 1 byte: counts beyond the
+    # file size are a corrupt (or malicious) sample table, not data
     off, _ = full(b"stts")
     (n_ent,) = struct.unpack_from(">I", payload, off)
+    if n_ent > cap:
+        raise ValueError("implausible stts entry count")
     ts, t = [], 0
     for i in range(n_ent):
         cnt, delta = struct.unpack_from(">II", payload, off + 4 + 8 * i)
+        if cnt + len(ts) > cap:
+            raise ValueError("implausible stts sample count")
         for _ in range(cnt):
             ts.append(t * 1000 // timescale)
             t += delta
@@ -1007,16 +1058,22 @@ def mp4_demux(payload: bytes) -> dict:
 
     off, _ = full(b"stsz")
     uniform, cnt = struct.unpack_from(">II", payload, off)
+    if cnt > cap:
+        raise ValueError("implausible stsz sample count")
     sizes = [uniform] * cnt if uniform else list(
         struct.unpack_from(f">{cnt}I", payload, off + 8))
 
     off, _ = full(b"stco")
     (n_chunks,) = struct.unpack_from(">I", payload, off)
+    if n_chunks > cap:
+        raise ValueError("implausible stco chunk count")
     chunk_offs = list(struct.unpack_from(f">{n_chunks}I", payload,
                                          off + 4))
 
     off, send = full(b"stsc")
     (n_runs,) = struct.unpack_from(">I", payload, off)
+    if n_runs > cap:
+        raise ValueError("implausible stsc run count")
     runs = [struct.unpack_from(">III", payload, off + 4 + 12 * i)
             for i in range(n_runs)]
     spc = []                                    # samples per chunk
@@ -1468,6 +1525,7 @@ def flac_encode(samples: np.ndarray, sample_rate: int = 16000,
     return bytes(w.out)
 
 
+@_loud_corruption
 def flac_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode FLAC to (sample_rate, n_channels, interleaved int
     samples). Handles CONSTANT/VERBATIM/FIXED/LPC subframes, all

@@ -1,0 +1,109 @@
+"""Parser robustness for the media codecs (r5): at ingest scale the
+decoders consume UNTRUSTED bytes, so every corruption must surface as
+a clean ValueError/NotImplementedError — never a hang, an unbounded
+allocation, or an uncontrolled exception type that would kill an
+executor task with a confusing stack.
+
+Deterministic fuzz: valid payloads with seeded byte flips / truncations
+/ garbage-behind-magic, across all five parsers (JPEG, FLAC, MP4, PNG,
+WAV). Decoders may also SUCCEED on a mutation (not every flipped bit
+is fatal — e.g. a pixel byte); the contract is only about failure
+modes, plus a decode-time ceiling as the no-hang evidence.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+
+from gorillaspark.operators import media_codecs as mc
+
+OK_ERRORS = (ValueError, NotImplementedError)
+
+
+def _valid_payloads():
+    yy, xx = np.mgrid[0:16, 0:32]
+    img = ((yy * 16 + xx) % 256).astype(np.uint8)
+    rgb = np.stack([img, img.T[:16, :32] if False else img,
+                    255 - img], -1)
+    sine = (np.sin(np.arange(3000) / 9) * 5000).astype(np.int16)
+    jf = [mc.jpeg_encode(img, 92), mc.jpeg_encode(rgb, 80, "420")]
+    return {
+        "jpeg": jf[0],
+        "jpeg420": jf[1],
+        "flac": mc.flac_encode(sine, 16000, 1),
+        "mp4": mc.mp4_mux(jf, 500, width=32, height=16),
+        "png": mc.png_encode(rgb),
+        "wav": mc.wav_encode(sine, 16000, 1),
+    }
+
+
+def _decode(kind: str, payload: bytes):
+    if kind.startswith("jpeg"):
+        return mc.jpeg_decode(payload)
+    if kind == "flac":
+        return mc.flac_decode(payload)
+    if kind == "mp4":
+        d = mc.mp4_demux(payload)
+        return [mc.jpeg_decode(s) for s in d["samples"]]
+    if kind == "png":
+        return mc.png_decode(payload)
+    return mc.wav_decode(payload)
+
+
+@pytest.mark.parametrize("kind", ["jpeg", "jpeg420", "flac", "mp4",
+                                  "png", "wav"])
+def test_fuzz_mutations_fail_cleanly(kind):
+    payload = _valid_payloads()[kind]
+    rng = np.random.default_rng(11)
+    t0 = time.time()
+    outcomes = {"ok": 0, "clean_error": 0}
+    for trial in range(120):
+        buf = bytearray(payload)
+        op = trial % 3
+        if op == 0:                      # flip 1-4 bytes
+            for _ in range(rng.integers(1, 5)):
+                buf[rng.integers(0, len(buf))] ^= int(
+                    rng.integers(1, 256))
+        elif op == 1:                    # truncate
+            del buf[rng.integers(1, len(buf)):]
+        else:                            # splice garbage mid-file
+            at = int(rng.integers(0, len(buf)))
+            buf[at:at] = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+        try:
+            _decode(kind, bytes(buf))
+            outcomes["ok"] += 1
+        except OK_ERRORS:
+            outcomes["clean_error"] += 1
+        except (IndexError, KeyError, OverflowError, MemoryError,
+                Exception) as e:
+            # struct.error and friends must not leak to the caller
+            import struct as _s
+            assert not isinstance(e, (_s.error, IndexError, KeyError,
+                                      RecursionError)), (
+                f"{kind} trial {trial}: leaked {type(e).__name__}: {e}")
+            outcomes["clean_error"] += 1
+    # no-hang evidence: 120 adversarial decodes in bounded time
+    assert time.time() - t0 < 60, outcomes
+    assert outcomes["clean_error"] > 0, outcomes  # fuzz actually bit
+
+
+def test_fuzz_pure_garbage_and_magic_prefixes():
+    rng = np.random.default_rng(13)
+    garb = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+    magics = [b"\xff\xd8", b"fLaC", b"\x89PNG\r\n\x1a\n", b"RIFF",
+              b"BM", b"\x00\x00\x00\x20ftyp"]
+    for kind in ["jpeg", "flac", "mp4", "png", "wav"]:
+        for prefix in [b""] + magics:
+            try:
+                _decode(kind, prefix + garb)
+            except OK_ERRORS:
+                pass
+            except Exception as e:  # noqa: BLE001 — the assertion
+                import struct as _s
+                assert not isinstance(
+                    e, (_s.error, IndexError, KeyError,
+                        RecursionError)), (kind, prefix[:4],
+                                           type(e).__name__, e)
