@@ -45,11 +45,11 @@ _BUDGET_S = {
     "rollup_cascade_1h_1d": 0.959,
     "rollup_sketch_1d": 1.299,
     "ann_topk_ivfpq": 2.188,
-    "gapfill_1h": 0.774,
+    "gapfill_1h": 0.727,
     "sf_rollup_1m": 0.378,
     "sf_latency_stats_per_series": 0.352,
     "sf_sessionize": 0.394,
-    "sf_pricing_summary": 0.279,
+    "sf_pricing_summary": 0.245,
     "sf_top_customers": 0.293,
     "sf_codec_roundtrip": 0.689,
     "dedup_minhash_lsh": 1.058,
@@ -59,12 +59,12 @@ _BUDGET_S = {
     "dedup_simhash_hamming": 0.704,
     "ann_topk_bruteforce": 1.289,
     "ann_topk_lsh": 1.322,
-    "embedding_near_dup_lsh": 1.382,
+    "embedding_near_dup_lsh": 1.276,
     # new r5: the real media codecs through the Spark feature path
     # (per-payload Python decode is the tracked cost; FLAC rice runs
     # through the C kernel when present, numpy set-bit walk otherwise)
-    "media_decode_jpeg": 4.362,
-    "media_decode_flac": 7.025,
+    "media_decode_jpeg": 3.816,
+    "media_decode_flac": 6.999,
 }
 # 1.5x: wide enough that routine tenant noise (±20-40%) stays quiet,
 # tight enough that a 2x+ structural regression (the r3
