@@ -214,6 +214,11 @@ def main() -> None:
     decomp = _probe("rollup_decomp.py")
     encdec = _probe("encode_decomp.py")
     cliff = _probe("decode_cliff_probe.py")
+    # the r5 cluster-shaped probes are part of the regenerated
+    # artifact too — hand-pasted sections would be lost on rerun
+    os.environ.setdefault("SPLIT_N_CONV", "20000")  # fits probe budget
+    split = _probe("split_exec_probe.py")
+    adc = _probe("ivfpq_adc_probe.py")
 
     n_pts = results[LEVELS[0]]["n_points"]
     md = [
@@ -420,10 +425,84 @@ def main() -> None:
             "this sandbox is 2→8.",
             "",
         ]
+    if split:
+        se = split["efficiency"]
+        md += [
+            "## Split-executor emulation (tools/split_exec_probe.py — "
+            "the cluster-shaped datapoints)", "",
+            "Pinned worker PROCESSES on disjoint cpusets with "
+            "separate /dev/shm shuffle dirs run row-hash-balanced "
+            "corpus slices concurrently (barrier-aligned timed "
+            "sections, min of reps). Row-level hashing is the "
+            "cluster's input-split shape — whole-conversation splits "
+            "cannot balance this corpus, whose skew design routes "
+            "~20% of all turns into one mega-conversation. Two "
+            "grids: 2×4-core on halves (vs one 8-core JVM on the "
+            "full corpus) and the north rule's literal N→4N executor "
+            "shape, 1×2-core on a quarter vs 4×2-core on all "
+            "quarters (solo reference pinned to the same cores as "
+            "the first worker, so IRQ affinity cancels).", "",
+            "| stage | solo4 half | split 2x4 agg | solo8 full | "
+            "split /2x solo4 | solo8 /2x solo4 | solo2 quarter | "
+            "split 4x2 agg | eff 1→4 executors |",
+            "|---|---|---|---|---|---|---|---|---|"]
+        for st, v in se.items():
+            md.append(
+                "| {} | {} | {} | {} | {} | {} | {} | {} | **{}** | "
+                .format(st, v["solo4_half_mpts_s"],
+                        v["split_2x4_mpts_s"], v["solo8_full_mpts_s"],
+                        v["split_vs_2x_solo4"], v["solo8_vs_2x_solo4"],
+                        v["solo2_quarter_mpts_s"],
+                        v["split_4x2_mpts_s"],
+                        v["eff_1_to_4_executors"]) + "(M pts/s)")
+        md += [
+            "",
+            "Reading: co-located executor processes compose "
+            "~linearly — each child runs at its solo speed — so the "
+            "1→4-executor pair is the direct north-rule evidence "
+            "(committed r5 quiet-window runs measured encode 1.00 / "
+            "rollup 0.87 at 40k convs); the in-process single-JVM "
+            "pairs above are the lower bound, with the deficit "
+            "bracketed to the JVM/transport by the encode "
+            "decomposition. Shared-tenant noise swings child wall "
+            "times ±15% run-to-run; every child's reps are in the "
+            "raw JSON below.", ""]
+    if adc:
+        md += [
+            "## IVF-PQ ADC scoring bytes (tools/ivfpq_adc_probe.py)",
+            "",
+            "Scoring-stage-only A/B (index pieces pre-materialized "
+            "to parquet; job-level stage metrics from the UI REST "
+            "API; survivor sets identical across variants):", "",
+            "| scoring form | cand-side parquet B | job input B | "
+            "job shuffle r/w B |", "|---|---|---|---|",
+            "| r4 recon-join (floats) | {} | {} | {} |".format(
+                adc["candidate_side_bytes_old"],
+                adc["job_old_recon"]["input_bytes"],
+                adc["job_old_recon"]["shuffle_read_bytes"]),
+            "| exploded (vid,m,code)+groupBy — rejected | {} | {} | "
+            "{} |".format(
+                adc["parquet_bytes"]["codes"],
+                adc["job_adc_exploded"]["input_bytes"],
+                adc["job_adc_exploded"]["shuffle_read_bytes"]),
+            "| packed ADC (shipped) | {} | {} | {} |".format(
+                adc["candidate_side_bytes_packed"],
+                adc["job_adc_packed"]["input_bytes"],
+                adc["job_adc_packed"]["shuffle_read_bytes"]),
+            "",
+            "The naive exploded ADC form shuffles an order of "
+            "magnitude more than the recon join (the ×n_sub row "
+            "blow-up swamps the smaller payload); the shipped plan "
+            "packs all subspace codes into one BIGINT per vector and "
+            "scores with a static expression, eliminating both the "
+            "explosion and the groupBy exchange. Logically the "
+            "candidate payload is 8 B packed codes vs 512 B "
+            "reconstructed doubles (64×) — what the join carries at "
+            "100 TB.", ""]
     raw = {"levels": {str(c): results[c] for c in LEVELS},
            "efficiency": eff, "kernel": kern, "membw": membw,
            "rollup_decomp": decomp, "encode_decomp": encdec,
-           "decode_cliff": cliff,
+           "decode_cliff": cliff, "split_exec": split, "adc": adc,
            "protocol": {"n_conv": N_CONV, "mean_turns": MEAN_TURNS,
                         "reps": REPS, "tries": TRIES,
                         "statistic": "min",
