@@ -96,3 +96,48 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c.cast("long")) % F.lit(m))
     return docs.withColumn("fingerprint", h)
+
+
+def trigram_lm_scores(docs: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Character-trigram language-model quality score per document —
+    the CCNet-style filter a training-data pipeline ranks corpora
+    with: documents whose character statistics diverge from the
+    corpus (boilerplate, mojibake, code dumps) score low.
+
+    Model: the corpus' own lowercased char-trigram unigram LM. Per
+    occurrence, logprob ln(count_t / total) is quantized to
+    ``floor(lp * 1e6 + 0.5)`` BIGINT before summing, so per-doc
+    totals are exact integer sums — aggregation-order independent and
+    bit-identical across engines (the same pattern as the IVF-PQ ADC
+    scores; the only float steps are one ln per DISTINCT trigram and
+    one final division of identical integers, both deterministic
+    one-shot ops). No OOV path: the model is trained on the scored
+    corpus itself, so every trigram is in the table.
+
+    Scale shape: the trigram relation is bounded by charset^3 (tens
+    of thousands of rows at 100 TB — broadcast), the explode is the
+    only wide op, and the per-doc aggregate is map-side combinable.
+    Output: (doc_id, n_trigrams, avg_logprob round-6).
+    """
+    lower = F.lower(F.col(text_col))
+    tris = F.when(
+        F.length(lower) >= 3,
+        F.expr(f"transform(sequence(1, length(lower({text_col})) - 2),"
+               f" i -> substring(lower({text_col}), i, 3))")
+    ).otherwise(F.array().cast("array<string>"))
+    tri = docs.select("doc_id", F.explode(tris).alias("tri"))
+    counts = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    lp = (counts.crossJoin(F.broadcast(total))
+          .select("tri",
+                  F.floor(F.log(F.col("cnt") / F.col("total"))
+                          * F.lit(1e6) + F.lit(0.5)).alias("lp_i")))
+    return (tri.join(F.broadcast(lp), "tri")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.sum("lp_i").alias("_s"))
+            .select("doc_id", "n_trigrams",
+                    F.round(F.col("_s") / F.lit(1e6)
+                            / F.col("n_trigrams"), 6)
+                    .alias("avg_logprob")))

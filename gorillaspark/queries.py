@@ -1009,6 +1009,39 @@ _SIMHASH_SIG_SQL = r"""
 """
 
 
+def q_doc_trigram_lm(spark, sf_dir):
+    """CCNet-style corpus quality filter: per-doc average char-trigram
+    log-probability under the corpus' own trigram LM. Per-occurrence
+    logprobs quantize to BIGINT before summing (exact, order-free —
+    the ADC pattern), so the SQL oracle reproduces values bit-for-bit;
+    the only float steps are one ln per distinct trigram and one final
+    division of identical integers."""
+    from .operators.textstats import trigram_lm_scores
+    return trigram_lm_scores(_docs(spark, sf_dir))
+
+
+_TRIGRAM_LM_SQL = """
+    WITH pos AS (
+      SELECT doc_id, lower(text) AS t,
+             unnest(generate_series(1, greatest(length(text) - 2, 0)))
+                 AS i
+      FROM documents),
+    tri AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS tri
+            FROM pos),
+    cnts AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM cnts),
+    lp AS (SELECT tri,
+                  CAST(floor(ln(cnt / total) * 1000000.0 + 0.5)
+                       AS BIGINT) AS lp_i
+           FROM cnts CROSS JOIN tot),
+    agg AS (SELECT t.doc_id, count(*) AS n_trigrams, sum(l.lp_i) AS s
+            FROM tri t JOIN lp l USING (tri) GROUP BY 1)
+    SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+           ROUND(s / 1000000.0 / n_trigrams, 6) AS avg_logprob
+    FROM agg
+"""
+
+
 def q_simhash_dupes(spark, sf_dir):
     """Identical-signature groups, exploded to one row per member so
     the result is flat-hashable: (simhash, doc_id, n_docs)."""
@@ -2117,6 +2150,7 @@ QUERIES.update({
     "media_jpeg_stats": q_media_jpeg_stats,
     "media_mp4_stats": q_media_mp4_stats,
     "media_flac_stats": q_media_flac_stats,
+    "doc_trigram_lm": q_doc_trigram_lm,
     "media_frame_ahash": q_media_frame_ahash,
 })
 ORACLES.update({
@@ -2126,6 +2160,7 @@ ORACLES.update({
     "media_jpeg_stats": _MEDIA_JPEG_SQL,  # exact-by-construction JPEG
     "media_mp4_stats": _MEDIA_MP4_SQL,  # real demux + exact MJPEG
     "media_flac_stats": _MEDIA_AUDIO_SQL,  # lossless: same oracle as WAV
+    "doc_trigram_lm": _TRIGRAM_LM_SQL,
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
 })
 
@@ -2357,6 +2392,9 @@ _EXTRA_NAMES = [
     "media_flac_stats",        # NEW r5 (real FLAC codec, lossless —
                                #       shares the WAV oracle):
                                #       pytest-oracled in EXTRA
+    "doc_trigram_lm",          # NEW r5 (corpus trigram-LM quality
+                               #       filter, integer-quantized
+                               #       logprobs): pytest-oracled
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}

@@ -1,0 +1,74 @@
+"""Trigram-LM quality scorer: functional check against a per-row
+python oracle, plus the cross-engine quantization-boundary guard (the
+sketch-bin discipline applied to this operator's one float step)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_trigram_lm_matches_python_oracle(spark):
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat sat on the hat"),
+            (2, "zzzzqqqqxxxx"),          # alien char stats
+            (3, "the the the the"),
+            (4, "ab")]                     # < 3 chars: no trigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from gorillaspark.operators.textstats import trigram_lm_scores
+    got = {r["doc_id"]: r.asDict()
+           for r in trigram_lm_scores(docs).collect()}
+
+    texts = {i: t.lower() for i, t in rows}
+    tris = {i: [t[j:j + 3] for j in range(len(t) - 2)]
+            for i, t in texts.items() if len(t) >= 3}
+    counts: dict = {}
+    for ts in tris.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    lp_i = {t: math.floor(math.log(c / total) * 1e6 + 0.5)
+            for t, c in counts.items()}
+    for i, ts in tris.items():
+        s = sum(lp_i[t] for t in ts)
+        want = round(s / 1e6 / len(ts), 6)
+        assert got[i]["n_trigrams"] == len(ts), i
+        assert abs(got[i]["avg_logprob"] - want) < 1e-9, i
+    assert 4 not in got                     # too short: no row
+    # the alien-stats doc must rank strictly worse than english ones
+    assert got[2]["avg_logprob"] < min(got[0]["avg_logprob"],
+                                       got[1]["avg_logprob"])
+
+
+@pytest.mark.parametrize("sf_dir", [
+    d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    if os.path.isdir(d)])
+def test_trigram_lm_quantization_boundaries_clear(sf_dir):
+    """The operator's only cross-engine float step is one ln per
+    distinct trigram, quantized by floor(lp*1e6 + 0.5). A 1-ulp ln
+    disagreement can flip the floor only when lp*1e6 + 0.5 sits
+    within ~1e-9 of an integer; prove the driver corpora clear every
+    boundary by a wide margin (the sketch-bin contract, applied
+    here)."""
+    import duckdb
+    con = duckdb.connect()
+    xs = con.execute(f"""
+        WITH pos AS (
+          SELECT lower(text) AS t,
+                 unnest(generate_series(1, greatest(length(text)-2,0)))
+                     AS i
+          FROM '{sf_dir}/documents.parquet'),
+        tri AS (SELECT substr(t, CAST(i AS INTEGER), 3) AS tri
+                FROM pos),
+        cnts AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY 1)
+        SELECT ln(cnt / (SELECT sum(cnt) FROM cnts)) * 1000000.0 + 0.5
+        FROM cnts""").fetchnumpy()
+    x = next(iter(xs.values()))
+    dist = np.abs(x - np.rint(x))
+    assert dist.min() > 1e-6, (
+        f"trigram logprob {x[dist.argmin()]} sits {dist.min():.2e} "
+        f"from a floor boundary — cross-engine quantization unsafe")

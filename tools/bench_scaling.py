@@ -455,7 +455,18 @@ def main() -> None:
                         v["solo2_quarter_mpts_s"],
                         v["split_4x2_mpts_s"],
                         v["eff_1_to_4_executors"]) + "(M pts/s)")
+        sr = split.get("runs", {})
+        cals = {k[:-10]: v for k, v in sr.items()
+                if k.endswith("_worst_cal")}
         md += [
+            "",
+            f"Contention sentinel for THIS run: quiet ref "
+            f"{sr.get('cal_ref', '?')}s, gate 1.25x; worst bracketing "
+            f"calibration per group (after retries): "
+            + ", ".join(f"{k}={v}" for k, v in cals.items())
+            + ". Groups whose worst cal exceeds the gate were measured "
+            "under co-tenant load — prefer the quiet-window committed "
+            "numbers cited below for those.",
             "",
             "Reading: co-located executor processes compose "
             "~linearly — each child runs at its solo speed — so the "

@@ -23,7 +23,11 @@ isolation recovers the scaling the single process loses and the
 if split degrades like solo8, the box's silicon (memory bandwidth)
 is the ceiling and the plan owns the problem.
 
-Prints one JSON line; paste the table into BENCH/BASELINE.md.
+Prints one JSON line; tools/bench_scaling.py runs this probe during
+full regeneration and emits its table into BENCH/BASELINE.md. Groups
+are gated by the same co-tenant calibration sentinel as the main
+grid: a group whose children saw contention retries up to
+SPLIT_TRIES times and the quietest attempt is kept.
 """
 
 from __future__ import annotations
@@ -43,7 +47,22 @@ sys.path.insert(0, str(REPO))
 N_CONV = int(os.environ.get("SPLIT_N_CONV", "40000"))
 MEAN_TURNS = int(os.environ.get("SPLIT_MEAN_TURNS", "300"))
 REPS = int(os.environ.get("SPLIT_REPS", "3"))
+TRIES = int(os.environ.get("SPLIT_TRIES", "3"))
+CAL_TOLERANCE = 1.25
 STAGES = ("encode", "rollup")
+
+
+def calibrate() -> float:
+    """Same co-tenant sentinel as bench_scaling.py: fixed
+    single-thread numpy workload, run inside the measuring process."""
+    import numpy as np
+    a = np.random.default_rng(0).random(2_000_000)
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(12):
+        np.multiply(a, 1.0000001, out=b)
+        np.add(b, 0.1, out=b)
+    return round(time.perf_counter() - t0, 4)
 
 
 def _single(cpus: int, tpath: str, barrier: str, tag: str) -> None:
@@ -80,6 +99,7 @@ def _single(cpus: int, tpath: str, barrier: str, tag: str) -> None:
         time.sleep(0.05)
 
     res = {"tag": tag, "cpus": cpus, "n_points": n_pts}
+    res["cal0"] = calibrate()
     for name, fn in stages.items():
         times = []
         for _ in range(REPS):
@@ -88,6 +108,7 @@ def _single(cpus: int, tpath: str, barrier: str, tag: str) -> None:
             times.append(round(time.perf_counter() - t0, 3))
         res[f"{name}_reps"] = times
         res[f"{name}_s"] = min(times)
+    res["cal1"] = calibrate()
     spark.stop()
     shutil.rmtree(local_dir, ignore_errors=True)
     print("RESULT " + json.dumps(res))
@@ -191,8 +212,21 @@ def main() -> None:
                       ("4-5", 2, f"{tdir}/quarter2", "q2"),
                       ("6-7", 2, f"{tdir}/quarter3", "q3")],
     }
+    # the same contention gate the main scaling grid uses: any child
+    # whose bracketing sentinel exceeds the quiet reference by the
+    # tolerance poisons the whole group; retry, keep the quietest
+    cal_ref = min(calibrate() for _ in range(5))
     for name, specs in grids.items():
-        runs[name] = _run_group(specs)
+        attempts = []
+        for _ in range(TRIES):
+            rs = _run_group(specs)
+            worst = max(max(r["cal0"], r["cal1"]) for r in rs)
+            attempts.append((worst, rs))
+            if worst <= cal_ref * CAL_TOLERANCE:
+                break
+        runs[name] = min(attempts, key=lambda a: a[0])[1]
+        runs[name + "_worst_cal"] = min(a[0] for a in attempts)
+    runs["cal_ref"] = cal_ref
 
     shutil.rmtree(tdir, ignore_errors=True)
 
