@@ -501,6 +501,7 @@ class _BitReader:
         self.acc = 0
         self.n = 0
         self.restart_hit = False
+        self.padding = False
 
     def _fill(self) -> None:
         if self.pos < len(self.d) and self.d[self.pos] == 0xFF:
@@ -517,11 +518,13 @@ class _BitReader:
                 return
             else:                               # EOI/marker: pad with 1s
                 b = 0xFF                        # (position not advanced)
+                self.padding = True
         elif self.pos < len(self.d):
             b = self.d[self.pos]
             self.pos += 1
         else:
             b = 0xFF                            # truncated stream: pad
+            self.padding = True
         self.acc = (self.acc << 8) | b
         self.n += 8
 
@@ -535,8 +538,15 @@ class _BitReader:
 
     def sync_restart(self) -> None:
         """Consume pad bits up to the RSTn marker; never reads past
-        it — the first post-marker bit stays for the next MCU."""
+        it — the first post-marker bit stays for the next MCU.
+
+        Raises instead of spinning when the stream has no further
+        markers: once _fill starts padding (EOI reached or data
+        truncated) the awaited RSTn can never appear."""
         while not self.restart_hit:
+            if self.padding:
+                raise ValueError(
+                    "truncated JPEG: missing restart marker")
             if self.n:
                 self.bits(1)
             else:
@@ -1023,6 +1033,8 @@ def mp4_demux(payload: bytes) -> dict:
     if payload[md_off]:
         raise NotImplementedError("mdhd version 1 unsupported")
     (timescale,) = struct.unpack_from(">I", payload, md_off + 12)
+    if timescale == 0:
+        raise ValueError("corrupt mdhd: timescale is 0")
     sb, sb_end = _find_box(payload, toff, tend,
                            [b"mdia", b"minf", b"stbl"])
     boxes = {tag: (off, bend)

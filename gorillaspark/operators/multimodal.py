@@ -112,6 +112,8 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
         elif payload[4:8] == b"ftyp":
             d = mc.mp4_demux(bytes(payload))
             frames = len(d["samples"])
+            if not frames:
+                raise ValueError("MP4 has no samples")
             payload = d["samples"][0]
         im = mc.image_features(payload)
         area = max(im["width"] * im["height"], 1)

@@ -675,10 +675,21 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
            .select("query_id", "m", "code",
                    F.floor(_dot("q_sub", "cw") * F.lit(1e6) + F.lit(0.5))
                    .alias("lut_i")))
+    # Indexing below assumes codes are DENSE 0..n_codes-1 in every
+    # subspace (lut_arr[m * n_codes + code]); a trained codebook with a
+    # dead codeword would silently mis-rank, so guard at runtime: any
+    # query whose LUT isn't exactly n_sub * n_codes entries raises.
+    n_lut = n_sub * n_codes
     lut_arr = (lut.groupBy("query_id")
                .agg(F.array_sort(F.collect_list(
                    F.struct("m", "code", "lut_i")))
-                   .getField("lut_i").alias("lut_arr")))
+                   .getField("lut_i").alias("_lut_raw"))
+               .select("query_id", F.when(
+                   F.size("_lut_raw") == n_lut, F.col("_lut_raw"))
+                   .otherwise(F.raise_error(F.lit(
+                       f"gappy PQ codebook: LUT must have exactly "
+                       f"{n_lut} (n_sub*n_codes) entries per query")))
+                   .alias("lut_arr")))
 
     # --- candidates scored from the packed 4-byte codes only (ADC)
     cand_cols = ["query_id", "nbr_id"] + (["cell"] if residual else [])
@@ -690,7 +701,7 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
         F.element_at(
             "lut_arr",
             (F.shiftrightunsigned("packed", m * n_bits)
-             .bitwiseAND(F.lit(n_codes - 1))
+             .bitwiseAND(F.lit((1 << n_bits) - 1))
              + F.lit(m * n_codes + 1)).cast("int"))
         for m in range(n_sub)]
     approx = (cands.join(packed.withColumnRenamed("vid", "nbr_id"),

@@ -107,3 +107,51 @@ def test_fuzz_pure_garbage_and_magic_prefixes():
                     e, (_s.error, IndexError, KeyError,
                         RecursionError)), (kind, prefix[:4],
                                            type(e).__name__, e)
+
+
+def test_jpeg_truncated_dri_stream_raises_not_hangs():
+    """r6 ADVICE (high): a DRI-bearing JPEG truncated/corrupted inside
+    the entropy data must raise, not spin forever in sync_restart —
+    once the bit reader starts padding, the awaited RSTn can never
+    appear."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(yy * 2) % 256, (xx * 3) % 256,
+                    ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+    enc = mc.jpeg_encode(img, 95, "420", restart_interval=1)
+    sos = enc.index(b"\xff\xda")
+    t0 = time.time()
+    # truncate at several points inside the entropy-coded data
+    for cut in [sos + 20, sos + 40, len(enc) // 2, len(enc) - 8]:
+        with pytest.raises(OK_ERRORS):
+            mc.jpeg_decode(enc[:cut])
+    # strip every RSTn marker (0xFFD0-D7) but keep the DRI header:
+    # decoder expects restarts that never come
+    body = bytearray(enc)
+    i = sos
+    while i < len(body) - 1:
+        if body[i] == 0xFF and 0xD0 <= body[i + 1] <= 0xD7:
+            del body[i:i + 2]
+        else:
+            i += 1
+    with pytest.raises(OK_ERRORS):
+        mc.jpeg_decode(bytes(body))
+    assert time.time() - t0 < 20  # no-hang evidence
+
+
+def test_mp4_zero_timescale_and_empty_samples_raise_value_error():
+    """r6 ADVICE: corrupt mdhd timescale=0 must be ValueError (not a
+    raw ZeroDivisionError), and the multimodal feature path must
+    reject a valid-but-empty sample table with ValueError (not
+    IndexError)."""
+    frames = [mc.jpeg_encode(np.zeros((16, 16), np.uint8), 95)]
+    m = bytearray(mc.mp4_mux(frames, 500, width=16, height=16))
+    o = m.index(b"mdhd")
+    m[o + 16:o + 20] = b"\x00\x00\x00\x00"   # timescale field
+    with pytest.raises(ValueError, match="timescale"):
+        mc.mp4_demux(bytes(m))
+
+    from gorillaspark.operators.multimodal import _native_feature
+    empty = mc.mp4_mux([], 500, width=16, height=16)
+    assert mc.mp4_demux(empty)["samples"] == []
+    with pytest.raises(ValueError, match="no samples"):
+        _native_feature(empty, 8)
