@@ -2382,19 +2382,21 @@ _EXTRA_NAMES = [
                                #       FNV signature machinery; slot
                                #       freed for the NEW streaming
                                #       sketch driver query)
-    "media_jpeg_stats",        # NEW r5 (real baseline JPEG codec):
-                               #       pytest-oracled in EXTRA this
-                               #       round, window already full —
-                               #       rotate in next round
-    "media_mp4_stats",         # NEW r5 (real ISO-BMFF demux + MJPEG
-                               #       decode): pytest-oracled in
-                               #       EXTRA; rotate in next round
-    "media_flac_stats",        # NEW r5 (real FLAC codec, lossless —
-                               #       shares the WAV oracle):
-                               #       pytest-oracled in EXTRA
-    "doc_trigram_lm",          # NEW r5 (corpus trigram-LM quality
-                               #       filter, integer-quantized
-                               #       logprobs): pytest-oracled
+    # r6 rotation: the four r5-new queries (media_jpeg_stats,
+    # media_mp4_stats, media_flac_stats, doc_trigram_lm) move INTO the
+    # driver window for their first rows+schema+hash evidence; four
+    # long-green siblings (each driver-verified in r5 with an
+    # in-window relative) take their EXTRA slots:
+    "moving_avg_3",            # kept: ewma/zscore share the window-
+                               #       frame machinery; driver-green r5
+    "shipping_priority",       # kept: pricing_summary + top-customer
+                               #       family covers the TPC-H joins;
+                               #       driver-green r5
+    "distinct_series_per_day", # kept: block_inventory/compaction
+                               #       exercise the same per-day
+                               #       distinct paths; driver-green r5
+    "gapfill_1h_ffill",        # kept: driver-green r5; interp superset
+                               #       stays pytest-oracled in EXTRA
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
