@@ -305,6 +305,50 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "rank", "nbr_id", "cosine"))
 
 
+def _fold_dot(vec, lit_arr) -> F.Column:
+    """Left-fold dot product — the exact fold order every oracle in
+    this module mirrors (zip_with multiply, then acc + x from 0.0)."""
+    return F.aggregate(F.zip_with(vec, lit_arr, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _collect_cell_codebook(normed: DataFrame, n_centroids: int,
+                           id_col: str) -> tuple:
+    """Driver-side collect of the fixed IVF codebook (unit-normalized
+    first ``n_centroids`` corpus vectors by id) → (cell_ids, units).
+
+    Bounded — n_centroids rows, the same bounded-collect budget as
+    k-means training (≤4096-row sample). Collecting lets assignment
+    run as an INLINE whole-stage argmax over literal centroid arrays
+    instead of the broadcast cross-join + row_number() window that
+    shuffled corpus × n_centroids rows just to pick each vector's
+    best cell (r5 verdict: the last non-bucketed link in the ANN
+    chain). At 100 TB the corpus side stays exchange-free."""
+    rows = (normed.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).cast("long").alias("cell"), "unit")
+            .orderBy("cell").collect())
+    if not rows:
+        raise ValueError(
+            f"IVF codebook is empty: no corpus ids < {n_centroids}")
+    return ([int(r["cell"]) for r in rows],
+            [[float(x) for x in r["unit"]] for r in rows])
+
+
+def _cell_scores(vec, cell_ids: list, cell_units: list) -> F.Column:
+    """array<struct<nd, cell>> of (-dot(vec, centroid), cell id): the
+    ASCENDING struct order equals (dot desc, cell asc) — the tie rule
+    the window form used — so ``array_min`` is single-cell assignment
+    and ``slice(array_sort(...), 1, nprobe)`` is query probing. One
+    2-D literal + transform: constant-folded, zero exchange."""
+    ids_lit = F.lit([int(c) for c in cell_ids])
+    return F.transform(
+        F.lit(cell_units),
+        lambda cu, i: F.struct(
+            (-_fold_dot(vec, cu)).alias("nd"),
+            F.element_at(ids_lit, (i + F.lit(1)).cast("int"))
+            .alias("cell")))
+
+
 def ivf_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
                             k: int = 10, n_centroids: int = 16,
                             nprobe: int = 4,
@@ -320,8 +364,10 @@ def ivf_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
     (``aggregate``/``zip_with`` folds, broadcast 16-row codebook, no
     Python in the row path):
 
-    * assignment — corpus × broadcast codebook, keep argmax cell per
-      vector (ties → lowest cell id);
+    * assignment — INLINE argmax over the literal centroid array
+      (ties → lowest cell id): one whole-stage projection, no join
+      inflation, no window shuffle — the corpus side is exchange-free
+      up to the cell join (plan-asserted in test_plans.py);
     * probing — each query keeps its ``nprobe`` best cells, so only
       ~``nprobe/n_centroids`` of the corpus is scored (the sub-linear
       property; with random seeds k-means would sharpen the cells but
@@ -333,32 +379,27 @@ def ivf_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
     is measured by the pytest suite, not assumed.
     """
     normed = with_unit_norm(emb, vec_col)
-    codebook = (normed.where(F.col(id_col) < n_centroids)
-                .select(F.col(id_col).alias("cell"),
-                        F.col("unit").alias("c_unit")))
+    cell_ids, cell_units = _collect_cell_codebook(
+        normed, n_centroids, id_col)
 
     def _dot(a: str, b: str) -> F.Column:
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    w_cell = Window.partitionBy("_vid").orderBy(
-        F.desc("_cdot"), F.asc("cell"))
     corpus = (normed
-              .select(F.col(id_col).alias("_vid"),
-                      F.col("unit").alias("nbr_unit"))
-              .join(F.broadcast(codebook))
-              .withColumn("_cdot", _dot("nbr_unit", "c_unit"))
-              .withColumn("_rn", F.row_number().over(w_cell))
-              .where(F.col("_rn") == 1)
-              .select(F.col("_vid").alias("nbr_id"), "nbr_unit", "cell"))
+              .select(F.col(id_col).alias("nbr_id"),
+                      F.col("unit").alias("nbr_unit"),
+                      F.array_min(_cell_scores(
+                          "unit", cell_ids, cell_units))
+                      .getField("cell").alias("cell")))
     probes = (with_unit_norm(queries, vec_col)
-              .select(F.col(id_col).alias("_vid"),
-                      F.col("unit").alias("q_unit"))
-              .join(F.broadcast(codebook))
-              .withColumn("_cdot", _dot("q_unit", "c_unit"))
-              .withColumn("_rn", F.row_number().over(w_cell))
-              .where(F.col("_rn") <= nprobe)
-              .select(F.col("_vid").alias("query_id"), "q_unit", "cell"))
+              .select(F.col(id_col).alias("query_id"),
+                      F.col("unit").alias("q_unit"),
+                      F.explode(F.slice(F.array_sort(_cell_scores(
+                          "unit", cell_ids, cell_units)),
+                          1, nprobe)).alias("_pc"))
+              .select("query_id", "q_unit",
+                      F.col("_pc.cell").alias("cell")))
     scored = (corpus.join(F.broadcast(probes), "cell")
               .where(F.col("query_id") != F.col("nbr_id"))
               .withColumn("cosine",
@@ -444,28 +485,51 @@ def pq_codes_fixed_codebook(emb: DataFrame, n_sub: int = 8,
     = 4 bytes/vector of information vs 256 bytes of floats). At 100 TB
     the codes relation is what candidate scoring reads; full vectors
     are touched only for the final refine set.
+
+    The per-subspace argmin runs INLINE over literal codeword arrays
+    (same pattern as IVF cell assignment): the former broadcast-join +
+    row_number() window materialized and shuffled corpus × n_sub ×
+    n_codes rows; this shape is one exchange-free projection.
     """
     sub_w = dim // n_sub
     normed = with_unit_norm(emb, vec_col)
-    subs = F.array(*[
-        F.slice("unit", m * sub_w + 1, sub_w) for m in range(n_sub)])
-    exploded = (normed.select(F.col(id_col).alias("vid"),
-                              F.posexplode(subs).alias("m", "sub")))
-    codebook = (normed.where(F.col(id_col) < n_codes)
-                .select(F.col(id_col).cast("int").alias("code"),
-                        F.posexplode(subs).alias("m", "cw"))
-                .withColumn("cw_n2", F.aggregate(
-                    "cw", F.lit(0.0), lambda a, x: a + x * x)))
-    score = (F.aggregate(F.zip_with("sub", "cw", lambda x, y: x * y),
-                         F.lit(0.0), lambda a, x: a + x)
-             - F.col("cw_n2") / 2)
-    w = Window.partitionBy("vid", "m").orderBy(
-        F.desc("_s"), F.asc("code"))
-    return (exploded.join(F.broadcast(codebook), "m")
-            .withColumn("_s", score)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("vid", "m", "code"))
+    rows = (normed.where(F.col(id_col) < n_codes)
+            .select(F.col(id_col).cast("int").alias("code"), "unit")
+            .orderBy("code").collect())           # bounded: n_codes rows
+    cw = {int(r["code"]): [float(x) for x in r["unit"]] for r in rows}
+    if sorted(cw) != list(range(n_codes)):
+        raise ValueError(
+            f"PQ codebook needs dense corpus ids 0..{n_codes - 1}; "
+            f"got {len(cw)} of {n_codes}")
+    cw_subs = [[cw[c][m * sub_w:(m + 1) * sub_w]
+                for c in range(n_codes)] for m in range(n_sub)]
+    return normed.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.array(*[
+            _pq_code_argmin(F.slice("unit", m * sub_w + 1, sub_w),
+                            cw_subs[m])
+            for m in range(n_sub)])).alias("m", "code"))
+
+
+def _pq_code_argmin(sub, codewords: list) -> F.Column:
+    """Best PQ code for one subvector: argmax(dot(sub, cw) - |cw|²/2)
+    over a LITERAL codeword array, ties → lowest code. |cw|² uses the
+    identical left fold (acc + x*x from 0.0) Python-side, so scores
+    are bit-equal to the relational/oracle form."""
+    n2 = []
+    for c in codewords:
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        n2.append(acc)
+    n2_lit = F.lit(n2)
+    return F.array_min(F.transform(
+        F.lit([list(c) for c in codewords]),
+        lambda c, i: F.struct(
+            (-(_fold_dot(sub, c)
+               - F.element_at(n2_lit, (i + F.lit(1)).cast("int"))
+               / F.lit(2))).alias("ns"),
+            i.cast("int").alias("code")))).getField("code")
 
 
 def pq_reconstruct(codes: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -586,36 +650,39 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    # --- IVF cells (same construction as ivf_topk_fixed_codebook)
+    # --- IVF cells: INLINE argmax over the literal centroid array
+    # (same construction + tie rule as ivf_topk_fixed_codebook; no
+    # join inflation, no window shuffle — corpus side exchange-free)
+    cell_ids, cell_units = _collect_cell_codebook(
+        normed, n_centroids, id_col)
     cells = (normed.where(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("cell"),
                      F.col("unit").alias("c_unit")))
-    w_cell = Window.partitionBy("_vid").orderBy(
-        F.desc("_cdot"), F.asc("cell"))
-    asg = (u.select(F.col("vid").alias("_vid"), "unit")
-           .join(F.broadcast(cells))
-           .withColumn("_cdot", _dot("unit", "c_unit"))
-           .withColumn("_rn", F.row_number().over(w_cell))
-           .where(F.col("_rn") == 1))
+    asg = u.select(F.col("vid").alias("_vid"), "unit",
+                   F.array_min(_cell_scores(
+                       "unit", cell_ids, cell_units))
+                   .getField("cell").alias("cell"))
     assigned = asg.select(F.col("_vid").alias("nbr_id"), "cell")
     probes = (with_unit_norm(queries, vec_col)
-              .select(F.col(id_col).alias("_vid"),
-                      F.col("unit").alias("q_unit"))
-              .join(F.broadcast(cells))
-              .withColumn("_cdot", _dot("q_unit", "c_unit"))
-              .withColumn("_rn", F.row_number().over(w_cell))
-              .where(F.col("_rn") <= nprobe)
-              .select(F.col("_vid").alias("query_id"), "q_unit",
-                      "cell", "_cdot"))
+              .select(F.col(id_col).alias("query_id"),
+                      F.col("unit").alias("q_unit"),
+                      F.explode(F.slice(F.array_sort(_cell_scores(
+                          "unit", cell_ids, cell_units)),
+                          1, nprobe)).alias("_pc"))
+              .select("query_id", "q_unit",
+                      F.col("_pc.cell").alias("cell"),
+                      (-F.col("_pc.nd")).alias("_cdot")))
 
     # --- PQ codes + per-query ADC lookup table
     if residual:
         # quantize unit - centroid; codebook = residuals of the first
-        # n_codes corpus vectors, sliced per subspace (deterministic)
-        rvecs = asg.select(
-            F.col("_vid").alias("vid"), "cell",
-            F.zip_with("unit", "c_unit",
-                       lambda x, y: x - y).alias("rvec"))
+        # n_codes corpus vectors, sliced per subspace (deterministic).
+        # c_unit comes from the broadcast 16-row cells relation — a
+        # broadcast hash join, corpus side still exchange-free.
+        rvecs = (asg.join(F.broadcast(cells), "cell")
+                 .select(F.col("_vid").alias("vid"), "cell",
+                         F.zip_with("unit", "c_unit",
+                                    lambda x, y: x - y).alias("rvec")))
         rsubs = F.array(*[
             F.slice("rvec", m * sub_w + 1, sub_w) for m in range(n_sub)])
         if codebooks is not None:
@@ -629,22 +696,31 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
                        for m in range(n_sub) for c in range(n_codes)]
             codebook = spark.createDataFrame(
                 cb_rows, "code int, m int, cw array<double>")
+            cw_subs = [[[float(x) for x in codebooks[m, c]]
+                        for c in range(n_codes)] for m in range(n_sub)]
         else:
             codebook = (rvecs.where(F.col("vid") < n_codes)
                         .select(F.col("vid").cast("int").alias("code"),
                                 F.posexplode(rsubs).alias("m", "cw")))
-        cb_n2 = codebook.withColumn("cw_n2", F.aggregate(
-            "cw", F.lit(0.0), lambda a, x: a + x * x))
-        w_code = Window.partitionBy("vid", "m").orderBy(
-            F.desc("_s"), F.asc("code"))
-        codes = (rvecs.select("vid", F.posexplode(rsubs)
-                              .alias("m", "sub"))
-                 .join(F.broadcast(cb_n2), "m")
-                 .withColumn("_s", _dot("sub", "cw")
-                             - F.col("cw_n2") / 2)
-                 .withColumn("_rn", F.row_number().over(w_code))
-                 .where(F.col("_rn") == 1)
-                 .select("vid", "m", "code"))
+            # bounded collect (n_codes rows) so code assignment can be
+            # the same inline literal argmin as cell assignment
+            cb_rows = (rvecs.where(F.col("vid") < n_codes)
+                       .select(F.col("vid").cast("int").alias("code"),
+                               "rvec").orderBy("code").collect())
+            rmap = {int(r["code"]): [float(x) for x in r["rvec"]]
+                    for r in cb_rows}
+            if sorted(rmap) != list(range(n_codes)):
+                raise ValueError(
+                    f"PQ codebook needs dense corpus ids "
+                    f"0..{n_codes - 1}; got {len(rmap)} of {n_codes}")
+            cw_subs = [[rmap[c][m * sub_w:(m + 1) * sub_w]
+                        for c in range(n_codes)] for m in range(n_sub)]
+        codes = rvecs.select(
+            "vid",
+            F.posexplode(F.array(*[
+                _pq_code_argmin(F.slice("rvec", m * sub_w + 1, sub_w),
+                                cw_subs[m])
+                for m in range(n_sub)])).alias("m", "code"))
     else:
         subs = F.array(*[
             F.slice("unit", m * sub_w + 1, sub_w) for m in range(n_sub)])

@@ -128,3 +128,44 @@ def test_sketch_cascade_quantile_reuses_partitioning(spark):
         dd_sketch_cascade(dd_sketch_tier(pts, "1m"), "1d")))
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 2, f"{n_exchange} exchanges:\n{plan}"
+
+
+def test_ivf_assignment_corpus_side_exchange_free(spark):
+    """r5 verdict #1: IVF/IVF-PQ cell assignment must be an inline
+    argmax over the literal centroid array — NOT a broadcast
+    cross-join + row_number() window, which shuffled and sorted
+    corpus x n_centroids rows for a computation with no cross-row
+    dependency. Contract: the corpus->cell assignment plan contains
+    no shuffle Exchange and no Window at all."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gorillaspark.operators.similarity import (
+        _cell_scores,
+        _collect_cell_codebook,
+        with_unit_norm,
+    )
+
+    rng = np.random.default_rng(2)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 16)])
+         for i in range(64)], "vec_id long, embedding array<double>")
+    normed = with_unit_norm(emb, "embedding")
+    ids, units = _collect_cell_codebook(normed, 8, "vec_id")
+    assigned = normed.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.array_min(_cell_scores("unit", ids, units))
+        .getField("cell").alias("cell"))
+    plan = _plan(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    # PQ code assignment: same contract (was corpus x n_sub x n_codes
+    # through a window)
+    from gorillaspark.operators.similarity import pq_codes_fixed_codebook
+    codes = pq_codes_fixed_codebook(emb, n_sub=4, n_codes=8, dim=16)
+    cplan = _plan(codes)
+    assert "Window" not in cplan, cplan
+    assert "ShuffledHashJoin" not in cplan and \
+        "SortMergeJoin" not in cplan, cplan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", cplan))
+    assert n_exchange == 0, f"{n_exchange} exchanges:\n{cplan}"

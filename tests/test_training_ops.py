@@ -514,10 +514,11 @@ def test_ann_ivfpq_non_power_of_two_n_codes(spark):
 
 def test_ann_ivfpq_gappy_codebook_raises(spark):
     """r5 verdict #4: lut_arr indexing assumes DENSE code ids
-    0..n_codes-1; a dead codeword must raise loudly at runtime, never
-    silently mis-index. Red-team: corpus ids skip id 3, so the
-    fixed-codebook construction (codewords = first n_codes vectors BY
-    ID) yields a gappy code relation."""
+    0..n_codes-1; a dead codeword must raise loudly, never silently
+    mis-index. Red-team: corpus ids skip id 3, so the fixed-codebook
+    construction (codewords = first n_codes vectors BY ID) is gappy —
+    the dense-ids check fails at plan construction (and the runtime
+    LUT-size guard backstops the trained-codebook path)."""
     import numpy as np
 
     from gorillaspark.operators.similarity import ivfpq_topk_fixed_codebook
@@ -529,11 +530,12 @@ def test_ann_ivfpq_gappy_codebook_raises(spark):
          for i in range(n) if i != 3],      # dead codeword id
         "vec_id long, embedding array<double>")
     queries = emb.where(F.col("vec_id") < 3)
-    out = ivfpq_topk_fixed_codebook(
-        emb, queries, k=5, n_centroids=16, nprobe=4,
-        n_sub=8, n_codes=16, dim=dim, refine=20)
-    with pytest.raises(Exception, match="gappy PQ codebook"):
-        out.collect()
+    for residual in (False, True):
+        with pytest.raises(Exception, match="codebook"):
+            ivfpq_topk_fixed_codebook(
+                emb, queries, k=5, n_centroids=16, nprobe=4,
+                n_sub=8, n_codes=16, dim=dim, refine=20,
+                residual=residual).collect()
 
 
 def test_png_roundtrip_and_filters():
