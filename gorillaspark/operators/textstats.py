@@ -98,43 +98,79 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fingerprint", h)
 
 
-def trigram_lm_scores(docs: DataFrame,
-                      text_col: str = "text") -> DataFrame:
-    """Character-trigram language-model quality score per document —
-    the CCNet-style filter a training-data pipeline ranks corpora
-    with: documents whose character statistics diverge from the
-    corpus (boilerplate, mojibake, code dumps) score low.
-
-    Model: the corpus' own lowercased char-trigram unigram LM. Per
-    occurrence, logprob ln(count_t / total) is quantized to
-    ``floor(lp * 1e6 + 0.5)`` BIGINT before summing, so per-doc
-    totals are exact integer sums — aggregation-order independent and
-    bit-identical across engines (the same pattern as the IVF-PQ ADC
-    scores; the only float steps are one ln per DISTINCT trigram and
-    one final division of identical integers, both deterministic
-    one-shot ops). No OOV path: the model is trained on the scored
-    corpus itself, so every trigram is in the table.
-
-    Scale shape: the trigram relation is bounded by charset^3 (tens
-    of thousands of rows at 100 TB — broadcast), the explode is the
-    only wide op, and the per-doc aggregate is map-side combinable.
-    Output: (doc_id, n_trigrams, avg_logprob round-6).
-    """
+def _trigram_explode(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, tri): one row per lowercased char-trigram occurrence."""
     lower = F.lower(F.col(text_col))
     tris = F.when(
         F.length(lower) >= 3,
         F.expr(f"transform(sequence(1, length(lower({text_col})) - 2),"
                f" i -> substring(lower({text_col}), i, 3))")
     ).otherwise(F.array().cast("array<string>"))
-    tri = docs.select("doc_id", F.explode(tris).alias("tri"))
-    counts = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("total"))
-    lp = (counts.crossJoin(F.broadcast(total))
+    return docs.select("doc_id", F.explode(tris).alias("tri"))
+
+
+def trigram_lm_train(docs: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Train a frozen char-trigram model on a held-out corpus:
+    returns the (tri, cnt) count relation to pass as ``model_df=`` to
+    :func:`trigram_lm_scores`. Persist it (parquet) once and every
+    shard scores against the SAME distribution — the production CCNet
+    shape, where per-shard self-training would make scores
+    incomparable across shards."""
+    return (_trigram_explode(docs, text_col)
+            .groupBy("tri").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def trigram_lm_scores(docs: DataFrame,
+                      text_col: str = "text",
+                      model_df: DataFrame | None = None) -> DataFrame:
+    """Character-trigram language-model quality score per document —
+    the CCNet-style filter a training-data pipeline ranks corpora
+    with: documents whose character statistics diverge from the
+    corpus (boilerplate, mojibake, code dumps) score low.
+
+    Model: ``model_df=None`` (oracle mode) trains on the scored corpus
+    itself — exactly SQL-recomputable, no OOV possible. Passing a
+    precomputed (tri, cnt) relation (:func:`trigram_lm_train`) freezes
+    the model so disjoint shards produce comparable scores; trigrams
+    absent from the frozen model get the additive-smoothing floor
+    ``ln(1 / (total + V))`` (V = model vocabulary size) — one shared
+    OOV constant, still integer-quantized, still order-independent.
+
+    Per occurrence, logprob ln(count_t / total) is quantized to
+    ``floor(lp * 1e6 + 0.5)`` BIGINT before summing, so per-doc
+    totals are exact integer sums — aggregation-order independent and
+    bit-identical across engines (the same pattern as the IVF-PQ ADC
+    scores; the only float steps are one ln per DISTINCT trigram and
+    one final division of identical integers, both deterministic
+    one-shot ops).
+
+    Scale shape: the trigram relation is bounded by charset^3 (tens
+    of thousands of rows at 100 TB — broadcast), the explode is the
+    only wide op, and the per-doc aggregate is map-side combinable.
+    Output: (doc_id, n_trigrams, avg_logprob round-6).
+    """
+    tri = _trigram_explode(docs, text_col)
+    frozen = model_df is not None
+    counts = model_df if frozen else (
+        tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt")))
+    stats = counts.agg(F.sum("cnt").alias("total"),
+                       F.count(F.lit(1)).alias("vocab"))
+    lp = (counts.crossJoin(F.broadcast(stats))
           .select("tri",
                   F.floor(F.log(F.col("cnt") / F.col("total"))
                           * F.lit(1e6) + F.lit(0.5)).alias("lp_i")))
-    return (tri.join(F.broadcast(lp), "tri")
-            .groupBy("doc_id")
+    scored = tri.join(F.broadcast(lp), "tri",
+                      "left" if frozen else "inner")
+    if frozen:
+        oov = stats.select(
+            F.floor(F.log(F.lit(1.0)
+                          / (F.col("total") + F.col("vocab")))
+                    * F.lit(1e6) + F.lit(0.5)).alias("oov_i"))
+        scored = (scored.crossJoin(F.broadcast(oov))
+                  .withColumn("lp_i",
+                              F.coalesce("lp_i", "oov_i")))
+    return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
                  F.sum("lp_i").alias("_s"))
             .select("doc_id", "n_trigrams",
