@@ -325,3 +325,135 @@ int gs_png_unfilter(const unsigned char *raw, long long h, long long w,
     }
     return 0;
 }
+
+/* Baseline-JPEG entropy decode (media_codecs.py jpeg_decode): the
+ * per-MCU huffman bit-walk, the branch-heavy serial loop that
+ * dominated Python decode time. Mirrors the Python _BitReader
+ * semantics exactly: 0xFF00 unstuffing, RSTn clears the bit
+ * accumulator, EOI/markers/truncation pad with 1-bits and set a
+ * padding flag that makes a missed restart marker a hard error
+ * instead of a spin.
+ *
+ * Huffman tables arrive as canonical mincode/maxcode/valptr arrays
+ * (8 slots x 17 lengths; slot = is_ac*4 + table_id; maxcode=-1 marks
+ * an empty length) over one concatenated symbol array. Per MCU-unit
+ * arrays give the component, block offset geometry and table slots.
+ * Output: zig-zag coefficient blocks (int32[total_blocks*64], caller
+ * zeroed). Returns 0, or -2 invalid huffman code, -3 AC run
+ * overflow, -4 missing restart marker, -5 implausible DC size. */
+typedef struct {
+    const unsigned char *d;
+    long long n, pos;
+    unsigned long long acc;
+    int bits, restart_hit, padding;
+} gsjbr;
+
+static void gsj_fill(gsjbr *r) {
+    if (r->pos < r->n && r->d[r->pos] == 0xFF) {
+        int nxt = r->pos + 1 < r->n ? r->d[r->pos + 1] : 0xD9;
+        if (nxt == 0x00) {
+            r->pos += 2;
+        } else if (nxt >= 0xD0 && nxt <= 0xD7) {
+            r->pos += 2;
+            r->acc = 0;
+            r->bits = 0;
+            r->restart_hit = 1;
+            return;
+        } else {
+            r->padding = 1;
+        }
+        r->acc = (r->acc << 8) | 0xFF;
+    } else if (r->pos < r->n) {
+        r->acc = (r->acc << 8) | r->d[r->pos++];
+    } else {
+        r->padding = 1;
+        r->acc = (r->acc << 8) | 0xFF;
+    }
+    r->bits += 8;
+}
+
+static long long gsj_bits(gsjbr *r, int nb) {
+    while (r->bits < nb) gsj_fill(r);
+    long long v = (long long)((r->acc >> (r->bits - nb))
+                              & ((nb ? (1ULL << nb) : 1ULL) - 1));
+    r->bits -= nb;
+    r->acc &= (r->bits ? (1ULL << r->bits) : 1ULL) - 1;
+    return v;
+}
+
+static int gsj_huff(gsjbr *r, int slot, const int *mincode,
+                    const int *maxcode, const int *valptr,
+                    const unsigned char *vals) {
+    int code = 0;
+    for (int len = 1; len <= 16; len++) {
+        code = (code << 1) | (int)gsj_bits(r, 1);
+        int mc = maxcode[slot * 17 + len];
+        int mn = mincode[slot * 17 + len];
+        if (mc >= 0 && code >= mn && code <= mc)
+            return vals[valptr[slot * 17 + len] + code - mn];
+    }
+    return -1;
+}
+
+static long long gsj_extend(long long v, int s) {
+    if (s == 0) return 0;
+    return v >= (1LL << (s - 1)) ? v : v - (1LL << s) + 1;
+}
+
+int gs_jpeg_scan(const unsigned char *d, long long nbytes,
+                 long long start, int mcux, int mcuy, int dri,
+                 int n_comps, int n_units,
+                 const int *unit_comp, const int *unit_v,
+                 const int *unit_u, const int *unit_dc,
+                 const int *unit_ac,
+                 const long long *comp_base, const int *comp_rowstride,
+                 const int *comp_sh, const int *comp_sv,
+                 const int *mincode, const int *maxcode,
+                 const int *valptr, const unsigned char *vals,
+                 int *out) {
+    gsjbr r = {d, nbytes, start, 0, 0, 0, 0};
+    long long dc_prev[16] = {0};
+    long long mcu_i = 0;
+    for (long long my = 0; my < mcuy; my++)
+    for (long long mx = 0; mx < mcux; mx++) {
+        if (dri && mcu_i && mcu_i % dri == 0) {
+            while (!r.restart_hit) {
+                if (r.padding) return -4;
+                if (r.bits) gsj_bits(&r, 1); else gsj_fill(&r);
+            }
+            r.restart_hit = 0;
+            for (int c = 0; c < n_comps; c++) dc_prev[c] = 0;
+        }
+        mcu_i++;
+        for (int j = 0; j < n_units; j++) {
+            int ci = unit_comp[j];
+            long long bi = comp_base[ci]
+                + (my * comp_sv[ci] + unit_v[j])
+                  * (long long)comp_rowstride[ci]
+                + mx * comp_sh[ci] + unit_u[j];
+            int *blk = out + bi * 64;
+            int s = gsj_huff(&r, unit_dc[j], mincode, maxcode,
+                             valptr, vals);
+            if (s < 0) return -2;
+            if (s > 15) return -5;
+            dc_prev[ci] += gsj_extend(gsj_bits(&r, s), s);
+            blk[0] = (int)dc_prev[ci];
+            int k = 1;
+            while (k < 64) {
+                int rs = gsj_huff(&r, unit_ac[j], mincode, maxcode,
+                                  valptr, vals);
+                if (rs < 0) return -2;
+                int run = rs >> 4, size = rs & 15;
+                if (size == 0) {
+                    if (run == 15) { k += 16; continue; }
+                    break;                          /* EOB */
+                }
+                k += run;
+                if (k > 63) return -3;
+                blk[k] = (int)gsj_extend(gsj_bits(&r, size), size);
+                k++;
+            }
+        }
+    }
+    return 0;
+}

@@ -84,6 +84,11 @@ def _load():
         lib.gs_png_unfilter.restype = ctypes.c_int
         lib.gs_png_unfilter.argtypes = [U8, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int, U8]
+        I32 = ctypes.POINTER(ctypes.c_int32)
+        lib.gs_jpeg_scan.restype = ctypes.c_int
+        lib.gs_jpeg_scan.argtypes = (
+            [U8, ctypes.c_int64, ctypes.c_int64] + [ctypes.c_int] * 5
+            + [I32] * 5 + [I64] + [I32] * 3 + [I32] * 3 + [U8] + [I32])
         return lib
     except Exception:
         return None
@@ -207,3 +212,52 @@ def png_unfilter_native(raw: np.ndarray, h: int, w: int, c: int):
     if rc < 0:
         raise ValueError("bad PNG filter byte")
     return out.reshape(h, w, c)
+
+
+def jpeg_scan_native(data: bytes, start: int, mcux: int, mcuy: int,
+                     dri: int, n_comps: int, units: np.ndarray,
+                     comp_base: np.ndarray, comp_rowstride: np.ndarray,
+                     comp_sh: np.ndarray, comp_sv: np.ndarray,
+                     mincode: np.ndarray, maxcode: np.ndarray,
+                     valptr: np.ndarray, vals: np.ndarray,
+                     total_blocks: int):
+    """C fast path for the baseline-JPEG entropy scan: zig-zag
+    coefficient blocks (total_blocks, 64) int32, or None when the
+    kernel is unavailable. ``units`` is (n_units, 5) int32 rows of
+    (comp, v, u, dc_slot, ac_slot). Raises ValueError on corrupt
+    entropy data — same failure classes as the Python bit-walk."""
+    if NATIVE is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    units = np.ascontiguousarray(units, dtype=np.int32)
+    out = np.zeros(total_blocks * 64, dtype=np.int32)
+    U8 = ctypes.POINTER(ctypes.c_uint8)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+
+    def p32(a):
+        return np.ascontiguousarray(a, dtype=np.int32) \
+            .ctypes.data_as(I32)
+
+    rc = NATIVE.gs_jpeg_scan(
+        buf.ctypes.data_as(U8), len(data), start, mcux, mcuy, dri,
+        n_comps, units.shape[0],
+        p32(units[:, 0].copy()), p32(units[:, 1].copy()),
+        p32(units[:, 2].copy()), p32(units[:, 3].copy()),
+        p32(units[:, 4].copy()),
+        _p64(np.ascontiguousarray(comp_base, dtype=np.int64)),
+        p32(comp_rowstride), p32(comp_sh), p32(comp_sv),
+        p32(mincode), p32(maxcode), p32(valptr),
+        np.ascontiguousarray(vals, dtype=np.uint8)
+        .ctypes.data_as(U8),
+        out.ctypes.data_as(I32))
+    if rc == -2:
+        raise ValueError("invalid huffman code in JPEG stream")
+    if rc == -3:
+        raise ValueError("AC run overflow")
+    if rc == -4:
+        raise ValueError("truncated JPEG: missing restart marker")
+    if rc == -5:
+        raise ValueError("implausible JPEG DC size")
+    if rc != 0:
+        raise ValueError(f"JPEG entropy decode failed ({rc})")
+    return out.reshape(total_blocks, 64)

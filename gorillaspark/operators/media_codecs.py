@@ -775,6 +775,85 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+def _jpeg_entropy_native(payload: bytes, pos: int, mcux: int,
+                         mcuy: int, dri: int, comps: list,
+                         order: list, huff_raw: dict):
+    """C fast path for the entropy scan (gs_jpeg_scan): per-component
+    zig-zag coefficient planes, or None to fall back to the Python
+    bit-walk. Huffman tables are flattened to canonical
+    mincode/maxcode/valptr arrays (8 slots = is_ac*4 + table_id);
+    corrupt entropy data raises ValueError exactly like the Python
+    path (invalid code / AC overflow / missing restart)."""
+    try:
+        from ..codec.native import NATIVE, jpeg_scan_native
+        if NATIVE is None:
+            return None
+    except Exception:
+        return None
+    if len(comps) > 16:
+        return None
+    needed = ({(0, td) for _, td, _ in order}
+              | {(1, ta) for _, _, ta in order})
+    if any(th > 3 or key not in huff_raw
+           for key in needed for th in [key[1]]):
+        return None
+    mincode = np.zeros(8 * 17, np.int32)
+    maxcode = np.full(8 * 17, -1, np.int32)
+    valptr = np.zeros(8 * 17, np.int32)
+    vals: list[int] = []
+    for (tc, th), (bits, syms) in huff_raw.items():
+        if th > 3:
+            continue
+        slot = tc * 4 + th
+        code = 0
+        k = 0
+        base = len(vals)
+        for length in range(1, 17):
+            cnt = bits[length - 1]
+            mincode[slot * 17 + length] = code
+            valptr[slot * 17 + length] = base + k
+            maxcode[slot * 17 + length] = code + cnt - 1 if cnt else -1
+            code = (code + cnt) << 1
+            k += cnt
+        vals.extend(syms)
+    units = []
+    for ci, td, ta in order:
+        _, sh, sv, _ = comps[ci]
+        for v in range(sv):
+            for u in range(sh):
+                units.append((ci, v, u, td, 4 + ta))
+    cbase = []
+    rowstride = []
+    tot = 0
+    for _, sh, sv, _ in comps:
+        cbase.append(tot)
+        rowstride.append(mcux * sh)
+        tot += (mcuy * sv) * (mcux * sh)
+    try:
+        blocks = jpeg_scan_native(
+            payload, pos, mcux, mcuy, dri, len(comps),
+            np.array(units, np.int32).reshape(-1, 5),
+            np.array(cbase, np.int64),
+            np.array(rowstride, np.int32),
+            np.array([c[1] for c in comps], np.int32),
+            np.array([c[2] for c in comps], np.int32),
+            mincode, maxcode, valptr,
+            np.array(vals, np.uint8), tot)
+    except ValueError:
+        raise
+    except Exception:
+        return None
+    if blocks is None:
+        return None
+    out = []
+    for ci, (_, sh, sv, _) in enumerate(comps):
+        nb = (mcuy * sv) * (mcux * sh)
+        out.append(blocks[cbase[ci]:cbase[ci] + nb]
+                   .reshape(mcuy * sv, mcux * sh, 64)
+                   .astype(np.int64))
+    return out
+
+
 @_loud_corruption
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Decode baseline JFIF to (h, w, c) uint8, c = 1 (grey) or 3
@@ -786,6 +865,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple, dict] = {}
+    huff_raw: dict[tuple, tuple] = {}   # (tc,th) -> (bits16, symbols)
     comps = []           # (id, sh, sv, tq)
     h = w = 0
     dri = 0
@@ -828,6 +908,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                         k += 1
                     code <<= 1
                 huff[(tc, th)] = table
+                huff_raw[(tc, th)] = (bits, list(syms))
                 off += 17 + sum(bits)
         elif marker == 0xC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -867,43 +948,46 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     if mcux * mcuy * sum(c[1] * c[2] for c in comps) > \
             8 * len(payload):
         raise ValueError("implausible JPEG dimensions for payload size")
-    br = _BitReader(payload, pos)
     order = []
     for cid, td, ta in scan:
         ci = next(i for i, c in enumerate(comps) if c[0] == cid)
         order.append((ci, td, ta))
-    coeffs = [np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64)
-              for c in comps]
-    dc_prev = [0] * len(comps)
-    mcu_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_i and mcu_i % dri == 0:
-                br.sync_restart()
-                dc_prev = [0] * len(comps)
-            mcu_i += 1
-            for ci, td, ta in order:
-                _, sh, sv, _ = comps[ci]
-                for v in range(sv):
-                    for u in range(sh):
-                        blk = coeffs[ci][my * sv + v, mx * sh + u]
-                        s = br.huff(huff[(0, td)])
-                        dc_prev[ci] += _extend(br.bits(s), s)
-                        blk[0] = dc_prev[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(huff[(1, ta)])
-                            r, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break           # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            blk[k] = _extend(br.bits(size), size)
-                            k += 1
+    coeffs = _jpeg_entropy_native(payload, pos, mcux, mcuy, dri,
+                                  comps, order, huff_raw)
+    if coeffs is None:                  # Python bit-walk fallback
+        br = _BitReader(payload, pos)
+        coeffs = [np.zeros((mcuy * c[2], mcux * c[1], 64),
+                           dtype=np.int64) for c in comps]
+        dc_prev = [0] * len(comps)
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_i and mcu_i % dri == 0:
+                    br.sync_restart()
+                    dc_prev = [0] * len(comps)
+                mcu_i += 1
+                for ci, td, ta in order:
+                    _, sh, sv, _ = comps[ci]
+                    for v in range(sv):
+                        for u in range(sh):
+                            blk = coeffs[ci][my * sv + v, mx * sh + u]
+                            s = br.huff(huff[(0, td)])
+                            dc_prev[ci] += _extend(br.bits(s), s)
+                            blk[0] = dc_prev[ci]
+                            k = 1
+                            while k < 64:
+                                rs = br.huff(huff[(1, ta)])
+                                r, size = rs >> 4, rs & 15
+                                if size == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break           # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run overflow")
+                                blk[k] = _extend(br.bits(size), size)
+                                k += 1
 
     planes = []
     for ci, (cid, sh, sv, tq) in enumerate(comps):

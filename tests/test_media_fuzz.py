@@ -205,3 +205,35 @@ def test_png_unfilter_native_matches_numpy_and_is_fast(monkeypatch):
     monkeypatch.undo()
     with pytest.raises(ValueError, match="filter"):
         mc._png_unfilter(bad.copy(), h, w, c)
+
+
+def test_jpeg_entropy_native_matches_python_bitwalk(monkeypatch):
+    """r6: the entropy scan moved into the C kernel (gs_jpeg_scan).
+    Valid streams across quality/subsampling/restart-interval configs
+    must decode bit-identically through the C path and the Python
+    _BitReader fallback; truncated DRI streams must raise through
+    BOTH paths."""
+    import gorillaspark.codec.native as nat
+
+    if nat.NATIVE is None:
+        pytest.skip("no C compiler in environment")
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(yy * 2) % 256, (xx * 3) % 256,
+                    ((xx + yy) * 2) % 256], -1).astype(np.uint8)
+    grey = ((yy * 4) % 256).astype(np.uint8)
+    cases = [mc.jpeg_encode(img, q, sub, restart_interval=dri)
+             for q, sub, dri in [(95, "444", 0), (95, "420", 0),
+                                 (80, "422", 0), (95, "420", 1),
+                                 (92, "444", 3)]]
+    cases.append(mc.jpeg_encode(grey, 97))
+    got_c = [mc.jpeg_decode(e) for e in cases]
+    monkeypatch.setattr(nat, "NATIVE", None)
+    got_py = [mc.jpeg_decode(e) for e in cases]
+    for i, (a, b) in enumerate(zip(got_c, got_py)):
+        assert np.array_equal(a, b), i
+    dri_trunc = cases[3][:len(cases[3]) - 8]
+    with pytest.raises(OK_ERRORS):
+        mc.jpeg_decode(dri_trunc)               # Python path
+    monkeypatch.undo()
+    with pytest.raises(OK_ERRORS):
+        mc.jpeg_decode(dri_trunc)               # C path
