@@ -86,27 +86,27 @@ def main() -> None:
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    # --- shared index pieces (mirrors ivfpq_topk_fixed_codebook steps)
+    # --- shared index pieces (mirrors ivfpq_topk_fixed_codebook steps:
+    # r6 inline literal-argmax assignment — no join inflation/window)
+    from gorillaspark.operators.similarity import (
+        _cell_scores,
+        _collect_cell_codebook,
+    )
     normed = with_unit_norm(emb, "embedding")
-    cells = (normed.where(F.col("vec_id") < n_centroids)
-             .select(F.col("vec_id").alias("cell"),
-                     F.col("unit").alias("c_unit")))
-    w_cell = Window.partitionBy("_vid").orderBy(
-        F.desc("_cdot"), F.asc("cell"))
-    assigned = (normed.select(F.col("vec_id").alias("_vid"), "unit")
-                .join(F.broadcast(cells))
-                .withColumn("_cdot", _dot("unit", "c_unit"))
-                .withColumn("_rn", F.row_number().over(w_cell))
-                .where(F.col("_rn") == 1)
-                .select(F.col("_vid").alias("nbr_id"), "cell"))
+    cell_ids, cell_units = _collect_cell_codebook(
+        normed, n_centroids, "vec_id")
+    assigned = (normed.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.array_min(_cell_scores("unit", cell_ids, cell_units))
+        .getField("cell").alias("cell")))
     probes = (with_unit_norm(queries, "embedding")
-              .select(F.col("vec_id").alias("_vid"),
-                      F.col("unit").alias("q_unit"))
-              .join(F.broadcast(cells))
-              .withColumn("_cdot", _dot("q_unit", "c_unit"))
-              .withColumn("_rn", F.row_number().over(w_cell))
-              .where(F.col("_rn") <= nprobe)
-              .select(F.col("_vid").alias("query_id"), "q_unit", "cell"))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("unit").alias("q_unit"),
+                      F.explode(F.slice(F.array_sort(_cell_scores(
+                          "unit", cell_ids, cell_units)),
+                          1, nprobe)).alias("_pc"))
+              .select("query_id", "q_unit",
+                      F.col("_pc.cell").alias("cell")))
     subs = F.array(*[
         F.slice("unit", m * sub_w + 1, sub_w) for m in range(n_sub)])
     codebook = (normed.where(F.col("vec_id") < n_codes)
