@@ -1042,6 +1042,52 @@ _TRIGRAM_LM_SQL = """
 """
 
 
+def q_doc_trigram_lm_frozen(spark, sf_dir):
+    """Frozen-model trigram scoring (r6): the model trains on the
+    even-doc_id half of the corpus and scores the odd half, so scores
+    are comparable across shards; out-of-model trigrams hit the
+    additive-smoothing floor ln(1/(total+V)). Same integer
+    quantization as doc_trigram_lm, so the oracle is exact."""
+    from .operators.textstats import trigram_lm_scores, trigram_lm_train
+    docs = _docs(spark, sf_dir)
+    model = trigram_lm_train(docs.where(F.col("doc_id") % 2 == 0))
+    return trigram_lm_scores(docs.where(F.col("doc_id") % 2 == 1),
+                             model_df=model)
+
+
+_TRIGRAM_LM_FROZEN_SQL = """
+    WITH mpos AS (
+      SELECT doc_id, lower(text) AS t,
+             unnest(generate_series(1, greatest(length(text) - 2, 0)))
+                 AS i
+      FROM documents WHERE doc_id % 2 = 0),
+    mtri AS (SELECT substr(t, CAST(i AS INTEGER), 3) AS tri FROM mpos),
+    cnts AS (SELECT tri, count(*) AS cnt FROM mtri GROUP BY 1),
+    st AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM cnts),
+    lp AS (SELECT tri,
+                  CAST(floor(ln(cnt / total) * 1000000.0 + 0.5)
+                       AS BIGINT) AS lp_i
+           FROM cnts CROSS JOIN st),
+    oov AS (SELECT CAST(floor(ln(1.0 / (total + vocab)) * 1000000.0
+                              + 0.5) AS BIGINT) AS oov_i
+            FROM st),
+    spos AS (
+      SELECT doc_id, lower(text) AS t,
+             unnest(generate_series(1, greatest(length(text) - 2, 0)))
+                 AS i
+      FROM documents WHERE doc_id % 2 = 1),
+    stri AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS tri
+             FROM spos),
+    agg AS (SELECT s.doc_id, count(*) AS n_trigrams,
+                   sum(COALESCE(l.lp_i, o.oov_i)) AS s
+            FROM stri s LEFT JOIN lp l USING (tri) CROSS JOIN oov o
+            GROUP BY 1)
+    SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+           ROUND(s / 1000000.0 / n_trigrams, 6) AS avg_logprob
+    FROM agg
+"""
+
+
 def q_simhash_dupes(spark, sf_dir):
     """Identical-signature groups, exploded to one row per member so
     the result is flat-hashable: (simhash, doc_id, n_docs)."""
@@ -2151,6 +2197,7 @@ QUERIES.update({
     "media_mp4_stats": q_media_mp4_stats,
     "media_flac_stats": q_media_flac_stats,
     "doc_trigram_lm": q_doc_trigram_lm,
+    "doc_trigram_lm_frozen": q_doc_trigram_lm_frozen,
     "media_frame_ahash": q_media_frame_ahash,
 })
 ORACLES.update({
@@ -2161,6 +2208,7 @@ ORACLES.update({
     "media_mp4_stats": _MEDIA_MP4_SQL,  # real demux + exact MJPEG
     "media_flac_stats": _MEDIA_AUDIO_SQL,  # lossless: same oracle as WAV
     "doc_trigram_lm": _TRIGRAM_LM_SQL,
+    "doc_trigram_lm_frozen": _TRIGRAM_LM_FROZEN_SQL,
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
 })
 
@@ -2397,6 +2445,10 @@ _EXTRA_NAMES = [
                                #       distinct paths; driver-green r5
     "gapfill_1h_ffill",        # kept: driver-green r5; interp superset
                                #       stays pytest-oracled in EXTRA
+    "doc_trigram_lm_frozen",   # NEW r6 (frozen-model trigram scoring,
+                               #       OOV floor): pytest-oracled in
+                               #       EXTRA; window full — rotate in
+                               #       when a slot frees
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
