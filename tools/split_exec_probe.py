@@ -67,7 +67,24 @@ def calibrate() -> float:
 
 def _single(cpus: int, tpath: str, barrier: str, tag: str) -> None:
     """Child: build session on local[cpus], cache points, signal
-    READY, wait for GO, run timed reps, print RESULT json."""
+    READY, wait for GO, run timed reps, print RESULT json.
+
+    Sentinel protocol (r6 fix): the bracketing calibrations must
+    measure EXTERNAL co-tenant load only, so cal0 runs before the
+    child's JVM exists and cal1 after spark.stop() AND behind a
+    group-wide completion barrier — a measured settle experiment
+    showed a single sentinel taken next to this child's own live JVM
+    on a 2-4 core cpuset reads 5-7x inflated for ~one sample before
+    settling, and a fast child's end-sentinel otherwise overlaps a
+    sibling's still-running timed section (sibling load is the
+    experiment, not contamination). Children stagger their sentinels
+    (idx * 0.25 s) so the bandwidth-heavy calibrations never overlap
+    each other, and take min of 3."""
+    idx = int(os.environ.get("SPLIT_TAG_INDEX", "0"))
+    n_kids = int(os.environ.get("SPLIT_GROUP_SIZE", "1"))
+    time.sleep(idx * 0.25)
+    cal0 = min(calibrate() for _ in range(3))
+
     from gorillaspark.operators.encode import encode_points
     from gorillaspark.operators.normalize import turn_latency_points
     from gorillaspark.operators.rollup import rollup_tier
@@ -99,7 +116,7 @@ def _single(cpus: int, tpath: str, barrier: str, tag: str) -> None:
         time.sleep(0.05)
 
     res = {"tag": tag, "cpus": cpus, "n_points": n_pts}
-    res["cal0"] = calibrate()
+    res["cal0"] = cal0
     for name, fn in stages.items():
         times = []
         for _ in range(REPS):
@@ -108,16 +125,28 @@ def _single(cpus: int, tpath: str, barrier: str, tag: str) -> None:
             times.append(round(time.perf_counter() - t0, 3))
         res[f"{name}_reps"] = times
         res[f"{name}_s"] = min(times)
-    res["cal1"] = calibrate()
     spark.stop()
     shutil.rmtree(local_dir, ignore_errors=True)
+    Path(f"{barrier}.done.{tag}").touch()
+    deadline = time.time() + 600
+    bdir = Path(barrier).parent
+    while len(list(bdir.glob(f"{Path(barrier).name}.done.*"))) \
+            < n_kids:
+        if time.time() > deadline:
+            break                       # sentinel still informative
+        time.sleep(0.05)
+    time.sleep(idx * 0.25)
+    res["cal1"] = min(calibrate() for _ in range(3))
     print("RESULT " + json.dumps(res))
 
 
 def _launch(cores: str, cpus: int, tpath: str, barrier: str,
-            tag: str) -> subprocess.Popen:
+            tag: str, idx: int = 0,
+            group_size: int = 1) -> subprocess.Popen:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+    env["SPLIT_TAG_INDEX"] = str(idx)
+    env["SPLIT_GROUP_SIZE"] = str(group_size)
     return subprocess.Popen(
         ["taskset", "-c", cores, sys.executable,
          str(Path(__file__).resolve()), "--single", str(cpus), tpath,
@@ -140,8 +169,9 @@ def _run_group(specs: list[tuple[str, int, str, str]]) -> list[dict]:
     ready, and collect results — timed sections fully overlap."""
     bdir = tempfile.mkdtemp(prefix="gssplit-bar-")
     barrier = f"{bdir}/bar"
-    procs = [(_launch(cores, cpus, tpath, barrier, tag), tag)
-             for cores, cpus, tpath, tag in specs]
+    procs = [(_launch(cores, cpus, tpath, barrier, tag, i,
+                      len(specs)), tag)
+             for i, (cores, cpus, tpath, tag) in enumerate(specs)]
     deadline = time.time() + 600
     while not all(Path(f"{barrier}.ready.{t}").exists()
                   for _, t in procs):
@@ -166,9 +196,17 @@ def main() -> None:
     from gorillaspark.plans.session import build_session
     from gorillaspark.sources.transcripts import generate_transcripts
 
-    tdir = tempfile.mkdtemp(
+    # SPLIT_CORPUS_DIR reuses a previously generated corpus (and
+    # keeps it) — generation costs minutes per retry otherwise
+    keep = os.environ.get("SPLIT_CORPUS_DIR")
+    if keep and os.path.isdir(os.path.join(keep, "full")):
+        tdir = keep
+        _measure(tdir)
+        return
+    tdir = keep or tempfile.mkdtemp(
         prefix="gssplit-corpus-",
         dir="/dev/shm" if os.access("/dev/shm", os.W_OK) else None)
+    os.makedirs(tdir, exist_ok=True)
     s = build_session(app="split-gen", master="local[32]")
     s.sparkContext.setLogLevel("ERROR")
     tr = generate_transcripts(s, n_conv=N_CONV, mean_turns=MEAN_TURNS,
@@ -196,7 +234,10 @@ def main() -> None:
             .parquet(f"{tdir}/quarter{i}")
     tr.write.mode("overwrite").parquet(f"{tdir}/full")
     s.stop()
+    _measure(tdir, keep_corpus=bool(keep))
 
+
+def _measure(tdir: str, keep_corpus: bool = True) -> None:
     runs: dict[str, list[dict]] = {}
     grids = {
         "solo4_half": [("0-3", 4, f"{tdir}/half0", "solo4")],
@@ -228,7 +269,8 @@ def main() -> None:
         runs[name + "_worst_cal"] = min(a[0] for a in attempts)
     runs["cal_ref"] = cal_ref
 
-    shutil.rmtree(tdir, ignore_errors=True)
+    if not keep_corpus:
+        shutil.rmtree(tdir, ignore_errors=True)
 
     out: dict = {"n_conv": N_CONV, "reps": REPS, "runs": runs,
                  "efficiency": {}}
