@@ -457,3 +457,28 @@ int gs_jpeg_scan(const unsigned char *d, long long nbytes,
     }
     return 0;
 }
+
+/* FLAC frame CRCs (media_codecs.py): CRC-8 poly 0x07 and CRC-16 poly
+ * 0x8005, both init 0, MSB-first — verified per frame over the whole
+ * frame's bytes, which made the former per-bit Python loop the FLAC
+ * decode hot spot. mode 0 = CRC-8, 1 = CRC-16. */
+int gs_flac_crc(const unsigned char *d, long long n, int mode) {
+    if (mode == 0) {
+        unsigned c = 0;
+        for (long long i = 0; i < n; i++) {
+            c ^= d[i];
+            for (int j = 0; j < 8; j++)
+                c = (c & 0x80) ? ((c << 1) ^ 0x07) & 0xFF
+                               : (c << 1) & 0xFF;
+        }
+        return (int)c;
+    }
+    unsigned c = 0;
+    for (long long i = 0; i < n; i++) {
+        c ^= (unsigned)d[i] << 8;
+        for (int j = 0; j < 8; j++)
+            c = (c & 0x8000) ? ((c << 1) ^ 0x8005) & 0xFFFF
+                             : (c << 1) & 0xFFFF;
+    }
+    return (int)c;
+}

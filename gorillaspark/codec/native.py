@@ -84,6 +84,8 @@ def _load():
         lib.gs_png_unfilter.restype = ctypes.c_int
         lib.gs_png_unfilter.argtypes = [U8, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int, U8]
+        lib.gs_flac_crc.restype = ctypes.c_int
+        lib.gs_flac_crc.argtypes = [U8, ctypes.c_int64, ctypes.c_int]
         I32 = ctypes.POINTER(ctypes.c_int32)
         lib.gs_jpeg_scan.restype = ctypes.c_int
         lib.gs_jpeg_scan.argtypes = (
@@ -261,3 +263,14 @@ def jpeg_scan_native(data: bytes, start: int, mcux: int, mcuy: int,
     if rc != 0:
         raise ValueError(f"JPEG entropy decode failed ({rc})")
     return out.reshape(total_blocks, 64)
+
+
+def flac_crc_native(data: bytes, mode: int):
+    """C fast path for FLAC frame CRCs (mode 0 = CRC-8 poly 0x07,
+    1 = CRC-16 poly 0x8005); None when the kernel is unavailable."""
+    if NATIVE is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    return int(NATIVE.gs_flac_crc(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data), mode))

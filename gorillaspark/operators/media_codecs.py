@@ -1239,22 +1239,53 @@ def mp4_sample_frames(payload: bytes, every_ms: int):
 # CRC-8 (header) and CRC-16 (frame) are computed and VERIFIED.
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    tab = []
+    for b in range(256):
+        c = b << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) & mask if c & top else (c << 1) & mask
+        tab.append(c)
+    return tab
+
+
+_CRC8_TAB = _crc_table(0x07, 8)
+_CRC16_TAB = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
+    """FLAC header CRC-8 (poly 0x07, init 0). C kernel when present;
+    table-driven byte loop otherwise — the CRC runs over EVERY frame
+    byte, so the old per-bit Python loop was the FLAC decode hot
+    spot."""
+    try:
+        from ..codec.native import flac_crc_native
+        c = flac_crc_native(data, 0)
+        if c is not None:
+            return c
+    except Exception:
+        pass
     c = 0
     for b in data:
-        c ^= b
-        for _ in range(8):
-            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        c = _CRC8_TAB[c ^ b]
     return c
 
 
 def _crc16(data: bytes) -> int:
+    """FLAC frame CRC-16 (poly 0x8005, init 0); same fast-path
+    contract as :func:`_crc8`."""
+    try:
+        from ..codec.native import flac_crc_native
+        c = flac_crc_native(data, 1)
+        if c is not None:
+            return c
+    except Exception:
+        pass
     c = 0
     for b in data:
-        c ^= b << 8
-        for _ in range(8):
-            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
-                else (c << 1) & 0xFFFF
+        c = ((c << 8) & 0xFFFF) ^ _CRC16_TAB[(c >> 8) ^ b]
     return c
 
 

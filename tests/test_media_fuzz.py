@@ -237,3 +237,39 @@ def test_jpeg_entropy_native_matches_python_bitwalk(monkeypatch):
     monkeypatch.undo()
     with pytest.raises(OK_ERRORS):
         mc.jpeg_decode(dri_trunc)               # C path
+
+
+def test_flac_crc_native_matches_table_fallback(monkeypatch):
+    """r6: FLAC frame CRCs moved to the C kernel (gs_flac_crc) with a
+    table-driven fallback replacing the per-bit Python loop. Both
+    paths must accept a valid stream, reject a flipped frame byte
+    with the CRC error, and agree with the bitwise definition."""
+    import gorillaspark.codec.native as nat
+
+    sine = (np.sin(np.arange(6000) / 7) * 9000).astype(np.int16)
+    enc = mc.flac_encode(sine, 16000, 1)
+    for disable in (False, True):
+        if disable:
+            monkeypatch.setattr(nat, "flac_crc_native",
+                                lambda *a: None)
+        sr, ch, pcm = mc.flac_decode(enc)
+        assert (sr, ch) == (16000, 1)
+        assert np.array_equal(pcm, sine.astype(np.int64))
+        bad = bytearray(enc)
+        bad[len(bad) // 2] ^= 0x01        # inside some frame's body
+        with pytest.raises(ValueError):
+            mc.flac_decode(bytes(bad))
+        monkeypatch.undo()
+
+    def crc16_bitwise(data):
+        c = 0
+        for b in data:
+            c ^= b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                    else (c << 1) & 0xFFFF
+        return c
+
+    rng = np.random.default_rng(5)
+    blob = bytes(rng.integers(0, 256, 2048, dtype=np.uint8))
+    assert mc._crc16(blob) == crc16_bitwise(blob)
