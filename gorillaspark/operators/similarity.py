@@ -45,12 +45,32 @@ def _norm_col(vec: str) -> F.Column:
         vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
 
 
+def _let(expr: F.Column, fn) -> F.Column:
+    """Let-binding for Catalyst expressions: evaluate ``expr`` ONCE
+    per row and pass the bound value to ``fn``.
+
+    Catalyst has no native let, and two things silently multiply the
+    evaluation count of a computed column: higher-order-function
+    lambdas re-evaluate every captured subexpression per array
+    element, and projection collapse inlines a column's definition
+    into each of its references (the r5 plans never saw this — their
+    exchanges materialized intermediate columns; the r6 exchange-free
+    ANN plans made it the dominant cost, e.g. the norm fold inside
+    with_unit_norm's per-element division ran 64x per row, then 16x
+    again per centroid). A 1-element ``transform`` is the idiomatic
+    binder: lambda arguments are evaluated once."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def with_unit_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize once so cosine becomes a plain dot product."""
-    n = _norm_col(vec_col)
-    return emb.withColumn(
-        "unit",
-        F.transform(vec_col, lambda x: x.cast("double") / n))
+    """Pre-normalize once so cosine becomes a plain dot product.
+    The norm is let-bound so the fold runs once per row, not once per
+    element; the division arithmetic (x / n per element, same fold
+    order) is unchanged, so every oracle hash is stable."""
+    unit = _let(
+        _norm_col(vec_col),
+        lambda n: F.transform(vec_col, lambda x: x.cast("double") / n))
+    return emb.withColumn("unit", unit)
 
 
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -349,6 +369,108 @@ def _cell_scores(vec, cell_ids: list, cell_units: list) -> F.Column:
             .alias("cell")))
 
 
+def _np_unit(X: np.ndarray) -> np.ndarray:
+    """Unit-normalize rows with arithmetic bit-identical to
+    with_unit_norm: per-element float64 cast, LEFT-FOLD sum of
+    squares (cumsum is the sequential prefix fold; 0.0 + x == x
+    exactly), sqrt, per-element divide."""
+    X = X.astype(np.float64, copy=False)
+    norms = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+    return X / norms[:, None]
+
+
+def _np_fold_dots(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, d) × (k, d) → (n, k) dot products, each in LEFT-FOLD
+    order (cumsum), so results are bit-identical to the JVM/DuckDB
+    ``aggregate(zip_with(...))`` fold — NOT a BLAS matmul, whose
+    pairwise summation would drift on the last bit and flip
+    argmax ties cross-engine."""
+    out = np.empty((X.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(C.shape[0]):
+        out[:, j] = np.cumsum(X * C[j][None, :], axis=1)[:, -1]
+    return out
+
+
+def _ivf_index_arrow(emb: DataFrame, cell_ids: list, cell_units: list,
+                     vec_col: str, id_col: str,
+                     cw_subs: list | None = None,
+                     n_bits: int = 0, residual: bool = False,
+                     with_unit: bool = False) -> DataFrame:
+    """Corpus-side IVF(-PQ) index in ONE mapInArrow pass:
+    (vid, cell[, packed][, unit]).
+
+    This is the 100 TB shape AND the fast local shape: zero
+    exchange (embarrassingly parallel over input splits), zero
+    higher-order-function interpretation (the r6 inline-expression
+    form was exchange-free but paid ~1 µs per interpreted lambda
+    element — 10× slower than the join it replaced at bench scale),
+    and no groupBy to pack codes (subspace codes pack in numpy, so
+    the former codes→packed aggregation exchange disappears too).
+    All arithmetic is exact-fold (:func:`_np_unit`,
+    :func:`_np_fold_dots`, score = dot − |cw|²/2 with the same op
+    order), so cells, codes and every downstream oracle hash are
+    bit-identical to the relational form. Ties: ``np.argmax`` keeps
+    the first (lowest) index — the (score desc, id asc) rule.
+    """
+    import pyarrow as pa
+
+    ids_arr = np.asarray(cell_ids, dtype=np.int64)
+    CU = np.asarray(cell_units, dtype=np.float64)
+    CW = ([np.asarray(c, dtype=np.float64) for c in cw_subs]
+          if cw_subs is not None else None)
+    if CW is not None:
+        N2 = []
+        for M in CW:
+            n2m = []
+            for c in M:
+                acc = 0.0
+                for x in c:
+                    acc = acc + float(x) * float(x)
+                n2m.append(acc)
+            N2.append(np.asarray(n2m, dtype=np.float64))
+    n_sub = len(CW) if CW is not None else 0
+    sub_w = CU.shape[1] // n_sub if n_sub else 0
+
+    fields = [("vid", pa.int64()), ("cell", pa.int64())]
+    if CW is not None:
+        fields.append(("packed", pa.int64()))
+    if with_unit:
+        fields.append(("unit", pa.list_(pa.float64())))
+    schema = pa.schema(fields)
+
+    def index_batches(batches):
+        for batch in batches:
+            vid = batch.column(0).to_numpy(zero_copy_only=False)
+            col = batch.column(1)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            n = len(vid)
+            if n == 0:
+                continue
+            X = flat.reshape(n, -1)
+            U = _np_unit(X)
+            best = np.argmax(_np_fold_dots(U, CU), axis=1)
+            arrays = [pa.array(vid.astype(np.int64)),
+                      pa.array(ids_arr[best])]
+            if CW is not None:
+                V = U - CU[best] if residual else U
+                packed = np.zeros(n, dtype=np.int64)
+                for m in range(n_sub):
+                    S = V[:, m * sub_w:(m + 1) * sub_w]
+                    scores = _np_fold_dots(S, CW[m]) - N2[m][None, :] / 2
+                    packed |= np.argmax(scores, axis=1).astype(
+                        np.int64) << (m * n_bits)
+                arrays.append(pa.array(packed))
+            if with_unit:
+                arrays.append(pa.array(list(U)))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    src = emb.select(F.col(id_col).cast("long"), vec_col)
+    out_ddl = "vid long, cell long" \
+        + (", packed long" if CW is not None else "") \
+        + (", unit array<double>" if with_unit else "")
+    return src.mapInArrow(index_batches, out_ddl)
+
+
 def ivf_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
                             k: int = 10, n_centroids: int = 16,
                             nprobe: int = 4,
@@ -386,18 +508,17 @@ def ivf_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    corpus = (normed
-              .select(F.col(id_col).alias("nbr_id"),
-                      F.col("unit").alias("nbr_unit"),
-                      F.array_min(_cell_scores(
-                          "unit", cell_ids, cell_units))
-                      .getField("cell").alias("cell")))
+    corpus = (_ivf_index_arrow(emb, cell_ids, cell_units, vec_col,
+                               id_col, with_unit=True)
+              .select(F.col("vid").alias("nbr_id"),
+                      F.col("unit").alias("nbr_unit"), "cell"))
     probes = (with_unit_norm(queries, vec_col)
               .select(F.col(id_col).alias("query_id"),
                       F.col("unit").alias("q_unit"),
-                      F.explode(F.slice(F.array_sort(_cell_scores(
-                          "unit", cell_ids, cell_units)),
-                          1, nprobe)).alias("_pc"))
+                      F.explode(_let(F.col("unit"), lambda u: F.slice(
+                          F.array_sort(_cell_scores(
+                              u, cell_ids, cell_units)),
+                          1, nprobe))).alias("_pc"))
               .select("query_id", "q_unit",
                       F.col("_pc.cell").alias("cell")))
     scored = (corpus.join(F.broadcast(probes), "cell")
@@ -505,10 +626,10 @@ def pq_codes_fixed_codebook(emb: DataFrame, n_sub: int = 8,
                 for c in range(n_codes)] for m in range(n_sub)]
     return normed.select(
         F.col(id_col).alias("vid"),
-        F.posexplode(F.array(*[
-            _pq_code_argmin(F.slice("unit", m * sub_w + 1, sub_w),
+        F.posexplode(_let(F.col("unit"), lambda u: F.array(*[
+            _pq_code_argmin(F.slice(u, m * sub_w + 1, sub_w),
                             cw_subs[m])
-            for m in range(n_sub)])).alias("m", "code"))
+            for m in range(n_sub)]))).alias("m", "code"))
 
 
 def _pq_code_argmin(sub, codewords: list) -> F.Column:
@@ -523,13 +644,13 @@ def _pq_code_argmin(sub, codewords: list) -> F.Column:
             acc = acc + x * x
         n2.append(acc)
     n2_lit = F.lit(n2)
-    return F.array_min(F.transform(
+    return _let(sub, lambda s: F.array_min(F.transform(
         F.lit([list(c) for c in codewords]),
         lambda c, i: F.struct(
-            (-(_fold_dot(sub, c)
+            (-(_fold_dot(s, c)
                - F.element_at(n2_lit, (i + F.lit(1)).cast("int"))
                / F.lit(2))).alias("ns"),
-            i.cast("int").alias("code")))).getField("code")
+            i.cast("int").alias("code"))))).getField("code")
 
 
 def pq_reconstruct(codes: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -650,93 +771,77 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    # --- IVF cells: INLINE argmax over the literal centroid array
-    # (same construction + tie rule as ivf_topk_fixed_codebook; no
-    # join inflation, no window shuffle — corpus side exchange-free)
-    cell_ids, cell_units = _collect_cell_codebook(
-        normed, n_centroids, id_col)
-    cells = (normed.where(F.col(id_col) < n_centroids)
-             .select(F.col(id_col).alias("cell"),
-                     F.col("unit").alias("c_unit")))
-    asg = u.select(F.col("vid").alias("_vid"), "unit",
-                   F.array_min(_cell_scores(
-                       "unit", cell_ids, cell_units))
-                   .getField("cell").alias("cell"))
-    assigned = asg.select(F.col("_vid").alias("nbr_id"), "cell")
+    # --- ONE bounded collect serves the cell codebook, the PQ
+    # codebook and (residual mode) the driver-side residual
+    # computation — every derived value uses the exact-fold numpy
+    # helpers, so it is bit-identical to what the former relational
+    # construction computed (and to the SQL oracle's recomputation)
+    base_rows = (normed
+                 .where(F.col(id_col) < max(n_centroids, n_codes))
+                 .select(F.col(id_col).cast("long").alias("_id"),
+                         "unit")
+                 .orderBy("_id").collect())
+    unit_map = {int(r["_id"]): [float(x) for x in r["unit"]]
+                for r in base_rows}
+    cell_ids = sorted(i for i in unit_map if i < n_centroids)
+    if not cell_ids:
+        raise ValueError(
+            f"IVF codebook is empty: no corpus ids < {n_centroids}")
+    cell_units = [unit_map[i] for i in cell_ids]
     probes = (with_unit_norm(queries, vec_col)
               .select(F.col(id_col).alias("query_id"),
                       F.col("unit").alias("q_unit"),
-                      F.explode(F.slice(F.array_sort(_cell_scores(
-                          "unit", cell_ids, cell_units)),
-                          1, nprobe)).alias("_pc"))
+                      F.explode(_let(F.col("unit"), lambda uu: F.slice(
+                          F.array_sort(_cell_scores(
+                              uu, cell_ids, cell_units)),
+                          1, nprobe))).alias("_pc"))
               .select("query_id", "q_unit",
                       F.col("_pc.cell").alias("cell"),
                       (-F.col("_pc.nd")).alias("_cdot")))
 
-    # --- PQ codes + per-query ADC lookup table
-    if residual:
-        # quantize unit - centroid; codebook = residuals of the first
-        # n_codes corpus vectors, sliced per subspace (deterministic).
-        # c_unit comes from the broadcast 16-row cells relation — a
-        # broadcast hash join, corpus side still exchange-free.
-        rvecs = (asg.join(F.broadcast(cells), "cell")
-                 .select(F.col("_vid").alias("vid"), "cell",
-                         F.zip_with("unit", "c_unit",
-                                    lambda x, y: x - y).alias("rvec")))
-        rsubs = F.array(*[
-            F.slice("rvec", m * sub_w + 1, sub_w) for m in range(n_sub)])
-        if codebooks is not None:
-            # trained codewords (pq_train_residual_codebooks) injected
-            # as a literal relation — the production path; fixed-sample
-            # fallback below keeps the deterministic/SQL-expressible
-            # variant
-            spark = emb.sparkSession
-            cb_rows = [(int(c), int(m), [float(x) for x in
-                                         codebooks[m, c]])
-                       for m in range(n_sub) for c in range(n_codes)]
-            codebook = spark.createDataFrame(
-                cb_rows, "code int, m int, cw array<double>")
-            cw_subs = [[[float(x) for x in codebooks[m, c]]
-                        for c in range(n_codes)] for m in range(n_sub)]
-        else:
-            codebook = (rvecs.where(F.col("vid") < n_codes)
-                        .select(F.col("vid").cast("int").alias("code"),
-                                F.posexplode(rsubs).alias("m", "cw")))
-            # bounded collect (n_codes rows) so code assignment can be
-            # the same inline literal argmin as cell assignment
-            cb_rows = (rvecs.where(F.col("vid") < n_codes)
-                       .select(F.col("vid").cast("int").alias("code"),
-                               "rvec").orderBy("code").collect())
-            rmap = {int(r["code"]): [float(x) for x in r["rvec"]]
-                    for r in cb_rows}
-            if sorted(rmap) != list(range(n_codes)):
-                raise ValueError(
-                    f"PQ codebook needs dense corpus ids "
-                    f"0..{n_codes - 1}; got {len(rmap)} of {n_codes}")
-            cw_subs = [[rmap[c][m * sub_w:(m + 1) * sub_w]
-                        for c in range(n_codes)] for m in range(n_sub)]
-        codes = rvecs.select(
-            "vid",
-            F.posexplode(F.array(*[
-                _pq_code_argmin(F.slice("rvec", m * sub_w + 1, sub_w),
-                                cw_subs[m])
-                for m in range(n_sub)])).alias("m", "code"))
+    # --- PQ codebook (driver-side) + its relational twin for the LUT
+    spark = emb.sparkSession
+    if residual and codebooks is not None:
+        # trained codewords (pq_train_residual_codebooks) — the
+        # production path; the fixed-sample fallback below keeps the
+        # deterministic/SQL-expressible variant
+        cw_subs = [[[float(x) for x in codebooks[m, c]]
+                    for c in range(n_codes)] for m in range(n_sub)]
     else:
-        subs = F.array(*[
-            F.slice("unit", m * sub_w + 1, sub_w) for m in range(n_sub)])
-        codebook = (normed.where(F.col(id_col) < n_codes)
-                    .select(F.col(id_col).cast("int").alias("code"),
-                            F.posexplode(subs).alias("m", "cw")))
-        codes = pq_codes_fixed_codebook(emb, n_sub, n_codes, dim,
-                                        vec_col, id_col)
+        code_ids = sorted(i for i in unit_map if i < n_codes)
+        if code_ids != list(range(n_codes)):
+            raise ValueError(
+                f"PQ codebook needs dense corpus ids "
+                f"0..{n_codes - 1}; got {len(code_ids)} of {n_codes}")
+        if residual:
+            # residual codewords: unit − assigned centroid, with the
+            # same exact-fold argmax the Arrow indexer applies
+            CU = np.asarray(cell_units, dtype=np.float64)
+            cvecs = {}
+            for i in code_ids:
+                ui = np.asarray(unit_map[i], dtype=np.float64)
+                best = int(np.argmax(_np_fold_dots(ui[None, :], CU)))
+                cvecs[i] = (ui - CU[best]).tolist()
+        else:
+            cvecs = {i: unit_map[i] for i in code_ids}
+        cw_subs = [[cvecs[c][m * sub_w:(m + 1) * sub_w]
+                    for c in range(n_codes)] for m in range(n_sub)]
+    codebook = spark.createDataFrame(
+        [(int(c), int(m), cw_subs[m][c])
+         for m in range(n_sub) for c in range(n_codes)],
+        "code int, m int, cw array<double>")
 
     n_bits = max(1, (n_codes - 1).bit_length())
     if n_sub * n_bits > 64:
         raise ValueError(f"packed PQ code needs {n_sub * n_bits} bits; "
                          f"reduce n_sub or n_codes to fit a BIGINT")
-    packed = (codes.groupBy("vid").agg(
-        F.sum(F.expr(f"shiftleft(cast(code AS BIGINT), m * {n_bits})"))
-        .alias("packed")))  # disjoint bit ranges: sum == bitwise OR
+    # corpus-wide cells + packed codes in ONE Arrow pass: no join
+    # inflation, no window, and no codes→packed groupBy exchange
+    idx = _ivf_index_arrow(emb, cell_ids, cell_units, vec_col, id_col,
+                           cw_subs=cw_subs, n_bits=n_bits,
+                           residual=residual)
+    assigned = idx.select(F.col("vid").alias("nbr_id"), "cell")
+    packed = idx.select("vid", "packed")
 
     q_units = probes.select("query_id", "q_unit").distinct()
     q_subs = q_units.select(

@@ -169,3 +169,31 @@ def test_ivf_assignment_corpus_side_exchange_free(spark):
         "SortMergeJoin" not in cplan, cplan
     n_exchange = len(re.findall(r"\(\d+\) Exchange", cplan))
     assert n_exchange == 0, f"{n_exchange} exchanges:\n{cplan}"
+
+
+def test_ivfpq_arrow_indexer_exchange_free(spark):
+    """The shipped corpus indexer (r6: one mapInArrow pass producing
+    vid/cell/packed) must stay exchange-free — no join inflation, no
+    window, and no codes->packed groupBy."""
+    import numpy as np
+
+    from gorillaspark.operators.similarity import (
+        _collect_cell_codebook,
+        _ivf_index_arrow,
+        with_unit_norm,
+    )
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 16)])
+         for i in range(64)], "vec_id long, embedding array<double>")
+    ids, units = _collect_cell_codebook(
+        with_unit_norm(emb, "embedding"), 8, "vec_id")
+    cw = [[units[c][m * 4:(m + 1) * 4] for c in range(8)]
+          for m in range(4)]
+    idx = _ivf_index_arrow(emb, ids, units, "embedding", "vec_id",
+                           cw_subs=cw, n_bits=3)
+    plan = _plan(idx)
+    assert "MapInArrow" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
