@@ -35,16 +35,16 @@ import time
 # round-over-round drift: r3's 27% suite slowdown sailed under the old
 # r1-pinned budget. Refresh after any round that improves a query.
 _BUDGET_S = {
-    # refreshed r5 (best-of-rounds policy): every query that improved
-    # in the r5 quiet-window runs took its new best — including
-    # ann_topk_ivfpq, where the packed-ADC rewrite is a measured win
-    # (2.19 vs the r4 recon-join 2.42) on top of its scale story
+    # refreshed r6 (best-of-rounds policy): the _let norm-fold fix +
+    # Arrow corpus indexer improved the whole ANN family (bruteforce
+    # 1.29->0.90, near-dup 1.28->0.81, ivfpq 2.19->2.14) and the C
+    # CRC kernel cut FLAC decode 7.0->2.0; each took its new best
     "encode_blocks": 1.590,
     "decode_blocks": 0.438,
-    "rollup_1m": 0.842,
+    "rollup_1m": 0.819,
     "rollup_cascade_1h_1d": 0.959,
     "rollup_sketch_1d": 1.299,
-    "ann_topk_ivfpq": 2.188,
+    "ann_topk_ivfpq": 2.139,
     "gapfill_1h": 0.727,
     "sf_rollup_1m": 0.378,
     "sf_latency_stats_per_series": 0.352,
@@ -57,14 +57,16 @@ _BUDGET_S = {
     # executor-storage safety) was budgeted at its ~0.90 design floor;
     # the r5 quiet window measured 0.704 — floor revised down
     "dedup_simhash_hamming": 0.704,
-    "ann_topk_bruteforce": 1.289,
+    "ann_topk_bruteforce": 0.902,
     "ann_topk_lsh": 1.322,
-    "embedding_near_dup_lsh": 1.276,
-    # new r5: the real media codecs through the Spark feature path
-    # (per-payload Python decode is the tracked cost; FLAC rice runs
-    # through the C kernel when present, numpy set-bit walk otherwise)
+    "embedding_near_dup_lsh": 0.811,
+    # media codecs through the Spark feature path; JPEG entropy scan,
+    # PNG unfilter and FLAC CRCs run in the C kernel when present
+    # (numpy/table fallbacks otherwise). The small driver-corpus
+    # images leave JPEG dominated by per-payload task overhead, so
+    # its budget moves less than the kernel speedup suggests
     "media_decode_jpeg": 3.816,
-    "media_decode_flac": 6.999,
+    "media_decode_flac": 2.034,
 }
 # 1.5x: wide enough that routine tenant noise (±20-40%) stays quiet,
 # tight enough that a 2x+ structural regression (the r3
