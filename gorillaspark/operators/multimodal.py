@@ -131,6 +131,27 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Partitioning policy for the per-payload decode stages.
+
+    Decode is embarrassingly parallel with no cross-row dependency,
+    so the scan partitioning is the right input at scale — at 100 TB
+    the parquet splits (maxPartitionBytes) already outnumber the
+    executors and an up-front repartition would shuffle every payload
+    byte for nothing (the pre-r6 unconditional repartition was exactly
+    that). Locally the opposite failure bites: a small corpus is ONE
+    parquet split, serializing the whole decode on one core. So:
+    round-robin repartition ONLY when the input has fewer partitions
+    than the cluster's parallelism — the same split-vs-shuffle
+    decision AQE makes for coalescing, applied in the widening
+    direction."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def extract_features(media: DataFrame, decoder: str = "stub",
                      dim: int = 8) -> DataFrame:
     """Batched feature extraction over the binary column.
@@ -168,9 +189,7 @@ def extract_features(media: DataFrame, decoder: str = "stub",
                 "feature": feats,
             })
 
-    # binary rows are fat: cap Arrow batch size via repartition so a
-    # batch stays executor-memory friendly at 100 TB payload scale
-    return media.repartition("media_id").mapInPandas(run, FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(run, FEATURE_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = StructType([
@@ -224,7 +243,7 @@ def audio_stats(media: DataFrame, id_col: str = "media_id",
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return cols.repartition("media_id").mapInPandas(run, AUDIO_STATS_SCHEMA)
+    return _spread(cols).mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
 def image_stats(media: DataFrame, id_col: str = "media_id",
@@ -240,7 +259,7 @@ def image_stats(media: DataFrame, id_col: str = "media_id",
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return cols.repartition("media_id").mapInPandas(run, IMAGE_STATS_SCHEMA)
+    return _spread(cols).mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
 def video_frame_stats(media: DataFrame, every_ms: int = 1000,
@@ -273,7 +292,7 @@ def video_frame_stats(media: DataFrame, every_ms: int = 1000,
             yield pd.DataFrame(recs, columns=[f.name for f in
                                               FRAME_STATS_SCHEMA])
 
-    return cols.repartition("media_id").mapInPandas(run, FRAME_STATS_SCHEMA)
+    return _spread(cols).mapInPandas(run, FRAME_STATS_SCHEMA)
 
 
 def synthesize_real_media(spark, n: int = 60, seed: int = 11) -> DataFrame:
