@@ -841,6 +841,117 @@ def q_ann_topk_ivfpq(spark, sf_dir):
                                      refine=40)
 
 
+def q_ann_topk_ivfpq_residual(spark, sf_dir):
+    """Residual IVF-PQ (r6 driver-grade evidence for the r5 feature):
+    vectors quantize as centroid + PQ(unit − centroid), with the
+    fixed-sample residual codebook (residuals of the first n_codes
+    corpus vectors) so the WHOLE index — cells, residuals, codebook,
+    codes, ADC LUT plus the per-(query, cell) centroid term — is
+    SQL-recomputable. Same integer-quantized ADC sums as the plain
+    variant; exact-cosine refine."""
+    from .operators.similarity import ivfpq_topk_fixed_codebook
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 32)
+    return ivfpq_topk_fixed_codebook(emb, queries, k=10,
+                                     n_centroids=16, nprobe=4,
+                                     n_sub=8, n_codes=16, dim=64,
+                                     refine=40, residual=True)
+
+
+_ANN_IVFPQ_RESIDUAL_SQL = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, vec,
+               sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+        FROM v),
+    u AS (SELECT vec_id,
+                 list_transform(vec, x -> x / nrm) AS unit FROM n),
+    cb AS (SELECT vec_id AS cell, unit AS c_unit FROM u
+           WHERE vec_id < 16),
+    assigned AS (
+        SELECT vec_id AS nbr_id, cell, c_unit FROM (
+            SELECT c.vec_id, cb.cell, cb.c_unit,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_dot_product(c.unit, cb.c_unit)
+                           DESC, cb.cell) AS rn
+            FROM u c CROSS JOIN cb)
+        WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cell, cdot FROM (
+            SELECT q.vec_id, cb.cell,
+                   list_dot_product(q.unit, cb.c_unit) AS cdot,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.unit, cb.c_unit)
+                           DESC, cb.cell) AS rn
+            FROM u q CROSS JOIN cb WHERE q.vec_id < 32)
+        WHERE rn <= 4),
+    rvec AS (
+        SELECT a.nbr_id AS vid, a.cell,
+               list_transform(generate_series(1, 64),
+                              i -> uu.unit[i] - a.c_unit[i]) AS rv
+        FROM assigned a JOIN u uu ON uu.vec_id = a.nbr_id),
+    rsubs AS (
+        SELECT vid, cell, m,
+               list_slice(rv, m * 8 + 1, m * 8 + 8) AS sub
+        FROM rvec CROSS JOIN
+             (SELECT unnest(generate_series(0, 7)) AS m) ms),
+    pqcb AS (
+        SELECT vid AS code, m, sub AS cw,
+               list_sum(list_transform(sub, x -> x * x)) AS cw_n2
+        FROM rsubs WHERE vid < 16),
+    codes AS (
+        SELECT vid, m, code FROM (
+            SELECT s.vid, s.m, p.code,
+                   row_number() OVER (PARTITION BY s.vid, s.m
+                       ORDER BY (list_dot_product(s.sub, p.cw)
+                                 - p.cw_n2 / 2) DESC, p.code) AS rn
+            FROM rsubs s JOIN pqcb p USING (m))
+        WHERE rn = 1),
+    lut AS (
+        SELECT q.vec_id AS query_id, p.m, p.code,
+               CAST(floor(list_dot_product(
+                   list_slice(q.unit, p.m * 8 + 1, p.m * 8 + 8), p.cw)
+                   * 1000000.0 + 0.5) AS BIGINT) AS lut_i
+        FROM u q CROSS JOIN pqcb p WHERE q.vec_id < 32),
+    cell_lut AS (
+        SELECT query_id, cell,
+               CAST(floor(cdot * 1000000.0 + 0.5) AS BIGINT) AS cell_i
+        FROM probes),
+    cands AS (
+        SELECT DISTINCT p.query_id, a.nbr_id, a.cell
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE a.nbr_id <> p.query_id),
+    approx AS (
+        SELECT c.query_id, c.nbr_id,
+               sum(l.lut_i) + any_value(cl.cell_i) AS approx_i
+        FROM cands c JOIN codes k ON k.vid = c.nbr_id
+             JOIN lut l ON l.query_id = c.query_id
+                       AND l.m = k.m AND l.code = k.code
+             JOIN cell_lut cl ON cl.query_id = c.query_id
+                             AND cl.cell = c.cell
+        GROUP BY 1, 2),
+    surv AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_i DESC, nbr_id) AS rr FROM approx)
+        WHERE rr <= 40),
+    exact AS (
+        SELECT s.query_id, s.nbr_id,
+               ROUND(list_dot_product(qu.unit, nu.unit), 6) AS cosine
+        FROM surv s JOIN u qu ON qu.vec_id = s.query_id
+             JOIN u nu ON nu.vec_id = s.nbr_id),
+    ranked AS (
+        SELECT query_id, nbr_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nbr_id) AS rank
+        FROM exact)
+    SELECT query_id, rank, nbr_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+
 _ANN_IVFPQ_SQL = """
     WITH v AS (
         SELECT vec_id,
@@ -1133,6 +1244,7 @@ QUERIES.update({
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
     "embedding_near_dup": q_embedding_near_dup,
     "simhash_dupes": q_simhash_dupes,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -1149,6 +1261,7 @@ ORACLES.update({
     "ann_topk_lsh": _ANN_TOPK_SQL,     # scale path vs brute-force truth
     "ann_topk_ivf": _ANN_IVF_SQL,      # fixed codebook: oracle rebuilds
     "ann_topk_ivfpq": _ANN_IVFPQ_SQL,  # oracle rebuilds the PQ index too
+    "ann_topk_ivfpq_residual": _ANN_IVFPQ_RESIDUAL_SQL,
                                        # the full inverted file
     "embedding_near_dup": _NEAR_DUP_SQL,
     "simhash_dupes": _SIMHASH_DUPES_SQL,
@@ -2449,6 +2562,10 @@ _EXTRA_NAMES = [
                                #       OOV floor): pytest-oracled in
                                #       EXTRA; window full — rotate in
                                #       when a slot frees
+    "ann_topk_ivfpq_residual", # NEW r6 (residual IVF-PQ, full SQL
+                               #       index rebuild incl. centroid
+                               #       term): pytest-oracled in EXTRA;
+                               #       window full
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
