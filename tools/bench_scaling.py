@@ -465,19 +465,28 @@ def main() -> None:
             f"calibration per group (after retries): "
             + ", ".join(f"{k}={v}" for k, v in cals.items())
             + ". Groups whose worst cal exceeds the gate were measured "
-            "under co-tenant load — prefer the quiet-window committed "
-            "numbers cited below for those.",
+            "under co-tenant load — prefer sentinel-clean runs (the "
+            "r6 table of record keeps medians of three such runs).",
+            "",
+            "Sentinel protocol (r6): cal0 runs BEFORE the child's JVM "
+            "exists and cal1 after spark.stop() behind a group-wide "
+            "completion barrier, staggered 0.25 s and min-of-3 — a "
+            "sentinel taken beside the child's own freshly-active JVM "
+            "on a 2-4 core cpuset reads 5-7x inflated for ~one sample "
+            "(measured settle experiment in BENCH/BASELINE.md), so "
+            "the pre-r6 single-sample form flagged our own JVM as "
+            "co-tenant load.",
             "",
             "Reading: co-located executor processes compose "
             "~linearly — each child runs at its solo speed — so the "
             "1→4-executor pair is the direct north-rule evidence "
-            "(committed r5 quiet-window runs measured encode 1.00 / "
-            "rollup 0.87 at 40k convs); the in-process single-JVM "
-            "pairs above are the lower bound, with the deficit "
-            "bracketed to the JVM/transport by the encode "
-            "decomposition. Shared-tenant noise swings child wall "
-            "times ±15% run-to-run; every child's reps are in the "
-            "raw JSON below.", ""]
+            "(r6 sentinel-clean medians: encode 0.854 / rollup 0.822 "
+            "at 40k convs); the in-process single-JVM pairs above "
+            "are the lower bound, with the deficit bracketed to the "
+            "JVM/transport by the encode decomposition. "
+            "Shared-tenant noise swings child wall times ±15% "
+            "run-to-run; every child's reps are in the raw JSON "
+            "below.", ""]
     if adc:
         md += [
             "## IVF-PQ ADC scoring bytes (tools/ivfpq_adc_probe.py)",
