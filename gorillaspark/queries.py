@@ -2558,14 +2558,16 @@ _EXTRA_NAMES = [
                                #       distinct paths; driver-green r5
     "gapfill_1h_ffill",        # kept: driver-green r5; interp superset
                                #       stays pytest-oracled in EXTRA
-    "doc_trigram_lm_frozen",   # NEW r6 (frozen-model trigram scoring,
-                               #       OOV floor): pytest-oracled in
-                               #       EXTRA; window full — rotate in
-                               #       when a slot frees
-    "ann_topk_ivfpq_residual", # NEW r6 (residual IVF-PQ, full SQL
-                               #       index rebuild incl. centroid
-                               #       term): pytest-oracled in EXTRA;
-                               #       window full
+    # r6 second rotation: the two r6-NEW queries move IN for
+    # first-time driver evidence; two long-green siblings whose
+    # machinery stays covered by an in-window relative move out:
+    "sessionize_native",       # kept: session_error_counts_2tier
+                               #       consumes the same sessionize
+                               #       output in-window; pytest-equal
+                               #       twin `sessionize` also in EXTRA
+    "event_type_pivot",        # kept: event_type_rates_1h (same rates
+                               #       machinery, unpivoted) +
+                               #       stream_event_rates_1h in-window
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
