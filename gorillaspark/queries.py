@@ -309,6 +309,16 @@ def q_stream_event_rates_1h(spark, sf_dir):
     return rates_snapshot(spark, f"{sf_dir}/events.parquet", "1 hour")
 
 
+def q_stream_dedup_exact(spark, sf_dir):
+    """Ingest-time streaming exact dedup (r6): the end-of-input
+    snapshot of the streaming content-hash aggregate must equal the
+    batch dedup_exact (shared oracle) — one operator definition for
+    both, min/count order-independence making the snapshot
+    deterministic under any micro-batch arrival order."""
+    from .streaming.stream_rollup import dedup_snapshot
+    return dedup_snapshot(spark, f"{sf_dir}/documents.parquet")
+
+
 # ---------------------------------------------------------------------------
 # codec round trip as a queryable identity
 # ---------------------------------------------------------------------------
@@ -1235,6 +1245,7 @@ _SIMHASH_HAMMING_SQL = f"""
 
 QUERIES.update({
     "dedup_exact": q_dedup_exact,
+    "stream_dedup_exact": q_stream_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "doc_stats": q_doc_stats,
@@ -1252,6 +1263,7 @@ QUERIES.update({
 
 ORACLES.update({
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "stream_dedup_exact": _DEDUP_EXACT_SQL,  # batch/stream parity
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "doc_stats": _DOC_STATS_SQL,
@@ -2568,6 +2580,10 @@ _EXTRA_NAMES = [
     "event_type_pivot",        # kept: event_type_rates_1h (same rates
                                #       machinery, unpivoted) +
                                #       stream_event_rates_1h in-window
+    "stream_dedup_exact",      # NEW r6 (ingest-time streaming exact
+                               #       dedup, batch-parity oracle):
+                               #       pytest-oracled in EXTRA;
+                               #       window full
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}

@@ -153,6 +153,40 @@ def sketch_snapshot(spark, points_path: str, tier: str = "1m",
     return spark.table(name)
 
 
+def dedup_snapshot(spark, docs_path: str, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact-dedup to completion: the ingest-time dedup a
+    training-data pipeline runs as documents arrive, as a bounded
+    snapshot for the correctness gate.
+
+    The batch operator (operators/dedup.py dedup_exact — groupBy
+    content sha256, keep min id + copy count) works unchanged on a
+    streaming DataFrame because it is a plain hash aggregate: ONE
+    definition, so batch/stream parity is structural, exactly like
+    :func:`sketch_snapshot`. min/count are order-independent, so the
+    snapshot is deterministic regardless of micro-batch arrival
+    order — what makes a full value oracle possible. A live
+    deployment would run the same aggregate in update mode against a
+    keyed state store (or dropDuplicates for at-most-once emission);
+    complete mode + availableNow is the end-of-input snapshot of that
+    state.
+
+    Returns (content_hash, keep_id, n_copies).
+    """
+    import uuid
+
+    from ..operators.dedup import dedup_exact
+    stream = _stream_parquet(spark, docs_path)
+    agg = dedup_exact(stream, text_col, id_col)
+    name = f"gs_dedup_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming dedup did not finish in 300s")
+    return spark.table(name)
+
+
 _DAY_MS = 86_400_000
 
 
