@@ -145,6 +145,8 @@ def _spread(df: DataFrame) -> DataFrame:
     than the cluster's parallelism — the same split-vs-shuffle
     decision AQE makes for coalescing, applied in the widening
     direction."""
+    if df.isStreaming:      # .rdd is illegal on a stream; micro-batch
+        return df           # partitioning is the source's business
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
