@@ -99,13 +99,25 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _trigram_explode(docs: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, tri): one row per lowercased char-trigram occurrence."""
-    lower = F.lower(F.col(text_col))
-    tris = F.when(
-        F.length(lower) >= 3,
-        F.expr(f"transform(sequence(1, length(lower({text_col})) - 2),"
-               f" i -> substring(lower({text_col}), i, 3))")
-    ).otherwise(F.array().cast("array<string>"))
+    """(doc_id, tri): one row per lowercased char-trigram occurrence.
+
+    Two O(len²)-per-doc traps are bound away (ruinous on real
+    multi-KB documents even though short test docs hide them):
+    ``lower(text)`` is LET-BOUND through a 1-element transform so it
+    lowercases once per document, and trigrams come from an O(1)
+    indexed CHARACTER ARRAY (split once) instead of
+    ``substring(t, i, 3)``, whose UTF-8 position seek is O(i) per
+    call. Per-character split equals per-codepoint substring for BMP
+    text (the corpus is ASCII); supplementary-plane characters would
+    split into surrogate pairs — mirror any change in the oracle."""
+    tris = F.expr(
+        f"element_at(transform("
+        f"array(filter(split(lower({text_col}), ''), x -> x != '')), "
+        f"cs -> CASE WHEN size(cs) >= 3 THEN "
+        f"transform(sequence(1, size(cs) - 2), "
+        f"i -> concat(element_at(cs, i), element_at(cs, i + 1), "
+        f"element_at(cs, i + 2))) "
+        f"ELSE cast(array() AS array<string>) END), 1)")
     return docs.select("doc_id", F.explode(tris).alias("tri"))
 
 

@@ -127,3 +127,25 @@ def test_trigram_lm_frozen_model_comparable_across_shards(spark):
     got = trigram_lm_scores(oov_doc, model_df=model).collect()[0]
     n = got["n_trigrams"]
     assert got["avg_logprob"] == round(floor_i * n / 1e6 / n, 6)
+
+
+def test_trigram_lm_long_docs_bounded(spark):
+    """r6: trigram extraction must be O(len) per document — the
+    substring(t, i, 3) form was O(len²) (per-call UTF-8 position
+    seek), which short corpus docs hid but multi-KB training
+    documents hit head-on (measured: >100 s for 500×12 KB docs; the
+    char-array form runs it in ~2 s). Bound is generous to absorb
+    tenant noise while still failing any quadratic regression by an
+    order of magnitude."""
+    import time
+
+    from gorillaspark.operators.textstats import trigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox %d " % i) * 550)
+         for i in range(100)], "doc_id long, text string")  # ~12 KB
+    t0 = time.time()
+    out = trigram_lm_scores(docs).collect()
+    assert time.time() - t0 < 60
+    assert len(out) == 100
+    assert all(r["n_trigrams"] > 11000 for r in out)
