@@ -972,6 +972,16 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                         for u in range(sh):
                             blk = coeffs[ci][my * sv + v, mx * sh + u]
                             s = br.huff(huff[(0, td)])
+                            # parity with the C kernel (gs_jpeg_scan
+                            # rc -5): DC size categories above 15 are
+                            # impossible in any legal JPEG precision —
+                            # without this guard kernel presence would
+                            # flip decode-vs-ValueError on streams
+                            # whose DHT smuggles an oversized symbol
+                            if s > 15:
+                                raise ValueError(
+                                    "implausible JPEG DC size "
+                                    f"category {s}")
                             dc_prev[ci] += _extend(br.bits(s), s)
                             blk[0] = dc_prev[ci]
                             k = 1

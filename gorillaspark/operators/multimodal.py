@@ -131,6 +131,9 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+_SPREAD_CACHE: dict = {}
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Partitioning policy for the per-payload decode stages.
 
@@ -149,9 +152,18 @@ def _spread(df: DataFrame) -> DataFrame:
         return df           # partitioning is the source's business
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # .rdd.getNumPartitions() forces a full physical planning pass
+    # (incl. file listing) — memoize the widen/no-widen decision per
+    # analyzed plan so repeated decode stages over the same input
+    # plan only pay it once per process
+    key = (df._jdf.queryExecution().analyzed().semanticHash(), target)
+    widen = _SPREAD_CACHE.get(key)
+    if widen is None:
+        widen = df.rdd.getNumPartitions() < target
+        if len(_SPREAD_CACHE) > 256:    # bounded; plans are session-scoped
+            _SPREAD_CACHE.clear()
+        _SPREAD_CACHE[key] = widen
+    return df.repartition(target) if widen else df
 
 
 def extract_features(media: DataFrame, decoder: str = "stub",

@@ -386,8 +386,14 @@ def _np_fold_dots(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     pairwise summation would drift on the last bit and flip
     argmax ties cross-engine."""
     out = np.empty((X.shape[0], C.shape[0]), dtype=np.float64)
+    # one (n, d) scratch reused across the centroid loop (the naive
+    # form allocated two fresh (n, d) temporaries per centroid —
+    # 2k full-batch buffers of memory churn per Arrow batch at wide d)
+    tmp = np.empty_like(X, dtype=np.float64)
     for j in range(C.shape[0]):
-        out[:, j] = np.cumsum(X * C[j][None, :], axis=1)[:, -1]
+        np.multiply(X, C[j][None, :], out=tmp)
+        np.cumsum(tmp, axis=1, out=tmp)
+        out[:, j] = tmp[:, -1]
     return out
 
 
@@ -446,6 +452,15 @@ def _ivf_index_arrow(emb: DataFrame, cell_ids: list, cell_units: list,
             n = len(vid)
             if n == 0:
                 continue
+            # ListArray.flatten() silently DROPS null slots: a null or
+            # ragged embedding row would shift every subsequent value
+            # before the reshape — a confusing reshape error at best,
+            # silent row misalignment when the residual still divides n
+            if col.null_count or flat.size != n * CU.shape[1]:
+                raise ValueError(
+                    f"embedding column must be non-null fixed-width: "
+                    f"null_count={col.null_count}, values={flat.size}, "
+                    f"expected {n} x {CU.shape[1]}")
             X = flat.reshape(n, -1)
             U = _np_unit(X)
             best = np.argmax(_np_fold_dots(U, CU), axis=1)

@@ -273,3 +273,49 @@ def test_flac_crc_native_matches_table_fallback(monkeypatch):
     rng = np.random.default_rng(5)
     blob = bytes(rng.integers(0, 256, 2048, dtype=np.uint8))
     assert mc._crc16(blob) == crc16_bitwise(blob)
+
+
+def test_jpeg_oversized_dc_size_rejected_on_both_paths(monkeypatch):
+    """r7 parity pin (ADVICE r6): a DHT that smuggles a DC size
+    category > 15 must raise ValueError through BOTH the C kernel
+    (gs_jpeg_scan rc -5) and the Python bit-walk — before the fix the
+    Python path happily decoded sizes 16-62, so kernel presence
+    flipped decode-vs-error behavior on that corruption class.
+
+    jpeg_encode's canonical DHT contains ONLY symbols the stream
+    actually uses, so rewriting any DC symbol to 20 guarantees the
+    scan hits the oversized category."""
+    import gorillaspark.codec.native as nat
+
+    yy = np.mgrid[0:32, 0:32][0]
+    enc = bytearray(mc.jpeg_encode(((yy * 7) % 256).astype(np.uint8), 90))
+    # walk marker segments to the DC DHT (tc=0) and bump its first
+    # symbol to 20 (lengths/counts unchanged: same symbol count)
+    pos, patched = 2, False
+    while pos < len(enc) - 4:
+        assert enc[pos] == 0xFF
+        marker, seglen = enc[pos + 1], int.from_bytes(enc[pos + 2:pos + 4],
+                                                      "big")
+        if marker == 0xC4:
+            body = pos + 4
+            while body < pos + 2 + seglen:
+                tc_th = enc[body]
+                counts = enc[body + 1:body + 17]
+                nsyms = sum(counts)
+                if tc_th >> 4 == 0:         # DC table
+                    enc[body + 17] = 20     # oversized size category
+                    patched = True
+                body += 17 + nsyms
+            if patched:
+                break
+        if marker == 0xDA:
+            break
+        pos += 2 + seglen
+    assert patched, "encoder output had no DC DHT?"
+    payload = bytes(enc)
+    if nat.NATIVE is not None:
+        with pytest.raises(ValueError):
+            mc.jpeg_decode(payload)         # C path
+    monkeypatch.setattr(nat, "NATIVE", None)
+    with pytest.raises(ValueError):
+        mc.jpeg_decode(payload)             # Python path
