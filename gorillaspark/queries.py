@@ -2580,10 +2580,15 @@ _EXTRA_NAMES = [
     "event_type_pivot",        # kept: event_type_rates_1h (same rates
                                #       machinery, unpivoted) +
                                #       stream_event_rates_1h in-window
-    "stream_dedup_exact",      # NEW r6 (ingest-time streaming exact
-                               #       dedup, batch-parity oracle):
-                               #       pytest-oracled in EXTRA;
-                               #       window full
+    # r7 rotation: stream_dedup_exact (the last of 68 registered
+    # queries with no driver-grade evidence, VERDICT r6 missing #2)
+    # moves INTO the window; compaction_inventory — driver-green five
+    # consecutive rounds r2-r6 — takes its slot:
+    "compaction_inventory",    # kept: block_inventory in-window
+                               #       exercises the same per-series
+                               #       inventory path, and the
+                               #       checkpoint/compaction sweep
+                               #       stays pytest-asserted
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}
