@@ -55,7 +55,15 @@ _BUDGET_S = {
     "dedup_minhash_lsh": 1.058,
     # the localCheckpoint variant (kept deliberately for
     # executor-storage safety) was budgeted at its ~0.90 design floor;
-    # the r5 quiet window measured 0.704 — floor revised down
+    # the r5 quiet window measured 0.704 — floor revised down.
+    # r7 adjudication of the r6 flag (1.117, ratio 1.59): quiet-window
+    # standalone min-of-5 measured 0.81-0.97 across three sessions
+    # with operators/dedup.py byte-identical to r5; at sf0.1 the query
+    # is fixed-overhead-dominated (~1.5 MB of text across ~10 Spark
+    # stages), so its noise band IS the stage-scheduling jitter of the
+    # shared-tenant box. Budget stays 0.704 (ratchet-down discipline);
+    # treat flags on this query as real only when the quiet-window min
+    # also exceeds ~1.06 (0.704 x 1.5)
     "dedup_simhash_hamming": 0.704,
     "ann_topk_bruteforce": 0.902,
     "ann_topk_lsh": 1.322,

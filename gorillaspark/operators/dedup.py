@@ -268,9 +268,14 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     with mapInArrow: token lists stay in Arrow buffers end to end, the
     bit-majority is one segmented ``np.add.reduceat`` per batch.
     """
+    from .spread import spread
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    prepared = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                           toks.alias("toks"))
+    # widen under-parallel inputs (a small corpus is one parquet
+    # split, which would serialize the whole signature stage on one
+    # core); no-op at scale where splits >> executors
+    prepared = spread(docs).select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks"))
     shifts = np.arange(64, dtype=np.uint64)
     weights = np.uint64(1) << shifts
 

@@ -131,39 +131,10 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
-_SPREAD_CACHE: dict = {}
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Partitioning policy for the per-payload decode stages.
-
-    Decode is embarrassingly parallel with no cross-row dependency,
-    so the scan partitioning is the right input at scale — at 100 TB
-    the parquet splits (maxPartitionBytes) already outnumber the
-    executors and an up-front repartition would shuffle every payload
-    byte for nothing (the pre-r6 unconditional repartition was exactly
-    that). Locally the opposite failure bites: a small corpus is ONE
-    parquet split, serializing the whole decode on one core. So:
-    round-robin repartition ONLY when the input has fewer partitions
-    than the cluster's parallelism — the same split-vs-shuffle
-    decision AQE makes for coalescing, applied in the widening
-    direction."""
-    if df.isStreaming:      # .rdd is illegal on a stream; micro-batch
-        return df           # partitioning is the source's business
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    # .rdd.getNumPartitions() forces a full physical planning pass
-    # (incl. file listing) — memoize the widen/no-widen decision per
-    # analyzed plan so repeated decode stages over the same input
-    # plan only pay it once per process
-    key = (df._jdf.queryExecution().analyzed().semanticHash(), target)
-    widen = _SPREAD_CACHE.get(key)
-    if widen is None:
-        widen = df.rdd.getNumPartitions() < target
-        if len(_SPREAD_CACHE) > 256:    # bounded; plans are session-scoped
-            _SPREAD_CACHE.clear()
-        _SPREAD_CACHE[key] = widen
-    return df.repartition(target) if widen else df
+# shared with the other embarrassingly-parallel Python stages
+# (simhash signatures, IVF corpus indexing) — see spread.py for the
+# scale rationale
+from .spread import spread as _spread  # noqa: E402  (re-export)
 
 
 def extract_features(media: DataFrame, decoder: str = "stub",

@@ -479,7 +479,14 @@ def _ivf_index_arrow(emb: DataFrame, cell_ids: list, cell_units: list,
                 arrays.append(pa.array(list(U)))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
-    src = emb.select(F.col(id_col).cast("long"), vec_col)
+    from .spread import spread
+
+    # widen under-parallel inputs (one local parquet split would
+    # serialize the indexing pass on one core); no-op at scale. The
+    # only Exchange this can introduce is a RoundRobinPartitioning —
+    # the no-shuffle plan contract (test_plans.py) still forbids
+    # joins/windows/hash exchanges here.
+    src = spread(emb).select(F.col(id_col).cast("long"), vec_col)
     out_ddl = "vid long, cell long" \
         + (", packed long" if CW is not None else "") \
         + (", unit array<double>" if with_unit else "")

@@ -195,5 +195,11 @@ def test_ivfpq_arrow_indexer_exchange_free(spark):
                            cw_subs=cw, n_bits=3)
     plan = _plan(idx)
     assert "MapInArrow" in plan, plan
-    assert "Exchange" not in plan, plan
+    # r7: a single RoundRobinPartitioning exchange is permitted — the
+    # spread() widening for under-parallel local inputs (no-op at
+    # scale). The contract this test guards is unchanged: no join
+    # inflation, no window, no key-hash shuffle of corpus rows.
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "RoundRobinPartitioning", plan
     assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
