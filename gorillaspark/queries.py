@@ -780,14 +780,19 @@ _ANN_TOPK_SQL = """
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Registered on the banded-LSH scale path (candidates via 32×2-bit
+    """Registered on the banded-LSH scale path (candidates via 64×2-bit
     hyperplane bands, exact cosine verify); the oracle is the exact
-    all-pairs set. Per-pair miss probability at τ=0.3 is ~7e-7 and the
-    planes are seeded, so equality holds deterministically on the test
-    corpora (verified at sf0.001/0.01/0.1)."""
+    all-pairs set. Per-pair miss probability at τ=0.3 is (1-0.356)^64
+    ≈ 5.6e-13 — r6 ran 32 bands (~7e-7/pair), which was fine at ≤1.5e4
+    matching pairs (sf≤0.1) but leaves ~1 expected miss at sf1's
+    ~1.5e6 matching pairs (the τ=0.3 pair set grows quadratically with
+    the corpus); 64 bands keep exact-equality-to-oracle deterministic
+    there too. Exact verification bounds false positives to zero, so
+    the widened banding cannot change the output where 32 bands had no
+    misses (sf0.01 hash re-verified identical)."""
     from .operators.similarity import embedding_near_dup_pairs
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3,
-                                    n_planes=64, n_bands=32, seed=5)
+                                    n_planes=128, n_bands=64, seed=5)
 
 
 _NEAR_DUP_SQL = """
