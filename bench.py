@@ -148,6 +148,14 @@ def main() -> None:
     _, dt = timed("decode_blocks",
                   lambda: decode_points(blocks).count(), reps=3)
     extras["decode_pts_per_sec"] = round(n_pts / dt)
+    # r7: DFCM predictor rides the C kernel (gs_encode_blocks_dfcm)
+    # instead of the per-point Python scalar fallback; this entry
+    # tracks that it stays within the same cost class as last_value
+    bdpath = os.path.join(scratch, "blocks_dfcm")
+    _, dt = timed("encode_blocks_dfcm",
+                  lambda: encode_points(pts, "double", predictor="dfcm")
+                  .write.mode("overwrite").parquet(bdpath), reps=3)
+    extras["encode_dfcm_pts_per_sec"] = round(n_pts / dt)
     raw_bytes = 16 * n_pts
     enc_bytes = blocks.agg(F.sum(F.size("words"))).collect()[0][0] * 8
     extras["compression_ratio"] = round(enc_bytes / raw_bytes, 4)

@@ -241,6 +241,197 @@ int64_t gs_decode_blocks(const uint64_t *words, const int64_t *wc,
     return total;
 }
 
+/* ------------------------------------------------------------------ */
+/* DFCM predictor variants                                             */
+/* ------------------------------------------------------------------ */
+
+/* Differential finite-context-method predictor, format parity with
+ * codec/predictors.py DifferentialFCM (itself re-expressing the
+ * reference's DifferentialFCM.java:23-46 semantics): hash chain
+ * h = ((h << 5) ^ ((int64)(v - last) >> 50)) & mask with an
+ * ARITHMETIC shift on the signed delta. The encoder updates the
+ * predictor on every value (including xor==0 repeats); the decoder
+ * does NOT update on repeats — the reference's encode/decode update
+ * asymmetry (ValueCompressor.java:34-35 vs ValueDecompressor.java:53)
+ * is mirrored, never fixed. table_n must be a power of two; the
+ * caller provides the scratch table (zeroed here per block). */
+
+typedef struct {
+    uint64_t *table;
+    uint64_t mask;
+    uint64_t last;
+    uint64_t hash;
+} dfcm;
+
+static inline void dfcm_reset(dfcm *p, uint64_t *table, int64_t n) {
+    for (int64_t j = 0; j < n; j++) table[j] = 0;
+    p->table = table; p->mask = (uint64_t)(n - 1);
+    p->last = 0; p->hash = 0;
+}
+
+static inline void dfcm_update(dfcm *p, uint64_t v) {
+    uint64_t delta = v - p->last;
+    p->table[p->hash] = delta;
+    p->hash = ((p->hash << 5) ^ (uint64_t)((int64_t)delta >> 50))
+              & p->mask;
+    p->last = v;
+}
+
+static inline uint64_t dfcm_predict(const dfcm *p) {
+    return p->table[p->hash] + p->last;
+}
+
+/* Same contract as gs_encode_blocks, value stream predicted by DFCM.
+ * The timestamp stream is identical to the last-value variant. */
+int64_t gs_encode_blocks_dfcm(const int64_t *block_ts,
+                              const int64_t *offsets, int64_t S,
+                              const int64_t *ts, const uint64_t *vals,
+                              uint64_t *out_words, int64_t cap_words,
+                              int64_t *out_wc,
+                              uint64_t *table, int64_t table_n)
+{
+    int64_t wpos = 0;
+    dfcm p;
+    for (int64_t s = 0; s < S; s++) {
+        int64_t a = offsets[s], b = offsets[s + 1];
+        int64_t len = b - a;
+        if (wpos + 2 * len + 6 > cap_words) return -1;
+        wbuf w = { out_words + wpos, 0, 0, 64 };
+        dfcm_reset(&p, table, table_n);
+
+        wbits(&w, (uint64_t)block_ts[s], 64);
+        int32_t stored_delta = 0;
+        int slz = 1 << 30, stz = 0;
+        if (len > 0) {
+            stored_delta = (int32_t)((uint64_t)ts[a] - (uint64_t)block_ts[s]);
+            wbits(&w, (uint32_t)stored_delta, FIRST_DELTA_BITS);
+            dfcm_update(&p, vals[a]);
+            wbits(&w, vals[a], 64);
+        }
+        for (int64_t i = a + 1; i < b; i++) {
+            int32_t new_delta = (int32_t)((uint64_t)ts[i] - (uint64_t)ts[i-1]);
+            int32_t dd = (int32_t)((uint32_t)new_delta
+                                   - (uint32_t)stored_delta);
+            if (dd == 0) {
+                wbits(&w, 0, 1);
+            } else {
+                uint32_t zz = (((uint32_t)dd << 1)
+                               ^ (uint32_t)(dd >> 31)) - 1u;
+                int nb = zz ? 32 - __builtin_clz(zz) : 0;
+                if (nb >= 1 && nb <= 7)       wbits(&w, zz | 0x100u, 9);
+                else if (nb <= 9 && nb >= 8)  wbits(&w, zz | 0xC00u, 12);
+                else if (nb >= 10 && nb <= 12) wbits(&w, zz | 0xE000u, 16);
+                else {
+                    wbits(&w, 0xF, 4);
+                    wbits(&w, zz, 32);
+                }
+                stored_delta = new_delta;
+            }
+            uint64_t x = dfcm_predict(&p) ^ vals[i];
+            dfcm_update(&p, vals[i]);   /* encoder updates on repeats too */
+            if (x == 0) {
+                wbits(&w, 0, 1);
+            } else {
+                int lz = __builtin_clzll(x);
+                int tz = __builtin_ctzll(x);
+                if (lz >= slz && tz >= stz) {
+                    int sig = 64 - slz - stz;
+                    wbits(&w, 2, 2);
+                    wbits(&w, x >> stz, sig);
+                } else {
+                    int sig = 64 - lz - tz;
+                    wbits(&w, ((uint64_t)3 << 12)
+                              | ((uint64_t)lz << 6)
+                              | (uint64_t)(sig - 1), 14);
+                    wbits(&w, x >> tz, sig);
+                    slz = lz; stz = tz;
+                }
+            }
+        }
+        wbits(&w, 0xF, 4);
+        wbits(&w, 0xFFFFFFFFu, 32);
+        wbits(&w, 0, 1);
+        wflip(&w);
+        w.words[w.pos] = 0;
+        out_wc[s] = w.pos + 1;
+        wpos += out_wc[s];
+    }
+    return wpos;
+}
+
+/* Same contract as gs_decode_blocks, value stream predicted by DFCM
+ * (decoder asymmetry: no update on the repeat control bit). */
+int64_t gs_decode_blocks_dfcm(const uint64_t *words, const int64_t *wc,
+                              int64_t S, int64_t *out_ts,
+                              uint64_t *out_vals, int64_t *out_offsets,
+                              int64_t cap,
+                              uint64_t *table, int64_t table_n)
+{
+    int64_t total = 0;
+    int64_t wbase = 0;
+    dfcm p;
+    out_offsets[0] = 0;
+    for (int64_t s = 0; s < S; s++) {
+        rbuf r = { words + wbase, wc[s], 1, 0, 64 };
+        if (wc[s] <= 0) return -2;
+        r.cur = r.words[0];
+        wbase += wc[s];
+        dfcm_reset(&p, table, table_n);
+
+        int64_t block_ts = (int64_t)rbits(&r, 64);
+        uint64_t first_delta = rbits(&r, FIRST_DELTA_BITS);
+        if (first_delta == EMPTY_SENTINEL) {
+            out_offsets[s + 1] = total;
+            continue;
+        }
+        if (total >= cap) return -1;
+        uint64_t val = rbits(&r, 64);
+        dfcm_update(&p, val);
+        int64_t cur_ts = block_ts + (int64_t)first_delta;
+        int64_t delta = (int64_t)first_delta;
+        out_ts[total] = cur_ts;
+        out_vals[total] = val;
+        total++;
+        int slz = 1 << 20, stz = 0;
+        for (;;) {
+            if (rbits(&r, 1)) {
+                uint32_t raw;
+                if (!rbits(&r, 1))      raw = (uint32_t)rbits(&r, 7);
+                else if (!rbits(&r, 1)) raw = (uint32_t)rbits(&r, 9);
+                else if (!rbits(&r, 1)) raw = (uint32_t)rbits(&r, 12);
+                else {
+                    raw = (uint32_t)rbits(&r, 32);
+                    if (raw == 0xFFFFFFFFu) break;
+                }
+                uint32_t zz = raw + 1u;
+                int32_t dd = (int32_t)((zz >> 1) ^ (~(zz & 1u) + 1u));
+                delta += dd;
+            }
+            cur_ts += delta;
+            if (rbits(&r, 1)) {
+                int sig;
+                if (rbits(&r, 1)) {
+                    slz = (int)rbits(&r, 6);
+                    sig = (int)rbits(&r, 6) + 1;
+                    stz = 64 - sig - slz;
+                } else {
+                    sig = 64 - slz - stz;
+                }
+                val = dfcm_predict(&p) ^ (rbits(&r, sig) << stz);
+                dfcm_update(&p, val);
+            } else {
+                val = dfcm_predict(&p);   /* repeat: NO update */
+            }
+            if (total >= cap) return -1;
+            out_ts[total] = cur_ts;
+            out_vals[total] = val;
+            total++;
+        }
+        out_offsets[s + 1] = total;
+    }
+    return total;
+}
+
 /* FLAC rice-partition decode (media_codecs.py): MSB-first bitstream,
  * cnt codes of parameter k starting at start_bit; zigzag-decoded
  * residuals into out. Returns the end bit position, or -1 on

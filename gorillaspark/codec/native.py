@@ -76,6 +76,14 @@ def _load():
         lib.gs_decode_blocks.restype = ctypes.c_int64
         lib.gs_decode_blocks.argtypes = [U64, I64, ctypes.c_int64, I64,
                                          U64, I64, ctypes.c_int64]
+        lib.gs_encode_blocks_dfcm.restype = ctypes.c_int64
+        lib.gs_encode_blocks_dfcm.argtypes = [
+            I64, I64, ctypes.c_int64, I64, U64, U64, ctypes.c_int64,
+            I64, U64, ctypes.c_int64]
+        lib.gs_decode_blocks_dfcm.restype = ctypes.c_int64
+        lib.gs_decode_blocks_dfcm.argtypes = [
+            U64, I64, ctypes.c_int64, I64, U64, I64, ctypes.c_int64,
+            U64, ctypes.c_int64]
         U8 = ctypes.POINTER(ctypes.c_uint8)
         lib.gs_rice_decode.restype = ctypes.c_int64
         lib.gs_rice_decode.argtypes = [U8, ctypes.c_int64,
@@ -153,6 +161,73 @@ def encode_blocks_native(block_ts: np.ndarray, offsets: np.ndarray,
     if total < 0:
         return None
     return out_words[:total].copy(), out_wc[:S].copy()
+
+
+def _dfcm_table_n(size: int) -> int:
+    """Java table-size rounding, mirrored from predictors.DifferentialFCM:
+    next power of two of (size-1).bit_length(), with size==1 -> 1."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    size -= 1
+    return 1 if size == 0 else 1 << size.bit_length()
+
+
+def encode_blocks_dfcm_native(block_ts: np.ndarray, offsets: np.ndarray,
+                              ts: np.ndarray, values: np.ndarray,
+                              size: int = 1024):
+    """C-kernel segmented encode with the DFCM value predictor
+    (bit-exact vs codec/scalar.py GorillaEncoder(predictor='dfcm:N'));
+    None when the native library is unavailable."""
+    if NATIVE is None:
+        return None
+    block_ts = np.ascontiguousarray(block_ts, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    if values.dtype != np.uint64:
+        values = np.ascontiguousarray(values).view(np.uint64)
+    values = np.ascontiguousarray(values)
+    S = block_ts.shape[0]
+    n = ts.shape[0]
+    cap = 2 * n + 6 * max(S, 1)
+    out_words = np.empty(cap, dtype=np.uint64)
+    out_wc = np.empty(max(S, 1), dtype=np.int64)
+    table_n = _dfcm_table_n(size)
+    table = np.empty(table_n, dtype=np.uint64)
+    total = NATIVE.gs_encode_blocks_dfcm(
+        _p64(block_ts), _p64(offsets), S, _p64(ts), _pu64(values),
+        _pu64(out_words), cap, _p64(out_wc), _pu64(table), table_n)
+    if total < 0:
+        return None
+    return out_words[:total].copy(), out_wc[:S].copy()
+
+
+def decode_blocks_dfcm_native(words: np.ndarray, word_counts: np.ndarray,
+                              size: int = 1024,
+                              n_points_hint: int | None = None):
+    """C-kernel segmented DFCM decode → (offsets, ts, values) or None."""
+    if NATIVE is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    wc = np.ascontiguousarray(word_counts, dtype=np.int64)
+    S = wc.shape[0]
+    cap = int(n_points_hint) if n_points_hint else int(words.shape[0]) * 32
+    table_n = _dfcm_table_n(size)
+    table = np.empty(table_n, dtype=np.uint64)
+    while True:
+        out_ts = np.empty(cap, dtype=np.int64)
+        out_vals = np.empty(cap, dtype=np.uint64)
+        out_off = np.empty(S + 1, dtype=np.int64)
+        total = NATIVE.gs_decode_blocks_dfcm(
+            _pu64(words), _p64(wc), S, _p64(out_ts), _pu64(out_vals),
+            _p64(out_off), cap, _pu64(table), table_n)
+        if total == -1:
+            cap = max(cap * 2, int(words.shape[0]) * 32)
+            n_points_hint = None
+            continue
+        if total < 0:
+            return None
+        return (out_off.copy(), out_ts[:total].copy(),
+                out_vals[:total].copy())
 
 
 def decode_blocks_native(words: np.ndarray, word_counts: np.ndarray,

@@ -94,6 +94,10 @@ def _scalar_encode(bts_firsts, offsets, ts, vals, predictor):
     return words, wc
 
 
+def _dfcm_size(predictor: str) -> int:
+    return int(predictor.split(":", 1)[1]) if ":" in predictor else 1024
+
+
 _DAY_MS = 86_400_000
 
 
@@ -147,6 +151,16 @@ def _encode_table(tbl: "pa.Table", value_kind: str,
     offsets[-1] = n
     if predictor == "last_value":
         words, wc = encode_blocks_fast(bts[starts], offsets, ts, vals)
+    elif predictor == "dfcm" or predictor.startswith("dfcm:"):
+        # r7: DFCM rides the C kernel too (the hash chain is a
+        # sequential int64 loop, same shape as the value-window chain)
+        # — the per-point Python scalar codec stays as the no-compiler
+        # fallback only
+        from ..codec.native import encode_blocks_dfcm_native
+        out = encode_blocks_dfcm_native(bts[starts], offsets, ts, vals,
+                                        _dfcm_size(predictor))
+        words, wc = out if out is not None else _scalar_encode(
+            bts[starts], offsets, ts, vals, predictor)
     else:
         words, wc = _scalar_encode(bts[starts], offsets, ts, vals,
                                    predictor)
@@ -333,8 +347,18 @@ def _decode_partition(batches, as_double: bool):
             offsets, ts, vals = decode_blocks_fast(words, wc,
                                                    n_points_hint=n_hint)
         else:
-            offsets, ts, vals = _scalar_decode(words, wc,
-                                               preds.to_pylist())
+            offsets = None
+            pl = preds.to_pylist()
+            first = pl[0]
+            if (first == "dfcm" or first.startswith("dfcm:")) \
+                    and all(p == first for p in pl):
+                from ..codec.native import decode_blocks_dfcm_native
+                out = decode_blocks_dfcm_native(
+                    words, wc, _dfcm_size(first), n_points_hint=n_hint)
+                if out is not None:
+                    offsets, ts, vals = out
+            if offsets is None:
+                offsets, ts, vals = _scalar_decode(words, wc, pl)
         lens = offsets[1:] - offsets[:-1]
         take_idx = np.repeat(np.arange(len(wc)), lens)
         keys = pc.take(tbl.column("series_key").chunk(0),
