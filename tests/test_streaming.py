@@ -278,3 +278,67 @@ def test_streaming_sketch_parity_across_microbatches(spark, tmp_path):
           .toPandas().sort_values(["series_key", "bucket_ms"])
           .reset_index(drop=True))
     pd.testing.assert_frame_equal(sq, bq)
+
+
+def test_dedup_update_mode_parity_across_microbatches(spark, tmp_path):
+    """Production-shape streaming dedup (update mode + state-store
+    checkpoint, stream_rollup.dedup_update_stream): across >=3
+    micro-batches (maxFilesPerTrigger=1, one parquet file each), the
+    per-key LAST emission must equal the batch dedup_exact aggregate
+    (min/count are monotone, so last == final), and each batch must
+    emit exactly the keys present in that batch's input — the update
+    -mode delta property that keeps emission volume proportional to
+    batch size, not state size."""
+    from gorillaspark.operators.dedup import dedup_exact
+    from gorillaspark.streaming.stream_rollup import dedup_update_stream
+
+    src = str(tmp_path / "docs_src")
+    # 4 files; "dup-A" spans batches 0/1/3, "dup-B" spans 1/2 — several
+    # keys must be re-emitted with grown counts in later batches
+    files = [
+        [(0, "dup-A"), (1, "only-zero")],
+        [(2, "dup-A"), (3, "dup-B"), (4, "only-one")],
+        [(5, "dup-B"), (6, "only-two")],
+        [(7, "dup-A"), (8, "only-three")],
+    ]
+    import os
+    import time
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate(files):
+        # ONE bare file per micro-batch (the file source does not list
+        # non-partition subdirectories), mtimes strictly increasing so
+        # FileStreamSource's oldest-first pick order == file index
+        p = os.path.join(src, f"f{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string())}), p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+    docs = spark.read.parquet(src)
+
+    em = dedup_update_stream(
+        spark, src, str(tmp_path / "emissions"), str(tmp_path / "ck_dd"),
+        options={"maxFilesPerTrigger": 1}).toPandas()
+    assert em["batch_id"].nunique() >= 3
+
+    # delta property: per batch, emitted keys == keys in that batch's
+    # input. batch->file order is the source's oldest-mtime-first pick
+    import hashlib
+    emitted = {b: set(g["content_hash"])
+               for b, g in em.groupby("batch_id")}
+    expect = {i: {hashlib.sha256(t.encode()).hexdigest()
+                  for _, t in rows}
+              for i, rows in enumerate(files)}
+    assert emitted == expect
+
+    # last emission per key == batch aggregate
+    last = (em.sort_values("batch_id").groupby("content_hash").tail(1)
+            [["content_hash", "keep_id", "n_copies"]]
+            .sort_values("content_hash").reset_index(drop=True))
+    batch = (dedup_exact(docs).toPandas()
+             .sort_values("content_hash").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        last.astype({"keep_id": "int64", "n_copies": "int64"}),
+        batch.astype({"keep_id": "int64", "n_copies": "int64"}))

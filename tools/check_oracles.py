@@ -37,8 +37,9 @@ def main() -> int:
     argv = sys.argv[1:]
     with_extra = "--extra" in argv
     only = [a for a in argv if a != "--extra"] or None
-    spark = build_session(app="oracle-check", master="local[8]",
-                          shuffle_partitions=8)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = build_session(app="oracle-check", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus, 8))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
