@@ -182,10 +182,14 @@ def trigram_lm_scores(docs: DataFrame,
         scored = (scored.crossJoin(F.broadcast(oov))
                   .withColumn("lp_i",
                               F.coalesce("lp_i", "oov_i")))
+    # floor(s/n)/1e6, NOT ROUND(s/1e6/n, 6): the average of exact
+    # integer micro-logprobs can land exactly on a half-microunit
+    # boundary, where Spark (half-up) and DuckDB (half-even) round
+    # apart — first seen at sf1 (avg -5.6226235). floor of one double
+    # division of identical integers is tie-free and bit-identical.
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
                  F.sum("lp_i").alias("_s"))
             .select("doc_id", "n_trigrams",
-                    F.round(F.col("_s") / F.lit(1e6)
-                            / F.col("n_trigrams"), 6)
-                    .alias("avg_logprob")))
+                    (F.floor(F.col("_s") / F.col("n_trigrams"))
+                     / F.lit(1e6)).alias("avg_logprob")))

@@ -57,6 +57,18 @@ def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+def _q4(col):
+    """Quantize a ≤4-decimal money/rate value to an exact BIGINT of
+    1e-4 units (floor(x*1e4+0.5) — lossless for the TPC-H-ish money
+    columns, all ≤2 decimals). Summing the BIGINTs is aggregation-
+    order independent, which raw double sums are NOT: at sf1 the
+    group sums reach ~1e11 where one ulp is ~2e-5 and Spark's vs
+    DuckDB's summation order diverges inside ROUND(…,6) (first seen
+    in pricing_summary/region_revenue at sf1). Mirror in SQL as
+    CAST(floor(x*10000.0 + 0.5) AS BIGINT)."""
+    return F.floor(col * F.lit(1e4) + F.lit(0.5))
+
+
 # ---------------------------------------------------------------------------
 # rollup tiers
 # ---------------------------------------------------------------------------
@@ -480,34 +492,61 @@ _SESSIONIZE_SQL = """
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-shaped aggregation over lineitem."""
+    """TPC-H Q1-shaped aggregation over lineitem. Sums run over
+    _q4-quantized BIGINTs (order-free exact); averages are
+    floor(s*100/n)/1e6 — one double division of identical integers,
+    tie-free across engines."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    out = (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    agg = (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
            .groupBy("l_returnflag", "l_linestatus")
-           .agg(F.sum("l_quantity").alias("sum_qty"),
-                F.sum("l_extendedprice").alias("sum_base_price"),
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                 .alias("sum_disc_price"),
-                F.avg("l_quantity").alias("avg_qty"),
-                F.avg("l_extendedprice").alias("avg_price"),
-                F.avg("l_discount").alias("avg_disc"),
+           .agg(F.sum(_q4(F.col("l_quantity"))).alias("s_qty"),
+                F.sum(_q4(F.col("l_extendedprice"))).alias("s_ep"),
+                F.sum(_q4(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")))).alias("s_dp"),
+                F.sum(_q4(F.col("l_discount"))).alias("s_disc"),
                 F.count(F.lit(1)).alias("count_order")))
-    return _round6(out, ["sum_qty", "sum_base_price", "sum_disc_price",
-                         "avg_qty", "avg_price", "avg_disc"])
+
+    def _avg6(s):
+        return (F.floor(F.col(s) * F.lit(100.0) / F.col("count_order"))
+                / F.lit(1e6))
+
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        (F.col("s_qty") / F.lit(1e4)).alias("sum_qty"),
+        (F.col("s_ep") / F.lit(1e4)).alias("sum_base_price"),
+        (F.col("s_dp") / F.lit(1e4)).alias("sum_disc_price"),
+        _avg6("s_qty").alias("avg_qty"),
+        _avg6("s_ep").alias("avg_price"),
+        _avg6("s_disc").alias("avg_disc"),
+        "count_order")
 
 
 _PRICING_SQL = """
+    WITH q AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT) AS q_qty,
+               CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT) AS q_ep,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                          + 0.5) AS BIGINT) AS q_dp,
+               CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS q_disc
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'),
+    a AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(q_qty) AS BIGINT) AS s_qty,
+               CAST(sum(q_ep) AS BIGINT) AS s_ep,
+               CAST(sum(q_dp) AS BIGINT) AS s_dp,
+               CAST(sum(q_disc) AS BIGINT) AS s_disc,
+               count(*) AS count_order
+        FROM q GROUP BY 1, 2)
     SELECT l_returnflag, l_linestatus,
-           ROUND(sum(l_quantity), 6) AS sum_qty,
-           ROUND(sum(l_extendedprice), 6) AS sum_base_price,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           ROUND(avg(l_quantity), 6) AS avg_qty,
-           ROUND(avg(l_extendedprice), 6) AS avg_price,
-           ROUND(avg(l_discount), 6) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= DATE '1998-09-02'
-    GROUP BY 1, 2
+           s_qty / 10000.0 AS sum_qty,
+           s_ep / 10000.0 AS sum_base_price,
+           s_dp / 10000.0 AS sum_disc_price,
+           floor(s_qty * 100.0 / count_order) / 1000000.0 AS avg_qty,
+           floor(s_ep * 100.0 / count_order) / 1000000.0 AS avg_price,
+           floor(s_disc * 100.0 / count_order) / 1000000.0 AS avg_disc,
+           count_order
+    FROM a
 """
 
 
@@ -517,7 +556,8 @@ def q_top_customers(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     rev = (orders.groupBy("o_custkey")
-           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+           .agg((F.sum(_q4(F.col("o_totalprice"))) / F.lit(1e4))
+                .alias("revenue"),
                 F.count(F.lit(1)).alias("n_orders")))
     out = (rev.join(F.broadcast(cust),
                     rev["o_custkey"] == cust["c_custkey"])
@@ -529,7 +569,9 @@ def q_top_customers(spark, sf_dir):
 
 _TOP_CUSTOMERS_SQL = """
     WITH rev AS (
-        SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS revenue,
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 10000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
                count(*) AS n_orders
         FROM orders GROUP BY 1)
     SELECT c_custkey AS custkey, c_name AS name, revenue, n_orders
@@ -1163,7 +1205,7 @@ _TRIGRAM_LM_SQL = """
     agg AS (SELECT t.doc_id, count(*) AS n_trigrams, sum(l.lp_i) AS s
             FROM tri t JOIN lp l USING (tri) GROUP BY 1)
     SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
-           ROUND(s / 1000000.0 / n_trigrams, 6) AS avg_logprob
+           floor(s * 1.0 / n_trigrams) / 1000000.0 AS avg_logprob
     FROM agg
 """
 
@@ -1209,7 +1251,7 @@ _TRIGRAM_LM_FROZEN_SQL = """
             FROM stri s LEFT JOIN lp l USING (tri) CROSS JOIN oov o
             GROUP BY 1)
     SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
-           ROUND(s / 1000000.0 / n_trigrams, 6) AS avg_logprob
+           floor(s * 1.0 / n_trigrams) / 1000000.0 AS avg_logprob
     FROM agg
 """
 
@@ -1341,8 +1383,8 @@ def q_shipping_priority(spark, sf_dir):
                     F.unix_millis(F.col("o_orderdate").cast("timestamp"))
                     .alias("o_orderdate_ms"),
                     "o_orderpriority")
-           .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 6)
+           .agg((F.sum(_q4(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))) / F.lit(1e4))
                 .alias("revenue"))
            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
            .limit(10))
@@ -1352,7 +1394,9 @@ def q_shipping_priority(spark, sf_dir):
 _SHIPPING_PRIORITY_SQL = """
     SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
            o_orderpriority,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1382,14 +1426,16 @@ def q_region_revenue(spark, sf_dir):
     return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(dims, F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 6)
+            .agg((F.sum(_q4(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))) / F.lit(1e4))
                  .alias("revenue")))
 
 
 _REGION_REVENUE_SQL = """
     SELECT n_name,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey

@@ -35,7 +35,7 @@ def test_trigram_lm_matches_python_oracle(spark):
             for t, c in counts.items()}
     for i, ts in tris.items():
         s = sum(lp_i[t] for t in ts)
-        want = round(s / 1e6 / len(ts), 6)
+        want = math.floor(s / len(ts)) / 1e6
         assert got[i]["n_trigrams"] == len(ts), i
         assert abs(got[i]["avg_logprob"] - want) < 1e-9, i
     assert 4 not in got                     # too short: no row
@@ -126,7 +126,7 @@ def test_trigram_lm_frozen_model_comparable_across_shards(spark):
         [(99, "zzzzzz")], "doc_id long, text string")
     got = trigram_lm_scores(oov_doc, model_df=model).collect()[0]
     n = got["n_trigrams"]
-    assert got["avg_logprob"] == round(floor_i * n / 1e6 / n, 6)
+    assert got["avg_logprob"] == math.floor(floor_i * n / n) / 1e6
 
 
 def test_trigram_lm_long_docs_bounded(spark):
