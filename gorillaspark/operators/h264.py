@@ -1,0 +1,1903 @@
+"""Pure-numpy intra-only H.264/AVC (baseline) codec — no libraries.
+
+Closes the last media stub family (multimodal.py's avc1 branch): a
+REAL bitstream decoder for Annex-B H.264 access units containing
+IDR slices coded with CAVLC entropy coding and intra prediction
+only — the constrained-baseline intra subset:
+
+* NAL unit parsing (Annex B start codes, emulation-prevention
+  0x0003 unescaping), SPS / PPS / IDR slice header parse.
+* CAVLC residual decode AND encode (coeff_token, level prefix/suffix
+  adaptation, total_zeros, run_before) for luma DC / luma 4x4 /
+  chroma DC / chroma AC blocks.
+* Intra_16x16 (V / H / DC / Plane), Intra_4x4 (all 9 modes) and
+  8x8 chroma (DC / H / V / Plane) prediction, 4:2:0.
+* Integer inverse core transform, Intra_16x16 luma DC Hadamard and
+  2x2 chroma DC transforms, LevelScale dequantisation.
+
+Out of scope, rejected loudly (NotImplementedError): CABAC, inter
+prediction (P/B slices), multiple slice groups, fields/MBAFF, 8x8
+transform (High profile), monochrome / 4:2:2 / 4:4:4, scaling
+matrices, and in-loop deblocking — the encoder below always signals
+``disable_deblocking_filter_idc = 1`` and the decoder refuses
+streams that would require filtering, so reconstruction is exact
+without implementing the filter.
+
+Conformance note: the VLC tables are transcribed from the public
+Rec. ITU-T H.264 (Tables 9-5, 9-7..9-10); the sandbox has no
+external H.264 implementation or conformance vectors, so validation
+is (a) structural — every VLC column is checked prefix-free, the
+CBP mapping is checked to be a permutation — and (b) behavioural —
+encode→decode round-trips bit-exactly and the decoder reproduces the
+encoder's integer reconstruction loop sample-for-sample
+(tests/test_h264.py).
+
+Reference parity context: the Gorilla reference (burmanm/gorilla-tsc)
+has no media surface; this module extends the engine's
+LLM-data-pipeline coverage the same way media_codecs.py does, with
+the same _loud_corruption ingestion contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# bit I/O over RBSP payloads
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    """MSB-first bit reader over an RBSP (already unescaped)."""
+
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def u(self, k: int) -> int:
+        if self.pos + k > self.n:
+            raise ValueError("bitstream exhausted")
+        v = 0
+        p = self.pos
+        d = self.data
+        for _ in range(k):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+    def flag(self) -> int:
+        return self.u(1)
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb code too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    def more_rbsp_data(self) -> bool:
+        """True while data beyond the rbsp_stop_one_bit remains."""
+        if self.pos >= self.n:
+            return False
+        # find last set bit in the stream (the stop bit)
+        last = self.n - 1
+        while last >= 0:
+            if (self.data[last >> 3] >> (7 - (last & 7))) & 1:
+                break
+            last -= 1
+        return self.pos < last
+
+
+class _BitW:
+    """MSB-first bit writer producing an RBSP payload."""
+
+    __slots__ = ("bits",)
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, k: int):
+        for i in range(k - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int):
+        v += 1
+        k = v.bit_length()
+        self.u(0, k - 1)
+        self.u(v, k)
+
+    def se(self, v: int):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def trailing(self):
+        self.bits.append(1)
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self) -> bytes:
+        out = bytearray()
+        acc = 0
+        for i, b in enumerate(self.bits):
+            acc = (acc << 1) | b
+            if i % 8 == 7:
+                out.append(acc)
+                acc = 0
+        rem = len(self.bits) % 8
+        if rem:
+            out.append(acc << (8 - rem))
+        return bytes(out)
+
+
+def _unescape(nal: bytes) -> bytes:
+    """Remove emulation_prevention_three_byte (00 00 03 xx -> 00 00 xx)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(nal):
+        b = nal[i]
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _escape(rbsp: bytes) -> bytes:
+    """Insert emulation prevention bytes into an RBSP."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _split_annexb(payload: bytes):
+    """Yield (nal_unit_type, rbsp) for each Annex-B NAL unit."""
+    i = 0
+    n = len(payload)
+    starts = []
+    while i + 3 <= n:
+        if payload[i] == 0 and payload[i + 1] == 0:
+            if payload[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i + 4 <= n and payload[i + 2] == 0 and payload[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    if not starts:
+        raise ValueError("no Annex-B start code found")
+    for k, (s, body) in enumerate(starts):
+        end = starts[k + 1][0] if k + 1 < len(starts) else n
+        nal = payload[body:end]
+        if not nal:
+            continue
+        if nal[0] & 0x80:
+            raise ValueError("forbidden_zero_bit set in NAL header")
+        yield nal[0] & 0x1F, _unescape(nal[1:])
+
+
+# ---------------------------------------------------------------------------
+# CAVLC tables (Rec. ITU-T H.264 Tables 9-5, 9-7, 9-8, 9-9(a), 9-10)
+# ---------------------------------------------------------------------------
+# Each VLC is stored as (length, value). Decoding builds a prefix map;
+# tests assert every column is prefix-free.
+
+# coeff_token, keyed (TrailingOnes, TotalCoeff) -> (len, val),
+# one dict per nC class: 0 <= nC < 2, 2 <= nC < 4, 4 <= nC < 8.
+_CT_NC0 = {
+    (0, 0): (1, 1),
+    (0, 1): (6, 0b000101), (1, 1): (2, 0b01),
+    (0, 2): (8, 0b00000111), (1, 2): (6, 0b000100), (2, 2): (3, 0b001),
+    (0, 3): (9, 0b000000111), (1, 3): (8, 0b00000110),
+    (2, 3): (7, 0b0000101), (3, 3): (5, 0b00011),
+    (0, 4): (10, 0b0000000111), (1, 4): (9, 0b000000110),
+    (2, 4): (8, 0b00000101), (3, 4): (6, 0b000011),
+    (0, 5): (11, 0b00000000111), (1, 5): (10, 0b0000000110),
+    (2, 5): (9, 0b000000101), (3, 5): (7, 0b0000100),
+    (0, 6): (13, 0b0000000001111), (1, 6): (11, 0b00000000110),
+    (2, 6): (10, 0b0000000101), (3, 6): (8, 0b00000100),
+    (0, 7): (13, 0b0000000001011), (1, 7): (13, 0b0000000001110),
+    (2, 7): (11, 0b00000000101), (3, 7): (9, 0b000000100),
+    (0, 8): (13, 0b0000000001000), (1, 8): (13, 0b0000000001010),
+    (2, 8): (13, 0b0000000001101), (3, 8): (10, 0b0000000100),
+    (0, 9): (14, 0b00000000001111), (1, 9): (14, 0b00000000001110),
+    (2, 9): (13, 0b0000000001001), (3, 9): (11, 0b00000000100),
+    (0, 10): (14, 0b00000000001011), (1, 10): (14, 0b00000000001010),
+    (2, 10): (14, 0b00000000001101), (3, 10): (13, 0b0000000001100),
+    (0, 11): (15, 0b000000000001111), (1, 11): (15, 0b000000000001110),
+    (2, 11): (14, 0b00000000001001), (3, 11): (14, 0b00000000001100),
+    (0, 12): (15, 0b000000000001011), (1, 12): (15, 0b000000000001010),
+    (2, 12): (15, 0b000000000001101), (3, 12): (14, 0b00000000001000),
+    (0, 13): (16, 0b0000000000001111), (1, 13): (15, 0b000000000000001),
+    (2, 13): (15, 0b000000000001001), (3, 13): (15, 0b000000000001100),
+    (0, 14): (16, 0b0000000000001011), (1, 14): (16, 0b0000000000001110),
+    (2, 14): (16, 0b0000000000001101), (3, 14): (15, 0b000000000001000),
+    (0, 15): (16, 0b0000000000000111), (1, 15): (16, 0b0000000000001010),
+    (2, 15): (16, 0b0000000000001001), (3, 15): (16, 0b0000000000001100),
+    (0, 16): (16, 0b0000000000000100), (1, 16): (16, 0b0000000000000110),
+    (2, 16): (16, 0b0000000000000101), (3, 16): (16, 0b0000000000001000),
+}
+
+_CT_NC2 = {
+    (0, 0): (2, 0b11),
+    (0, 1): (6, 0b001011), (1, 1): (2, 0b10),
+    (0, 2): (6, 0b000111), (1, 2): (5, 0b00111), (2, 2): (3, 0b011),
+    (0, 3): (7, 0b0000111), (1, 3): (6, 0b001010),
+    (2, 3): (6, 0b001001), (3, 3): (4, 0b0101),
+    (0, 4): (8, 0b00000111), (1, 4): (6, 0b000110),
+    (2, 4): (6, 0b000101), (3, 4): (4, 0b0100),
+    (0, 5): (8, 0b00000100), (1, 5): (7, 0b0000110),
+    (2, 5): (7, 0b0000101), (3, 5): (5, 0b00110),
+    (0, 6): (9, 0b000000111), (1, 6): (8, 0b00000110),
+    (2, 6): (8, 0b00000101), (3, 6): (6, 0b001000),
+    (0, 7): (11, 0b00000001111), (1, 7): (9, 0b000000110),
+    (2, 7): (9, 0b000000101), (3, 7): (6, 0b000100),
+    (0, 8): (11, 0b00000001011), (1, 8): (11, 0b00000001110),
+    (2, 8): (11, 0b00000001101), (3, 8): (7, 0b0000100),
+    (0, 9): (12, 0b000000001111), (1, 9): (11, 0b00000001010),
+    (2, 9): (11, 0b00000001001), (3, 9): (9, 0b000000100),
+    (0, 10): (12, 0b000000001011), (1, 10): (12, 0b000000001110),
+    (2, 10): (12, 0b000000001101), (3, 10): (11, 0b00000001100),
+    (0, 11): (12, 0b000000001000), (1, 11): (12, 0b000000001010),
+    (2, 11): (12, 0b000000001001), (3, 11): (11, 0b00000001000),
+    (0, 12): (13, 0b0000000001111), (1, 12): (13, 0b0000000001110),
+    (2, 12): (13, 0b0000000001101), (3, 12): (12, 0b000000001100),
+    (0, 13): (13, 0b0000000001011), (1, 13): (13, 0b0000000001010),
+    (2, 13): (13, 0b0000000001001), (3, 13): (13, 0b0000000001100),
+    (0, 14): (13, 0b0000000000111), (1, 14): (14, 0b00000000001011),
+    (2, 14): (13, 0b0000000000110), (3, 14): (13, 0b0000000001000),
+    (0, 15): (14, 0b00000000001001), (1, 15): (14, 0b00000000001000),
+    (2, 15): (14, 0b00000000001010), (3, 15): (13, 0b0000000000001),
+    (0, 16): (14, 0b00000000000111), (1, 16): (14, 0b00000000000110),
+    (2, 16): (14, 0b00000000000101), (3, 16): (14, 0b00000000000100),
+}
+
+_CT_NC4 = {
+    (0, 0): (4, 0b1111),
+    (0, 1): (6, 0b001111), (1, 1): (4, 0b1110),
+    (0, 2): (6, 0b001011), (1, 2): (5, 0b01111), (2, 2): (4, 0b1101),
+    (0, 3): (6, 0b001000), (1, 3): (5, 0b01100),
+    (2, 3): (5, 0b01110), (3, 3): (4, 0b1100),
+    (0, 4): (7, 0b0001111), (1, 4): (5, 0b01010),
+    (2, 4): (5, 0b01011), (3, 4): (4, 0b1011),
+    (0, 5): (7, 0b0001011), (1, 5): (5, 0b01000),
+    (2, 5): (5, 0b01001), (3, 5): (4, 0b1010),
+    (0, 6): (7, 0b0001001), (1, 6): (6, 0b001110),
+    (2, 6): (6, 0b001101), (3, 6): (4, 0b1001),
+    (0, 7): (7, 0b0001000), (1, 7): (6, 0b001010),
+    (2, 7): (6, 0b001001), (3, 7): (4, 0b1000),
+    (0, 8): (8, 0b00001111), (1, 8): (7, 0b0001110),
+    (2, 8): (7, 0b0001101), (3, 8): (5, 0b01101),
+    (0, 9): (8, 0b00001011), (1, 9): (8, 0b00001110),
+    (2, 9): (7, 0b0001010), (3, 9): (6, 0b001100),
+    (0, 10): (9, 0b000001111), (1, 10): (8, 0b00001010),
+    (2, 10): (8, 0b00001101), (3, 10): (7, 0b0001100),
+    (0, 11): (9, 0b000001011), (1, 11): (9, 0b000001110),
+    (2, 11): (8, 0b00001001), (3, 11): (8, 0b00001100),
+    (0, 12): (9, 0b000001000), (1, 12): (9, 0b000001010),
+    (2, 12): (9, 0b000001101), (3, 12): (8, 0b00001000),
+    (0, 13): (10, 0b0000001101), (1, 13): (9, 0b000000111),
+    (2, 13): (9, 0b000001001), (3, 13): (9, 0b000001100),
+    (0, 14): (10, 0b0000001001), (1, 14): (10, 0b0000001100),
+    (2, 14): (10, 0b0000001011), (3, 14): (10, 0b0000001010),
+    (0, 15): (10, 0b0000000101), (1, 15): (10, 0b0000001000),
+    (2, 15): (10, 0b0000000111), (3, 15): (10, 0b0000000110),
+    (0, 16): (10, 0b0000000001), (1, 16): (10, 0b0000000100),
+    (2, 16): (10, 0b0000000011), (3, 16): (10, 0b0000000010),
+}
+
+# chroma DC (4:2:0), Table 9-5 column nC == -1
+_CT_NCM1 = {
+    (0, 0): (2, 0b01),
+    (0, 1): (6, 0b000111), (1, 1): (1, 0b1),
+    (0, 2): (6, 0b000100), (1, 2): (6, 0b000110), (2, 2): (3, 0b001),
+    (0, 3): (6, 0b000011), (1, 3): (7, 0b0000011),
+    (2, 3): (7, 0b0000010), (3, 3): (6, 0b000101),
+    (0, 4): (6, 0b000010), (1, 4): (8, 0b00000011),
+    (2, 4): (8, 0b00000010), (3, 4): (7, 0b0000000),
+}
+
+# total_zeros for 4x4 blocks, Tables 9-7/9-8: _TZ[TotalCoeff][total_zeros]
+_TZ = {
+    1: [(1, 1), (3, 0b011), (3, 0b010), (4, 0b0011), (4, 0b0010),
+        (5, 0b00011), (5, 0b00010), (6, 0b000011), (6, 0b000010),
+        (7, 0b0000011), (7, 0b0000010), (8, 0b00000011),
+        (8, 0b00000010), (9, 0b000000011), (9, 0b000000010),
+        (9, 0b000000001)],
+    2: [(3, 0b111), (3, 0b110), (3, 0b101), (3, 0b100), (3, 0b011),
+        (4, 0b0101), (4, 0b0100), (4, 0b0011), (4, 0b0010),
+        (5, 0b00011), (5, 0b00010), (6, 0b000011), (6, 0b000010),
+        (6, 0b000001), (6, 0b000000)],
+    3: [(4, 0b0101), (3, 0b111), (3, 0b110), (3, 0b101), (4, 0b0100),
+        (4, 0b0011), (3, 0b100), (3, 0b011), (4, 0b0010),
+        (5, 0b00011), (5, 0b00010), (6, 0b000001), (5, 0b00001),
+        (6, 0b000000)],
+    4: [(5, 0b00011), (3, 0b111), (4, 0b0101), (4, 0b0100),
+        (3, 0b110), (3, 0b101), (3, 0b100), (4, 0b0011),
+        (3, 0b011), (4, 0b0010), (5, 0b00010), (5, 0b00001),
+        (5, 0b00000)],
+    5: [(4, 0b0101), (4, 0b0100), (4, 0b0011), (3, 0b111),
+        (3, 0b110), (3, 0b101), (3, 0b100), (3, 0b011), (4, 0b0010),
+        (5, 0b00001), (4, 0b0001), (5, 0b00000)],
+    6: [(6, 0b000001), (5, 0b00001), (3, 0b111), (3, 0b110),
+        (3, 0b101), (3, 0b100), (3, 0b011), (3, 0b010), (4, 0b0001),
+        (3, 0b001), (6, 0b000000)],
+    7: [(6, 0b000001), (5, 0b00001), (3, 0b101), (3, 0b100),
+        (3, 0b011), (2, 0b11), (3, 0b010), (4, 0b0001), (3, 0b001),
+        (6, 0b000000)],
+    8: [(6, 0b000001), (4, 0b0001), (5, 0b00001), (3, 0b011),
+        (2, 0b11), (2, 0b10), (3, 0b010), (3, 0b001), (6, 0b000000)],
+    9: [(6, 0b000001), (6, 0b000000), (4, 0b0001), (2, 0b11),
+        (2, 0b10), (3, 0b001), (2, 0b01), (5, 0b00001)],
+    10: [(5, 0b00001), (5, 0b00000), (3, 0b001), (2, 0b11),
+         (2, 0b10), (2, 0b01), (4, 0b0001)],
+    11: [(4, 0b0000), (4, 0b0001), (3, 0b001), (3, 0b010),
+         (1, 0b1), (3, 0b011)],
+    12: [(4, 0b0000), (4, 0b0001), (2, 0b01), (1, 0b1), (3, 0b001)],
+    13: [(3, 0b000), (3, 0b001), (1, 0b1), (2, 0b01)],
+    14: [(2, 0b00), (2, 0b01), (1, 0b1)],
+    15: [(1, 0b0), (1, 0b1)],
+}
+
+# total_zeros for 2x2 chroma DC blocks (4:2:0), Table 9-9(a)
+_TZ_CDC = {
+    1: [(1, 1), (2, 0b01), (3, 0b001), (3, 0b000)],
+    2: [(1, 1), (2, 0b01), (2, 0b00)],
+    3: [(1, 1), (1, 0b0)],
+}
+
+# run_before, Table 9-10: _RB[min(zerosLeft, 7)][run_before]
+_RB = {
+    1: [(1, 1), (1, 0)],
+    2: [(1, 1), (2, 0b01), (2, 0b00)],
+    3: [(2, 0b11), (2, 0b10), (2, 0b01), (2, 0b00)],
+    4: [(2, 0b11), (2, 0b10), (2, 0b01), (3, 0b001), (3, 0b000)],
+    5: [(2, 0b11), (2, 0b10), (3, 0b011), (3, 0b010), (3, 0b001),
+        (3, 0b000)],
+    6: [(2, 0b11), (3, 0b000), (3, 0b001), (3, 0b011), (3, 0b010),
+        (3, 0b101), (3, 0b100)],
+    7: [(3, 0b111), (3, 0b110), (3, 0b101), (3, 0b100), (3, 0b011),
+        (3, 0b010), (3, 0b001), (4, 0b0001), (5, 0b00001),
+        (6, 0b000001), (7, 0b0000001), (8, 0b00000001),
+        (9, 0b000000001), (10, 0b0000000001), (11, 0b00000000001)],
+}
+
+# coded_block_pattern me(v) mapping for intra MBs, Table 9-4 col 1
+_CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43,
+              45, 46, 16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42,
+              44, 1, 2, 4, 8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33,
+              34, 36, 40, 38, 41]
+
+_ZZ4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+# LevelScale4x4 entries per qP%6: [ (0,0)-class, (1,1)-class, other ]
+_LS = [(10, 16, 13), (11, 18, 14), (13, 20, 16), (14, 23, 18),
+       (16, 25, 20), (18, 29, 23)]
+# forward quant multipliers (encoder), same classes
+_MF = [(13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+       (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559)]
+
+_LS_CLASS = np.array([[0, 2, 0, 2],
+                      [2, 1, 2, 1],
+                      [0, 2, 0, 2],
+                      [2, 1, 2, 1]], dtype=np.int64)
+
+# chroma QP mapping for qPI >= 30 (Table 8-15)
+_QPC = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+        38, 38, 38, 39, 39, 39, 39]
+
+# raster position (x4, y4) of luma4x4BlkIdx 0..15 (zig-zag of quads)
+_BLK_POS = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1),
+            (3, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2),
+            (2, 3), (3, 3)]
+
+
+def _invert(table: dict) -> dict:
+    """(len, code) -> key prefix map for decoding."""
+    return {(ln, code): key for key, (ln, code) in table.items()}
+
+
+_CT_DEC = {0: _invert(_CT_NC0), 2: _invert(_CT_NC2),
+           4: _invert(_CT_NC4), -1: _invert(_CT_NCM1)}
+_TZ_DEC = {k: {(ln, code): i for i, (ln, code) in enumerate(v)}
+           for k, v in _TZ.items()}
+_TZ_CDC_DEC = {k: {(ln, code): i for i, (ln, code) in enumerate(v)}
+               for k, v in _TZ_CDC.items()}
+_RB_DEC = {k: {(ln, code): i for i, (ln, code) in enumerate(v)}
+           for k, v in _RB.items()}
+
+
+def _read_vlc(br: _Bits, dec: dict, what: str, max_len: int = 16):
+    ln, code = 0, 0
+    while ln <= max_len:
+        code = (code << 1) | br.u(1)
+        ln += 1
+        hit = dec.get((ln, code))
+        if hit is not None:
+            return hit
+    raise ValueError(f"invalid {what} VLC code")
+
+
+def _ct_class(nc: int) -> int:
+    if nc < 0:
+        return -1
+    if nc < 2:
+        return 0
+    if nc < 4:
+        return 2
+    return 4
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual block decode / encode (spec 9.2 / 7.3.5.3.2)
+# ---------------------------------------------------------------------------
+
+
+def _decode_residual(br: _Bits, nc: int, max_coeffs: int) -> np.ndarray:
+    """Decode one CAVLC residual block -> coeff array in scan order
+    (length max_coeffs: 16 luma / luma-DC, 15 AC, 4 chroma DC)."""
+    if nc >= 8:
+        six = br.u(6)
+        total, t1s = (0, 0) if six == 0b000011 else (
+            (six >> 2) + 1, six & 3)
+    else:
+        t1s, total = _read_vlc(br, _CT_DEC[_ct_class(nc)], "coeff_token")
+    coeffs = np.zeros(max_coeffs, dtype=np.int64)
+    if total == 0:
+        return coeffs
+    if total > max_coeffs:
+        raise ValueError("coeff_token TotalCoeff exceeds block size")
+    levels = []
+    suffix_len = 1 if total > 10 and t1s < 3 else 0
+    for i in range(total):
+        if i < t1s:
+            levels.append(1 - 2 * br.u(1))
+            continue
+        prefix = 0
+        while br.u(1) == 0:
+            prefix += 1
+            if prefix > 31:
+                raise ValueError("level_prefix too long")
+        size = suffix_len
+        if prefix == 14 and suffix_len == 0:
+            size = 4
+        elif prefix >= 15:
+            size = prefix - 3
+        code = (min(15, prefix) << suffix_len) + (br.u(size) if size else 0)
+        if prefix >= 15 and suffix_len == 0:
+            code += 15
+        if prefix >= 16:
+            code += (1 << (prefix - 3)) - 4096
+        if i == t1s and t1s < 3:
+            code += 2
+        lvl = (code + 2) >> 1 if code % 2 == 0 else -((code + 1) >> 1)
+        levels.append(lvl)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(lvl) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if total < max_coeffs:
+        if max_coeffs == 4:  # chroma DC
+            tz = _read_vlc(br, _TZ_CDC_DEC[total], "total_zeros(chroma)")
+        else:
+            tz = _read_vlc(br, _TZ_DEC[total], "total_zeros")
+    else:
+        tz = 0
+    zeros_left = tz
+    pos = total + tz - 1
+    if pos >= max_coeffs:
+        raise ValueError("total_zeros exceeds block size")
+    for i in range(total):
+        coeffs[pos] = levels[i]
+        if i == total - 1:
+            break
+        if zeros_left > 0:
+            run = _read_vlc(br, _RB_DEC[min(zeros_left, 7)], "run_before")
+            if run > zeros_left:
+                raise ValueError("run_before exceeds zeros left")
+        else:
+            run = 0
+        zeros_left -= run
+        pos -= run + 1
+    return coeffs
+
+
+def _encode_residual(bw: _BitW, coeffs: np.ndarray, nc: int,
+                     max_coeffs: int):
+    """CAVLC-encode one residual block (scan-order coeffs)."""
+    nz = [(i, int(v)) for i, v in enumerate(coeffs[:max_coeffs]) if v]
+    total = len(nz)
+    # trailing ones: up to 3 final |1| coefficients
+    t1s = 0
+    for _, v in reversed(nz):
+        if abs(v) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    if nc >= 8:
+        bw.u(0b000011 if total == 0 else ((total - 1) << 2) | t1s, 6)
+    else:
+        table = {-1: _CT_NCM1, 0: _CT_NC0, 2: _CT_NC2,
+                 4: _CT_NC4}[_ct_class(nc)]
+        ln, code = table[(t1s, total)]
+        bw.u(code, ln)
+    if total == 0:
+        return
+    suffix_len = 1 if total > 10 and t1s < 3 else 0
+    rev = list(reversed(nz))
+    for i, (_, lvl) in enumerate(rev):
+        if i < t1s:
+            bw.u(0 if lvl > 0 else 1, 1)
+            continue
+        code = 2 * lvl - 2 if lvl > 0 else -2 * lvl - 1
+        if i == t1s and t1s < 3:
+            code -= 2
+        # invert the decoder's prefix/suffix arithmetic
+        if suffix_len == 0 and code < 14:
+            bw.u(1, code + 1)                   # prefix = code, no suffix
+        elif suffix_len == 0 and code < 30:
+            bw.u(1, 15)                         # prefix 14, 4-bit suffix
+            bw.u(code - 14, 4)
+        elif suffix_len > 0 and (code >> suffix_len) < 15:
+            bw.u(1, (code >> suffix_len) + 1)
+            bw.u(code & ((1 << suffix_len) - 1), suffix_len)
+        else:                                   # escape: prefix >= 15
+            enc = None
+            for p in range(15, 32):
+                size = p - 3
+                base = (15 << suffix_len) + (15 if suffix_len == 0 else 0)
+                if p >= 16:
+                    base += (1 << (p - 3)) - 4096
+                delta = code - base
+                if 0 <= delta < (1 << size):
+                    enc = (p, delta, size)
+                    break
+            if enc is None:
+                raise ValueError("level too large to CAVLC-encode")
+            p, delta, size = enc
+            bw.u(1, p + 1)
+            bw.u(delta, size)
+        lvl_abs = abs(lvl)
+        if suffix_len == 0:
+            suffix_len = 1
+        if lvl_abs > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if total < max_coeffs:
+        tz = nz[-1][0] + 1 - total        # zeros before last nonzero
+        if max_coeffs == 4:
+            ln, code = _TZ_CDC[total][tz]
+        else:
+            ln, code = _TZ[total][tz]
+        bw.u(code, ln)
+    else:
+        tz = 0
+    zeros_left = tz
+    for i in range(total - 1):
+        pos_hi = rev[i][0]
+        pos_next = rev[i + 1][0]
+        run = pos_hi - pos_next - 1
+        if zeros_left > 0:
+            ln, code = _RB[min(zeros_left, 7)][run]
+            bw.u(code, ln)
+        zeros_left -= run
+
+
+# ---------------------------------------------------------------------------
+# transforms (spec 8.5) — all exact int64
+# ---------------------------------------------------------------------------
+
+
+def _inv_transform_4x4(d: np.ndarray) -> np.ndarray:
+    """Inverse core transform (8.5.12.2), WITHOUT the final
+    (x + 32) >> 6 scaling: returns the pre-scale array."""
+    d = d.astype(np.int64)
+    e = np.empty_like(d)
+    # horizontal
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    e[:, 0] = e0 + e3
+    e[:, 1] = e1 + e2
+    e[:, 2] = e1 - e2
+    e[:, 3] = e0 - e3
+    f = np.empty_like(e)
+    f0 = e[0] + e[2]
+    f1 = e[0] - e[2]
+    f2 = (e[1] >> 1) - e[3]
+    f3 = e[1] + (e[3] >> 1)
+    f[0] = f0 + f3
+    f[1] = f1 + f2
+    f[2] = f1 - f2
+    f[3] = f0 - f3
+    return f
+
+
+def _fwd_transform_4x4(x: np.ndarray) -> np.ndarray:
+    """Forward core transform Cf X Cf^T (encoder side)."""
+    cf = np.array([[1, 1, 1, 1], [2, 1, -1, -2],
+                   [1, -1, -1, 1], [1, -2, 2, -1]], dtype=np.int64)
+    return cf @ x.astype(np.int64) @ cf.T
+
+
+def _hadamard4(x: np.ndarray) -> np.ndarray:
+    h = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                  [1, -1, -1, 1], [1, -1, 1, -1]], dtype=np.int64)
+    return h @ x.astype(np.int64) @ h.T
+
+
+def _dequant_ac(c: np.ndarray, qp: int) -> np.ndarray:
+    """LevelScale dequant of a 4x4 residual block (8.5.12.1); c in
+    raster order. DC position included (used for chroma AC blocks the
+    DC of which is replaced by the chroma-DC path)."""
+    ls = np.array(_LS[qp % 6], dtype=np.int64)[_LS_CLASS]
+    return (c.astype(np.int64) * ls) << (qp // 6)
+
+
+def _luma_dc_dequant(c16: np.ndarray, qp: int) -> np.ndarray:
+    """Intra16x16 luma DC: inverse Hadamard + DC scaling (8.5.10).
+    c16 is the 4x4 of DC levels in raster order."""
+    f = _hadamard4(c16)
+    ls = _LS[qp % 6][0]
+    if qp >= 36:
+        return (f * ls) << (qp // 6 - 6)
+    return (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def _chroma_dc_dequant(c4: np.ndarray, qpc: int) -> np.ndarray:
+    """2x2 chroma DC: Hadamard + scaling (8.5.11)."""
+    h = np.array([[1, 1], [1, -1]], dtype=np.int64)
+    f = h @ c4.astype(np.int64) @ h
+    ls = _LS[qpc % 6][0]
+    return ((f * ls) << (qpc // 6)) >> 5
+
+
+def _qpc_from_qp(qp: int, offset: int = 0) -> int:
+    qpi = max(0, min(51, qp + offset))
+    return qpi if qpi < 30 else _QPC[qpi - 30]
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (spec 8.3) — operate on the reconstruction planes
+# ---------------------------------------------------------------------------
+
+
+def _pred16(plane: np.ndarray, x0: int, y0: int, mode: int) -> np.ndarray:
+    """Intra_16x16 prediction: 0 V, 1 H, 2 DC, 3 Plane."""
+    top = plane[y0 - 1, x0:x0 + 16].astype(np.int64) if y0 > 0 else None
+    left = plane[y0:y0 + 16, x0 - 1].astype(np.int64) if x0 > 0 else None
+    if mode == 0:
+        if top is None:
+            raise ValueError("Intra16x16 V prediction without top row")
+        return np.tile(top, (16, 1))
+    if mode == 1:
+        if left is None:
+            raise ValueError("Intra16x16 H prediction without left col")
+        return np.tile(left[:, None], (1, 16))
+    if mode == 2:
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            dc = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            dc = (int(left.sum()) + 8) >> 4
+        else:
+            dc = 128
+        return np.full((16, 16), dc, dtype=np.int64)
+    if mode == 3:
+        if top is None or left is None or x0 == 0 or y0 == 0:
+            raise ValueError("Intra16x16 Plane prediction needs both edges")
+        p = plane.astype(np.int64)
+        hsum = sum((x + 1) * (int(p[y0 - 1, x0 + 8 + x])
+                              - int(p[y0 - 1, x0 + 6 - x]))
+                   for x in range(8))
+        vsum = sum((y + 1) * (int(p[y0 + 8 + y, x0 - 1])
+                              - int(p[y0 + 6 - y, x0 - 1]))
+                   for y in range(8))
+        a = 16 * (int(p[y0 + 15, x0 - 1]) + int(p[y0 - 1, x0 + 15]))
+        b = (5 * hsum + 32) >> 6
+        c = (5 * vsum + 32) >> 6
+        yy, xx = np.mgrid[0:16, 0:16]
+        return np.clip((a + b * (xx - 7) + c * (yy - 7) + 16) >> 5,
+                       0, 255)
+    raise ValueError(f"bad Intra16x16 pred mode {mode}")
+
+
+def _pred_chroma(plane: np.ndarray, x0: int, y0: int,
+                 mode: int) -> np.ndarray:
+    """8x8 chroma prediction: 0 DC, 1 H, 2 V, 3 Plane (8.3.4)."""
+    top = plane[y0 - 1, x0:x0 + 8].astype(np.int64) if y0 > 0 else None
+    left = plane[y0:y0 + 8, x0 - 1].astype(np.int64) if x0 > 0 else None
+    if mode == 0:
+        out = np.empty((8, 8), dtype=np.int64)
+        for by in (0, 4):
+            for bx in (0, 4):
+                t = top[bx:bx + 4] if top is not None else None
+                l_ = left[by:by + 4] if left is not None else None
+                # corner rule: (0,0) both; (4,0) prefers top; (0,4)
+                # prefers left; (4,4) both (8.3.4.1)
+                if bx == 4 and by == 0:
+                    use_t, use_l = t, (l_ if t is None else None)
+                elif bx == 0 and by == 4:
+                    use_l, use_t = l_, (t if l_ is None else None)
+                else:
+                    use_t, use_l = t, l_
+                if use_t is not None and use_l is not None:
+                    dc = (int(use_t.sum()) + int(use_l.sum()) + 4) >> 3
+                elif use_t is not None:
+                    dc = (int(use_t.sum()) + 2) >> 2
+                elif use_l is not None:
+                    dc = (int(use_l.sum()) + 2) >> 2
+                else:
+                    dc = 128
+                out[by:by + 4, bx:bx + 4] = dc
+        return out
+    if mode == 1:
+        if left is None:
+            raise ValueError("chroma H prediction without left col")
+        return np.tile(left[:, None], (1, 8))
+    if mode == 2:
+        if top is None:
+            raise ValueError("chroma V prediction without top row")
+        return np.tile(top, (8, 1))
+    if mode == 3:
+        if top is None or left is None:
+            raise ValueError("chroma Plane prediction needs both edges")
+        p = plane.astype(np.int64)
+        hsum = sum((x + 1) * (int(p[y0 - 1, x0 + 4 + x])
+                              - int(p[y0 - 1, x0 + 2 - x]))
+                   for x in range(4))
+        vsum = sum((y + 1) * (int(p[y0 + 4 + y, x0 - 1])
+                              - int(p[y0 + 2 - y, x0 - 1]))
+                   for y in range(4))
+        a = 16 * (int(p[y0 + 7, x0 - 1]) + int(p[y0 - 1, x0 + 7]))
+        b = (17 * hsum + 16) >> 5
+        c = (17 * vsum + 16) >> 5
+        yy, xx = np.mgrid[0:8, 0:8]
+        return np.clip((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5,
+                       0, 255)
+    raise ValueError(f"bad chroma pred mode {mode}")
+
+
+def _pred4(plane: np.ndarray, x0: int, y0: int, mode: int,
+           top_right_ok: bool) -> np.ndarray:
+    """Intra_4x4 prediction, modes 0..8 (8.3.1.2). ``plane`` holds
+    already-reconstructed samples; availability is by position."""
+    p = plane.astype(np.int64)
+    have_top = y0 > 0
+    have_left = x0 > 0
+    top = p[y0 - 1, x0:x0 + 4] if have_top else None
+    left = p[y0:y0 + 4, x0 - 1] if have_left else None
+    tl = int(p[y0 - 1, x0 - 1]) if have_top and have_left else None
+    if have_top and top_right_ok and x0 + 8 <= plane.shape[1]:
+        tr = p[y0 - 1, x0 + 4:x0 + 8]
+    elif have_top:
+        tr = np.full(4, int(top[3]), dtype=np.int64)
+    else:
+        tr = None
+    out = np.empty((4, 4), dtype=np.int64)
+    if mode == 0:                                        # Vertical
+        if top is None:
+            raise ValueError("I4x4 V prediction without top")
+        return np.tile(top, (4, 1))
+    if mode == 1:                                        # Horizontal
+        if left is None:
+            raise ValueError("I4x4 H prediction without left")
+        return np.tile(left[:, None], (1, 4))
+    if mode == 2:                                        # DC
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif top is not None:
+            dc = (int(top.sum()) + 2) >> 2
+        elif left is not None:
+            dc = (int(left.sum()) + 2) >> 2
+        else:
+            dc = 128
+        out[:] = dc
+        return out
+    if mode == 3:                                # Diagonal down-left
+        if top is None:
+            raise ValueError("I4x4 DDL prediction without top")
+        t = np.concatenate([top, tr])
+        for y in range(4):
+            for x in range(4):
+                i = x + y
+                if i == 6:
+                    out[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 4:                                # Diagonal down-right
+        if top is None or left is None or tl is None:
+            raise ValueError("I4x4 DDR prediction needs all edges")
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    i = x - y
+                    a = tl if i == 1 else top[i - 2]
+                    out[y, x] = ((a + 2 * (top[i - 1] if i >= 1 else tl)
+                                  + top[i] + 2) >> 2) if i >= 2 else \
+                        ((tl + 2 * top[0] + top[1] + 2) >> 2)
+                elif x < y:
+                    i = y - x
+                    out[y, x] = ((left[i - 2] if i >= 2 else tl)
+                                 + 2 * (left[i - 1] if i >= 1 else tl)
+                                 + left[i] + 2) >> 2 if i >= 2 else \
+                        ((tl + 2 * left[0] + left[1] + 2) >> 2)
+                else:
+                    out[y, x] = (top[0] + 2 * tl + left[0] + 2) >> 2
+        return out
+    if mode == 5:                                # Vertical-right
+        if top is None or left is None or tl is None:
+            raise ValueError("I4x4 VR prediction needs all edges")
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    out[y, x] = ((tl + top[0] + 1) >> 1) if i == 0 else \
+                        ((top[i - 1] + top[i] + 1) >> 1)
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    if i == 0:
+                        out[y, x] = (left[0] + 2 * tl + top[0] + 2) >> 2
+                    elif i == 1:
+                        out[y, x] = (tl + 2 * top[0] + top[1] + 2) >> 2
+                    else:
+                        out[y, x] = (top[i - 2] + 2 * top[i - 1]
+                                     + top[i] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (top[0] + 2 * tl + left[0] + 2) >> 2
+                else:
+                    i = y - 2 * x
+                    out[y, x] = (left[i - 1] + 2 * left[i - 2]
+                                 + (left[i - 3] if i >= 3 else tl)
+                                 + 2) >> 2 if i >= 2 else 0
+        return out
+    if mode == 6:                                # Horizontal-down
+        if top is None or left is None or tl is None:
+            raise ValueError("I4x4 HD prediction needs all edges")
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    out[y, x] = ((tl + left[0] + 1) >> 1) if i == 0 else \
+                        ((left[i - 1] + left[i] + 1) >> 1)
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    if i == 0:
+                        out[y, x] = (top[0] + 2 * tl + left[0] + 2) >> 2
+                    elif i == 1:
+                        out[y, x] = (tl + 2 * left[0] + left[1] + 2) >> 2
+                    else:
+                        out[y, x] = (left[i - 2] + 2 * left[i - 1]
+                                     + left[i] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (left[0] + 2 * tl + top[0] + 2) >> 2
+                else:
+                    i = x - 2 * y
+                    out[y, x] = (top[i - 1] + 2 * top[i - 2]
+                                 + (top[i - 3] if i >= 3 else tl)
+                                 + 2) >> 2 if i >= 2 else 0
+        return out
+    if mode == 7:                                # Vertical-left
+        if top is None:
+            raise ValueError("I4x4 VL prediction without top")
+        t = np.concatenate([top, tr])
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 8:                                # Horizontal-up
+        if left is None:
+            raise ValueError("I4x4 HU prediction without left")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z > 5:
+                    out[y, x] = left[3]
+                elif z == 5:
+                    out[y, x] = (left[2] + 3 * left[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = y + (x >> 1)
+                    out[y, x] = (left[i] + left[i + 1] + 1) >> 1
+                else:
+                    i = y + (x >> 1)
+                    out[y, x] = (left[i] + 2 * left[i + 1]
+                                 + left[i + 2] + 2) >> 2
+        return out
+    raise ValueError(f"bad Intra4x4 pred mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# parameter sets + slice header (spec 7.3.2)
+# ---------------------------------------------------------------------------
+
+
+def _parse_sps(br: _Bits) -> dict:
+    profile = br.u(8)
+    br.u(8)                                   # constraint flags + reserved
+    level = br.u(8)
+    sps_id = br.ue()
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise NotImplementedError(
+            f"High/extended profile {profile} (chroma_format_idc, "
+            "scaling matrices, 8x8 transform) unsupported")
+    log2_max_frame_num = br.ue() + 4
+    poc_type = br.ue()
+    if poc_type == 0:
+        log2_max_poc_lsb = br.ue() + 4
+    elif poc_type == 1:
+        raise NotImplementedError("pic_order_cnt_type 1 unsupported")
+    else:
+        log2_max_poc_lsb = 0
+    br.ue()                                   # max_num_ref_frames
+    br.flag()                                 # gaps_in_frame_num
+    w_mbs = br.ue() + 1
+    h_map = br.ue() + 1
+    frame_mbs_only = br.flag()
+    if not frame_mbs_only:
+        raise NotImplementedError("interlaced (fields/MBAFF) unsupported")
+    br.flag()                                 # direct_8x8_inference
+    crop = [0, 0, 0, 0]
+    if br.flag():
+        crop = [br.ue(), br.ue(), br.ue(), br.ue()]
+    br.flag()                                 # vui_parameters_present
+    return {"sps_id": sps_id, "profile": profile, "level": level,
+            "log2_max_frame_num": log2_max_frame_num,
+            "poc_type": poc_type, "log2_max_poc_lsb": log2_max_poc_lsb,
+            "w_mbs": w_mbs, "h_mbs": h_map, "crop": crop}
+
+
+def _parse_pps(br: _Bits) -> dict:
+    pps_id = br.ue()
+    sps_id = br.ue()
+    if br.flag():
+        raise NotImplementedError("CABAC entropy coding unsupported")
+    bottom_field_poc = br.flag()
+    if br.ue() != 0:
+        raise NotImplementedError("multiple slice groups (FMO) unsupported")
+    br.ue()                                   # num_ref_idx_l0_default
+    br.ue()                                   # num_ref_idx_l1_default
+    br.flag()                                 # weighted_pred_flag
+    br.u(2)                                   # weighted_bipred_idc
+    qp = 26 + br.se()                         # pic_init_qp
+    br.se()                                   # pic_init_qs
+    chroma_qp_off = br.se()
+    deblock_ctrl = br.flag()
+    constrained_intra = br.flag()
+    br.flag()                                 # redundant_pic_cnt_present
+    return {"pps_id": pps_id, "sps_id": sps_id, "init_qp": qp,
+            "chroma_qp_off": chroma_qp_off,
+            "deblock_ctrl": deblock_ctrl,
+            "constrained_intra": constrained_intra,
+            "bottom_field_poc": bottom_field_poc}
+
+
+def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
+                        nal_ref_idc: int) -> dict:
+    first_mb = br.ue()
+    slice_type = br.ue()
+    if slice_type % 5 != 2:
+        raise NotImplementedError(
+            f"only I slices supported (slice_type {slice_type})")
+    br.ue()                                   # pic_parameter_set_id
+    br.u(sps["log2_max_frame_num"])           # frame_num
+    br.ue()                                   # idr_pic_id
+    if sps["poc_type"] == 0:
+        br.u(sps["log2_max_poc_lsb"])         # pic_order_cnt_lsb
+        if pps["bottom_field_poc"]:
+            br.se()
+    if nal_ref_idc:
+        br.flag()                             # no_output_of_prior_pics
+        br.flag()                             # long_term_reference_flag
+    qp = pps["init_qp"] + br.se()
+    if pps["deblock_ctrl"]:
+        if br.ue() != 1:
+            raise NotImplementedError(
+                "in-loop deblocking filter not implemented; stream "
+                "must signal disable_deblocking_filter_idc == 1")
+    else:
+        raise NotImplementedError(
+            "stream may enable deblocking (PPS lacks "
+            "deblocking_filter_control_present_flag); decoder only "
+            "supports streams that disable the loop filter")
+    return {"first_mb": first_mb, "qp": qp}
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _clip255(x):
+    return np.clip(x, 0, 255)
+
+
+class _MBState:
+    """Per-MB bookkeeping for prediction/CAVLC context."""
+
+    __slots__ = ("nnz_l", "nnz_c", "i4_modes", "intra16")
+
+    def __init__(self):
+        self.nnz_l = np.zeros(16, dtype=np.int64)   # per luma 4x4 blk
+        self.nnz_c = np.zeros((2, 4), dtype=np.int64)  # per chroma 4x4
+        self.i4_modes = np.full(16, 2, dtype=np.int64)
+        self.intra16 = False
+
+
+def _luma_nc(states, mbx, mby, mbs_w, blk: int) -> int:
+    """CAVLC nC for a luma 4x4 block (9.2.1): mean of left/top
+    neighbours' totalCoeff."""
+    x4, y4 = _BLK_POS[blk]
+
+    def at(gx, gy):
+        mx, my = gx >> 2, gy >> 2
+        if mx < 0 or my < 0 or mx >= mbs_w:
+            return None
+        st = states.get((mx, my))
+        if st is None:
+            return None
+        lx, ly = gx & 3, gy & 3
+        return int(st.nnz_l[_BLK_POS.index((lx, ly))])
+
+    gx, gy = mbx * 4 + x4, mby * 4 + y4
+    na = at(gx - 1, gy)
+    nb = at(gx, gy - 1)
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
+def _chroma_nc(states, mbx, mby, mbs_w, ci: int, blk: int) -> int:
+    x2, y2 = blk & 1, blk >> 1
+
+    def at(gx, gy):
+        mx, my = gx >> 1, gy >> 1
+        if mx < 0 or my < 0 or mx >= mbs_w:
+            return None
+        st = states.get((mx, my))
+        if st is None:
+            return None
+        return int(st.nnz_c[ci][(gy & 1) * 2 + (gx & 1)])
+
+    gx, gy = mbx * 2 + x2, mby * 2 + y2
+    na = at(gx - 1, gy)
+    nb = at(gx, gy - 1)
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
+def h264_decode_planes(payload: bytes):
+    """Decode an Annex-B H.264 access unit (SPS + PPS + IDR slice,
+    CAVLC, intra-only) to uncropped (Y, Cb, Cr) int64 planes plus the
+    SPS crop window — the raw reconstruction a conformant decoder
+    produces."""
+    sps = pps = None
+    slices = []
+    for nal_type, rbsp in _split_annexb(payload):
+        if nal_type == 7:
+            sps = _parse_sps(_Bits(rbsp))
+        elif nal_type == 8:
+            pps = _parse_pps(_Bits(rbsp))
+        elif nal_type == 5:
+            slices.append((rbsp, 3))
+        elif nal_type == 1:
+            raise NotImplementedError(
+                "non-IDR slices unsupported (intra-only decoder)")
+        # SEI (6), AUD (9), filler (12): ignored
+    if sps is None or pps is None or not slices:
+        raise ValueError("access unit lacks SPS, PPS or IDR slice")
+    mbs_w, mbs_h = sps["w_mbs"], sps["h_mbs"]
+    if mbs_w * mbs_h > 1 << 20:
+        raise ValueError("implausible frame dimensions")
+    # plausibility cap vs payload size (the media ingestion contract):
+    # an I-slice macroblock costs several bits minimum — a sample
+    # table claiming orders of magnitude more MBs than the payload
+    # could hold is corrupt, not data
+    if mbs_w * mbs_h > 8 * len(payload):
+        raise ValueError("frame dimensions implausible for payload size")
+    W, H = mbs_w * 16, mbs_h * 16
+    Y = np.zeros((H, W), dtype=np.int64)
+    Cb = np.full((H // 2, W // 2), 128, dtype=np.int64)
+    Cr = np.full((H // 2, W // 2), 128, dtype=np.int64)
+    states: dict = {}
+    n_decoded = 0
+    for rbsp, nal_ref_idc in slices:
+        br = _Bits(rbsp)
+        sh = _parse_slice_header(br, sps, pps, nal_ref_idc)
+        qp = sh["qp"]
+        addr = sh["first_mb"]
+        while True:
+            if addr >= mbs_w * mbs_h:
+                raise ValueError("slice overruns the frame's MB count")
+            mbx, mby = addr % mbs_w, addr // mbs_w
+            qp = _decode_mb(br, qp, pps, Y, Cb, Cr, states,
+                            mbx, mby, mbs_w)
+            n_decoded += 1
+            addr += 1
+            if not br.more_rbsp_data():
+                break
+    if n_decoded != mbs_w * mbs_h:
+        raise ValueError(
+            f"decoded {n_decoded} of {mbs_w * mbs_h} macroblocks")
+    return Y, Cb, Cr, sps["crop"]
+
+
+def h264_decode(payload: bytes) -> np.ndarray:
+    """Decode an Annex-B H.264 access unit to (h, w, 3) uint8 RGB.
+
+    Chroma (4:2:0) is upsampled by nearest-neighbour duplication and
+    converted with the same JFIF-style formulas the JPEG path uses; a
+    stream with neutral chroma (Cb=Cr=128) decodes to exact grey
+    R=G=B=Y, which is what the oracle family relies on."""
+    Y, Cb, Cr, crop = h264_decode_planes(payload)
+    H, W = Y.shape
+    cl, cr_, ct, cb_ = crop
+    x0, x1 = 2 * cl, W - 2 * cr_
+    y0, y1 = 2 * ct, H - 2 * cb_
+    if x1 <= x0 or y1 <= y0:
+        raise ValueError("frame cropping removes every sample")
+    y = Y[y0:y1, x0:x1]
+    cb = Cb.repeat(2, 0).repeat(2, 1)[y0:y1, x0:x1] - 128
+    cr = Cr.repeat(2, 0).repeat(2, 1)[y0:y1, x0:x1] - 128
+    out = np.empty((y.shape[0], y.shape[1], 3), dtype=np.float64)
+    out[:, :, 0] = y + 1.402 * cr
+    out[:, :, 1] = y - 0.344136 * cb - 0.714136 * cr
+    out[:, :, 2] = y + 1.772 * cb
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _decode_mb(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w):
+    mb_type = br.ue()
+    st = _MBState()
+    x0, y0 = mbx * 16, mby * 16
+    if mb_type == 25:
+        raise NotImplementedError("I_PCM macroblocks unsupported")
+    if mb_type > 25:
+        raise ValueError(f"invalid I-slice mb_type {mb_type}")
+    if mb_type == 0:
+        qp = _decode_mb_i4(br, qp, pps, Y, Cb, Cr, states,
+                           mbx, mby, mbs_w, st)
+        states[(mbx, mby)] = st
+        return qp
+    # Intra_16x16: mode/CBP folded into mb_type
+    st.intra16 = True
+    pred_mode = (mb_type - 1) % 4
+    cbp_chroma = ((mb_type - 1) // 4) % 3
+    cbp_luma = 15 if mb_type >= 13 else 0
+    chroma_mode = br.ue()
+    if chroma_mode > 3:
+        raise ValueError("invalid intra_chroma_pred_mode")
+    qp = _apply_qp_delta(br, qp)
+    # luma DC (always coded for Intra_16x16)
+    nc = _luma_nc(states, mbx, mby, mbs_w, 0)
+    dc_scan = _decode_residual(br, nc, 16)
+    # AC blocks
+    ac = np.zeros((16, 16), dtype=np.int64)
+    if cbp_luma:
+        for blk in range(16):
+            nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+            coeffs = _decode_residual(br, nc, 15)
+            st.nnz_l[blk] = np.count_nonzero(coeffs)
+            ac[blk, 1:] = coeffs
+    cdc, cac = _decode_chroma_residual(br, states, mbx, mby, mbs_w,
+                                       cbp_chroma, st)
+    pred = _pred16(Y, x0, y0, pred_mode)
+    dc16 = np.zeros(16, dtype=np.int64)
+    dc16[_ZZ4] = dc_scan
+    dcs = _luma_dc_dequant(dc16.reshape(4, 4), qp)
+    recon = np.empty((16, 16), dtype=np.int64)
+    for blk in range(16):
+        bx, by = _BLK_POS[blk]
+        d = np.zeros(16, dtype=np.int64)
+        d[_ZZ4] = ac[blk]
+        dq = _dequant_ac(d.reshape(4, 4), qp)
+        dq[0, 0] = dcs[by, bx]
+        r = (_inv_transform_4x4(dq) + 32) >> 6
+        recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+            _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
+    Y[y0:y0 + 16, x0:x0 + 16] = recon
+    _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, cdc, cac, qp, pps)
+    states[(mbx, mby)] = st
+    return qp
+
+
+def _apply_qp_delta(br, qp):
+    delta = br.se()
+    if not -27 <= delta <= 26:
+        raise ValueError("mb_qp_delta out of range")
+    qp = (qp + delta + 52) % 52
+    return qp
+
+
+def _decode_chroma_residual(br, states, mbx, mby, mbs_w, cbp_chroma, st):
+    cdc = np.zeros((2, 4), dtype=np.int64)
+    cac = np.zeros((2, 4, 16), dtype=np.int64)
+    if cbp_chroma:
+        for ci in range(2):
+            cdc[ci] = _decode_residual(br, -1, 4)
+    if cbp_chroma == 2:
+        for ci in range(2):
+            for blk in range(4):
+                nc = _chroma_nc(states, mbx, mby, mbs_w, ci, blk)
+                coeffs = _decode_residual(br, nc, 15)
+                st.nnz_c[ci][blk] = np.count_nonzero(coeffs)
+                cac[ci, blk, 1:] = coeffs
+    return cdc, cac
+
+
+def _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, cdc, cac, qp, pps):
+    qpc = _qpc_from_qp(qp, pps["chroma_qp_off"])
+    cx, cy = mbx * 8, mby * 8
+    for ci, plane in enumerate((Cb, Cr)):
+        pred = _pred_chroma(plane, cx, cy, chroma_mode)
+        dcs = _chroma_dc_dequant(
+            cdc[ci].reshape(2, 2), qpc)
+        recon = np.empty((8, 8), dtype=np.int64)
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
+            d = np.zeros(16, dtype=np.int64)
+            d[_ZZ4] = cac[ci, blk]
+            dq = _dequant_ac(d.reshape(4, 4), qpc)
+            dq[0, 0] = dcs[by, bx]
+            r = (_inv_transform_4x4(dq) + 32) >> 6
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = \
+                _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
+        plane[cy:cy + 8, cx:cx + 8] = recon
+
+
+def _decode_mb_i4(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w, st):
+    """Intra_4x4 macroblock (mb_type 0)."""
+    x0, y0 = mbx * 16, mby * 16
+    # fill st.i4_modes progressively: the predicted mode for block k
+    # reads same-MB neighbours' modes, which in the 4x4 Z-scan are
+    # always earlier in decode order (8.3.1.1)
+    modes = st.i4_modes
+    for blk in range(16):
+        pred_mode = _predict_i4_mode(states, st, mbx, mby, mbs_w, blk)
+        if br.flag():
+            modes[blk] = pred_mode
+        else:
+            rem = br.u(3)
+            modes[blk] = rem if rem < pred_mode else rem + 1
+    chroma_mode = br.ue()
+    if chroma_mode > 3:
+        raise ValueError("invalid intra_chroma_pred_mode")
+    cbp = _read_cbp_intra(br)
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma == 3:
+        raise ValueError("invalid chroma CBP")
+    if cbp:
+        qp = _apply_qp_delta(br, qp)
+    luma = np.zeros((16, 16), dtype=np.int64)
+    if cbp_luma:
+        for blk in range(16):
+            if cbp_luma & (1 << (blk // 4)):
+                nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+                coeffs = _decode_residual(br, nc, 16)
+                st.nnz_l[blk] = np.count_nonzero(coeffs)
+                luma[blk] = coeffs
+    cdc, cac = _decode_chroma_residual(br, states, mbx, mby, mbs_w,
+                                       cbp_chroma, st)
+    # reconstruct block-by-block (later blocks predict from earlier)
+    for blk in range(16):
+        bx, by = _BLK_POS[blk]
+        px, py = x0 + bx * 4, y0 + by * 4
+        # top-right availability: decoded already in raster order?
+        tr_ok = _i4_top_right_available(bx, by, mbx, mby, mbs_w,
+                                        states)
+        pred = _pred4(Y, px, py, int(modes[blk]), tr_ok)
+        d = np.zeros(16, dtype=np.int64)
+        d[_ZZ4] = luma[blk]
+        dq = _dequant_ac(d.reshape(4, 4), qp)
+        r = (_inv_transform_4x4(dq) + 32) >> 6
+        Y[py:py + 4, px:px + 4] = _clip255(pred + r)
+    _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, cdc, cac, qp, pps)
+    return qp
+
+
+def _i4_top_right_available(bx, by, mbx, mby, mbs_w, states) -> bool:
+    """Is the 4x4 block's top-right neighbour reconstructed?"""
+    gx, gy = mbx * 4 + bx + 1, mby * 4 + by - 1
+    if gy < 0:
+        return False
+    tmx, tmy = gx >> 2, gy >> 2
+    if tmx >= mbs_w:
+        return False
+    if (tmx, tmy) in states:
+        return True
+    if tmx == mbx and tmy == mby:
+        # same MB: available iff that block comes earlier in decode
+        # order — true exactly for blocks whose above-right neighbour
+        # is in a previously-decoded position of the zig-zag quad scan
+        lx, ly = gx & 3, gy & 3
+        return _BLK_POS.index((lx, ly)) < _BLK_POS.index((bx, by))
+    return False
+
+
+def _predict_i4_mode(states, st, mbx, mby, mbs_w, blk) -> int:
+    bx, by = _BLK_POS[blk]
+
+    def mode_at(gx, gy):
+        if gx < 0 or gy < 0:
+            return None
+        mx, my = gx >> 2, gy >> 2
+        if mx >= mbs_w:
+            return None
+        if mx == mbx and my == mby:
+            src = st
+        else:
+            src = states.get((mx, my))
+            if src is None:
+                return None
+            if src.intra16:
+                return 2          # Intra16x16 neighbour predicts DC
+        return int(src.i4_modes[_BLK_POS.index((gx & 3, gy & 3))])
+
+    gx, gy = mbx * 4 + bx, mby * 4 + by
+    ma = mode_at(gx - 1, gy)
+    mb = mode_at(gx, gy - 1)
+    if ma is None or mb is None:
+        return 2
+    return min(ma, mb)
+
+
+def _read_cbp_intra(br) -> int:
+    code = br.ue()
+    if code >= 48:
+        raise ValueError("invalid coded_block_pattern code")
+    return _CBP_INTRA[code]
+
+
+# ---------------------------------------------------------------------------
+# encoder — real intra encoder with the standard reconstruction loop
+# ---------------------------------------------------------------------------
+
+
+def _quant_ac(w: np.ndarray, qp: int) -> np.ndarray:
+    """Forward quant of a 4x4 transformed block (raster order)."""
+    mf = np.array(_MF[qp % 6], dtype=np.int64)[_LS_CLASS]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    return np.sign(w) * ((np.abs(w) * mf + f) >> qbits)
+
+
+def _quant_dc(w: np.ndarray, qp: int, shift_extra: int = 0) -> np.ndarray:
+    mf = _MF[qp % 6][0]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    return np.sign(w) * ((np.abs(w) * mf + 2 * f) >> (qbits + shift_extra))
+
+
+def _write_sps(mbs_w: int, mbs_h: int) -> bytes:
+    bw = _BitW()
+    bw.u(66, 8)                              # profile_idc: Baseline
+    bw.u(0b11000000, 8)                      # constraint_set0/1
+    bw.u(20, 8)                              # level 2.0
+    bw.ue(0)                                 # sps_id
+    bw.ue(0)                                 # log2_max_frame_num_minus4
+    bw.ue(2)                                 # pic_order_cnt_type 2
+    bw.ue(1)                                 # max_num_ref_frames
+    bw.u(0, 1)                               # gaps_in_frame_num
+    bw.ue(mbs_w - 1)
+    bw.ue(mbs_h - 1)
+    bw.u(1, 1)                               # frame_mbs_only
+    bw.u(1, 1)                               # direct_8x8_inference
+    bw.u(0, 1)                               # frame_cropping
+    bw.u(0, 1)                               # vui_parameters
+    bw.trailing()
+    return bw.bytes()
+
+
+def _write_pps() -> bytes:
+    bw = _BitW()
+    bw.ue(0)                                 # pps_id
+    bw.ue(0)                                 # sps_id
+    bw.u(0, 1)                               # entropy_coding_mode: CAVLC
+    bw.u(0, 1)                               # bottom_field_poc
+    bw.ue(0)                                 # num_slice_groups_minus1
+    bw.ue(0)                                 # num_ref_idx_l0
+    bw.ue(0)                                 # num_ref_idx_l1
+    bw.u(0, 1)                               # weighted_pred
+    bw.u(0, 2)                               # weighted_bipred
+    bw.se(0)                                 # pic_init_qp_minus26 -> 26
+    bw.se(0)                                 # pic_init_qs
+    bw.se(0)                                 # chroma_qp_index_offset
+    bw.u(1, 1)                               # deblocking_filter_control
+    bw.u(0, 1)                               # constrained_intra_pred
+    bw.u(0, 1)                               # redundant_pic_cnt
+    bw.trailing()
+    return bw.bytes()
+
+
+def _slice_header(bw: _BitW, qp: int):
+    bw.ue(0)                                 # first_mb_in_slice
+    bw.ue(7)                                 # slice_type: I (all)
+    bw.ue(0)                                 # pps_id
+    bw.u(0, 4)                               # frame_num
+    bw.ue(0)                                 # idr_pic_id
+    bw.u(1, 1)                               # no_output_of_prior_pics
+    bw.u(0, 1)                               # long_term_reference
+    bw.se(qp - 26)                           # slice_qp_delta
+    bw.ue(1)                                 # disable_deblocking_filter
+
+
+def _assemble(sps: bytes, pps: bytes, slice_rbsp: bytes) -> bytes:
+    sc = b"\x00\x00\x00\x01"
+    return (sc + bytes([0x67]) + _escape(sps)
+            + sc + bytes([0x68]) + _escape(pps)
+            + sc + bytes([0x65]) + _escape(slice_rbsp))
+
+
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
+
+
+def h264_encode(y: np.ndarray, qp: int = 30,
+                cb: np.ndarray | None = None,
+                cr: np.ndarray | None = None,
+                mb_mode: str = "i16") -> bytes:
+    """Encode a (h, w) uint8 luma plane (h, w multiples of 16; cb/cr
+    optional (h/2, w/2) planes, default neutral 128) as a one-slice
+    Annex-B IDR access unit. ``mb_mode``: 'i16' (Intra_16x16 DC
+    prediction, full AC residual) or 'i4' (Intra_4x4, per-block
+    SAD-chosen mode, full residual).
+
+    A real lossy encoder with the standard reconstruction loop: each
+    MB predicts from the *reconstructed* neighbours, so
+    :func:`h264_decode` of the returned stream reproduces the
+    encoder's reconstruction exactly (asserted in tests). Returns the
+    Annex-B bytes."""
+    y = np.asarray(y, dtype=np.int64)
+    H, W = y.shape
+    if H % 16 or W % 16:
+        raise ValueError("frame dimensions must be multiples of 16")
+    mbs_w, mbs_h = W // 16, H // 16
+    cbp = np.full((H // 2, W // 2), 128, dtype=np.int64) \
+        if cb is None else np.asarray(cb, dtype=np.int64)
+    crp = np.full((H // 2, W // 2), 128, dtype=np.int64) \
+        if cr is None else np.asarray(cr, dtype=np.int64)
+    Yr = np.zeros((H, W), dtype=np.int64)
+    Cbr = np.full((H // 2, W // 2), 128, dtype=np.int64)
+    Crr = np.full((H // 2, W // 2), 128, dtype=np.int64)
+    states: dict = {}
+    bw = _BitW()
+    _slice_header(bw, qp)
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            if mb_mode == "i16":
+                _enc_mb_i16(bw, y, cbp, crp, Yr, Cbr, Crr, states,
+                            mbx, mby, mbs_w, qp)
+            elif mb_mode == "i4":
+                _enc_mb_i4(bw, y, cbp, crp, Yr, Cbr, Crr, states,
+                           mbx, mby, mbs_w, qp)
+            else:
+                raise ValueError(f"unknown mb_mode {mb_mode!r}")
+    bw.trailing()
+    stream = _assemble(_write_sps(mbs_w, mbs_h), _write_pps(),
+                       bw.bytes())
+    return stream
+
+
+def h264_encoder_reconstruction(y, qp: int = 30, cb=None, cr=None,
+                                mb_mode: str = "i16") -> np.ndarray:
+    """The encoder's own reconstructed luma plane (what a conformant
+    decoder must reproduce exactly). Runs the same loop as
+    :func:`h264_encode` without emitting bits."""
+    y = np.asarray(y, dtype=np.int64)
+    H, W = y.shape
+    mbs_w, mbs_h = W // 16, H // 16
+    cbp = np.full((H // 2, W // 2), 128, dtype=np.int64) \
+        if cb is None else np.asarray(cb, dtype=np.int64)
+    crp = np.full((H // 2, W // 2), 128, dtype=np.int64) \
+        if cr is None else np.asarray(cr, dtype=np.int64)
+    Yr = np.zeros((H, W), dtype=np.int64)
+    Cbr = np.full((H // 2, W // 2), 128, dtype=np.int64)
+    Crr = np.full((H // 2, W // 2), 128, dtype=np.int64)
+    states: dict = {}
+    bw = _BitW()
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            if mb_mode == "i16":
+                _enc_mb_i16(bw, y, cbp, crp, Yr, Cbr, Crr, states,
+                            mbx, mby, mbs_w, qp)
+            else:
+                _enc_mb_i4(bw, y, cbp, crp, Yr, Cbr, Crr, states,
+                           mbx, mby, mbs_w, qp)
+    return Yr
+
+
+def _enc_chroma(bw_or_none, src_cb, src_cr, Cbr, Crr, states, mbx,
+                mby, mbs_w, qp, st, probe=False):
+    """Chroma encode for one MB (DC pred). Returns (cbp_chroma,
+    payload-writer closure, recon pair) — split so mb_type (which
+    encodes cbp for I16x16) can be written before the residual."""
+    qpc = _qpc_from_qp(qp)
+    cx, cy = mbx * 8, mby * 8
+    plan = []
+    any_dc = False
+    any_ac = False
+    for ci, (src, rec) in enumerate(((src_cb, Cbr), (src_cr, Crr))):
+        pred = _pred_chroma(rec, cx, cy, 0)
+        resid = src[cy:cy + 8, cx:cx + 8] - pred
+        wdc = np.empty((2, 2), dtype=np.int64)
+        wac = np.empty((4, 16), dtype=np.int64)
+        for blk in range(4):
+            bx, by = blk & 1, blk >> 1
+            w = _fwd_transform_4x4(
+                resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+            wdc[by, bx] = w[0, 0]
+            q = _quant_ac(w, qpc)
+            q[0, 0] = 0
+            wac[blk] = q.reshape(16)[_ZZ4]
+        h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+        # chroma DC: decoder's >>5 (vs luma's >>6) halves the gain of
+        # the 2x2 Hadamard pair, so quantize one bit coarser-inverse
+        qdc = _quant_dc(h2 @ wdc @ h2, qpc, shift_extra=-1)
+        if np.any(qdc):
+            any_dc = True
+        if np.any(wac[:, 1:]):
+            any_ac = True
+        plan.append((pred, qdc, wac))
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    cdc = np.zeros((2, 4), dtype=np.int64)
+    cac = np.zeros((2, 4, 16), dtype=np.int64)
+    for ci, (pred, qdc, wac) in enumerate(plan):
+        if cbp_chroma:
+            # scan order of the 2x2 DC block: raster (0,0),(0,1),
+            # (1,0),(1,1)
+            cdc[ci] = qdc.reshape(4)
+        if cbp_chroma == 2:
+            cac[ci, :, 1:] = wac[:, 1:15 + 1][:, 0:15] if False else \
+                wac[:, 1:16]
+
+    def write(bw, st):
+        if cbp_chroma:
+            for ci in range(2):
+                _encode_residual(bw, cdc[ci], -1, 4)
+        if cbp_chroma == 2:
+            for ci in range(2):
+                for blk in range(4):
+                    nc = _chroma_nc(states, mbx, mby, mbs_w, ci, blk)
+                    _encode_residual(bw, cac[ci, blk, 1:], nc, 15)
+                    st.nnz_c[ci][blk] = np.count_nonzero(
+                        cac[ci, blk, 1:])
+
+    def recon(pps_like):
+        _recon_chroma(Cbr, Crr, mbx, mby, 0, cdc, cac, qp,
+                      {"chroma_qp_off": 0})
+
+    return cbp_chroma, write, recon
+
+
+
+
+def _enc_mb_i16(bw, y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx,
+                mby, mbs_w, qp):
+    st = _MBState()
+    st.intra16 = True
+    x0, y0 = mbx * 16, mby * 16
+    pred = _pred16(Yr, x0, y0, 2)            # DC prediction
+    resid = y[y0:y0 + 16, x0:x0 + 16] - pred
+    wdc = np.empty((4, 4), dtype=np.int64)
+    qac = np.zeros((16, 16), dtype=np.int64)  # scan order, idx 0 unused
+    for blk in range(16):
+        bx, by = _BLK_POS[blk]
+        w = _fwd_transform_4x4(resid[by * 4:by * 4 + 4,
+                                     bx * 4:bx * 4 + 4])
+        wdc[by, bx] = w[0, 0]
+        q = _quant_ac(w, qp)
+        q[0, 0] = 0
+        qac[blk] = q.reshape(16)[_ZZ4]
+    # DC: forward Hadamard, quant with the doubled rounding + shift.
+    # The decode chain divides by 64 twice (inverse Hadamard 8.5.10
+    # and the core transform's final >>6) against a forward gain of
+    # 256, so the level needs 2 more bits than the plain AC quant —
+    # shift_extra=-2 (empirically exact on flat frames at all qp)
+    qdc4 = _quant_dc(_hadamard4(wdc), qp, shift_extra=-2)
+    dc_scan = qdc4.reshape(16)[_ZZ4]
+    cbp_luma = 15 if np.any(qac[:, 1:]) else 0
+    cbp_chroma, write_chroma, recon_chroma = _enc_chroma(
+        bw, src_cb, src_cr, Cbr, Crr, states, mbx, mby, mbs_w, qp,
+        st)
+    mb_type = 1 + 2 + 4 * cbp_chroma + (12 if cbp_luma else 0)
+    bw.ue(mb_type)
+    bw.ue(0)                                 # intra_chroma_pred_mode DC
+    bw.se(0)                                 # mb_qp_delta
+    nc = _luma_nc(states, mbx, mby, mbs_w, 0)
+    _encode_residual(bw, dc_scan, nc, 16)
+    if cbp_luma:
+        for blk in range(16):
+            nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+            _encode_residual(bw, qac[blk, 1:], nc, 15)
+            st.nnz_l[blk] = np.count_nonzero(qac[blk, 1:])
+    write_chroma(bw, st)
+    # reconstruction (same integer path as the decoder)
+    dcs = _luma_dc_dequant(qdc4, qp)
+    for blk in range(16):
+        bx, by = _BLK_POS[blk]
+        d = np.zeros(16, dtype=np.int64)
+        d[_ZZ4] = qac[blk]
+        dq = _dequant_ac(d.reshape(4, 4), qp)
+        dq[0, 0] = dcs[by, bx]
+        r = (_inv_transform_4x4(dq) + 32) >> 6
+        Yr[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
+            _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
+    recon_chroma(None)
+    states[(mbx, mby)] = st
+
+
+def _enc_mb_i4(bw, y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx,
+               mby, mbs_w, qp):
+    st = _MBState()
+    x0, y0 = mbx * 16, mby * 16
+    modes = np.empty(16, dtype=np.int64)
+    qblocks = np.zeros((16, 16), dtype=np.int64)
+    preds = [None] * 16
+    # choose modes + quantize greedily in decode order (prediction
+    # uses the evolving reconstruction, as the spec requires)
+    for blk in range(16):
+        bx, by = _BLK_POS[blk]
+        px, py = x0 + bx * 4, y0 + by * 4
+        tr_ok = _i4_top_right_available(bx, by, mbx, mby, mbs_w,
+                                        states)
+        best = None
+        src = y[py:py + 4, px:px + 4]
+        for mode in range(9):
+            try:
+                p = _pred4(Yr, px, py, mode, tr_ok)
+            except ValueError:
+                continue
+            sad = int(np.abs(src - p).sum())
+            if best is None or sad < best[0]:
+                best = (sad, mode, p)
+        _, mode, p = best
+        modes[blk] = mode
+        preds[blk] = p
+        w = _fwd_transform_4x4(src - p)
+        q = _quant_ac(w, qp)
+        qblocks[blk] = q.reshape(16)[_ZZ4]
+        # reconstruct immediately so later blocks predict correctly
+        d = np.zeros(16, dtype=np.int64)
+        d[_ZZ4] = qblocks[blk]
+        dq = _dequant_ac(d.reshape(4, 4), qp)
+        r = (_inv_transform_4x4(dq) + 32) >> 6
+        Yr[py:py + 4, px:px + 4] = _clip255(p + r)
+    st.i4_modes = modes
+    cbp_luma = 0
+    for g in range(4):
+        if np.any(qblocks[g * 4:(g + 1) * 4]):
+            cbp_luma |= 1 << g
+    cbp_chroma, write_chroma, recon_chroma = _enc_chroma(
+        bw, src_cb, src_cr, Cbr, Crr, states, mbx, mby, mbs_w, qp,
+        st)
+    bw.ue(0)                                 # mb_type I_4x4
+    for blk in range(16):
+        pm = _predict_i4_mode(states, st, mbx, mby, mbs_w, blk)
+        m = int(modes[blk])
+        if m == pm:
+            bw.u(1, 1)
+        else:
+            bw.u(0, 1)
+            bw.u(m if m < pm else m - 1, 3)
+    bw.ue(0)                                 # intra_chroma_pred_mode DC
+    bw.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
+    if cbp_luma or cbp_chroma:
+        bw.se(0)                             # mb_qp_delta
+    if cbp_luma:
+        for blk in range(16):
+            if cbp_luma & (1 << (blk // 4)):
+                nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+                _encode_residual(bw, qblocks[blk], nc, 16)
+                st.nnz_l[blk] = np.count_nonzero(qblocks[blk])
+    write_chroma(bw, st)
+    recon_chroma(None)
+    states[(mbx, mby)] = st
+
+
+def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36) -> bytes:
+    """The ORACLE FAMILY: an IDR frame of Intra_16x16 DC-predicted
+    macroblocks, each carrying a single luma DC coefficient chosen so
+    the whole MB reconstructs to pred + offsets[my][mx] exactly —
+    the H.264 analogue of the block-constant JPEG family.
+
+    With QP=36 the DC dequant is exact integer: dcY = 10*c (8.5.10,
+    qP>=36 branch, shift qP/6-6 = 0), and a DC-only 4x4 inverse
+    transform is the flat value (dcY + 32) >> 6, so
+
+        offset(c) = (10*c + 32) >> 6      (arithmetic shift)
+
+    and the decoded MB value follows the DC prediction chain
+    v = pred + offset: pred = 128 for the first MB, the flat left/top
+    MB value when one neighbour exists, (vleft + vtop + 1) >> 1 when
+    both do — a pure-SQL-expressible recurrence. Chroma is neutral
+    (no residual), so decode is exact grey. ``offsets`` must keep
+    every value inside [0, 255] (no clipping, asserted here)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    mbs_h, mbs_w = offsets.shape
+    # required reconstruction values (mirror of the decode chain)
+    v = np.zeros((mbs_h, mbs_w), dtype=np.int64)
+    for my in range(mbs_h):
+        for mx in range(mbs_w):
+            if mx == 0 and my == 0:
+                pred = 128
+            elif my == 0:
+                pred = v[my, mx - 1]
+            elif mx == 0:
+                pred = v[my - 1, mx]
+            else:
+                pred = (v[my, mx - 1] + v[my - 1, mx] + 1) >> 1
+            v[my, mx] = pred + offsets[my, mx]
+    if v.min() < 0 or v.max() > 255:
+        raise ValueError("offsets would clip; oracle family requires "
+                         "unclipped reconstruction")
+    states: dict = {}
+    bw = _BitW()
+    _slice_header(bw, qp)
+    for my in range(mbs_h):
+        for mx in range(mbs_w):
+            st = _MBState()
+            st.intra16 = True
+            o = int(offsets[my, mx])
+            if o == 0:
+                c = 0
+            else:
+                c = -(-(64 * o - 32) // 10)          # ceil division
+                assert (10 * c + 32) >> 6 == o
+            bw.ue(3)                          # I_16x16, DC, cbp 0/0
+            bw.ue(0)                          # chroma pred DC
+            bw.se(0)                          # mb_qp_delta
+            dc_scan = np.zeros(16, dtype=np.int64)
+            dc_scan[0] = c
+            nc = _luma_nc(states, mx, my, mbs_w, 0)
+            _encode_residual(bw, dc_scan, nc, 16)
+            states[(mx, my)] = st
+    bw.trailing()
+    return _assemble(_write_sps(mbs_w, mbs_h), _write_pps(),
+                     bw.bytes())
+
+
+# ---------------------------------------------------------------------------
+# ISO/IEC 14496-15 packaging (avc1 sample entries) — the MP4 side
+# ---------------------------------------------------------------------------
+
+
+def _split_annexb_raw(payload: bytes):
+    """Yield raw NAL units (header byte + EBSP, still escaped) from an
+    Annex-B byte stream — the packaging twin of :func:`_split_annexb`."""
+    i = 0
+    n = len(payload)
+    starts = []
+    while i + 3 <= n:
+        if payload[i] == 0 and payload[i + 1] == 0:
+            if payload[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i + 4 <= n and payload[i + 2] == 0 and payload[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    if not starts:
+        raise ValueError("no Annex-B start code found")
+    for k, (s, body) in enumerate(starts):
+        end = starts[k + 1][0] if k + 1 < len(starts) else n
+        nal = payload[body:end]
+        if nal:
+            yield nal
+
+
+def h264_avcc_config(annexb: bytes) -> bytes:
+    """Build an AVCDecoderConfigurationRecord (the avcC box BODY,
+    ISO/IEC 14496-15 5.3.3.1) from the SPS/PPS NALs of an Annex-B
+    access unit. Length field size is 4 (lengthSizeMinusOne = 3)."""
+    sps_nals, pps_nals = [], []
+    for nal in _split_annexb_raw(annexb):
+        t = nal[0] & 0x1F
+        if t == 7:
+            sps_nals.append(nal)
+        elif t == 8:
+            pps_nals.append(nal)
+    if not sps_nals or not pps_nals:
+        raise ValueError("Annex-B stream lacks SPS or PPS")
+    sps_rbsp = _unescape(sps_nals[0][1:])
+    out = bytearray()
+    out += bytes([1, sps_rbsp[0], sps_rbsp[1], sps_rbsp[2]])
+    out.append(0xFC | 3)                     # lengthSizeMinusOne = 3
+    out.append(0xE0 | len(sps_nals))
+    for nal in sps_nals:
+        out += len(nal).to_bytes(2, "big") + nal
+    out.append(len(pps_nals))
+    for nal in pps_nals:
+        out += len(nal).to_bytes(2, "big") + nal
+    return bytes(out)
+
+
+def h264_to_avcc_sample(annexb: bytes) -> bytes:
+    """Length-prefix (4-byte) the non-parameter-set NALs of an Annex-B
+    access unit — the avc1 MP4 sample payload (parameter sets live in
+    the track's avcC record, not in samples)."""
+    out = bytearray()
+    for nal in _split_annexb_raw(annexb):
+        if (nal[0] & 0x1F) in (7, 8):
+            continue
+        out += len(nal).to_bytes(4, "big") + nal
+    if not out:
+        raise ValueError("access unit has no sample NALs")
+    return bytes(out)
+
+
+def h264_sample_to_annexb(sample: bytes, avcc: bytes) -> bytes:
+    """Rebuild a decodable Annex-B access unit from a length-prefixed
+    avc1 sample plus its track's avcC record (SPS/PPS prepended)."""
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise ValueError("corrupt avcC record")
+    length_size = (avcc[4] & 3) + 1
+    sc = b"\x00\x00\x00\x01"
+    out = bytearray()
+    pos = 5
+    n_sps = avcc[pos] & 0x1F
+    pos += 1
+    for _ in range(n_sps):
+        ln = int.from_bytes(avcc[pos:pos + 2], "big")
+        pos += 2
+        if pos + ln > len(avcc):
+            raise ValueError("truncated avcC SPS")
+        out += sc + avcc[pos:pos + ln]
+        pos += ln
+    if pos >= len(avcc):
+        raise ValueError("truncated avcC record")
+    n_pps = avcc[pos]
+    pos += 1
+    for _ in range(n_pps):
+        ln = int.from_bytes(avcc[pos:pos + 2], "big")
+        pos += 2
+        if pos + ln > len(avcc):
+            raise ValueError("truncated avcC PPS")
+        out += sc + avcc[pos:pos + ln]
+        pos += ln
+    pos = 0
+    while pos < len(sample):
+        if pos + length_size > len(sample):
+            raise ValueError("truncated avc1 sample length prefix")
+        ln = int.from_bytes(sample[pos:pos + length_size], "big")
+        pos += length_size
+        if ln == 0 or pos + ln > len(sample):
+            raise ValueError("corrupt avc1 sample NAL length")
+        out += sc + sample[pos:pos + ln]
+        pos += ln
+    return bytes(out)

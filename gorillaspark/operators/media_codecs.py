@@ -8,9 +8,11 @@ DEFLATE (stdlib zlib), is decoded for real too (8-bit grey/RGB/RGBA,
 non-interlaced, all five row filters). Baseline JPEG joined in r5:
 huffman + 8x8 DCT are numpy-sized problems, so encode AND decode are
 real below (SOF0, 4:4:4/4:2:0/4:2:2, restart markers; progressive /
-arithmetic / 12-bit raise). Only MP4 remains honestly stubbed in
-multimodal.py — video needs real codecs; wiring a library on a real
-cluster swaps only that branch, the Spark plumbing is identical.
+arithmetic / 12-bit raise). From r7, intra-only baseline H.264
+(Annex-B CAVLC IDR frames — h264.py) decodes for real too, both as a
+raw bitstream and as avc1 MP4 tracks (avcC record + length-prefixed
+samples, ISO/IEC 14496-15); only inter-coded H.264 and hev1 stay
+honestly stubbed — full video needs real codec libraries.
 
 Also defines GSV1, a minimal documented frame container (magic +
 frame interval + length-prefixed BMP frames) so video frame-sampling
@@ -176,6 +178,19 @@ def bmp_decode(payload: bytes) -> np.ndarray:
     return rgb if top_down else rgb[::-1]
 
 
+def _is_annexb(payload: bytes) -> bool:
+    return (payload[:4] == b"\x00\x00\x00\x01"
+            or payload[:3] == b"\x00\x00\x01")
+
+
+@_loud_corruption
+def h264_rgb(payload: bytes) -> np.ndarray:
+    """Intra-only baseline H.264 Annex-B access unit → (h, w, 3)
+    uint8 RGB (h264.py — real CAVLC + intra prediction decode)."""
+    from . import h264 as _h264
+    return _h264.h264_decode(payload)
+
+
 def image_features(payload: bytes) -> dict:
     """Exact-integer image statistics from a BMP or PNG payload
     (PNG: real zlib+unfilter decode, png_decode below; grey/RGBA
@@ -193,6 +208,8 @@ def image_features(payload: bytes) -> dict:
         px = _to_rgb(png_decode(payload)).astype(np.int64)
     elif payload[:2] == b"\xff\xd8":
         px = _to_rgb(jpeg_decode(payload)).astype(np.int64)
+    elif _is_annexb(payload):
+        px = h264_rgb(payload).astype(np.int64)
     else:
         px = bmp_decode(payload).astype(np.int64)
     h, w, _ = px.shape
@@ -1040,12 +1057,17 @@ def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
 
 
 def mp4_mux(frames: list, frame_ms: int = 500, fourcc: bytes = b"jpeg",
-            width: int = 0, height: int = 0) -> bytes:
+            width: int = 0, height: int = 0,
+            config: bytes = b"") -> bytes:
     """Mux video sample payloads into a minimal valid MP4: ftyp +
     mdat + moov with a one-trak sample table (1000-tick timescale,
     constant ``frame_ms`` per sample, one chunk). ``fourcc='jpeg'``
     (Motion-JPEG) makes every sample independently decodable by
-    :func:`jpeg_decode`."""
+    :func:`jpeg_decode`. ``config`` is appended inside the visual
+    sample entry — for ``fourcc='avc1'`` pass the avcC box
+    (``_box(b"avcC", h264.h264_avcc_config(...))``) and
+    length-prefixed samples (``h264.h264_to_avcc_sample``), the real
+    ISO/IEC 14496-15 shape."""
     n = len(frames)
     dur = n * frame_ms
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
@@ -1074,7 +1096,7 @@ def mp4_mux(frames: list, frame_ms: int = 500, fourcc: bytes = b"jpeg",
                  + struct.pack(">HH", width, height)
                  + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
                  + b"\x00" * 32
-                 + struct.pack(">Hh", 24, -1))
+                 + struct.pack(">Hh", 24, -1) + config)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_ms))
     stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
@@ -1160,6 +1182,18 @@ def mp4_demux(payload: bytes) -> dict:
     off, _ = full(b"stsd")
     fourcc = payload[off + 4 + 4:off + 4 + 8]
     w, h = struct.unpack_from(">HH", payload, off + 4 + 8 + 24)
+    # codec config boxes trail the 86-byte VisualSampleEntry (avcC
+    # for avc1 tracks, ISO/IEC 14496-15)
+    entry_start = off + 4
+    (entry_size,) = struct.unpack_from(">I", payload, entry_start)
+    entry_end = min(entry_start + entry_size, len(payload))
+    avcc = None
+    if entry_start + 86 < entry_end:
+        for tag, boff, bend in _walk_boxes(payload, entry_start + 86,
+                                           entry_end):
+            if tag == b"avcC":
+                avcc = payload[boff:bend]
+                break
 
     cap = len(payload)  # a sample needs >= 1 byte: counts beyond the
     # file size are a corrupt (or malicious) sample table, not data
@@ -1211,6 +1245,14 @@ def mp4_demux(payload: bytes) -> dict:
             samples.append(payload[pos:pos + sizes[si]])
             pos += sizes[si]
             si += 1
+    if fourcc == b"avc1":
+        # rebuild decodable Annex-B access units (SPS/PPS from avcC +
+        # length-prefixed sample NALs) so every consumer of "samples"
+        # gets the same directly-decodable contract as Motion-JPEG
+        if avcc is None:
+            raise ValueError("avc1 track lacks an avcC record")
+        from . import h264 as _h264
+        samples = [_h264.h264_sample_to_annexb(s, avcc) for s in samples]
     return {"fourcc": fourcc, "timescale": timescale, "width": w,
             "height": h, "sample_ts": ts, "samples": samples}
 

@@ -2365,6 +2365,104 @@ _MEDIA_FRAMES_SQL = """
 """
 
 
+def _synth_avc1_udf():
+    """Per-doc avc1 MP4 — a REAL ISO/IEC 14496-15 track (avcC
+    decoder-configuration record + 4-byte-length-prefixed sample
+    NALs) of intra-only baseline H.264 I-frames from the
+    flat-macroblock family (h264.h264_encode_flat_mbs): at QP=36 the
+    luma DC dequant chain is the exact integer map
+    offset(c) = (10*c + 32) >> 6, so each 16x16 Intra_16x16
+    DC-predicted macroblock reconstructs to the closed-form value
+    v = 20 + (doc*7 + k*37 + mx*13 + my*29) % 200 with neutral
+    chroma — a real CAVLC + intra-prediction decode whose statistics
+    a DuckDB oracle predicts analytically (the H.264 analogue of the
+    quantization-exact JPEG family)."""
+    from .operators import media_codecs as mc
+    from .operators import h264 as hh
+
+    @pandas_udf("binary")
+    def to_avc1(ids: pd.Series) -> pd.Series:
+        def one(d):
+            frames, cfg = [], None
+            for k in range(2 + d % 3):
+                mxg, myg = np.meshgrid(np.arange(4), np.arange(2))
+                v = 20 + (d * 7 + k * 37 + mxg * 13 + myg * 29) % 200
+                off = np.zeros((2, 4), dtype=np.int64)
+                for my in range(2):
+                    for mx in range(4):
+                        if mx == 0 and my == 0:
+                            pred = 128
+                        elif my == 0:
+                            pred = v[my, mx - 1]
+                        elif mx == 0:
+                            pred = v[my - 1, mx]
+                        else:
+                            pred = (v[my, mx - 1] + v[my - 1, mx] + 1) >> 1
+                        off[my, mx] = v[my, mx] - pred
+                ab = hh.h264_encode_flat_mbs(off, qp=36)
+                if cfg is None:
+                    cfg = mc._box(b"avcC", hh.h264_avcc_config(ab))
+                frames.append(hh.h264_to_avcc_sample(ab))
+            return mc.mp4_mux(frames, frame_ms=500, fourcc=b"avc1",
+                              width=64, height=32, config=cfg)
+
+        return ids.map(one)
+
+    return to_avc1
+
+
+def q_media_h264_stats(spark, sf_dir):
+    """Real H.264 decode end to end: avcC parse, length-prefixed
+    sample → Annex-B rebuild, CAVLC entropy decode, Intra_16x16 DC
+    prediction, luma-DC Hadamard dequant and the integer inverse
+    transform — value-checked against a pixel-formula DuckDB oracle
+    via the exact-by-construction flat-macroblock family."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_avc1_udf()(F.col("doc_id")).alias("payload"))
+    st = video_frame_stats(vid, every_ms=1000)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long").alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
+# 64x32 frame of 4x2 flat MBs: ahash cell (i,j) spans 8x4 px inside
+# MB (mx=j//2, my=i//4); with lum = 1000*v and cell area 32 the
+# block-mean > frame-mean comparison reduces exactly to 8*v > sum(v)
+_MEDIA_H264_SQL = """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS k
+      FROM documents
+    ), sampled AS (SELECT doc_id, k FROM f WHERE k % 2 = 0),
+    mb AS (
+      SELECT s.doc_id, s.k, mx.mx, my.my,
+             20 + (s.doc_id*7 + s.k*37 + mx.mx*13 + my.my*29) % 200 AS v
+      FROM sampled s
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS mx) mx
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS my) my
+    ),
+    tot AS (SELECT doc_id, k, sum(v) AS s FROM mb GROUP BY 1, 2),
+    cell AS (
+      SELECT m.doc_id, m.k, i.i * 8 + j.j AS bit, m.v
+      FROM mb m
+      JOIN (SELECT unnest(generate_series(0, 7)) AS i) i ON i.i // 4 = m.my
+      JOIN (SELECT unnest(generate_series(0, 7)) AS j) j ON j.j // 2 = m.mx
+    ),
+    ah AS (SELECT c.doc_id, c.k,
+                  sum(CASE WHEN c.v * 8 > t.s
+                           THEN (1::HUGEINT << CAST(c.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM cell c JOIN tot t USING (doc_id, k) GROUP BY 1, 2)
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_index,
+           CAST(k * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM ah
+"""
+
+
 QUERIES.update({
     "media_audio_stats": q_media_audio_stats,
     "media_image_stats": q_media_image_stats,
@@ -2375,6 +2473,7 @@ QUERIES.update({
     "doc_trigram_lm": q_doc_trigram_lm,
     "doc_trigram_lm_frozen": q_doc_trigram_lm_frozen,
     "media_frame_ahash": q_media_frame_ahash,
+    "media_h264_stats": q_media_h264_stats,
 })
 ORACLES.update({
     "media_audio_stats": _MEDIA_AUDIO_SQL,
@@ -2386,6 +2485,7 @@ ORACLES.update({
     "doc_trigram_lm": _TRIGRAM_LM_SQL,
     "doc_trigram_lm_frozen": _TRIGRAM_LM_FROZEN_SQL,
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
+    "media_h264_stats": _MEDIA_H264_SQL,  # exact flat-MB H.264 family
 })
 
 
@@ -2640,6 +2740,14 @@ _EXTRA_NAMES = [
                                #       inventory path, and the
                                #       checkpoint/compaction sweep
                                #       stays pytest-asserted
+    # r7 second rotation: media_h264_stats (NEW — real avc1/avcC +
+    # CAVLC intra H.264 decode, closing the r6 verdict's stub item)
+    # moves IN for first driver evidence; the longest-green media
+    # sibling moves out:
+    "media_image_stats",       # kept: media_png_stats in-window
+                               #       decodes to the IDENTICAL pixels
+                               #       and shares _MEDIA_IMAGE_SQL;
+                               #       driver-green r4-r6
 ]
 EXTRA_QUERIES = {k: QUERIES.pop(k) for k in _EXTRA_NAMES}
 EXTRA_ORACLES = {k: ORACLES.pop(k) for k in _EXTRA_NAMES if k in ORACLES}

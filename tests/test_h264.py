@@ -1,0 +1,250 @@
+"""Intra-only baseline H.264 codec (operators/h264.py).
+
+No external H.264 implementation exists in this sandbox, so the
+validation strategy is the one the module docstring commits to:
+
+* structural — every CAVLC VLC table is prefix-free, the intra CBP
+  mapping is a permutation;
+* behavioural — encode→decode round-trips, and the decoder reproduces
+  the encoder's integer reconstruction loop sample-for-sample (the
+  conformance property: a decoder must match the encoder's
+  reconstruction, Rec. ITU-T H.264 8.5);
+* the flat-macroblock ORACLE family is exact by construction;
+* the ISO/IEC 14496-15 packaging (avcC + length-prefixed samples)
+  round-trips through the real MP4 mux/demux;
+* corruption surfaces as ValueError/NotImplementedError (the
+  _loud_corruption ingestion contract), never hangs or random
+  exception types.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+
+from gorillaspark.operators import h264 as h
+from gorillaspark.operators import media_codecs as mc
+
+OK_ERRORS = (ValueError, NotImplementedError)
+
+
+# ---------------------------------------------------------------------------
+# structural: VLC tables
+# ---------------------------------------------------------------------------
+
+
+def _prefix_free(codes):
+    """codes: iterable of (length, value)."""
+    seen = [format(v, f"0{ln}b") for ln, v in codes]
+    assert len(set(seen)) == len(seen)
+    for a in seen:
+        for b in seen:
+            if a is not b:
+                assert not b.startswith(a), (a, b)
+
+
+def test_coeff_token_tables_prefix_free():
+    for tab in (h._CT_NC0, h._CT_NC2, h._CT_NC4, h._CT_NCM1):
+        _prefix_free(tab.values())
+
+
+def test_total_zeros_and_run_before_tables_prefix_free():
+    for tab in (h._TZ, h._TZ_CDC, h._RB):
+        for col in tab.values():
+            _prefix_free(col)
+
+
+def test_cbp_intra_mapping_is_permutation():
+    assert sorted(h._CBP_INTRA) == list(range(48))
+
+
+# ---------------------------------------------------------------------------
+# behavioural: decoder == encoder reconstruction (conformance)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["i16", "i4"])
+@pytest.mark.parametrize("qp", [8, 20, 26, 36, 48])
+def test_decoder_matches_encoder_reconstruction(mode, qp):
+    rng = np.random.default_rng(qp * 31 + (mode == "i4"))
+    for hh, ww in ((16, 16), (32, 48), (64, 32)):
+        y = rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+        cb = rng.integers(0, 256, (hh // 2, ww // 2), dtype=np.uint8)
+        cr = rng.integers(0, 256, (hh // 2, ww // 2), dtype=np.uint8)
+        stream = h.h264_encode(y, qp=qp, cb=cb, cr=cr, mb_mode=mode)
+        Yd, Cbd, Crd, crop = h.h264_decode_planes(stream)
+        Yr = h.h264_encoder_reconstruction(y, qp=qp, cb=cb, cr=cr,
+                                           mb_mode=mode)
+        assert np.array_equal(Yd, Yr)
+        assert list(crop) == [0, 0, 0, 0]
+
+
+@pytest.mark.parametrize("mode", ["i16", "i4"])
+def test_encoder_quality_monotone_and_sane(mode):
+    """The encoder is a real lossy encoder: near-exact at low qp on
+    smooth content, degrading monotonically-ish with qp."""
+    g = np.clip(np.arange(64)[:, None] * 2
+                + 30 * np.sin(np.arange(64) / 7)[None, :],
+                0, 255).astype(np.uint8)
+    mses = []
+    for qp in (10, 26, 40):
+        Yd, *_ = h.h264_decode_planes(h.h264_encode(g, qp=qp,
+                                                    mb_mode=mode))
+        mses.append(((Yd.astype(float) - g) ** 2).mean())
+    assert mses[0] < 1.0           # near-lossless at qp 10
+    assert mses[0] <= mses[1] <= mses[2]
+
+
+def test_flat_frames_reconstruct_near_exactly():
+    """Flat frames: exact through qp 36 (the DC quant step still
+    resolves every offset); within the quant step's rounding (±3)
+    at the very top of the qp range, where Qstep ≈ 224 cannot hit
+    every DC offset — real codec behaviour, not a bug."""
+    for qp in (0, 12, 26, 36):
+        for v in (0, 77, 128, 255):
+            y = np.full((32, 32), v, dtype=np.uint8)
+            Yd, *_ = h.h264_decode_planes(h.h264_encode(y, qp=qp,
+                                                        mb_mode="i16"))
+            assert (Yd == v).all(), (qp, v)
+    for v in (0, 77, 128, 255):
+        y = np.full((32, 32), v, dtype=np.uint8)
+        Yd, *_ = h.h264_decode_planes(h.h264_encode(y, qp=51,
+                                                    mb_mode="i16"))
+        assert np.abs(Yd - v).max() <= 3, v
+
+
+# ---------------------------------------------------------------------------
+# the oracle family
+# ---------------------------------------------------------------------------
+
+
+def _family_expected(offsets):
+    offsets = np.asarray(offsets, dtype=np.int64)
+    v = np.zeros_like(offsets)
+    mbs_h, mbs_w = offsets.shape
+    for my in range(mbs_h):
+        for mx in range(mbs_w):
+            if mx == 0 and my == 0:
+                pred = 128
+            elif my == 0:
+                pred = v[my, mx - 1]
+            elif mx == 0:
+                pred = v[my - 1, mx]
+            else:
+                pred = (v[my, mx - 1] + v[my - 1, mx] + 1) >> 1
+            v[my, mx] = pred + offsets[my, mx]
+    return v
+
+
+def test_flat_mb_family_is_exact_over_many_ids():
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        offsets = rng.integers(-25, 26, (2, 4))
+        v = _family_expected(offsets)
+        if v.min() < 0 or v.max() > 255:
+            continue
+        stream = h.h264_encode_flat_mbs(offsets, qp=36)
+        Yd, Cbd, Crd, _ = h.h264_decode_planes(stream)
+        assert np.array_equal(Yd, np.kron(v, np.ones((16, 16),
+                                                     dtype=np.int64)))
+        assert (Cbd == 128).all() and (Crd == 128).all()
+        rgb = h.h264_decode(stream)
+        assert np.array_equal(rgb[:, :, 0].astype(np.int64),
+                              np.kron(v, np.ones((16, 16), np.int64)))
+        assert np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+        assert np.array_equal(rgb[:, :, 0], rgb[:, :, 2])
+
+
+def test_flat_mb_family_rejects_clipping_offsets():
+    with pytest.raises(ValueError):
+        h.h264_encode_flat_mbs(np.array([[200, 200]]), qp=36)
+
+
+# ---------------------------------------------------------------------------
+# ISO/IEC 14496-15 packaging + MP4 integration
+# ---------------------------------------------------------------------------
+
+
+def _avc1_mp4(n_frames=3):
+    offsets = np.array([[10, -5, 3, 2], [0, 7, -12, 1]])
+    ab = h.h264_encode_flat_mbs(offsets, qp=36)
+    cfg = mc._box(b"avcC", h.h264_avcc_config(ab))
+    return ab, mc.mp4_mux([h.h264_to_avcc_sample(ab)] * n_frames,
+                          frame_ms=500, fourcc=b"avc1",
+                          width=64, height=32, config=cfg)
+
+
+def test_avcc_sample_round_trip_and_mp4_demux():
+    ab, mp4 = _avc1_mp4()
+    d = mc.mp4_demux(mp4)
+    assert d["fourcc"] == b"avc1" and len(d["samples"]) == 3
+    Y0, *_ = h.h264_decode_planes(ab)
+    for s in d["samples"]:
+        Ys, *_ = h.h264_decode_planes(s)
+        assert np.array_equal(Y0, Ys)
+    # and straight through the shared feature entrypoint
+    assert mc.image_features(d["samples"][0]) == mc.image_features(ab)
+
+
+def test_avc1_without_avcc_raises():
+    ab, _ = _avc1_mp4()
+    mp4 = mc.mp4_mux([h.h264_to_avcc_sample(ab)], frame_ms=500,
+                     fourcc=b"avc1", width=64, height=32)
+    with pytest.raises(ValueError):
+        mc.mp4_demux(mp4)
+
+
+def test_hev1_still_raises():
+    mp4 = mc.mp4_mux([b"\x00\x00\x00\x01junk"], frame_ms=500,
+                     fourcc=b"hev1", width=16, height=16)
+    d = mc.mp4_demux(mp4)          # demux is fine; decode raises
+    with pytest.raises(OK_ERRORS):
+        mc.image_features(bytes(d["samples"][0])[4:])
+
+
+# ---------------------------------------------------------------------------
+# corruption contract (the media ingestion bar)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_mutations_fail_cleanly_or_decode():
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    stream = bytearray(h.h264_encode(y, qp=26, mb_mode="i4"))
+    t0 = time.monotonic()
+    for trial in range(150):
+        mutated = bytearray(stream)
+        for _ in range(rng.integers(1, 4)):
+            mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+        try:
+            mc.h264_rgb(bytes(mutated))
+        except OK_ERRORS:
+            pass
+    for cut in range(1, len(stream), 7):
+        try:
+            mc.h264_rgb(bytes(stream[:cut]))
+        except OK_ERRORS:
+            pass
+    assert time.monotonic() - t0 < 60.0
+
+
+def test_implausible_dimensions_rejected():
+    bw = h._BitW()
+    sps = h._write_sps(200, 200)      # 40000 MBs against a tiny payload
+    pps = h._write_pps()
+    h._slice_header(bw, 26)
+    bw.trailing()
+    stream = h._assemble(sps, pps, bw.bytes())
+    with pytest.raises(ValueError):
+        h.h264_decode_planes(stream)
+
+
+def test_non_idr_slice_rejected():
+    ab, _ = _avc1_mp4()
+    # rewrite the IDR NAL header (type 5) to non-IDR (type 1)
+    i = ab.rfind(b"\x00\x00\x00\x01")
+    mutated = ab[:i + 4] + bytes([(ab[i + 4] & 0xE0) | 1]) + ab[i + 5:]
+    with pytest.raises(NotImplementedError):
+        h.h264_decode_planes(mutated)

@@ -741,12 +741,13 @@ def test_mp4_mux_demux_and_mjpeg_frames():
     # non-MP4 and compressed-video rejection stay loud
     with pytest.raises(ValueError):
         mc.mp4_demux(b"\x00" * 32)
+    # avc1 without an avcC decoder-configuration record is malformed
+    # per ISO/IEC 14496-15 — demux rejects it loudly (decodable avc1
+    # tracks, muxed WITH avcC, are exercised in tests/test_h264.py)
     nal = [b"\x00\x00\x00\x01\x65" + bytes(40)] * 2   # H.264-ish NALs
     m_avc = mc.mp4_mux(nal, 500, fourcc=b"avc1", width=32, height=16)
-    d2 = mc.mp4_demux(m_avc)        # container parses fine...
-    assert d2["fourcc"] == b"avc1" and len(d2["samples"]) == 2
-    with pytest.raises(ValueError):  # ...the bitstream decode raises
-        mc.jpeg_decode(d2["samples"][0])
+    with pytest.raises(ValueError, match="avcC"):
+        mc.mp4_demux(m_avc)
 
 
 def test_flac_roundtrip_all_paths():
