@@ -226,11 +226,16 @@ def main() -> None:
     timed("media_decode_flac", lambda: audio_stats(media_f).count())
 
     total = round(sum(queries.values()), 3)
+    # budgets are calibrated at the driver's default sf0.1 corpus —
+    # flagging a bigger SF against them would report scale, not
+    # regression (the sf1 run carries 10x the sf-dependent data)
+    at_default_sf = sf_dir.rstrip("/").endswith("sf0.1")
     regressions = [
         {"query": k, "sec": queries[k], "budget_sec": v,
          "ratio": round(queries[k] / v, 2)}
         for k, v in _BUDGET_S.items()
-        if k in queries and queries[k] > v * _BUDGET_HEADROOM]
+        if at_default_sf and k in queries
+        and queries[k] > v * _BUDGET_HEADROOM]
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "gorillaspark headline suite (codec+rollup+queries)",

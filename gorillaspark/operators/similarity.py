@@ -128,6 +128,45 @@ def make_band_codes_udf(dim: int, n_planes: int = 64, n_bands: int = 32,
     return codes
 
 
+def near_dup_band_plan(n_rows: int, threshold: float,
+                       target_bucket_rows: int = 4096,
+                       target_recall: float = 0.999) -> tuple:
+    """(n_planes, n_bands) for :func:`embedding_near_dup_pairs`,
+    scaled to the corpus so the plan survives growth.
+
+    Standard hyperplane-LSH sizing: a pair at cosine τ collides on
+    one r-bit band with p^r, p = 1 − arccos(τ)/π.  Bits per band are
+    chosen so the EXPECTED bucket holds ≈ ``target_bucket_rows``
+    (r = log2(n / target)), which bounds both a bucket's unit-matrix
+    memory and the total verify work at ~B · n · target — linear in n
+    for fixed r; rows must actually spread across codes for that
+    expectation to hold (adversarially identical vectors all share a
+    bucket, but then they are all true duplicates and the verify
+    output itself is the quadratic term).  Bands then come from the
+    recall target: B = ln(1 − recall)/ln(1 − p^r).  Low thresholds
+    (τ ≲ 0.5) make p^r collapse at useful r — B explodes because
+    low-τ "near-dup" is not a sparse relation; keep the planner for
+    genuine near-duplicate thresholds (τ ≥ ~0.8).
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    r = max(2, math.ceil(math.log2(max(2.0, n_rows / target_bucket_rows))))
+    p_band = p ** r
+    n_bands = (math.ceil(math.log(max(1e-300, 1.0 - target_recall))
+                         / math.log(1.0 - p_band))
+               if p_band < 1.0 else 1)
+    if n_bands > 512:
+        raise ValueError(
+            f"{n_bands} bands needed (p^r={p_band:.2e} at r={r}): "
+            f"threshold {threshold} is too low for banded LSH at this "
+            "corpus size — the relation is not sparse; use a smaller r "
+            "explicitly (quadratic verify) or raise the threshold")
+    return r * max(1, n_bands), max(1, n_bands)
+
+
 def _band_relation(emb: DataFrame, codes_udf, vec_col: str,
                    id_col: str, out_id: str) -> DataFrame:
     """(id, band, code) exploded band-bucket relation."""
@@ -164,26 +203,35 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     # materializing two unit vectors per candidate. Tiling bounds the
     # similarity matrix to TILE² regardless of bucket size; bucket
     # ROW count is still corpus / 2^r per band — scale r with the
-    # corpus so one bucket's unit matrix stays executor-sized (and so
-    # the total candidate work stays sub-quadratic; at r=2 the scan
-    # degenerates to all-pairs, which only test-scale recall-certain
-    # settings should use). The emitted cosine is recomputed per pair
-    # with a fixed-shape einsum so a pair qualifying in several
-    # buckets emits byte-identical rows for the final distinct —
-    # tile-shaped BLAS sums are NOT reproducible across bucket sizes,
-    # hence the margin + recompute instead of trusting the matmul.
+    # corpus (see :func:`near_dup_band_plan`) so one bucket's unit
+    # matrix stays executor-sized (and so the total candidate work
+    # stays sub-quadratic; at r=2 the scan degenerates to all-pairs,
+    # which only test-scale recall-certain settings should use). The
+    # emitted cosine is recomputed per pair with a fixed-shape einsum
+    # so a pair qualifying in several buckets emits byte-identical
+    # rows for the final distinct — tile-shaped BLAS sums are NOT
+    # reproducible across bucket sizes, hence the margin + recompute
+    # instead of trusting the matmul.
+    #
+    # Execution is ONE exchange (hash repartition on (band, code)) +
+    # an in-partition sort + a segmented mapInArrow kernel: groups are
+    # contiguous after the sort, so one Python worker call scans ALL
+    # buckets of a partition straight off the Arrow buffers (the unit
+    # column never materializes as per-row Python lists, and per-group
+    # invocation overhead is gone — groupBy().applyInPandas() pays one
+    # pandas DataFrame per bucket, which dominates wall time once r is
+    # scaled up and buckets number in the tens of thousands).
     TILE = 4096
+    thr = float(threshold)
 
-    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vid"].to_numpy()
-        U = np.stack(pdf["unit"].to_numpy())
+    def _verify(ids: np.ndarray, U: np.ndarray):
         n = len(ids)
         out_a, out_b, out_c = [], [], []
         for r0 in range(0, n, TILE):
             A = U[r0:r0 + TILE]
             for c0 in range(r0, n, TILE):
                 sims = A @ U[c0:c0 + TILE].T
-                ia, ib = np.nonzero(sims >= threshold - 1e-6)
+                ia, ib = np.nonzero(sims >= thr - 1e-6)
                 gi, gj = ia + r0, ib + c0
                 keep = gi < gj               # upper triangle, global
                 gi, gj = gi[keep], gj[keep]
@@ -191,21 +239,67 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                     continue
                 cos = np.round(
                     np.einsum("ij,ij->i", U[gi], U[gj]), 6)
-                keep = cos >= threshold
+                keep = cos >= thr
                 out_a.append(np.minimum(ids[gi], ids[gj])[keep])
                 out_b.append(np.maximum(ids[gi], ids[gj])[keep])
                 out_c.append(cos[keep])
-        if not out_a:
-            return pd.DataFrame({"vec_a": np.empty(0, np.int64),
-                                 "vec_b": np.empty(0, np.int64),
-                                 "cosine": np.empty(0, np.float64)})
-        return pd.DataFrame({"vec_a": np.concatenate(out_a),
-                             "vec_b": np.concatenate(out_b),
-                             "cosine": np.concatenate(out_c)})
+        return out_a, out_b, out_c
 
-    return (bands.groupBy("band", "code")
-            .applyInPandas(bucket_verify,
-                           "vec_a long, vec_b long, cosine double")
+    def verify_partition(batches):
+        import pyarrow as pa
+
+        out_a, out_b, out_c = [], [], []
+        cur_key = None
+        cur_ids: list = []
+        cur_units: list = []
+
+        def flush():
+            if cur_ids:
+                a, b, c = _verify(np.concatenate(cur_ids),
+                                  np.vstack(cur_units))
+                out_a.extend(a), out_b.extend(b), out_c.extend(c)
+            cur_ids.clear(), cur_units.clear()
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            vid = batch.column("vid").to_numpy(zero_copy_only=False)
+            band = batch.column("band").to_numpy(zero_copy_only=False)
+            code = batch.column("code").to_numpy(zero_copy_only=False)
+            ucol = batch.column("unit")
+            if ucol.null_count:
+                raise ValueError("null unit vector in near-dup verify")
+            flat = pa.compute.list_flatten(ucol).to_numpy(
+                zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError("ragged unit vectors in near-dup "
+                                 f"verify: {flat.size} != {n}x{dim}")
+            U = flat.reshape(n, dim)
+            # (band, code) are 32-bit non-negative — pack to segment
+            key = (band.astype(np.int64) << 32) | code.astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            bounds = np.r_[starts, n]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if key[s] != cur_key:
+                    flush()
+                    cur_key = key[s]
+                cur_ids.append(vid[s:e])
+                cur_units.append(U[s:e])
+        flush()
+        if out_a:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_a), pa.int64()),
+                 pa.array(np.concatenate(out_b), pa.int64()),
+                 pa.array(np.concatenate(out_c), pa.float64())],
+                ["vec_a", "vec_b", "cosine"])
+
+    n_part = int(bands.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    return (bands.repartition(n_part, "band", "code")
+            .sortWithinPartitions("band", "code")
+            .mapInArrow(verify_partition,
+                        "vec_a long, vec_b long, cosine double")
             .distinct())
 
 
