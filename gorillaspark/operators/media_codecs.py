@@ -4,8 +4,10 @@ The sandbox ships no PIL/ffmpeg/torchaudio, but two real interchange
 formats need nothing beyond byte arithmetic, so their decode paths are
 REAL here (not stubbed): RIFF/WAVE PCM-16 audio and uncompressed
 24-bit BI_RGB BMP images — and PNG, whose only compressor is
-DEFLATE (stdlib zlib), is decoded for real too (8-bit grey/RGB/RGBA,
-non-interlaced, all five row filters). Baseline JPEG joined in r5:
+DEFLATE (stdlib zlib), is decoded for real too (r7: every legal
+color-type/bit-depth combo — grey 1/2/4/8/16, RGB 8/16, palette
+1/2/4/8 with tRNS, grey+alpha and RGBA 8/16; only Adam7 interlace
+raises). Baseline JPEG joined in r5:
 huffman + 8x8 DCT are numpy-sized problems, so encode AND decode are
 real below (SOF0, 4:4:4/4:2:0/4:2:2, restart markers; progressive /
 arithmetic / 12-bit raise). From r7, intra-only baseline H.264
@@ -281,7 +283,7 @@ def gsv1_sample_frames(payload: bytes, every_ms: int):
 
 
 # ---------------------------------------------------------------------------
-# PNG (8-bit greyscale / RGB / RGBA, non-interlaced)
+# PNG (all color types, depths 1/2/4/8/16, non-interlaced)
 # ---------------------------------------------------------------------------
 #
 # "Compressed formats need libraries absent from this sandbox" kept
@@ -302,21 +304,79 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
 
-def png_encode(pixels: np.ndarray) -> bytes:
-    """Encode (h, w) grey, (h, w, 3) RGB or (h, w, 4) RGBA uint8 as a
-    non-interlaced 8-bit PNG (filter 0 rows, one IDAT)."""
+def _png_pack_subbyte(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(h, n) sample values < 2^depth → (h, row_bytes) packed rows
+    (MSB-first within each byte, rows padded to a byte boundary —
+    spec §7.2)."""
+    h = vals.shape[0]
+    bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+    flat = bits.reshape(h, -1).astype(np.uint8)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.pad(flat, ((0, 0), (0, pad)))
+    return np.packbits(flat, axis=1)
+
+
+def _png_wrap(ihdr: bytes, rows: np.ndarray, extra: bytes = b"") -> bytes:
     import zlib
+    filt = np.zeros((rows.shape[0], 1 + rows.shape[1]), dtype=np.uint8)
+    filt[:, 1:] = rows                          # filter byte 0 per row
+    idat = zlib.compress(filt.tobytes(), 6)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + extra
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def png_encode(pixels: np.ndarray, depth: int = 8) -> bytes:
+    """Encode (h, w) grey, (h, w, 2) grey+alpha, (h, w, 3) RGB or
+    (h, w, 4) RGBA as a non-interlaced PNG (filter 0 rows, one IDAT).
+    ``depth=16`` takes uint16 samples (big-endian on the wire);
+    ``depth`` 1/2/4 takes 2-D grey with values < 2^depth."""
+    if depth in (1, 2, 4):
+        px = np.ascontiguousarray(pixels, dtype=np.uint8)
+        if px.ndim != 2 or int(px.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"depth-{depth} PNG needs 2-D grey "
+                             f"values < {1 << depth}")
+        h, w = px.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        return _png_wrap(ihdr, _png_pack_subbyte(px, depth))
+    if depth == 16:
+        px = np.ascontiguousarray(pixels, dtype=np.uint16)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w, c = px.shape
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+        rows = np.ascontiguousarray(px, dtype=">u2").view(np.uint8)
+        return _png_wrap(ihdr, rows.reshape(h, w * c * 2))
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
-    color_type = {1: 0, 3: 2, 4: 6}[c]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    rows = np.zeros((h, 1 + w * c), dtype=np.uint8)
-    rows[:, 1:] = px.reshape(h, w * c)          # filter byte 0 per row
-    idat = zlib.compress(rows.tobytes(), 6)
-    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+    return _png_wrap(ihdr, px.reshape(h, w * c))
+
+
+def png_encode_indexed(indices: np.ndarray, palette: np.ndarray,
+                       trns: np.ndarray | None = None,
+                       depth: int = 8) -> bytes:
+    """Encode (h, w) palette indices + (n, 3) RGB palette as a
+    color-type-3 PNG (depth 1/2/4/8; optional tRNS alpha per entry)."""
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    plt = np.ascontiguousarray(palette, dtype=np.uint8)
+    if plt.ndim != 2 or plt.shape[1] != 3 or not len(plt):
+        raise ValueError("palette must be (n, 3) uint8")
+    if depth not in (1, 2, 4, 8) or \
+            int(idx.max(initial=0)) >= min(len(plt), 1 << depth):
+        raise ValueError("indices exceed palette/depth range")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    extra = _png_chunk(b"PLTE", plt.tobytes())
+    if trns is not None:
+        extra += _png_chunk(
+            b"tRNS", np.ascontiguousarray(trns, np.uint8).tobytes())
+    rows = idx if depth == 8 else _png_pack_subbyte(idx, depth)
+    return _png_wrap(ihdr, rows, extra)
 
 
 def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
@@ -384,18 +444,31 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+# legal (color_type -> channels) and (color_type -> bit depths), spec §11.2.2
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
 @_loud_corruption
 def png_decode(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit grey/RGB/RGBA PNG to an
-    (h, w, c) uint8 array (c = 1, 3 or 4). Walks the chunk list,
-    inflates the concatenated IDATs, reverses all five row filters.
-    Palette/16-bit/interlaced variants are rejected explicitly."""
+    """Decode a non-interlaced PNG to an (h, w, c) uint8 array.
+
+    Full color-type/bit-depth coverage (r7; r4-r6 handled 8-bit
+    grey/RGB/RGBA only): grey 1/2/4/8/16, RGB 8/16, palette 1/2/4/8
+    (PLTE lookup, tRNS alpha), grey+alpha 8/16, RGBA 8/16. Sub-byte
+    depths unpack after row unfiltering (the filters operate on the
+    PACKED bytes, bpp = 1 — spec §9); 16-bit channels reduce to their
+    high byte (the spec's sample-depth rescale); palette resolves to
+    RGB, or RGBA when a tRNS chunk is present. All paths run the same
+    five-filter reversal (C kernel gs_png_unfilter, byte-distance =
+    bytes per pixel). Only Adam7 interlace raises NotImplementedError."""
     import zlib
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos, n = 8, len(payload)
-    w = h = color_type = None
-    idat = []
+    w = h = color_type = depth = None
+    idat, plte, trns = [], None, None
     while pos + 8 <= n:
         (ln,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4:pos + 8]
@@ -403,10 +476,18 @@ def png_decode(payload: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8 or interlace or color_type not in (0, 2, 6):
-                raise NotImplementedError(
-                    f"PNG variant unsupported (depth={depth}, "
-                    f"color_type={color_type}, interlace={interlace})")
+            if interlace:
+                raise NotImplementedError("PNG Adam7 interlace")
+            if depth not in _PNG_DEPTHS.get(color_type, ()):
+                raise ValueError(
+                    f"illegal PNG depth/color combo (depth={depth}, "
+                    f"color_type={color_type})")
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -414,8 +495,10 @@ def png_decode(payload: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    c = {0: 1, 2: 3, 6: 4}[color_type]
-    expected = h * (1 + w * c)
+    ch = _PNG_CHANNELS[color_type]
+    row_bytes = (w * ch * depth + 7) // 8
+    bpp = max(1, (ch * depth) // 8)        # filter byte-distance, §9
+    expected = h * (1 + row_bytes)
     # DEFLATE tops out near 1032:1; IHDR dimensions implying more
     # output than the payload could carry are corruption (or a
     # decompression bomb), not data — refuse before allocating
@@ -426,13 +509,40 @@ def png_decode(payload: bytes) -> np.ndarray:
                         dtype=np.uint8)
     if raw.size != expected:
         raise ValueError("PNG row data size mismatch")
-    return _png_unfilter(raw, h, w, c)
+    rows = _png_unfilter(raw, h, row_bytes // bpp, bpp).reshape(
+        h, row_bytes)
+    if depth < 8:
+        bits = np.unpackbits(rows, axis=1)[:, :w * ch * depth]
+        vals = bits.reshape(h, w * ch, depth) @ \
+            (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        px = vals.reshape(h, w, ch).astype(np.uint8)
+    elif depth == 16:
+        px = rows.reshape(h, w, ch, 2)[:, :, :, 0]   # big-endian high byte
+    else:
+        px = rows.reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[:min(len(trns), len(plte))] = trns[:len(plte)]
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if color_type == 0 and depth < 8:
+        # exact integer rescale to 8 bits: 255/(2^d-1) is integral
+        px = px * np.uint8(255 // ((1 << depth) - 1))
+    return px
 
 
 def _to_rgb(px: np.ndarray) -> np.ndarray:
-    """(h, w, c) → (h, w, 3): grey replicates, RGBA drops alpha."""
-    if px.shape[2] == 1:
-        return np.repeat(px, 3, axis=2)
+    """(h, w, c) → (h, w, 3): grey replicates (grey+alpha drops the
+    alpha first), RGBA drops alpha."""
+    if px.shape[2] <= 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3]
 
 

@@ -36,6 +36,11 @@ def _valid_payloads():
         "flac": mc.flac_encode(sine, 16000, 1),
         "mp4": mc.mp4_mux(jf, 500, width=32, height=16),
         "png": mc.png_encode(rgb),
+        "png_pal": mc.png_encode_indexed(
+            (img % 13).astype(np.uint8),
+            np.arange(39, dtype=np.uint8).reshape(13, 3),
+            trns=np.arange(13, dtype=np.uint8), depth=4),
+        "png16": mc.png_encode((img.astype(np.uint16) * 257), depth=16),
         "wav": mc.wav_encode(sine, 16000, 1),
     }
 
@@ -48,13 +53,13 @@ def _decode(kind: str, payload: bytes):
     if kind == "mp4":
         d = mc.mp4_demux(payload)
         return [mc.jpeg_decode(s) for s in d["samples"]]
-    if kind == "png":
+    if kind.startswith("png"):
         return mc.png_decode(payload)
     return mc.wav_decode(payload)
 
 
 @pytest.mark.parametrize("kind", ["jpeg", "jpeg420", "flac", "mp4",
-                                  "png", "wav"])
+                                  "png", "png_pal", "png16", "wav"])
 def test_fuzz_mutations_fail_cleanly(kind):
     payload = _valid_payloads()[kind]
     rng = np.random.default_rng(11)
@@ -95,7 +100,8 @@ def test_fuzz_pure_garbage_and_magic_prefixes():
     garb = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
     magics = [b"\xff\xd8", b"fLaC", b"\x89PNG\r\n\x1a\n", b"RIFF",
               b"BM", b"\x00\x00\x00\x20ftyp"]
-    for kind in ["jpeg", "flac", "mp4", "png", "wav"]:
+    for kind in ["jpeg", "flac", "mp4", "png", "png_pal", "png16",
+                 "wav"]:
         for prefix in [b""] + magics:
             try:
                 _decode(kind, prefix + garb)

@@ -594,9 +594,10 @@ def test_png_roundtrip_and_filters():
     fp = mc.image_features(mc.png_encode(px))
     assert fb == fp
 
-    # rejected variants fail loudly, not silently wrong
-    ihdr16 = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
-    bad = (b"\x89PNG\r\n\x1a\n" + mc._png_chunk(b"IHDR", ihdr16)
+    # rejected variants fail loudly, not silently wrong (16-bit and
+    # palette became real decodes in r7 — Adam7 is the one left out)
+    ihdr_adam = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    bad = (b"\x89PNG\r\n\x1a\n" + mc._png_chunk(b"IHDR", ihdr_adam)
            + mc._png_chunk(b"IDAT", zlib.compress(b"\0"))
            + mc._png_chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
@@ -791,3 +792,89 @@ def test_flac_roundtrip_all_paths():
     fa = mc.audio_features(mc.flac_encode(mono, 16000, 1))
     wa = mc.audio_features(mc.wav_encode(mono, 16000, 1))
     assert fa == wa
+
+
+def test_png_palette_16bit_subbyte_roundtrip():
+    """r7 full PNG coverage (r6 verdict stretch #8): palette 1/2/4/8
+    (PLTE lookup, tRNS alpha), 16-bit high-byte reduction, sub-byte
+    grey exact integer rescale, grey+alpha — all through the same
+    five-filter unfilter kernel — plus the loud rejection contract
+    for malformed variants."""
+    from gorillaspark.operators import media_codecs as mc
+
+    rng = np.random.default_rng(11)
+    plt = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    trns = rng.integers(0, 256, 16, dtype=np.uint8)
+    for d in (1, 2, 4, 8):
+        idx = rng.integers(0, min(16, 1 << d), (6, 9), dtype=np.uint8)
+        got = mc.png_decode(mc.png_encode_indexed(idx, plt, depth=d))
+        assert np.array_equal(got, plt[idx])
+        got = mc.png_decode(
+            mc.png_encode_indexed(idx, plt, trns=trns, depth=d))
+        assert got.shape == (6, 9, 4)
+        assert np.array_equal(got[:, :, :3], plt[idx])
+        assert np.array_equal(got[:, :, 3], trns[idx])
+    for shape in [(4, 6), (4, 6, 2), (4, 6, 3), (4, 6, 4)]:
+        px16 = rng.integers(0, 65536, shape, dtype=np.uint16)
+        got = mc.png_decode(mc.png_encode(px16, depth=16))
+        want = (px16 >> 8).astype(np.uint8)
+        want = want[:, :, None] if want.ndim == 2 else want
+        assert np.array_equal(got, want), shape
+    for d in (1, 2, 4):
+        g = rng.integers(0, 1 << d, (6, 9), dtype=np.uint8)
+        got = mc.png_decode(mc.png_encode(g, depth=d))
+        assert np.array_equal(got[:, :, 0], g * (255 // ((1 << d) - 1)))
+    ga = rng.integers(0, 256, (5, 7, 2), dtype=np.uint8)
+    assert np.array_equal(mc.png_decode(mc.png_encode(ga)), ga)
+    # image_features path accepts every variant (grey+alpha -> grey rgb)
+    feats = mc.image_features(mc.png_encode_indexed(idx, plt, depth=4))
+    assert (feats["width"], feats["height"]) == (9, 6)
+
+    # Sub-filtered 16-bit RGB rows (byte distance 6) decode exactly:
+    # hand-filter the wire bytes, rebuild the IDAT
+    import struct as _struct
+    import zlib
+    px = rng.integers(0, 65536, (5, 4, 3), dtype=np.uint16)
+    wire = np.ascontiguousarray(px, dtype=">u2").view(np.uint8) \
+        .reshape(5, 24).astype(np.int32)
+    rows = []
+    for y in range(5):
+        left = np.zeros(24, np.int32)
+        left[6:] = wire[y, :-6]
+        rows.append(np.concatenate([[1], (wire[y] - left) & 0xFF]))
+    raw = np.concatenate(rows).astype(np.uint8)
+    ihdr = _struct.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 0)
+    payload = (mc._PNG_MAGIC + mc._png_chunk(b"IHDR", ihdr)
+               + mc._png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+               + mc._png_chunk(b"IEND", b""))
+    assert np.array_equal(mc.png_decode(payload), (px >> 8).astype(np.uint8))
+
+    # loud rejection: missing PLTE, index out of range, illegal
+    # depth/color combo, Adam7
+    import pytest as _pytest
+    bad = bytearray(mc.png_encode_indexed(idx, plt, depth=8))
+    start = bad.index(b"PLTE") - 4
+    ln = int.from_bytes(bad[start:start + 4], "big")
+    del bad[start:start + 12 + ln]
+    with _pytest.raises(ValueError, match="PLTE"):
+        mc.png_decode(bytes(bad))
+    with _pytest.raises(ValueError, match="palette index"):
+        mc.png_decode(mc.png_encode_indexed(
+            np.full((2, 2), 5, np.uint8), plt[:4] if False else plt,
+            depth=8)[:0] or mc._PNG_MAGIC
+            + mc._png_chunk(b"IHDR", _struct.pack(
+                ">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + mc._png_chunk(b"PLTE", bytes(9))
+            + mc._png_chunk(b"IDAT", zlib.compress(
+                np.array([[0, 5, 5], [0, 5, 5]], np.uint8).tobytes()))
+            + mc._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="illegal"):
+        mc.png_decode(mc._PNG_MAGIC + mc._png_chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)))
+    adam = bytearray(mc.png_encode(ga))
+    adam[8 + 8 + 12] = 1         # IHDR interlace byte
+    # fix the IHDR CRC so the walk reaches the interlace check
+    crc = zlib.crc32(bytes(adam[12:29])) & 0xFFFFFFFF
+    adam[29:33] = crc.to_bytes(4, "big")
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        mc.png_decode(bytes(adam))
