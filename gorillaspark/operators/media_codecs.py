@@ -6,8 +6,8 @@ REAL here (not stubbed): RIFF/WAVE PCM-16 audio and uncompressed
 24-bit BI_RGB BMP images — and PNG, whose only compressor is
 DEFLATE (stdlib zlib), is decoded for real too (r7: every legal
 color-type/bit-depth combo — grey 1/2/4/8/16, RGB 8/16, palette
-1/2/4/8 with tRNS, grey+alpha and RGBA 8/16; only Adam7 interlace
-raises). Baseline JPEG joined in r5:
+1/2/4/8 with tRNS, grey+alpha and RGBA 8/16, Adam7 interlace —
+every legal PNG decodes). Baseline JPEG joined in r5:
 huffman + 8x8 DCT are numpy-sized problems, so encode AND decode are
 real below (SOF0, 4:4:4/4:2:0/4:2:2, restart markers; progressive /
 arithmetic / 12-bit raise). From r7, intra-only baseline H.264
@@ -317,51 +317,87 @@ def _png_pack_subbyte(vals: np.ndarray, depth: int) -> np.ndarray:
     return np.packbits(flat, axis=1)
 
 
-def _png_wrap(ihdr: bytes, rows: np.ndarray, extra: bytes = b"") -> bytes:
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) — spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_passes(w: int, h: int, interlace: int):
+    """Non-empty (x0, y0, dx, dy, w_p, h_p) pass rectangles — one
+    full-image pass when non-interlaced, the Adam7 seven otherwise
+    (empty passes contribute no scanlines at all, spec §8.2)."""
+    grid = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    out = []
+    for x0, y0, dx, dy in grid:
+        w_p, h_p = (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
+        if w_p > 0 and h_p > 0:
+            out.append((x0, y0, dx, dy, w_p, h_p))
+    return out
+
+
+def _png_scanline_rows(px: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) samples → (h, row_bytes) packed scanline bytes."""
+    h, w, ch = px.shape
+    if depth == 16:
+        return np.ascontiguousarray(px, dtype=">u2").view(np.uint8) \
+            .reshape(h, w * ch * 2)
+    if depth < 8:
+        return _png_pack_subbyte(px.reshape(h, w * ch), depth)
+    return np.ascontiguousarray(px, np.uint8).reshape(h, w * ch)
+
+
+def _png_wrap(ihdr: bytes, px: np.ndarray, extra: bytes = b"",
+              depth: int = 8, interlace: bool = False) -> bytes:
+    """Assemble magic + IHDR + extra + one IDAT (filter-0 scanlines,
+    pass-split when interlaced) + IEND around (h, w, ch) samples."""
     import zlib
-    filt = np.zeros((rows.shape[0], 1 + rows.shape[1]), dtype=np.uint8)
-    filt[:, 1:] = rows                          # filter byte 0 per row
-    idat = zlib.compress(filt.tobytes(), 6)
+    h, w = px.shape[:2]
+    parts = []
+    for x0, y0, dx, dy, _, _ in _png_passes(w, h, int(interlace)):
+        rows = _png_scanline_rows(
+            np.ascontiguousarray(px[y0::dy, x0::dx]), depth)
+        filt = np.zeros((rows.shape[0], 1 + rows.shape[1]),
+                        dtype=np.uint8)
+        filt[:, 1:] = rows                      # filter byte 0 per row
+        parts.append(filt.tobytes())
+    idat = zlib.compress(b"".join(parts), 6)
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + extra
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
 
-def png_encode(pixels: np.ndarray, depth: int = 8) -> bytes:
+def png_encode(pixels: np.ndarray, depth: int = 8,
+               interlace: bool = False) -> bytes:
     """Encode (h, w) grey, (h, w, 2) grey+alpha, (h, w, 3) RGB or
-    (h, w, 4) RGBA as a non-interlaced PNG (filter 0 rows, one IDAT).
-    ``depth=16`` takes uint16 samples (big-endian on the wire);
-    ``depth`` 1/2/4 takes 2-D grey with values < 2^depth."""
+    (h, w, 4) RGBA as a PNG (filter 0 rows, one IDAT; Adam7 pass
+    split when ``interlace``). ``depth=16`` takes uint16 samples
+    (big-endian on the wire); ``depth`` 1/2/4 takes 2-D grey with
+    values < 2^depth."""
+    il = int(interlace)
     if depth in (1, 2, 4):
         px = np.ascontiguousarray(pixels, dtype=np.uint8)
         if px.ndim != 2 or int(px.max(initial=0)) >= (1 << depth):
             raise ValueError(f"depth-{depth} PNG needs 2-D grey "
                              f"values < {1 << depth}")
         h, w = px.shape
-        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
-        return _png_wrap(ihdr, _png_pack_subbyte(px, depth))
-    if depth == 16:
-        px = np.ascontiguousarray(pixels, dtype=np.uint16)
-        if px.ndim == 2:
-            px = px[:, :, None]
-        h, w, c = px.shape
-        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-        ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
-        rows = np.ascontiguousarray(px, dtype=">u2").view(np.uint8)
-        return _png_wrap(ihdr, rows.reshape(h, w * c * 2))
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, il)
+        return _png_wrap(ihdr, px[:, :, None], depth=depth,
+                         interlace=interlace)
+    dt = np.uint16 if depth == 16 else np.uint8
+    px = np.ascontiguousarray(pixels, dtype=dt)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return _png_wrap(ihdr, px.reshape(h, w * c))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, il)
+    return _png_wrap(ihdr, px, depth=depth, interlace=interlace)
 
 
 def png_encode_indexed(indices: np.ndarray, palette: np.ndarray,
                        trns: np.ndarray | None = None,
-                       depth: int = 8) -> bytes:
+                       depth: int = 8, interlace: bool = False) -> bytes:
     """Encode (h, w) palette indices + (n, 3) RGB palette as a
-    color-type-3 PNG (depth 1/2/4/8; optional tRNS alpha per entry)."""
+    color-type-3 PNG (depth 1/2/4/8; optional tRNS alpha per entry;
+    Adam7 when ``interlace``)."""
     idx = np.ascontiguousarray(indices, dtype=np.uint8)
     plt = np.ascontiguousarray(palette, dtype=np.uint8)
     if plt.ndim != 2 or plt.shape[1] != 3 or not len(plt):
@@ -370,13 +406,13 @@ def png_encode_indexed(indices: np.ndarray, palette: np.ndarray,
             int(idx.max(initial=0)) >= min(len(plt), 1 << depth):
         raise ValueError("indices exceed palette/depth range")
     h, w = idx.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
     extra = _png_chunk(b"PLTE", plt.tobytes())
     if trns is not None:
         extra += _png_chunk(
             b"tRNS", np.ascontiguousarray(trns, np.uint8).tobytes())
-    rows = idx if depth == 8 else _png_pack_subbyte(idx, depth)
-    return _png_wrap(ihdr, rows, extra)
+    return _png_wrap(ihdr, idx[:, :, None], extra, depth=depth,
+                     interlace=interlace)
 
 
 def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
@@ -462,7 +498,9 @@ def png_decode(payload: bytes) -> np.ndarray:
     high byte (the spec's sample-depth rescale); palette resolves to
     RGB, or RGBA when a tRNS chunk is present. All paths run the same
     five-filter reversal (C kernel gs_png_unfilter, byte-distance =
-    bytes per pixel). Only Adam7 interlace raises NotImplementedError."""
+    bytes per pixel). Adam7 interlace (r7) decodes each of the seven
+    passes as its own filtered sub-image and scatters it into place —
+    every legal PNG decodes."""
     import zlib
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
@@ -476,8 +514,8 @@ def png_decode(payload: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if interlace:
-                raise NotImplementedError("PNG Adam7 interlace")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
             if depth not in _PNG_DEPTHS.get(color_type, ()):
                 raise ValueError(
                     f"illegal PNG depth/color combo (depth={depth}, "
@@ -496,9 +534,10 @@ def png_decode(payload: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     ch = _PNG_CHANNELS[color_type]
-    row_bytes = (w * ch * depth + 7) // 8
     bpp = max(1, (ch * depth) // 8)        # filter byte-distance, §9
-    expected = h * (1 + row_bytes)
+    passes = _png_passes(w, h, interlace)
+    expected = sum(h_p * (1 + (w_p * ch * depth + 7) // 8)
+                   for *_, w_p, h_p in passes)
     # DEFLATE tops out near 1032:1; IHDR dimensions implying more
     # output than the payload could carry are corruption (or a
     # decompression bomb), not data — refuse before allocating
@@ -509,17 +548,28 @@ def png_decode(payload: bytes) -> np.ndarray:
                         dtype=np.uint8)
     if raw.size != expected:
         raise ValueError("PNG row data size mismatch")
-    rows = _png_unfilter(raw, h, row_bytes // bpp, bpp).reshape(
-        h, row_bytes)
-    if depth < 8:
-        bits = np.unpackbits(rows, axis=1)[:, :w * ch * depth]
-        vals = bits.reshape(h, w * ch, depth) @ \
-            (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        px = vals.reshape(h, w, ch).astype(np.uint8)
-    elif depth == 16:
-        px = rows.reshape(h, w, ch, 2)[:, :, :, 0]   # big-endian high byte
-    else:
-        px = rows.reshape(h, w, ch)
+
+    def pass_pixels(seg, h_p, w_p):
+        # unfilter one pass's scanlines (each pass filters against its
+        # OWN previous scanline, spec §8.2), then unpack its samples
+        row_bytes = (w_p * ch * depth + 7) // 8
+        rows = _png_unfilter(seg, h_p, row_bytes // bpp, bpp).reshape(
+            h_p, row_bytes)
+        if depth < 8:
+            bits = np.unpackbits(rows, axis=1)[:, :w_p * ch * depth]
+            vals = bits.reshape(h_p, w_p * ch, depth) @ \
+                (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            return vals.reshape(h_p, w_p, ch).astype(np.uint8)
+        if depth == 16:
+            return rows.reshape(h_p, w_p, ch, 2)[:, :, :, 0]  # high byte
+        return rows.reshape(h_p, w_p, ch)
+
+    px = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, w_p, h_p in passes:
+        size = h_p * (1 + (w_p * ch * depth + 7) // 8)
+        px[y0::dy, x0::dx] = pass_pixels(raw[off:off + size], h_p, w_p)
+        off += size
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

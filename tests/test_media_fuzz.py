@@ -41,6 +41,7 @@ def _valid_payloads():
             np.arange(39, dtype=np.uint8).reshape(13, 3),
             trns=np.arange(13, dtype=np.uint8), depth=4),
         "png16": mc.png_encode((img.astype(np.uint16) * 257), depth=16),
+        "png_adam7": mc.png_encode(rgb, interlace=True),
         "wav": mc.wav_encode(sine, 16000, 1),
     }
 
@@ -59,7 +60,8 @@ def _decode(kind: str, payload: bytes):
 
 
 @pytest.mark.parametrize("kind", ["jpeg", "jpeg420", "flac", "mp4",
-                                  "png", "png_pal", "png16", "wav"])
+                                  "png", "png_pal", "png16",
+                                  "png_adam7", "wav"])
 def test_fuzz_mutations_fail_cleanly(kind):
     payload = _valid_payloads()[kind]
     rng = np.random.default_rng(11)
@@ -101,7 +103,7 @@ def test_fuzz_pure_garbage_and_magic_prefixes():
     magics = [b"\xff\xd8", b"fLaC", b"\x89PNG\r\n\x1a\n", b"RIFF",
               b"BM", b"\x00\x00\x00\x20ftyp"]
     for kind in ["jpeg", "flac", "mp4", "png", "png_pal", "png16",
-                 "wav"]:
+                 "png_adam7", "wav"]:
         for prefix in [b""] + magics:
             try:
                 _decode(kind, prefix + garb)

@@ -594,14 +594,22 @@ def test_png_roundtrip_and_filters():
     fp = mc.image_features(mc.png_encode(px))
     assert fb == fp
 
-    # rejected variants fail loudly, not silently wrong (16-bit and
-    # palette became real decodes in r7 — Adam7 is the one left out)
+    # corrupt variants fail loudly, not silently wrong (16-bit,
+    # palette AND Adam7 all became real decodes in r7): an interlaced
+    # IHDR whose IDAT is too short for the seven passes, and an
+    # unknown interlace method
     ihdr_adam = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
     bad = (b"\x89PNG\r\n\x1a\n" + mc._png_chunk(b"IHDR", ihdr_adam)
            + mc._png_chunk(b"IDAT", zlib.compress(b"\0"))
            + mc._png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="size mismatch"):
         mc.png_decode(bad)
+    ihdr_bad = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 2)
+    with pytest.raises(ValueError, match="interlace"):
+        mc.png_decode(b"\x89PNG\r\n\x1a\n"
+                      + mc._png_chunk(b"IHDR", ihdr_bad)
+                      + mc._png_chunk(b"IDAT", zlib.compress(b"\0"))
+                      + mc._png_chunk(b"IEND", b""))
 
 
 def test_png_through_spark_native_path(spark):
@@ -849,8 +857,29 @@ def test_png_palette_16bit_subbyte_roundtrip():
                + mc._png_chunk(b"IEND", b""))
     assert np.array_equal(mc.png_decode(payload), (px >> 8).astype(np.uint8))
 
+    # Adam7 interlace round-trips across variant families, including
+    # sizes where some of the seven passes are empty
+    for d, sh in [(8, (13, 19, 3)), (16, (13, 19, 4)), (2, (9, 11)),
+                  (8, (1, 1, 3)), (8, (7, 3, 4))]:
+        hi = (1 << d) if d < 8 else (65536 if d == 16 else 256)
+        dt = np.uint16 if d == 16 else np.uint8
+        p2 = rng.integers(0, hi, sh, dtype=dt)
+        got = mc.png_decode(mc.png_encode(p2, depth=d, interlace=True))
+        if d == 16:
+            want = (p2 >> 8).astype(np.uint8)
+        elif d < 8:
+            want = p2 * (255 // ((1 << d) - 1))
+        else:
+            want = p2
+        want = want[:, :, None] if want.ndim == 2 else want
+        assert np.array_equal(got, want), (d, sh)
+    got = mc.png_decode(mc.png_encode_indexed(
+        idx, plt, trns=trns, depth=4, interlace=True))
+    assert np.array_equal(got[:, :, :3], plt[idx])
+    assert np.array_equal(got[:, :, 3], trns[idx])
+
     # loud rejection: missing PLTE, index out of range, illegal
-    # depth/color combo, Adam7
+    # depth/color combo, unknown interlace method
     import pytest as _pytest
     bad = bytearray(mc.png_encode_indexed(idx, plt, depth=8))
     start = bad.index(b"PLTE") - 4
@@ -872,9 +901,6 @@ def test_png_palette_16bit_subbyte_roundtrip():
         mc.png_decode(mc._PNG_MAGIC + mc._png_chunk(
             b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)))
     adam = bytearray(mc.png_encode(ga))
-    adam[8 + 8 + 12] = 1         # IHDR interlace byte
-    # fix the IHDR CRC so the walk reaches the interlace check
-    crc = zlib.crc32(bytes(adam[12:29])) & 0xFFFFFFFF
-    adam[29:33] = crc.to_bytes(4, "big")
-    with _pytest.raises(NotImplementedError, match="Adam7"):
+    adam[8 + 8 + 12] = 2         # unknown interlace method
+    with _pytest.raises(ValueError, match="interlace"):
         mc.png_decode(bytes(adam))
