@@ -9,8 +9,8 @@ color-type/bit-depth combo — grey 1/2/4/8/16, RGB 8/16, palette
 1/2/4/8 with tRNS, grey+alpha and RGBA 8/16, Adam7 interlace —
 every legal PNG decodes). Baseline JPEG joined in r5:
 huffman + 8x8 DCT are numpy-sized problems, so encode AND decode are
-real below (SOF0, 4:4:4/4:2:0/4:2:2, restart markers; progressive /
-arithmetic / 12-bit raise). From r7, intra-only baseline H.264
+real below (SOF0 + progressive SOF2 from r7, 4:4:4/4:2:0/4:2:2,
+restart markers; arithmetic / 12-bit raise). From r7, intra-only baseline H.264
 (Annex-B CAVLC IDR frames — h264.py) decodes for real too, both as a
 raw bitstream and as avc1 MP4 tracks (avcC record + length-prefixed
 samples, ISO/IEC 14496-15); only inter-coded H.264 and hev1 stay
@@ -602,10 +602,12 @@ def _to_rgb(px: np.ndarray) -> np.ndarray:
 # Real baseline-DCT JPEG, the r5 re-litigation of the "JPEG needs
 # media libs" stub (the same move PNG made in r4 when zlib turned out
 # to be stdlib): huffman coding and the 8x8 DCT need nothing beyond
-# numpy. Scope, honestly stated: baseline sequential (SOF0), 8-bit,
-# grayscale or YCbCr at 4:4:4 / 4:2:0 / 4:2:2, restart markers
-# supported; progressive (SOF2), arithmetic coding, 12-bit and
-# hierarchical modes raise NotImplementedError. The encoder emits its
+# numpy. Scope, honestly stated: baseline sequential (SOF0) AND, from
+# r7, progressive (SOF2: spectral selection + successive
+# approximation, multi-scan decode into shared coefficient planes),
+# 8-bit, grayscale or YCbCr at 4:4:4 / 4:2:0 / 4:2:2, restart markers
+# supported; arithmetic coding, 12-bit and hierarchical modes raise
+# NotImplementedError. The encoder emits its
 # OWN canonical huffman tables in DHT (fixed-length canonical codes
 # over the symbols actually used — every JPEG carries its tables, so
 # any valid table interoperates) and the Annex-K quantization tables
@@ -812,15 +814,12 @@ def _block_symbols(coeffs: np.ndarray, dc_prev: int) -> tuple:
     return s, bits, acs, dc
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90,
-                subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode (h, w) grey or (h, w, 3) RGB uint8 as baseline JFIF.
-
-    ``subsample``: '444' (no chroma subsampling), '420' (2x2) or
-    '422' (2x1). Quant = Annex-K tables under the libjpeg quality
-    convention; huffman = per-image fixed-length canonical tables
-    declared in DHT (two passes: collect symbols, then emit)."""
+def _jpeg_coefficients(pixels: np.ndarray, quality: int,
+                       subsample: str):
+    """Shared front half of the JPEG encoders: color transform,
+    chroma subsampling, MCU padding, batch DCT and quantization.
+    Returns (comp_zz, samp, QL, QC, grey, h, w, mcux, mcuy) with
+    comp_zz[ci] the (by, bx, 64) ZIG-ZAG quantized coefficients."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     grey = px.ndim == 2
     h, w = px.shape[:2]
@@ -870,6 +869,40 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
         co = np.einsum("ux,yvxw,zw->yvuz", _DCT_A, blocks, _DCT_A)
         qz = np.round(co / quant[ci][None, None]).astype(np.int64)
         comp_zz.append(qz.reshape(ph // 8, pw // 8, 64)[:, :, _ZZ])
+    return comp_zz, samp, QL, QC, grey, h, w, mcux, mcuy
+
+
+def _jpeg_headers(samp, QL, QC, grey, h, w, sof_marker: int) -> bytearray:
+    """APP0 + DQT(s) + SOF + the shared stream preamble."""
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(QL.reshape(-1)[_ZZ]
+                                           .astype(np.uint8)))
+    if not grey:
+        out += seg(0xDB, bytes([0x01]) + bytes(QC.reshape(-1)[_ZZ]
+                                               .astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(samp))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(sof_marker, sof)
+    return out
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 90,
+                subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w) grey or (h, w, 3) RGB uint8 as baseline JFIF.
+
+    ``subsample``: '444' (no chroma subsampling), '420' (2x2) or
+    '422' (2x1). Quant = Annex-K tables under the libjpeg quality
+    convention; huffman = per-image fixed-length canonical tables
+    declared in DHT (two passes: collect symbols, then emit)."""
+    comp_zz, samp, QL, QC, grey, h, w, mcux, mcuy = \
+        _jpeg_coefficients(pixels, quality, subsample)
 
     dri = restart_interval
 
@@ -885,11 +918,11 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
     # pass 1: symbol sets per table class (0 = luma, 1 = chroma)
     dc_syms = [set(), set()]
     ac_syms = [set(), set()]
-    dc_prev = [0] * len(planes)
+    dc_prev = [0] * len(comp_zz)
     last_mi = 0
     for mi, ci, zz in mcu_blocks():
         if dri and mi != last_mi and mi % dri == 0:
-            dc_prev = [0] * len(planes)
+            dc_prev = [0] * len(comp_zz)
         last_mi = mi
         cls = 0 if ci == 0 else 1
         s, _, acs, dc_prev[ci] = _block_symbols(zz, dc_prev[ci])
@@ -901,12 +934,12 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
 
     # pass 2: entropy-coded data (RSTn every `dri` MCUs when set)
     bw = _BitWriter()
-    dc_prev = [0] * len(planes)
+    dc_prev = [0] * len(comp_zz)
     last_mi = 0
     for mi, ci, zz in mcu_blocks():
         if dri and mi != last_mi and mi % dri == 0:
             bw.restart(mi // dri - 1)
-            dc_prev = [0] * len(planes)
+            dc_prev = [0] * len(comp_zz)
         last_mi = mi
         cls = 0 if ci == 0 else 1
         s, bits, acs, dc_prev[ci] = _block_symbols(zz, dc_prev[ci])
@@ -923,17 +956,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
             + body
 
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(QL.reshape(-1)[_ZZ]
-                                           .astype(np.uint8)))
-    if not grey:
-        out += seg(0xDB, bytes([0x01]) + bytes(QC.reshape(-1)[_ZZ]
-                                               .astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
-    for ci, (sh, sv) in enumerate(samp):
-        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out = _jpeg_headers(samp, QL, QC, grey, h, w, 0xC0)
     for cls in range(ncls):
         for is_ac, tabs in ((0, dc_tabs), (1, ac_tabs)):
             bits, syms, _ = tabs[cls]
@@ -941,13 +964,218 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
                        + bytes(syms))
     if dri:
         out += seg(0xDD, struct.pack(">H", dri))
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
+    sos = bytes([len(comp_zz)])
+    for ci in range(len(comp_zz)):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsample: str = "444") -> bytes:
+    """Encode (h, w) grey or (h, w, 3) RGB uint8 as PROGRESSIVE JFIF
+    (SOF2) with a script that exercises both progressive dimensions:
+    spectral selection (DC scan, then AC bands 1-5 and 6-63 per
+    component) and successive approximation (every first pass at
+    point transform Al=1, then one-bit refinement scans down to
+    Al=0 — DC raw-bit refinement, AC jcphuff-style refinement with
+    EOB runs and buffered correction bits). Final coefficients equal
+    the baseline encoder's exactly, so decode parity with
+    ``jpeg_encode`` of the same pixels is the round-trip contract."""
+    comp_zz, samp, QL, QC, grey, h, w, mcux, mcuy = \
+        _jpeg_coefficients(pixels, quality, subsample)
+    ncomp = len(comp_zz)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def comp_blocks(ci):
+        """Real (non-MCU-padding) blocks in raster order — the
+        non-interleaved scan order (T.81 A.2.2)."""
+        sh, sv = samp[ci]
+        comp_w = -(-(w * sh) // hmax)
+        comp_h = -(-(h * sv) // vmax)
+        for by in range(-(-comp_h // 8)):
+            for bx in range(-(-comp_w // 8)):
+                yield comp_zz[ci][by, bx]
+
+    def mcu_dc_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for u in range(sh):
+                            yield ci, comp_zz[ci][my * sv + v,
+                                                  mx * sh + u]
+
+    def scan_dc_first(ops, al):
+        dc_prev = [0] * ncomp
+        it = mcu_dc_blocks() if ncomp > 1 else \
+            ((0, b) for b in comp_blocks(0))
+        for ci, blk in it:
+            cls = 0 if ci == 0 else 1
+            v = int(blk[0]) >> al            # arithmetic shift, T.81
+            s, bits = _magnitude(v - dc_prev[ci])
+            dc_prev[ci] = v
+            ops.append(("s", (0, cls), s))
+            if s:
+                ops.append(("b", bits, s))
+
+    def scan_dc_refine(ops, al):
+        it = mcu_dc_blocks() if ncomp > 1 else \
+            ((0, b) for b in comp_blocks(0))
+        for _, blk in it:
+            ops.append(("b", (int(blk[0]) >> al) & 1, 1))
+
+    def scan_ac_first(ops, ci, ss, se, al):
+        cls = 0 if ci == 0 else 1
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ops.append(("s", (1, cls), nb << 4))
+                if nb:
+                    ops.append(("b", eobrun - (1 << nb), nb))
+                eobrun = 0
+
+        for blk in comp_blocks(ci):
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = (v >> al) if v >= 0 else -((-v) >> al)
+                if t == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    ops.append(("s", (1, cls), 0xF0))
+                    r -= 16
+                vs, vb = _magnitude(t)
+                ops.append(("s", (1, cls), (r << 4) | vs))
+                ops.append(("b", vb, vs))
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    def scan_ac_refine(ops, ci, ss, se, al):
+        """jcphuff encode_mcu_AC_refine re-expressed: newly
+        significant coefficients emit (run, 1) + sign; already-
+        nonzero coefficients emit buffered correction bits; blocks
+        with nothing new fold into an EOB run whose correction bits
+        flush right after the EOBn code."""
+        cls = 0 if ci == 0 else 1
+        eobrun = 0
+        be: list = []                  # bits buffered behind the EOB run
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ops.append(("s", (1, cls), nb << 4))
+                if nb:
+                    ops.append(("b", eobrun - (1 << nb), nb))
+                ops.extend(("b", b, 1) for b in be)
+                be.clear()
+                eobrun = 0
+
+        for blk in comp_blocks(ci):
+            vals = [int(blk[k]) for k in range(ss, se + 1)]
+            absv = [(v >> al) if v >= 0 else -((-v) >> al)
+                    for v in vals]
+            absv = [abs(t) for t in absv]
+            eob = 0
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1            # 1 past the last new ±1
+            r = 0
+            br: list = []                  # correction bits this run
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    flush()
+                    ops.append(("s", (1, cls), 0xF0))
+                    ops.extend(("b", b, 1) for b in br)
+                    br.clear()
+                    r -= 16
+                if t > 1:                  # history coefficient
+                    br.append(t & 1)
+                    continue
+                flush()                    # newly significant ±1
+                ops.append(("s", (1, cls), (r << 4) | 1))
+                ops.append(("b", 1 if vals[i] > 0 else 0, 1))
+                ops.extend(("b", b, 1) for b in br)
+                br.clear()
+                r = 0
+            if r or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+    # scan script: DC first/refine, then per-component AC band
+    # first passes, then their refinements
+    scan_specs = [("dcf", None, 0, 0, 0, 1), ("dcr", None, 0, 0, 1, 0)]
+    for ci in range(ncomp):
+        scan_specs += [("acf", ci, 1, 5, 0, 1),
+                       ("acf", ci, 6, 63, 0, 1)]
+    for ci in range(ncomp):
+        scan_specs += [("acr", ci, 1, 5, 1, 0),
+                       ("acr", ci, 6, 63, 1, 0)]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = _jpeg_headers(samp, QL, QC, grey, h, w, 0xC2)
+    for kind, ci, ss, se, ah, al in scan_specs:
+        ops: list = []
+        if kind == "dcf":
+            scan_dc_first(ops, al)
+        elif kind == "dcr":
+            scan_dc_refine(ops, al)
+        elif kind == "acf":
+            scan_ac_first(ops, ci, ss, se, al)
+        else:
+            scan_ac_refine(ops, ci, ss, se, al)
+        # per-scan canonical tables from this scan's symbol set
+        syms: dict = {}
+        for op in ops:
+            if op[0] == "s":
+                syms.setdefault(op[1], set()).add(op[2])
+        tabs = {key: _canonical_table(ss_) for key, ss_ in syms.items()}
+        for (tc, th), (bits, symbols, _) in tabs.items():
+            out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                       + bytes(symbols))
+        if kind in ("dcf", "dcr"):
+            sos = bytes([ncomp])
+            for c in range(ncomp):
+                cls = 0 if c == 0 else 1
+                sos += bytes([c + 1, cls << 4])
+        else:
+            cls = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, cls])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                code, ln = tabs[op[1]][2][op[2]]
+                bw.put(code, ln)
+            else:
+                bw.put(op[1], op[2])
+        out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1031,12 +1259,193 @@ def _jpeg_entropy_native(payload: bytes, pos: int, mcux: int,
     return out
 
 
+def _jpeg_dims(comps: list, w: int, h: int,
+               payload_len: int) -> tuple:
+    """(mcux, mcuy, hmax, vmax) from the SOF, with the plausibility
+    cap: every coded block costs >= 1 bit, so SOF dimensions implying
+    more blocks than the entropy data could hold are corruption —
+    refuse before allocating the coefficient planes."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("zero sampling factor in JPEG SOF")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if mcux * mcuy * sum(c[1] * c[2] for c in comps) > 8 * payload_len:
+        raise ValueError("implausible JPEG dimensions for payload size")
+    return mcux, mcuy, hmax, vmax
+
+
+def _jpeg_prog_scan(payload: bytes, pos: int, comps: list,
+                    coeffs: list, huff: dict, scomps: list,
+                    ss: int, se: int, ah: int, al: int, dri: int,
+                    dims: tuple) -> int:
+    """Decode ONE progressive (SOF2) scan into the zig-zag coefficient
+    planes, T.81 G.2: spectral selection (Ss..Se band per scan) and
+    successive approximation (Ah=0 first pass at point transform Al;
+    Ah>0 one-bit refinement). DC scans may interleave components
+    (MCU order); AC scans are single-component in the component's own
+    block raster. EOB runs span blocks; restart markers reset DC
+    predictors and the EOB run. Returns the stream position after the
+    scan's entropy data (the next marker's 0xFF)."""
+    mcux, mcuy, hmax, vmax, w, h = dims
+    br = _BitReader(payload, pos)
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > se or se > 63 or ah not in range(14) or al > 13:
+        raise ValueError("bad progressive scan parameters")
+
+    def refine_ac(blk, k, kend, r, newval):
+        """Advance over r zero-history coefficients (then place
+        newval, if any), emitting one correction bit for every
+        nonzero-history coefficient passed — the T.81 G.2/jdphuff
+        refinement walk."""
+        while k <= kend:
+            if blk[k]:
+                if br.bits(1) and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] > 0 else m1
+            else:
+                if r == 0:
+                    if newval:
+                        blk[k] = newval
+                    return k + 1
+                r -= 1
+            k += 1
+        return k
+
+    def block_dc_first(blk, ci):
+        s = br.huff(huff[(0, scomps_td[ci])])
+        if s > 15:
+            raise ValueError(f"implausible JPEG DC size category {s}")
+        dc_prev[ci] += _extend(br.bits(s), s)
+        blk[0] = dc_prev[ci] << al
+
+    def block_dc_refine(blk):
+        if br.bits(1):
+            blk[0] |= p1
+
+    def block_ac_first(blk, ta):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.huff(huff[(1, ta)])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    return
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run overflow in progressive scan")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def block_ac_refine(blk, ta):
+        nonlocal eobrun
+        k = ss
+        if not eobrun:
+            while k <= se:
+                rs = br.huff(huff[(1, ta)])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # r == 15: a run of 16 zero-history coefficients
+                    k = refine_ac(blk, k, se, 15, 0)
+                    continue
+                if s != 1:
+                    raise ValueError(
+                        "bad refinement magnitude in progressive scan")
+                newval = p1 if br.bits(1) else m1
+                k = refine_ac(blk, k, se, r, newval)
+        if eobrun:
+            # correction bits for the remaining nonzero coefficients
+            while k <= se:
+                if blk[k] and br.bits(1) and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    scomps_td = {}
+    units = []                     # (ci, td_or_ta)
+    for cid, td, ta in scomps:
+        ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+        scomps_td[ci] = td
+        units.append((ci, ta))
+
+    dc_prev = {ci: 0 for ci, _ in units}
+    unit_i = 0
+
+    def maybe_restart():
+        nonlocal eobrun
+        if dri and unit_i and unit_i % dri == 0:
+            br.sync_restart()
+            for ci in dc_prev:
+                dc_prev[ci] = 0
+            eobrun = 0
+
+    if ss == 0 and len(units) > 1:
+        # interleaved DC scan over MCUs
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci, _ in units:
+                    _, sh, sv, _ = comps[ci]
+                    for v in range(sv):
+                        for u in range(sh):
+                            blk = coeffs[ci][my * sv + v, mx * sh + u]
+                            if ah == 0:
+                                block_dc_first(blk, ci)
+                            else:
+                                block_dc_refine(blk)
+                unit_i += 1
+    else:
+        # non-interleaved scan in the component's own block raster
+        # (complete blocks of the component's scaled dimensions)
+        ci, ta = units[0]
+        _, sh, sv, _ = comps[ci]
+        comp_w = -(-(w * sh) // hmax)
+        comp_h = -(-(h * sv) // vmax)
+        bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                blk = coeffs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        block_dc_first(blk, ci)
+                    else:
+                        block_dc_refine(blk)
+                elif ah == 0:
+                    block_ac_first(blk, ta)
+                else:
+                    block_ac_refine(blk, ta)
+                unit_i += 1
+    return br.pos
+
+
 @_loud_corruption
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode baseline JFIF to (h, w, c) uint8, c = 1 (grey) or 3
-    (RGB). Reads DQT/DHT/SOF0/SOS/DRI from the stream (any valid
-    tables, not just ours); handles 4:4:4/4:2:0/4:2:2 and restart
-    markers; rejects progressive/arithmetic/12-bit explicitly."""
+    """Decode baseline (SOF0) or progressive (SOF2) JFIF to
+    (h, w, c) uint8, c = 1 (grey) or 3 (RGB). Reads DQT/DHT/SOF/SOS/
+    DRI from the stream (any valid tables, not just ours); handles
+    4:4:4/4:2:0/4:2:2 and restart markers; progressive streams walk
+    every scan (spectral selection + successive approximation, r7)
+    into shared coefficient planes before one dequant+IDCT pass;
+    rejects arithmetic-coded/12-bit/hierarchical explicitly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1047,6 +1456,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     h = w = 0
     dri = 0
     scan = None
+    progressive = False
+    dims = None          # (mcux, mcuy, hmax, vmax) once SOF is known
+    coeffs = None
+    n_scans = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -1087,18 +1500,19 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = table
                 huff_raw[(tc, th)] = (bits, list(syms))
                 off += 17 + sum(bits)
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG")
+            progressive = marker == 0xC2
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append([cid, hv >> 4, hv & 15, tq])
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                "(SOF0) is supported")
+                "(SOF0) and progressive huffman (SOF2) are supported")
         elif marker == 0xDD:
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
@@ -1107,30 +1521,45 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tt = body[1 + 2 * i:3 + 2 * i]
                 scan.append((cid, tt >> 4, tt & 15))
-            pos += ln
-            break
+            if not progressive:
+                pos += ln
+                break
+            # progressive: decode THIS scan into the shared
+            # coefficient planes, then keep walking markers (more
+            # DHT/DRI/SOS segments follow until EOI)
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            if dims is None:
+                dims = _jpeg_dims(comps, w, h, len(payload))
+                coeffs = [np.zeros((dims[1] * c[2], dims[0] * c[1],
+                                    64), dtype=np.int64)
+                          for c in comps]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _jpeg_prog_scan(payload, pos + ln, comps, coeffs,
+                                  huff, scan, ss, se, ahal >> 4,
+                                  ahal & 15, dri,
+                                  dims + (w, h))
+            n_scans += 1
+            if n_scans > 512:
+                raise ValueError("implausible JPEG scan count")
+            continue
         pos += ln
     if scan is None or not comps:
         raise ValueError("truncated JPEG: no SOS/SOF")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax == 0 or vmax == 0:
-        raise ValueError("zero sampling factor in JPEG SOF")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # every coded block costs >= 1 bit; SOF dimensions implying more
-    # blocks than the entropy data could hold are corruption — refuse
-    # before allocating the coefficient planes
-    if mcux * mcuy * sum(c[1] * c[2] for c in comps) > \
-            8 * len(payload):
-        raise ValueError("implausible JPEG dimensions for payload size")
-    order = []
-    for cid, td, ta in scan:
-        ci = next(i for i, c in enumerate(comps) if c[0] == cid)
-        order.append((ci, td, ta))
-    coeffs = _jpeg_entropy_native(payload, pos, mcux, mcuy, dri,
-                                  comps, order, huff_raw)
+    if progressive:
+        if coeffs is None:
+            raise ValueError("progressive JPEG with no decoded scan")
+        mcux, mcuy, hmax, vmax = dims
+    else:
+        mcux, mcuy, hmax, vmax = _jpeg_dims(comps, w, h, len(payload))
+        order = []
+        for cid, td, ta in scan:
+            ci = next(i for i, c in enumerate(comps) if c[0] == cid)
+            order.append((ci, td, ta))
+        coeffs = _jpeg_entropy_native(payload, pos, mcux, mcuy, dri,
+                                      comps, order, huff_raw)
     if coeffs is None:                  # Python bit-walk fallback
         br = _BitReader(payload, pos)
         coeffs = [np.zeros((mcuy * c[2], mcux * c[1], 64),

@@ -30,9 +30,11 @@ def _valid_payloads():
                     255 - img], -1)
     sine = (np.sin(np.arange(3000) / 9) * 5000).astype(np.int16)
     jf = [mc.jpeg_encode(img, 92), mc.jpeg_encode(rgb, 80, "420")]
+    jprog = mc.jpeg_encode_progressive(rgb, 80, "420")
     return {
         "jpeg": jf[0],
         "jpeg420": jf[1],
+        "jpeg_prog": jprog,
         "flac": mc.flac_encode(sine, 16000, 1),
         "mp4": mc.mp4_mux(jf, 500, width=32, height=16),
         "png": mc.png_encode(rgb),
@@ -59,7 +61,8 @@ def _decode(kind: str, payload: bytes):
     return mc.wav_decode(payload)
 
 
-@pytest.mark.parametrize("kind", ["jpeg", "jpeg420", "flac", "mp4",
+@pytest.mark.parametrize("kind", ["jpeg", "jpeg420", "jpeg_prog",
+                                  "flac", "mp4",
                                   "png", "png_pal", "png16",
                                   "png_adam7", "wav"])
 def test_fuzz_mutations_fail_cleanly(kind):
@@ -102,8 +105,8 @@ def test_fuzz_pure_garbage_and_magic_prefixes():
     garb = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
     magics = [b"\xff\xd8", b"fLaC", b"\x89PNG\r\n\x1a\n", b"RIFF",
               b"BM", b"\x00\x00\x00\x20ftyp"]
-    for kind in ["jpeg", "flac", "mp4", "png", "png_pal", "png16",
-                 "png_adam7", "wav"]:
+    for kind in ["jpeg", "jpeg_prog", "flac", "mp4", "png",
+                 "png_pal", "png16", "png_adam7", "wav"]:
         for prefix in [b""] + magics:
             try:
                 _decode(kind, prefix + garb)

@@ -686,9 +686,15 @@ def test_jpeg_restart_markers_and_rejection():
         assert b"\xff\xdd" in enc              # DRI segment present
         # decode across RSTn boundaries is bit-identical to no-DRI
         assert np.array_equal(mc.jpeg_decode(enc), base)
-    # progressive (SOF2) rejected explicitly, not mis-decoded
+    # a baseline stream FORGED as SOF2 is corrupt progressive (its
+    # single scan claims the full 0..63 band) — loud ValueError, not
+    # a mis-decode (SOF2 itself decodes for real since r7); genuinely
+    # unsupported SOFs (arithmetic 0xC9) still raise NotImplemented
     enc = bytearray(mc.jpeg_encode(img, 95))
     enc[enc.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        mc.jpeg_decode(bytes(enc))
+    enc[enc.index(b"\xff\xc2") + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         mc.jpeg_decode(bytes(enc))
 
@@ -904,3 +910,68 @@ def test_png_palette_16bit_subbyte_roundtrip():
     adam[8 + 8 + 12] = 2         # unknown interlace method
     with _pytest.raises(ValueError, match="interlace"):
         mc.png_decode(bytes(adam))
+
+
+def test_jpeg_progressive_parity_and_restarts():
+    """r7 progressive JPEG (SOF2): spectral selection + successive
+    approximation decode to EXACTLY the baseline decode of the same
+    pixels (identical quantized coefficients by construction — the
+    encoder emits first passes at Al=1 and one-bit refinements, so
+    DC raw-bit refinement, AC refinement with EOB runs and buffered
+    correction bits, and the band-split first passes all execute),
+    plus a hand-built DC-first scan with restart markers pinning the
+    progressive restart path (predictor + EOB-run reset)."""
+    from gorillaspark.operators import media_codecs as mc
+
+    rng = np.random.default_rng(23)
+    for q, sub, shape in [(90, "444", (24, 33, 3)),
+                          (85, "420", (17, 9, 3)),
+                          (60, "422", (40, 56, 3)),
+                          (75, "444", (15, 23))]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = mc.jpeg_decode(mc.jpeg_encode(px, q, sub))
+        prog = mc.jpeg_decode(mc.jpeg_encode_progressive(px, q, sub))
+        assert np.array_equal(base, prog), (q, sub, shape)
+    flat = np.full((32, 32, 3), 77, np.uint8)       # all-EOB scans
+    assert np.array_equal(
+        mc.jpeg_decode(mc.jpeg_encode(flat, 90)),
+        mc.jpeg_decode(mc.jpeg_encode_progressive(flat, 90)))
+
+    # hand-built 16x8 grey SOF2: one DC-first scan (Al=0), DRI=1, a
+    # restart marker between the two MCUs — the second DC diff is
+    # relative to a RESET predictor, so a decoder that fails to reset
+    # lands on the wrong value
+    import struct as _struct
+    dcs = [34, 34]               # both blocks DC=34; post-RST diff=34
+    bits = [0] * 16
+    bits[5] = 1                  # one 6-bit symbol: size category 6
+    table = {6: (0, 6)}          # canonical: code 0, length 6
+    bw = mc._BitWriter()
+    s, vb = mc._magnitude(dcs[0])
+    bw.put(table[s][0], table[s][1])
+    bw.put(vb, s)
+    ent0 = bw.flush()
+    bw2 = mc._BitWriter()
+    s, vb = mc._magnitude(dcs[1])    # diff vs RESET predictor (0)
+    bw2.put(table[s][0], table[s][1])
+    bw2.put(vb, s)
+    ent1 = bw2.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(body) + 2) + body
+
+    qtab = np.ones(64, np.uint8)
+    payload = (b"\xff\xd8"
+               + seg(0xDB, bytes([0x00]) + bytes(qtab))
+               + seg(0xC2, _struct.pack(">BHHB", 8, 8, 16, 1)
+                     + bytes([1, 0x11, 0]))
+               + seg(0xC4, bytes([0x00]) + bytes(bits) + bytes([6]))
+               + seg(0xDD, _struct.pack(">H", 1))
+               + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+               + ent0 + b"\xff\xd0" + ent1
+               + b"\xff\xd9")
+    got = mc.jpeg_decode(payload)
+    # DC=34, quant=1: every pixel of both blocks is 34/8 scaled by the
+    # IDCT DC gain (c0^2 * 34 = 34/8) + 128 -> round(132.25) = 132
+    assert got.shape == (8, 16, 1) and np.all(got == 132), got[0, :4, 0]
