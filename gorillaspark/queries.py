@@ -2165,7 +2165,7 @@ def q_media_png_stats(spark, sf_dir):
                      "sum_r", "sum_g", "sum_b", "ahash")
 
 
-def _synth_jpeg_udf():
+def _synth_jpeg_udf(progressive: bool = False):
     """Per-doc block-constant grayscale, baseline-JPEG-encoded. The
     family is chosen so the lossy codec is EXACT on it: every 8x8
     block is constant, so only the DC coefficient is nonzero, and at
@@ -2174,8 +2174,15 @@ def _synth_jpeg_udf():
     decode returns the source bytes (pinned over 300 ids in
     tests/test_training_ops.py). That is what lets a DuckDB oracle
     predict the decoded statistics of a real huffman+IDCT decode
-    analytically."""
+    analytically. ``progressive=True`` (r7) emits the SAME family as
+    SOF2: the DC-only coefficients survive the first-pass/refinement
+    split exactly (Al=1 drops the low bit, the refinement scan
+    restores it; the AC scans are pure EOB runs), so the analytic
+    oracle transfers unchanged to the progressive decode path."""
     from .operators import media_codecs as mc
+
+    enc = (mc.jpeg_encode_progressive if progressive
+           else mc.jpeg_encode)
 
     @pandas_udf("binary")
     def to_jpeg(ids: pd.Series) -> pd.Series:
@@ -2184,7 +2191,7 @@ def _synth_jpeg_udf():
 
         def one(d):
             v = ((d * 31 + bi * 17) % 256).astype(np.uint8)
-            return mc.jpeg_encode(v, quality=95)
+            return enc(v, quality=95)
 
         return ids.map(one)
 
@@ -2459,6 +2466,24 @@ def _synth_avc1_udf():
     return to_avc1
 
 
+def q_media_jpeg_prog_stats(spark, sf_dir):
+    """Progressive-JPEG (SOF2) decode value-checked end to end: the
+    quantization-exact block-constant family of media_jpeg_stats,
+    re-encoded by jpeg_encode_progressive — multi-scan spectral
+    selection + successive approximation decode lands the identical
+    exact pixels, so the SAME analytic oracle gates it."""
+    from .operators.multimodal import image_stats
+    docs = _docs(spark, sf_dir)
+    jpg = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_jpeg_udf(progressive=True)(F.col("doc_id"))
+                      .alias("payload"))
+    st = image_stats(jpg)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("width").cast("long").alias("width"),
+                     F.col("height").cast("long").alias("height"),
+                     "sum_r", "sum_g", "sum_b", "ahash")
+
+
 def q_media_h264_stats(spark, sf_dir):
     """Real H.264 decode end to end: avcC parse, length-prefixed
     sample → Annex-B rebuild, CAVLC entropy decode, Intra_16x16 DC
@@ -2522,6 +2547,7 @@ QUERIES.update({
     "doc_trigram_lm_frozen": q_doc_trigram_lm_frozen,
     "media_frame_ahash": q_media_frame_ahash,
     "media_h264_stats": q_media_h264_stats,
+    "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
 })
 ORACLES.update({
     "media_audio_stats": _MEDIA_AUDIO_SQL,
@@ -2534,6 +2560,7 @@ ORACLES.update({
     "doc_trigram_lm_frozen": _TRIGRAM_LM_FROZEN_SQL,
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
     "media_h264_stats": _MEDIA_H264_SQL,  # exact flat-MB H.264 family
+    "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
 })
 
 
@@ -2800,6 +2827,11 @@ _EXTRA_NAMES = [
     # production-threshold near-dup: planner-sized banding + the
     # segmented mapInArrow verify) moves IN for first driver
     # evidence; the longest-green ANN sibling moves out:
+    # r7: media_jpeg_prog_stats starts in EXTRA (pytest oracle gate
+    # at sf0.001 via test_extra_oracles) — rotate it in-window in r8
+    # for driver evidence; three first-time rotations are already in
+    # this round's window (h264, stream_dedup, near_dup_sparse)
+    "media_jpeg_prog_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
