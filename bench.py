@@ -40,6 +40,10 @@ _BUDGET_S = {
     # 1.29->0.90, near-dup 1.28->0.81, ivfpq 2.19->2.14) and the C
     # CRC kernel cut FLAC decode 7.0->2.0; each took its new best
     "encode_blocks": 1.590,
+    # r7: the DFCM hash chain joined the C kernel (4b35f62) — the
+    # non-default predictor now sits in the same cost class as
+    # last_value; budget from the r7 quiet-window best (1.49)
+    "encode_blocks_dfcm": 1.490,
     "decode_blocks": 0.438,
     "rollup_1m": 0.819,
     "rollup_cascade_1h_1d": 0.959,
