@@ -981,9 +981,10 @@ def _parse_pps(br: _Bits) -> dict:
     bottom_field_poc = br.flag()
     if br.ue() != 0:
         raise NotImplementedError("multiple slice groups (FMO) unsupported")
-    br.ue()                                   # num_ref_idx_l0_default
+    num_ref_idx_l0 = br.ue()                  # num_ref_idx_l0_default
     br.ue()                                   # num_ref_idx_l1_default
-    br.flag()                                 # weighted_pred_flag
+    if br.flag():                             # weighted_pred_flag
+        raise NotImplementedError("weighted prediction unsupported")
     br.u(2)                                   # weighted_bipred_idc
     qp = 26 + br.se()                         # pic_init_qp
     br.se()                                   # pic_init_qs
@@ -995,26 +996,48 @@ def _parse_pps(br: _Bits) -> dict:
             "chroma_qp_off": chroma_qp_off,
             "deblock_ctrl": deblock_ctrl,
             "constrained_intra": constrained_intra,
-            "bottom_field_poc": bottom_field_poc}
+            "bottom_field_poc": bottom_field_poc,
+            "num_ref_idx_l0": num_ref_idx_l0}
 
 
 def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
-                        nal_ref_idc: int) -> dict:
+                        nal_ref_idc: int, is_idr: bool) -> dict:
     first_mb = br.ue()
     slice_type = br.ue()
-    if slice_type % 5 != 2:
+    st5 = slice_type % 5
+    if st5 not in (0, 2):
         raise NotImplementedError(
-            f"only I slices supported (slice_type {slice_type})")
+            f"only I and P slices supported (slice_type {slice_type})")
+    if st5 == 0 and is_idr:
+        raise ValueError("P slice in an IDR NAL unit")
     br.ue()                                   # pic_parameter_set_id
     br.u(sps["log2_max_frame_num"])           # frame_num
-    br.ue()                                   # idr_pic_id
+    if is_idr:
+        br.ue()                               # idr_pic_id
     if sps["poc_type"] == 0:
         br.u(sps["log2_max_poc_lsb"])         # pic_order_cnt_lsb
         if pps["bottom_field_poc"]:
             br.se()
+    if st5 == 0:
+        if br.flag():                         # num_ref_idx_override
+            if br.ue() != 0:
+                raise NotImplementedError(
+                    "P decode supports one reference picture "
+                    "(num_ref_idx_l0_active_minus1 must be 0)")
+        elif pps["num_ref_idx_l0"] != 0:
+            raise NotImplementedError(
+                "P decode supports one reference picture (PPS "
+                "num_ref_idx_l0_default_active_minus1 must be 0)")
+        if br.flag():                         # ref_pic_list_mod_l0
+            raise NotImplementedError(
+                "reference picture list modification unsupported")
     if nal_ref_idc:
-        br.flag()                             # no_output_of_prior_pics
-        br.flag()                             # long_term_reference_flag
+        if is_idr:
+            br.flag()                         # no_output_of_prior_pics
+            br.flag()                         # long_term_reference_flag
+        elif br.flag():                       # adaptive_ref_pic_marking
+            raise NotImplementedError(
+                "adaptive reference picture marking unsupported")
     qp = pps["init_qp"] + br.se()
     if pps["deblock_ctrl"]:
         if br.ue() != 1:
@@ -1026,7 +1049,7 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
             "stream may enable deblocking (PPS lacks "
             "deblocking_filter_control_present_flag); decoder only "
             "supports streams that disable the loop filter")
-    return {"first_mb": first_mb, "qp": qp}
+    return {"first_mb": first_mb, "qp": qp, "slice_type": st5}
 
 
 # ---------------------------------------------------------------------------
@@ -1101,11 +1124,14 @@ def _chroma_nc(states, mbx, mby, mbs_w, ci: int, blk: int) -> int:
     return 0
 
 
-def h264_decode_planes(payload: bytes):
-    """Decode an Annex-B H.264 access unit (SPS + PPS + IDR slice,
-    CAVLC, intra-only) to uncropped (Y, Cb, Cr) int64 planes plus the
-    SPS crop window — the raw reconstruction a conformant decoder
-    produces."""
+def h264_decode_gop_planes(payload: bytes):
+    """Decode an Annex-B H.264 stream (SPS + PPS + an IDR access unit
+    followed by zero or more P access units, CAVLC) to a list of
+    uncropped (Y, Cb, Cr) int64 frame planes plus the SPS crop
+    window. A slice whose first_mb_in_slice is 0 starts a new frame;
+    P slices (r7) predict from the previous completed frame (one
+    reference, P_L0_16x16 / P_Skip / intra-in-P macroblocks,
+    quarter-pel motion compensation)."""
     sps = pps = None
     slices = []
     for nal_type, rbsp in _split_annexb(payload):
@@ -1113,58 +1139,113 @@ def h264_decode_planes(payload: bytes):
             sps = _parse_sps(_Bits(rbsp))
         elif nal_type == 8:
             pps = _parse_pps(_Bits(rbsp))
-        elif nal_type == 5:
-            slices.append((rbsp, 3))
-        elif nal_type == 1:
-            raise NotImplementedError(
-                "non-IDR slices unsupported (intra-only decoder)")
+        elif nal_type in (1, 5):
+            slices.append((rbsp, 3, nal_type == 5))
         # SEI (6), AUD (9), filler (12): ignored
     if sps is None or pps is None or not slices:
-        raise ValueError("access unit lacks SPS, PPS or IDR slice")
+        raise ValueError("stream lacks SPS, PPS or a coded slice")
     mbs_w, mbs_h = sps["w_mbs"], sps["h_mbs"]
-    if mbs_w * mbs_h > 1 << 20:
+    n_mbs = mbs_w * mbs_h
+    if n_mbs > 1 << 20:
         raise ValueError("implausible frame dimensions")
-    # plausibility cap vs payload size (the media ingestion contract):
-    # an I-slice macroblock costs several bits minimum — a sample
-    # table claiming orders of magnitude more MBs than the payload
-    # could hold is corrupt, not data
-    if mbs_w * mbs_h > 8 * len(payload):
+    # plausibility caps (the media ingestion contract): an I-slice
+    # macroblock costs several bits minimum, so the FIRST frame is
+    # bounded by the payload; P frames can legitimately be a few
+    # bytes (one skip run covers the frame), so the GOP is bounded
+    # by total decoded pixels instead
+    if n_mbs > 8 * len(payload):
         raise ValueError("frame dimensions implausible for payload size")
+    if n_mbs * len(slices) > 1 << 22:
+        raise ValueError("implausible GOP size for frame dimensions")
     W, H = mbs_w * 16, mbs_h * 16
-    Y = np.zeros((H, W), dtype=np.int64)
-    Cb = np.full((H // 2, W // 2), 128, dtype=np.int64)
-    Cr = np.full((H // 2, W // 2), 128, dtype=np.int64)
-    states: dict = {}
+    frames: list = []
+    cur = None                       # (Y, Cb, Cr, states, mv_map)
+    ref = None                       # previous completed frame planes
     n_decoded = 0
-    for rbsp, nal_ref_idc in slices:
+
+    def finish():
+        nonlocal cur, ref, n_decoded
+        if cur is None:
+            return
+        if n_decoded != n_mbs:
+            raise ValueError(
+                f"decoded {n_decoded} of {n_mbs} macroblocks")
+        frames.append(cur[:3])
+        ref = cur[:3]
+        cur = None
+
+    for rbsp, nal_ref_idc, is_idr in slices:
         br = _Bits(rbsp)
-        sh = _parse_slice_header(br, sps, pps, nal_ref_idc)
+        sh = _parse_slice_header(br, sps, pps, nal_ref_idc, is_idr)
+        if sh["first_mb"] == 0:
+            finish()
+            cur = (np.zeros((H, W), dtype=np.int64),
+                   np.full((H // 2, W // 2), 128, dtype=np.int64),
+                   np.full((H // 2, W // 2), 128, dtype=np.int64),
+                   {}, {})
+            n_decoded = 0
+        elif cur is None:
+            raise ValueError("slice continues a frame never started")
+        Y, Cb, Cr, states, mv_map = cur
+        if sh["slice_type"] == 0 and ref is None:
+            raise ValueError("P slice without a reference frame")
         qp = sh["qp"]
         addr = sh["first_mb"]
-        while True:
-            if addr >= mbs_w * mbs_h:
+
+        def step(addr):
+            if addr >= n_mbs:
                 raise ValueError("slice overruns the frame's MB count")
-            mbx, mby = addr % mbs_w, addr // mbs_w
-            qp = _decode_mb(br, qp, pps, Y, Cb, Cr, states,
-                            mbx, mby, mbs_w)
-            n_decoded += 1
-            addr += 1
-            if not br.more_rbsp_data():
-                break
-    if n_decoded != mbs_w * mbs_h:
+            return addr % mbs_w, addr // mbs_w
+
+        if sh["slice_type"] == 2:                    # I slice
+            while True:
+                mbx, mby = step(addr)
+                qp = _decode_mb(br, qp, pps, Y, Cb, Cr, states,
+                                mbx, mby, mbs_w)
+                mv_map[(mbx, mby)] = None            # intra
+                n_decoded += 1
+                addr += 1
+                if not br.more_rbsp_data():
+                    break
+        else:                                        # P slice
+            while True:
+                skip_run = br.ue()
+                for _ in range(skip_run):
+                    mbx, mby = step(addr)
+                    _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map,
+                                      mbx, mby, mbs_w)
+                    n_decoded += 1
+                    addr += 1
+                if not br.more_rbsp_data():
+                    break
+                mbx, mby = step(addr)
+                qp = _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states,
+                                  mv_map, mbx, mby, mbs_w)
+                n_decoded += 1
+                addr += 1
+                if not br.more_rbsp_data():
+                    break
+    finish()
+    if not frames:
+        raise ValueError("no complete frame decoded")
+    return frames, sps["crop"]
+
+
+def h264_decode_planes(payload: bytes):
+    """Decode an Annex-B H.264 access unit to uncropped (Y, Cb, Cr)
+    int64 planes plus the SPS crop window — the raw reconstruction a
+    conformant decoder produces. Single-frame form of
+    :func:`h264_decode_gop_planes` (a stand-alone sample: SPS + PPS +
+    one IDR access unit)."""
+    frames, crop = h264_decode_gop_planes(payload)
+    if len(frames) != 1:
         raise ValueError(
-            f"decoded {n_decoded} of {mbs_w * mbs_h} macroblocks")
-    return Y, Cb, Cr, sps["crop"]
+            f"expected one access unit, stream holds {len(frames)}")
+    Y, Cb, Cr = frames[0]
+    return Y, Cb, Cr, crop
 
 
-def h264_decode(payload: bytes) -> np.ndarray:
-    """Decode an Annex-B H.264 access unit to (h, w, 3) uint8 RGB.
-
-    Chroma (4:2:0) is upsampled by nearest-neighbour duplication and
-    converted with the same JFIF-style formulas the JPEG path uses; a
-    stream with neutral chroma (Cb=Cr=128) decodes to exact grey
-    R=G=B=Y, which is what the oracle family relies on."""
-    Y, Cb, Cr, crop = h264_decode_planes(payload)
+def _planes_to_rgb(Y, Cb, Cr, crop) -> np.ndarray:
     H, W = Y.shape
     cl, cr_, ct, cb_ = crop
     x0, x1 = 2 * cl, W - 2 * cr_
@@ -1181,8 +1262,242 @@ def h264_decode(payload: bytes) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
-def _decode_mb(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w):
+def h264_decode(payload: bytes) -> np.ndarray:
+    """Decode an Annex-B H.264 access unit to (h, w, 3) uint8 RGB.
+
+    Chroma (4:2:0) is upsampled by nearest-neighbour duplication and
+    converted with the same JFIF-style formulas the JPEG path uses; a
+    stream with neutral chroma (Cb=Cr=128) decodes to exact grey
+    R=G=B=Y, which is what the oracle family relies on."""
+    Y, Cb, Cr, crop = h264_decode_planes(payload)
+    return _planes_to_rgb(Y, Cb, Cr, crop)
+
+
+def h264_decode_gop(payload: bytes) -> list:
+    """Decode an Annex-B H.264 GOP (IDR + following P access units)
+    to a list of (h, w, 3) uint8 RGB frames."""
+    frames, crop = h264_decode_gop_planes(payload)
+    return [_planes_to_rgb(Y, Cb, Cr, crop) for Y, Cb, Cr in frames]
+
+
+# ---------------------------------------------------------------------------
+# inter prediction (r7: P slices — one reference, 16x16 partitions)
+# ---------------------------------------------------------------------------
+
+# coded_block_pattern mapping for Inter macroblocks (Table 9-4,
+# Inter column; the Intra column is _CBP_INTRA above)
+_CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+              14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43,
+              45, 46, 17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30,
+              22, 25, 38, 41]
+
+
+def _mc_luma(refY: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
+             size: int = 16) -> np.ndarray:
+    """Quarter-pel luma motion compensation (8.4.2.2.1): 6-tap
+    (1,-5,20,20,-5,1) half-pel filtering, bilinear quarter-pel
+    averaging, edge samples clamped (unrestricted MV padding)."""
+    H, W = refY.shape
+    ix, fx = x0 + (mvx >> 2), mvx & 3
+    iy, fy = y0 + (mvy >> 2), mvy & 3
+    ys = np.clip(np.arange(iy - 2, iy + size + 3), 0, H - 1)
+    xs = np.clip(np.arange(ix - 2, ix + size + 3), 0, W - 1)
+    w = refY[np.ix_(ys, xs)]                       # (size+5, size+5)
+    if fx == 0 and fy == 0:
+        return w[2:2 + size, 2:2 + size]
+
+    def tap6(a, axis):
+        sl = [slice(None)] * a.ndim
+
+        def part(i):
+            s = list(sl)
+            s[axis] = slice(i, i + a.shape[axis] - 5)
+            return a[tuple(s)]
+        return (part(0) - 5 * part(1) + 20 * part(2) + 20 * part(3)
+                - 5 * part(4) + part(5))
+
+    G = w[2:2 + size, 2:2 + size]
+    Hr = w[2:2 + size, 3:3 + size]                 # right integer
+    Md = w[3:3 + size, 2:2 + size]                 # below integer
+    b1 = tap6(w, 1)                                # (size+5, size)
+    b_full = np.clip((b1 + 16) >> 5, 0, 255)
+    b = b_full[2:2 + size]
+    s_ = b_full[3:3 + size]
+    h1 = tap6(w, 0)                                # (size, size+5)
+    h_full = np.clip((h1 + 16) >> 5, 0, 255)
+    hh = h_full[:, 2:2 + size]
+    m = h_full[:, 3:3 + size]
+    j = np.clip((tap6(b1, 0) + 512) >> 10, 0, 255)  # (size, size)
+
+    table = {
+        (1, 0): (G + b + 1) >> 1,
+        (2, 0): b,
+        (3, 0): (Hr + b + 1) >> 1,
+        (0, 1): (G + hh + 1) >> 1,
+        (0, 2): hh,
+        (0, 3): (Md + hh + 1) >> 1,
+        (1, 1): (b + hh + 1) >> 1,
+        (3, 1): (b + m + 1) >> 1,
+        (1, 3): (s_ + hh + 1) >> 1,
+        (3, 3): (s_ + m + 1) >> 1,
+        (2, 1): (b + j + 1) >> 1,
+        (2, 3): (s_ + j + 1) >> 1,
+        (1, 2): (hh + j + 1) >> 1,
+        (3, 2): (m + j + 1) >> 1,
+        (2, 2): j,
+    }
+    return table[(fx, fy)]
+
+
+def _mc_chroma(refC: np.ndarray, cx0: int, cy0: int, mvx: int,
+               mvy: int, size: int = 8) -> np.ndarray:
+    """Eighth-pel chroma bilinear interpolation (8.4.2.2.2); the
+    luma MV applies directly (chroma plane is half-resolution, so
+    quarter-pel luma units are eighth-pel chroma units)."""
+    H, W = refC.shape
+    ix, fx = cx0 + (mvx >> 3), mvx & 7
+    iy, fy = cy0 + (mvy >> 3), mvy & 7
+    ys = np.clip(np.arange(iy, iy + size + 1), 0, H - 1)
+    xs = np.clip(np.arange(ix, ix + size + 1), 0, W - 1)
+    w = refC[np.ix_(ys, xs)]                       # (size+1, size+1)
+    A = w[:size, :size]
+    B = w[:size, 1:]
+    C = w[1:, :size]
+    D = w[1:, 1:]
+    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+
+
+def _mv_neighbors(mv_map, mbx, mby, mbs_w):
+    """(A, B, C) 16x16 neighbour MVs: None = unavailable, (x, y) =
+    inter MV, 'intra' = available intra MB (ref −1, mv 0)."""
+    def get(x, y):
+        if x < 0 or y < 0 or x >= mbs_w:
+            return None
+        if (x, y) not in mv_map:
+            return None
+        v = mv_map[(x, y)]
+        return "intra" if v is None else v
+
+    a = get(mbx - 1, mby)
+    b = get(mbx, mby - 1)
+    c = get(mbx + 1, mby - 1)
+    if c is None:
+        c = get(mbx - 1, mby - 1)                  # D fallback
+    return a, b, c
+
+
+def _mv_pred_16x16(mv_map, mbx, mby, mbs_w):
+    """Median MV predictor for a 16x16 partition (8.4.1.3)."""
+    a, b, c = _mv_neighbors(mv_map, mbx, mby, mbs_w)
+    if b is None and c is None:
+        if a is None or a == "intra":
+            return 0, 0
+        return a
+    inter = [v for v in (a, b, c) if v not in (None, "intra")]
+    if len(inter) == 1:
+        return inter[0]
+    mvs = [(0, 0) if v in (None, "intra") else v for v in (a, b, c)]
+    xs = sorted(v[0] for v in mvs)
+    ys = sorted(v[1] for v in mvs)
+    return xs[1], ys[1]
+
+
+def _mv_pred_skip(mv_map, mbx, mby, mbs_w):
+    """P_Skip MV (8.4.1.1): zero when a 16x16 neighbour is missing or
+    is a zero-MV ref-0 block, else the median predictor."""
+    def get(x, y):
+        if x < 0 or y < 0 or x >= mbs_w:
+            return None
+        return mv_map.get((x, y), None) if (x, y) in mv_map else None
+
+    a = get(mbx - 1, mby)
+    b = get(mbx, mby - 1)
+    a_avail = mbx > 0 and (mbx - 1, mby) in mv_map
+    b_avail = mby > 0 and (mbx, mby - 1) in mv_map
+    if not a_avail or not b_avail:
+        return 0, 0
+    if a == (0, 0) or b == (0, 0):
+        return 0, 0
+    return _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
+
+
+def _mc_predict_mb(ref, mbx, mby, mvx, mvy):
+    predY = _mc_luma(ref[0], mbx * 16, mby * 16, mvx, mvy, 16)
+    predCb = _mc_chroma(ref[1], mbx * 8, mby * 8, mvx, mvy, 8)
+    predCr = _mc_chroma(ref[2], mbx * 8, mby * 8, mvx, mvy, 8)
+    return predY, predCb, predCr
+
+
+def _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map, mbx, mby,
+                      mbs_w):
+    mvx, mvy = _mv_pred_skip(mv_map, mbx, mby, mbs_w)
+    predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx, mvy)
+    Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = predY
+    Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCb
+    Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCr
+    states[(mbx, mby)] = _MBState()
+    mv_map[(mbx, mby)] = (mvx, mvy)
+
+
+def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
+                 mby, mbs_w):
     mb_type = br.ue()
+    if mb_type >= 5:                 # intra macroblock in a P slice
+        qp = _decode_mb_intra(br, mb_type - 5, qp, pps, Y, Cb, Cr,
+                              states, mbx, mby, mbs_w)
+        mv_map[(mbx, mby)] = None
+        return qp
+    if mb_type != 0:
+        raise NotImplementedError(
+            "P macroblock partitions 16x8/8x16/8x8 unsupported "
+            f"(mb_type {mb_type})")
+    mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
+    mvx = mvpx + br.se()
+    mvy = mvpy + br.se()
+    if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+        raise ValueError("implausible motion vector")
+    st = _MBState()
+    predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx, mvy)
+    cbp_code = br.ue()
+    if cbp_code > 47:
+        raise ValueError("invalid coded_block_pattern")
+    cbp = _CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = _apply_qp_delta(br, qp)
+    recon = predY.copy()
+    if cbp_luma:
+        for blk in range(16):
+            if not (cbp_luma >> (blk // 4)) & 1:
+                continue
+            nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+            coeffs = _decode_residual(br, nc, 16)   # 16-coeff inter blk
+            st.nnz_l[blk] = np.count_nonzero(coeffs)
+            d = np.zeros(16, dtype=np.int64)
+            d[_ZZ4] = coeffs
+            dq = _dequant_ac(d.reshape(4, 4), qp)
+            r = (_inv_transform_4x4(dq) + 32) >> 6
+            bx, by = _BLK_POS[blk]
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _clip255(
+                predY[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
+    Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = recon
+    cdc, cac = _decode_chroma_residual(br, states, mbx, mby, mbs_w,
+                                       cbp_chroma, st)
+    _recon_chroma_from_pred(Cb, Cr, predCb, predCr, mbx, mby, cdc,
+                            cac, qp, pps)
+    states[(mbx, mby)] = st
+    mv_map[(mbx, mby)] = (mvx, mvy)
+    return qp
+
+
+def _decode_mb(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w):
+    return _decode_mb_intra(br, br.ue(), qp, pps, Y, Cb, Cr, states,
+                            mbx, mby, mbs_w)
+
+
+def _decode_mb_intra(br, mb_type, qp, pps, Y, Cb, Cr, states, mbx,
+                     mby, mbs_w):
     st = _MBState()
     x0, y0 = mbx * 16, mby * 16
     if mb_type == 25:
@@ -1261,10 +1576,18 @@ def _decode_chroma_residual(br, states, mbx, mby, mbs_w, cbp_chroma, st):
 
 
 def _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, cdc, cac, qp, pps):
+    cx, cy = mbx * 8, mby * 8
+    preds = [_pred_chroma(p, cx, cy, chroma_mode) for p in (Cb, Cr)]
+    _recon_chroma_from_pred(Cb, Cr, preds[0], preds[1], mbx, mby,
+                            cdc, cac, qp, pps)
+
+
+def _recon_chroma_from_pred(Cb, Cr, pred_cb, pred_cr, mbx, mby, cdc,
+                            cac, qp, pps):
     qpc = _qpc_from_qp(qp, pps["chroma_qp_off"])
     cx, cy = mbx * 8, mby * 8
-    for ci, plane in enumerate((Cb, Cr)):
-        pred = _pred_chroma(plane, cx, cy, chroma_mode)
+    for ci, (plane, pred) in enumerate(((Cb, pred_cb),
+                                        (Cr, pred_cr))):
         dcs = _chroma_dc_dequant(
             cdc[ci].reshape(2, 2), qpc)
         recon = np.empty((8, 8), dtype=np.int64)
@@ -1819,6 +2142,95 @@ def _split_annexb_raw(payload: bytes):
         nal = payload[body:end]
         if nal:
             yield nal
+
+
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+
+
+def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
+                        qp: int = 30, frame_num: int = 1) -> bytes:
+    """Encode ONE P frame as an Annex-B non-IDR NAL (nal_ref_idc 2,
+    single slice, CAVLC) to append after an IDR access unit.
+
+    ``mb_specs`` is raster-order, one entry per MB:
+      * ``None``            — P_Skip (MV = the spec's skip predictor);
+      * ``(mvx, mvy)``      — P_L0_16x16, quarter-pel MV, no residual;
+      * ``(mvx, mvy, lv)``  — P_L0_16x16 with a luma residual: ``lv``
+        is a (16, 16) int array of per-4x4 CAVLC scan-order
+        coefficient LEVELS (inter blocks carry all 16 positions).
+
+    The encoder replicates the decoder's MV prediction (median /
+    skip rules) to derive mvd, and the CAVLC nC neighbour contexts
+    to pick coefficient tables — so any decoder divergence shows up
+    as a hard mismatch in tests rather than cancelling out."""
+    bw = _BitW()
+    bw.ue(0)                                 # first_mb_in_slice
+    bw.ue(0)                                 # slice_type: P
+    bw.ue(0)                                 # pps_id
+    bw.u(frame_num & 15, 4)                  # frame_num
+    bw.u(0, 1)                               # num_ref_idx_override
+    bw.u(0, 1)                               # ref_pic_list_modification
+    bw.u(0, 1)                               # adaptive_ref_pic_marking
+    bw.se(qp - 26)                           # slice_qp_delta
+    bw.ue(1)                                 # disable_deblocking
+    states: dict = {}
+    mv_map: dict = {}
+    skip_run = 0
+    for addr, spec in enumerate(mb_specs):
+        mbx, mby = addr % mbs_w, addr // mbs_w
+        if spec is None:
+            mv_map[(mbx, mby)] = _mv_pred_skip(mv_map, mbx, mby,
+                                               mbs_w)
+            states[(mbx, mby)] = _MBState()
+            skip_run += 1
+            continue
+        bw.ue(skip_run)
+        skip_run = 0
+        if spec[0] == "i16dc":
+            # intra macroblock inside the P slice: Intra_16x16 DC
+            # prediction, cbp 0/0, one luma DC level (mb_type 3+5)
+            st = _MBState()
+            st.intra16 = True
+            bw.ue(8)
+            bw.ue(0)                         # chroma pred DC
+            bw.se(0)                         # mb_qp_delta
+            dc_scan = np.zeros(16, dtype=np.int64)
+            dc_scan[0] = int(spec[1])
+            nc = _luma_nc(states, mbx, mby, mbs_w, 0)
+            _encode_residual(bw, dc_scan, nc, 16)
+            states[(mbx, mby)] = st
+            mv_map[(mbx, mby)] = None
+            continue
+        mvx, mvy = spec[0], spec[1]
+        levels = spec[2] if len(spec) > 2 else None
+        mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
+        bw.ue(0)                             # mb_type P_L0_16x16
+        bw.se(mvx - mvpx)
+        bw.se(mvy - mvpy)
+        st = _MBState()
+        if levels is None:
+            bw.ue(_CBP_INTER_INV[0])
+        else:
+            levels = np.asarray(levels, dtype=np.int64)
+            cbp_luma = 0
+            for blk in range(16):
+                if np.any(levels[blk]):
+                    cbp_luma |= 1 << (blk // 4)
+            bw.ue(_CBP_INTER_INV[cbp_luma])
+            if cbp_luma:
+                bw.se(0)                     # mb_qp_delta
+            for blk in range(16):
+                if not (cbp_luma >> (blk // 4)) & 1:
+                    continue
+                nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+                _encode_residual(bw, levels[blk], nc, 16)
+                st.nnz_l[blk] = np.count_nonzero(levels[blk])
+        states[(mbx, mby)] = st
+        mv_map[(mbx, mby)] = (mvx, mvy)
+    if skip_run:
+        bw.ue(skip_run)
+    bw.trailing()
+    return b"\x00\x00\x00\x01" + bytes([0x41]) + _escape(bw.bytes())
 
 
 def h264_avcc_config(annexb: bytes) -> bytes:

@@ -10,11 +10,14 @@ color-type/bit-depth combo — grey 1/2/4/8/16, RGB 8/16, palette
 every legal PNG decodes). Baseline JPEG joined in r5:
 huffman + 8x8 DCT are numpy-sized problems, so encode AND decode are
 real below (SOF0 + progressive SOF2 from r7, 4:4:4/4:2:0/4:2:2,
-restart markers; arithmetic / 12-bit raise). From r7, intra-only baseline H.264
-(Annex-B CAVLC IDR frames — h264.py) decodes for real too, both as a
-raw bitstream and as avc1 MP4 tracks (avcC record + length-prefixed
-samples, ISO/IEC 14496-15); only inter-coded H.264 and hev1 stay
-honestly stubbed — full video needs real codec libraries.
+restart markers; arithmetic / 12-bit raise). From r7, baseline H.264 (h264.py)
+decodes for real too: Annex-B CAVLC IDR frames — standalone or as
+avc1 MP4 tracks (avcC record + length-prefixed samples, ISO/IEC
+14496-15) — and GOPs with P slices (one reference, P_L0_16x16 /
+P_Skip / intra-in-P, quarter-pel motion compensation,
+h264_decode_gop). Out of scope, honestly: B slices, CABAC,
+sub-16x16 partitions, deblocking, and hev1 — full video needs real
+codec libraries.
 
 Also defines GSV1, a minimal documented frame container (magic +
 frame interval + length-prefixed BMP frames) so video frame-sampling

@@ -248,3 +248,197 @@ def test_non_idr_slice_rejected():
     mutated = ab[:i + 4] + bytes([(ab[i + 4] & 0xE0) | 1]) + ab[i + 5:]
     with pytest.raises(NotImplementedError):
         h.h264_decode_planes(mutated)
+
+
+# ---------------------------------------------------------------------------
+# r7: P slices (inter prediction, GOP decode)
+# ---------------------------------------------------------------------------
+
+
+def _ref_mc_luma(P, x0, y0, mvx, mvy, size=16):
+    """Independent scalar implementation of the 8.4.2.2.1 quarter-pel
+    interpolator (6-tap half-pel + bilinear quarter), used as the
+    oracle for the vectorized decoder path."""
+    ix, fx = x0 + (mvx >> 2), mvx & 3
+    iy, fy = y0 + (mvy >> 2), mvy & 3
+
+    def px(yy, xx):
+        return int(P[min(max(yy, 0), P.shape[0] - 1),
+                     min(max(xx, 0), P.shape[1] - 1)])
+
+    def b1(yy, xx):
+        return (px(yy, xx - 2) - 5 * px(yy, xx - 1) + 20 * px(yy, xx)
+                + 20 * px(yy, xx + 1) - 5 * px(yy, xx + 2)
+                + px(yy, xx + 3))
+
+    def h1(yy, xx):
+        return (px(yy - 2, xx) - 5 * px(yy - 1, xx) + 20 * px(yy, xx)
+                + 20 * px(yy + 1, xx) - 5 * px(yy + 2, xx)
+                + px(yy + 3, xx))
+
+    def clip(v):
+        return min(max(v, 0), 255)
+
+    out = np.zeros((size, size), dtype=np.int64)
+    for r in range(size):
+        for c in range(size):
+            yy, xx = iy + r, ix + c
+            G, Hr, Md = px(yy, xx), px(yy, xx + 1), px(yy + 1, xx)
+            b = clip((b1(yy, xx) + 16) >> 5)
+            hh_ = clip((h1(yy, xx) + 16) >> 5)
+            m = clip((h1(yy, xx + 1) + 16) >> 5)
+            s = clip((b1(yy + 1, xx) + 16) >> 5)
+            j1 = (b1(yy - 2, xx) - 5 * b1(yy - 1, xx)
+                  + 20 * b1(yy, xx) + 20 * b1(yy + 1, xx)
+                  - 5 * b1(yy + 2, xx) + b1(yy + 3, xx))
+            j = clip((j1 + 512) >> 10)
+            t = {(0, 0): G, (1, 0): (G + b + 1) >> 1, (2, 0): b,
+                 (3, 0): (Hr + b + 1) >> 1, (0, 1): (G + hh_ + 1) >> 1,
+                 (0, 2): hh_, (0, 3): (Md + hh_ + 1) >> 1,
+                 (1, 1): (b + hh_ + 1) >> 1, (3, 1): (b + m + 1) >> 1,
+                 (1, 3): (s + hh_ + 1) >> 1, (3, 3): (s + m + 1) >> 1,
+                 (2, 1): (b + j + 1) >> 1, (2, 3): (s + j + 1) >> 1,
+                 (1, 2): (hh_ + j + 1) >> 1, (3, 2): (m + j + 1) >> 1,
+                 (2, 2): j}
+            out[r, c] = t[(fx, fy)]
+    return out
+
+
+def test_p_mc_luma_all_16_subpel_positions():
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, mb_mode="i4")
+    Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+    for fx in range(4):
+        for fy in range(4):
+            mv = (4 + fx, -4 + fy)
+            got = h._mc_luma(Y0, 16, 16, mv[0], mv[1], 8)
+            want = _ref_mc_luma(Y0, 16, 16, mv[0], mv[1], 8)
+            assert np.array_equal(got, want), (fx, fy)
+
+
+def test_p_mc_chroma_bilinear():
+    rng = np.random.default_rng(8)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=20, cb=cb, cr=cr)
+    Cb0 = h.h264_decode_gop_planes(idr)[0][0][1]
+    for mv in [(1, 0), (3, 5), (-7, 2), (8, 4), (13, -11)]:
+        ix, fx = 8 + (mv[0] >> 3), mv[0] & 7
+        iy, fy = 8 + (mv[1] >> 3), mv[1] & 7
+        want = np.zeros((8, 8), dtype=np.int64)
+        for r in range(8):
+            for c in range(8):
+                def px(yy, xx):
+                    return int(Cb0[min(max(yy, 0), 15),
+                                   min(max(xx, 0), 31)])
+                A = px(iy + r, ix + c)
+                B = px(iy + r, ix + c + 1)
+                C = px(iy + r + 1, ix + c)
+                D = px(iy + r + 1, ix + c + 1)
+                want[r, c] = ((8 - fx) * (8 - fy) * A
+                              + fx * (8 - fy) * B + (8 - fx) * fy * C
+                              + fx * fy * D + 32) >> 6
+        got = h._mc_chroma(Cb0, 8, 8, mv[0], mv[1], 8)
+        assert np.array_equal(got, want), mv
+
+
+def test_p_frame_gop_decode_skip_mv_residual_intra():
+    """GOP semantics end to end: all-skip equals the previous frame;
+    integer MVs equal a numpy shift-with-clamp oracle (including the
+    encoder/decoder-replicated skip MV predictor); fractional MVs
+    equal the independent interpolator; inter residual levels land
+    via dequant+IDCT on top of MC; an intra-in-P macroblock DC-
+    predicts from reconstructed inter neighbours; a mid-GOP IDR
+    resets prediction; and a P slice with no reference is loud."""
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, mb_mode="i4")
+    Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+
+    # all-skip
+    p = h.h264_encode_p_frame([None] * 8, 4, 2)
+    frames = h.h264_decode_gop(idr + p)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], frames[1])
+
+    # mixed integer MVs + skips vs shift oracle
+    mvs = [(8, 4), None, (-4, 0), (0, 8), None, (4, -4), (12, 12),
+           (0, 0)]
+    p = h.h264_encode_p_frame(mvs, 4, 2, qp=30)
+    Y1 = h.h264_decode_gop_planes(idr + p)[0][1][0]
+    mv_map = {}
+    for addr, mv in enumerate(mvs):
+        mbx, mby = addr % 4, addr // 4
+        if mv is None:
+            mv = h._mv_pred_skip(mv_map, mbx, mby, 4)
+        mv_map[(mbx, mby)] = mv
+        ys = np.clip(np.arange(32) + (mv[1] // 4), 0, 31)
+        xs = np.clip(np.arange(64) + (mv[0] // 4), 0, 63)
+        want = Y0[np.ix_(ys, xs)][mby * 16:mby * 16 + 16,
+                                  mbx * 16:mbx * 16 + 16]
+        got = Y1[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16]
+        assert np.array_equal(got, want), (addr, mv)
+
+    # fractional MV end to end
+    p = h.h264_encode_p_frame([(5, 7)] * 8, 4, 2)
+    Y1 = h.h264_decode_gop_planes(idr + p)[0][1][0]
+    for addr in range(8):
+        mbx, mby = addr % 4, addr // 4
+        want = _ref_mc_luma(Y0, mbx * 16, mby * 16, 5, 7, 16)
+        assert np.array_equal(
+            Y1[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16],
+            want), addr
+
+    # inter residual levels on two 4x4 blocks of MB 0
+    lv = np.zeros((16, 16), dtype=np.int64)
+    lv[0, 0], lv[0, 1], lv[5, 0] = 3, -1, 2
+    p = h.h264_encode_p_frame([(0, 0, lv)] + [None] * 7, 4, 2,
+                                 qp=28)
+    Y1 = h.h264_decode_gop_planes(idr + p)[0][1][0]
+    for blk in (0, 5):
+        d = np.zeros(16, dtype=np.int64)
+        d[h._ZZ4] = lv[blk]
+        r = (h._inv_transform_4x4(
+            h._dequant_ac(d.reshape(4, 4), 28)) + 32) >> 6
+        bx, by = h._BLK_POS[blk]
+        want = np.clip(Y0[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r,
+                       0, 255)
+        assert np.array_equal(
+            Y1[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], want), blk
+    assert np.array_equal(Y1[8:16, 0:8], Y0[8:16, 0:8])
+
+    # intra-in-P: DC level c at qp 36 over reconstructed neighbours,
+    # chained P frames (P2 predicts from P1)
+    off = np.zeros((2, 4), dtype=np.int64)
+    off[0, 0] = 30
+    idr36 = h.h264_encode_flat_mbs(off, qp=36)
+    Yf = h.h264_decode_gop_planes(idr36)[0][0][0]
+    p1 = h.h264_encode_p_frame([(4, 0)] * 8, 4, 2, qp=36,
+                                  frame_num=1)
+    c = 13
+    p2 = h.h264_encode_p_frame([None, ("i16dc", c)] + [None] * 6,
+                                  4, 2, qp=36, frame_num=2)
+    frames, _ = h.h264_decode_gop_planes(idr36 + p1 + p2)
+    assert len(frames) == 3
+    Y1, Y2 = frames[1][0], frames[2][0]
+    xs = np.clip(np.arange(64) + 1, 0, 63)
+    assert np.array_equal(Y1, Yf[:, xs])
+    pred = (int(Y2[0:16, 15].sum()) + 8) >> 4
+    want = np.clip(pred + ((10 * c + 32) >> 6), 0, 255)
+    assert np.all(Y2[0:16, 16:32] == want)
+    assert np.array_equal(Y2[16:32, :], Y1[16:32, :])
+
+    # mid-GOP IDR resets prediction
+    frames, _ = h.h264_decode_gop_planes(idr36 + p1 + idr36 + p1)
+    assert np.array_equal(frames[2][0], Yf)
+    assert np.array_equal(frames[3][0], Y1)
+
+    # loud failures: P slice without a reference; P NAL standalone
+    import pytest as _pytest
+    head = idr36[:idr36.index(b"\x00\x00\x00\x01\x65")]
+    with _pytest.raises(ValueError, match="reference"):
+        h.h264_decode_gop_planes(head + p1)
+    with _pytest.raises(ValueError, match="one access unit"):
+        h.h264_decode(idr36 + p1)   # single-AU API stays one-frame
