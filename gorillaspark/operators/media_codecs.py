@@ -1635,9 +1635,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
 # The container is byte arithmetic: length-prefixed boxes, a sample
 # table (stsd/stts/stsc/stsz/stco) and an mdat blob. With 'jpeg'
 # (Motion-JPEG, a real QuickTime/MP4 sample format) entries the frame
-# DECODE path is real too, via jpeg_decode above. Compressed video
-# sample formats (avc1/hev1/...) demux fine but their frame decode
-# raises — bitstream codecs genuinely need libraries.
+# DECODE path is real too, via jpeg_decode above; avc1 entries (r7)
+# rebuild Annex-B from the avcC record and decode through h264.py.
+# Other compressed sample formats (hev1/...) demux fine but their
+# frame decode raises — those bitstream codecs genuinely need
+# libraries.
 
 
 def _box(tag: bytes, body: bytes) -> bytes:

@@ -128,10 +128,10 @@ def _native_feature(payload: bytes, dim: int) -> np.ndarray:
         out[6] = frames
     else:
         raise NotImplementedError(
-            "payload is not WAV/BMP/PNG/JPEG/GSV1; MP4/compressed "
-            "video needs codec libraries absent from this "
-            "environment — plug a real decoder into this branch on "
-            "a real cluster")
+            "payload is not WAV/FLAC/BMP/PNG/JPEG/GSV1/MP4; other "
+            "compressed formats need codec libraries absent from "
+            "this environment — plug a real decoder into this "
+            "branch on a real cluster")
     return out
 
 
