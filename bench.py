@@ -229,17 +229,46 @@ def main() -> None:
     timed("media_decode_jpeg", lambda: image_stats(media_j).count())
     timed("media_decode_flac", lambda: audio_stats(media_f).count())
 
+    line = build_output_line(queries, extras, sf_dir, cpus, n_turns)
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+    print(line)
+
+
+def build_output_line(queries: dict, extras: dict, sf_dir: str,
+                      cpus: int, n_turns: int) -> str:
+    """Assemble the driver-contract one-line JSON.
+
+    The line is read through a bounded tail capture (~2000 chars):
+    round 7 lost its bench of record when a degraded run flagged all
+    19 guarded queries and the full ``regressions`` array pushed the
+    line past the window. The line now carries only ``regression_count``
+    + the 3 worst entries; the complete list goes to
+    BENCH/regressions_last.json (overwritten per run — per-round
+    history is the driver's BENCH_r{N}.json copy). A hard backstop
+    re-serializes without the detail if the line would still exceed
+    1900 chars. tests/test_bench_contract.py pins the worst case.
+    """
     total = round(sum(queries.values()), 3)
     # budgets are calibrated at the driver's default sf0.1 corpus —
     # flagging a bigger SF against them would report scale, not
     # regression (the sf1 run carries 10x the sf-dependent data)
     at_default_sf = sf_dir.rstrip("/").endswith("sf0.1")
-    regressions = [
-        {"query": k, "sec": queries[k], "budget_sec": v,
-         "ratio": round(queries[k] / v, 2)}
-        for k, v in _BUDGET_S.items()
-        if at_default_sf and k in queries
-        and queries[k] > v * _BUDGET_HEADROOM]
+    regressions = sorted(
+        ({"query": k, "sec": queries[k], "budget_sec": v,
+          "ratio": round(queries[k] / v, 2)}
+         for k, v in _BUDGET_S.items()
+         if at_default_sf and k in queries
+         and queries[k] > v * _BUDGET_HEADROOM),
+        key=lambda r: -r["ratio"])
+    if regressions:
+        try:
+            os.makedirs("BENCH", exist_ok=True)
+            with open("BENCH/regressions_last.json", "w") as fh:
+                json.dump({"sf": sf_dir, "cpus": cpus,
+                           "regressions": regressions}, fh, indent=1)
+        except OSError:
+            pass  # read-only cwd: the top-3 on the line still tell
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "gorillaspark headline suite (codec+rollup+queries)",
@@ -250,12 +279,16 @@ def main() -> None:
         "cpus": cpus,
         "corpus_turns": n_turns,
         "protocol": "per query: 1 warm-up + median of 3 timed reps",
-        "regressions": regressions,
+        "regression_count": len(regressions),
+        "regressions": regressions[:3],
         **extras,
     }
-    shutil.rmtree(scratch, ignore_errors=True)
-    spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:  # hard backstop for the tail-capture window
+        out.pop("regressions", None)
+        out["protocol"] = "warmup+median3"
+        line = json.dumps(out)
+    return line
 
 
 if __name__ == "__main__":

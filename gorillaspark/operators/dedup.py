@@ -179,14 +179,19 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     64-bit hashes, not shingle strings.
     """
     rows_per_band = n_perm // n_bands
-    # hashed shingle relation feeds signatures, candidate verification
-    # and size lookups — cache it instead of re-exploding the corpus 4×
+    # ONE cached relation, the compact per-doc hash arrays. r7 cached
+    # the exploded (doc_id, h) relation TOO — double storage of every
+    # shingle hash, and the plan most sensitive to page-cache theft on
+    # a shared box (the unadjudicated 6.39x driver flag of BENCH_r07).
+    # The verify join re-derives the exploded form by exploding the
+    # cached arrays (no re-shingle / re-hash of the text), so the only
+    # pinned bytes are ~16B/hash in contiguous arrays.
     shh = (shingles(docs, n, text_col, id_col)
-           .select("doc_id", F.xxhash64("shingle").alias("h"))
-           .cache())
+           .select("doc_id", F.xxhash64("shingle").alias("h")))
     sets = shh.groupBy("doc_id").agg(
         F.collect_list("h").alias("hash_set"),
         F.count(F.lit(1)).alias("sz")).cache()
+    shx = sets.select("doc_id", F.explode("hash_set").alias("h"))
     mh = make_minhash_udf(n_perm)
     sigs = sets.select("doc_id", mh("hash_set").alias("sig"))
     bands = sigs.select(
@@ -207,9 +212,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
              .distinct())
     # exact verification of candidates only (hash-equality ∩ counts;
     # xxhash64 collisions are ~n²/2^64 — negligible at any real corpus)
-    sh_a = shh.select(F.col("doc_id").alias("doc_a"),
+    sh_a = shx.select(F.col("doc_id").alias("doc_a"),
                       F.col("h").alias("h_a"))
-    sh_b = shh.select(F.col("doc_id").alias("doc_b2"),
+    sh_b = shx.select(F.col("doc_id").alias("doc_b2"),
                       F.col("h").alias("h_b"))
     inter = (cands.join(sh_a, "doc_a")
              .join(sh_b, (F.col("doc_b") == F.col("doc_b2"))

@@ -168,7 +168,13 @@ def _escape(rbsp: bytes) -> bytes:
 
 
 def _split_annexb(payload: bytes):
-    """Yield (nal_unit_type, rbsp) for each Annex-B NAL unit."""
+    """Yield (nal_unit_type, nal_ref_idc, rbsp) per Annex-B NAL unit.
+
+    ref_idc matters for slice-header parsing: a non-reference slice
+    (nal_ref_idc == 0, legal for the last P of a GOP) carries no
+    dec_ref_pic_marking() — assuming ref_idc 3 for every slice would
+    misread a spurious adaptive_ref_pic_marking flag and shift
+    slice_qp_delta (r7 ADVICE item)."""
     i = 0
     n = len(payload)
     starts = []
@@ -192,7 +198,7 @@ def _split_annexb(payload: bytes):
             continue
         if nal[0] & 0x80:
             raise ValueError("forbidden_zero_bit set in NAL header")
-        yield nal[0] & 0x1F, _unescape(nal[1:])
+        yield nal[0] & 0x1F, (nal[0] >> 5) & 3, _unescape(nal[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -1134,13 +1140,15 @@ def h264_decode_gop_planes(payload: bytes):
     quarter-pel motion compensation)."""
     sps = pps = None
     slices = []
-    for nal_type, rbsp in _split_annexb(payload):
+    for nal_type, ref_idc, rbsp in _split_annexb(payload):
         if nal_type == 7:
             sps = _parse_sps(_Bits(rbsp))
         elif nal_type == 8:
             pps = _parse_pps(_Bits(rbsp))
         elif nal_type in (1, 5):
-            slices.append((rbsp, 3, nal_type == 5))
+            if nal_type == 5 and ref_idc == 0:
+                raise ValueError("IDR NAL with nal_ref_idc 0")
+            slices.append((rbsp, ref_idc, nal_type == 5))
         # SEI (6), AUD (9), filler (12): ignored
     if sps is None or pps is None or not slices:
         raise ValueError("stream lacks SPS, PPS or a coded slice")
@@ -1160,7 +1168,8 @@ def h264_decode_gop_planes(payload: bytes):
     W, H = mbs_w * 16, mbs_h * 16
     frames: list = []
     cur = None                       # (Y, Cb, Cr, states, mv_map)
-    ref = None                       # previous completed frame planes
+    cur_is_ref = True                # nal_ref_idc of the current frame
+    ref = None                       # previous completed REFERENCE frame
     n_decoded = 0
 
     def finish():
@@ -1171,7 +1180,8 @@ def h264_decode_gop_planes(payload: bytes):
             raise ValueError(
                 f"decoded {n_decoded} of {n_mbs} macroblocks")
         frames.append(cur[:3])
-        ref = cur[:3]
+        if cur_is_ref:  # non-reference frames never enter the DPB
+            ref = cur[:3]
         cur = None
 
     for rbsp, nal_ref_idc, is_idr in slices:
@@ -1183,6 +1193,7 @@ def h264_decode_gop_planes(payload: bytes):
                    np.full((H // 2, W // 2), 128, dtype=np.int64),
                    np.full((H // 2, W // 2), 128, dtype=np.int64),
                    {}, {})
+            cur_is_ref = nal_ref_idc != 0
             n_decoded = 0
         elif cur is None:
             raise ValueError("slice continues a frame never started")
@@ -2148,9 +2159,13 @@ _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
 
 
 def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
-                        qp: int = 30, frame_num: int = 1) -> bytes:
-    """Encode ONE P frame as an Annex-B non-IDR NAL (nal_ref_idc 2,
-    single slice, CAVLC) to append after an IDR access unit.
+                        qp: int = 30, frame_num: int = 1,
+                        ref_idc: int = 2) -> bytes:
+    """Encode ONE P frame as an Annex-B non-IDR NAL (nal_ref_idc
+    ``ref_idc``, single slice, CAVLC) to append after an IDR access
+    unit. ``ref_idc=0`` emits a non-reference slice — legal for the
+    last P of a GOP — whose header carries NO dec_ref_pic_marking()
+    and whose frame never enters the decoder's reference picture.
 
     ``mb_specs`` is raster-order, one entry per MB:
       * ``None``            — P_Skip (MV = the spec's skip predictor);
@@ -2170,7 +2185,8 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.u(frame_num & 15, 4)                  # frame_num
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_modification
-    bw.u(0, 1)                               # adaptive_ref_pic_marking
+    if ref_idc:
+        bw.u(0, 1)                           # adaptive_ref_pic_marking
     bw.se(qp - 26)                           # slice_qp_delta
     bw.ue(1)                                 # disable_deblocking
     states: dict = {}
@@ -2230,7 +2246,8 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     if skip_run:
         bw.ue(skip_run)
     bw.trailing()
-    return b"\x00\x00\x00\x01" + bytes([0x41]) + _escape(bw.bytes())
+    return (b"\x00\x00\x00\x01" + bytes([(ref_idc & 3) << 5 | 1])
+            + _escape(bw.bytes()))
 
 
 def h264_avcc_config(annexb: bytes) -> bytes:

@@ -217,6 +217,14 @@ def image_features(payload: bytes) -> dict:
         px = h264_rgb(payload).astype(np.int64)
     else:
         px = bmp_decode(payload).astype(np.int64)
+    return pixel_features(px)
+
+
+def pixel_features(px: np.ndarray) -> dict:
+    """:func:`image_features`'s stats core over already-decoded
+    (h, w, 3) integer RGB pixels — shared by the per-frame video path,
+    where a GOP decode yields pixel arrays, not encoded payloads."""
+    px = px.astype(np.int64, copy=False)
     h, w, _ = px.shape
     sums = px.sum(axis=(0, 1))
     lum = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
@@ -1867,6 +1875,36 @@ def mp4_sample_frames(payload: bytes, every_ms: int):
     for i, ts, s in mp4_frames(payload):
         if ts >= next_ts:
             yield i, ts, s
+            next_ts = (ts // every_ms + 1) * every_ms
+
+
+def mp4_sample_frame_features(payload: bytes, every_ms: int):
+    """Yield (frame_index, frame_ts_ms, image-feature dict) per
+    sampled frame of an MP4.
+
+    Motion-JPEG samples decode standalone; avc1 samples form a GOP —
+    P samples predict from earlier frames — so the avc1 path decodes
+    the sample sequence IN ORDER through h264.h264_decode_gop and
+    samples the decoded frames (a standalone decode of a P sample
+    raises 'P slice without a reference frame'; r7 ADVICE item)."""
+    d = mp4_demux(payload)
+    if d["fourcc"] == b"avc1":
+        from . import h264 as _h264
+        # each demuxed sample is already a full Annex-B access unit
+        # (SPS/PPS + slice NALs); their concatenation is the GOP
+        frames = _h264.h264_decode_gop(b"".join(d["samples"]))
+        if len(frames) != len(d["samples"]):
+            raise ValueError("avc1 sample count != decoded frame count")
+        next_ts = 0
+        for i, (ts, px) in enumerate(zip(d["sample_ts"], frames)):
+            if ts >= next_ts:
+                yield i, ts, pixel_features(px)
+                next_ts = (ts // every_ms + 1) * every_ms
+        return
+    next_ts = 0
+    for i, (ts, s) in enumerate(zip(d["sample_ts"], d["samples"])):
+        if ts >= next_ts:
+            yield i, ts, image_features(s)
             next_ts = (ts // every_ms + 1) * every_ms
 
 

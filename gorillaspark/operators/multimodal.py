@@ -257,9 +257,11 @@ def video_frame_stats(media: DataFrame, every_ms: int = 1000,
     """REAL demux + per-frame decode, sampled every ``every_ms``:
     one output row per sampled frame (1→N fan-out inside the Arrow
     batch — the distributed frame-extraction shape). Containers: GSV1
-    (BMP frames) and, from r5, real ISO-BMFF MP4 with Motion-JPEG
-    samples (media_codecs.mp4_demux + jpeg_decode — compressed video
-    fourccs demux but raise at frame decode).
+    (BMP frames); real ISO-BMFF MP4 with Motion-JPEG samples (r5); and
+    avc1 H.264 tracks (r8: sample sequences decode as GOPs via
+    h264_decode_gop, so P-frame samples predict from their references
+    instead of failing standalone). Unsupported fourccs raise at
+    frame decode.
     """
     cols = media.select(F.col(id_col).alias("media_id"),
                         F.col(payload_col).alias("payload"))
@@ -269,11 +271,15 @@ def video_frame_stats(media: DataFrame, every_ms: int = 1000,
             recs = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(p)
-                sampler = (mc.mp4_sample_frames
-                           if p[4:8] == b"ftyp"
-                           else mc.gsv1_sample_frames)
-                for idx, ts, bmp in sampler(p, every_ms):
-                    im = mc.image_features(bmp)
+                if p[4:8] == b"ftyp":
+                    # MP4: avc1 P samples need GOP-ordered decode —
+                    # the feature generator handles both fourccs
+                    frames = mc.mp4_sample_frame_features(p, every_ms)
+                else:
+                    frames = ((idx, ts, mc.image_features(bmp))
+                              for idx, ts, bmp
+                              in mc.gsv1_sample_frames(p, every_ms))
+                for idx, ts, im in frames:
                     recs.append({"media_id": mid, "frame_index": idx,
                                  "frame_ts_ms": ts, "width": im["width"],
                                  "height": im["height"],

@@ -21,6 +21,19 @@ from pyspark.sql import DataFrame
 _SPREAD_CACHE: dict = {}
 
 
+def invalidate() -> None:
+    """Drop every memoized widen decision.
+
+    The cache key (analyzed-plan semanticHash) does NOT change when
+    files are added to or rewritten under the same input path, so a
+    job that rewrites data in place mid-session — maintenance.
+    compact_sweep — calls this after a successful rewrite so the next
+    stage over that table re-evaluates its partitioning. A stale entry
+    is perf-only (a missed widening, or a needless round-robin
+    repartition), never a correctness issue."""
+    _SPREAD_CACHE.clear()
+
+
 def spread(df: DataFrame) -> DataFrame:
     if df.isStreaming:      # .rdd is illegal on a stream; micro-batch
         return df           # partitioning is the source's business
@@ -29,7 +42,9 @@ def spread(df: DataFrame) -> DataFrame:
     # .rdd.getNumPartitions() forces a full physical planning pass
     # (incl. file listing) — memoize the widen/no-widen decision per
     # analyzed plan so repeated stages over the same input plan only
-    # pay it once per process
+    # pay it once per process. Staleness under same-path file-set
+    # changes is accepted (perf-only); in-place rewrites go through
+    # invalidate() above.
     key = (df._jdf.queryExecution().analyzed().semanticHash(), target)
     widen = _SPREAD_CACHE.get(key)
     if widen is None:

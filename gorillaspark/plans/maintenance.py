@@ -104,4 +104,9 @@ def compact_sweep(spark: SparkSession, io, table: str = "blocks",
                                .collect()[0][0] or 0) * 8,
                 snapshot_id=snap.snapshot_id if snap else None,
                 wall_ms=max(int((time.time() - t0) * 1000), 1))
+    # the rewrite changed the table's file set in place — memoized
+    # spread() widen decisions keyed on the pre-rewrite plan are now
+    # stale (r7 ADVICE); force the next stage to re-evaluate
+    from ..operators.spread import invalidate as _spread_invalidate
+    _spread_invalidate()
     return n_frag

@@ -442,3 +442,77 @@ def test_p_frame_gop_decode_skip_mv_residual_intra():
         h.h264_decode_gop_planes(head + p1)
     with _pytest.raises(ValueError, match="one access unit"):
         h.h264_decode(idr36 + p1)   # single-AU API stays one-frame
+
+
+def test_non_reference_p_slice_ref_idc_zero():
+    """nal_ref_idc=0 slices (r8, r7 ADVICE): the header carries no
+    dec_ref_pic_marking() — parsing must use the NAL header's real
+    ref_idc, not an assumed 3 — and the decoded frame never becomes
+    the prediction reference for later P frames."""
+    rng = np.random.default_rng(21)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, mb_mode="i4")
+    Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+
+    # non-ref P shifts by +4 luma px; its header omits the marking
+    # flag — a decoder assuming ref_idc 3 would misread qp_delta
+    p_nonref = h.h264_encode_p_frame([(16, 0)] * 8, 4, 2,
+                                     frame_num=1, ref_idc=0)
+    frames, _ = h.h264_decode_gop_planes(idr + p_nonref)
+    assert len(frames) == 2
+    xs = np.clip(np.arange(64) + 4, 0, 63)
+    assert np.array_equal(frames[1][0], Y0[:, xs])
+
+    # a following all-skip REFERENCE P predicts from the IDR (the
+    # non-ref frame never entered the DPB), not from p_nonref
+    p_ref = h.h264_encode_p_frame([None] * 8, 4, 2, frame_num=1,
+                                  ref_idc=2)
+    frames, _ = h.h264_decode_gop_planes(idr + p_nonref + p_ref)
+    assert len(frames) == 3
+    assert np.array_equal(frames[2][0], Y0)
+    assert not np.array_equal(frames[2][0], frames[1][0])
+
+    # an IDR claiming ref_idc 0 is malformed and loud
+    import pytest as _pytest
+    bad = bytearray(idr)
+    i = bad.index(b"\x00\x00\x00\x01\x65")
+    bad[i + 4] = 0x05                       # ref_idc 0, type 5
+    with _pytest.raises(ValueError):
+        h.h264_decode_gop_planes(bytes(bad))
+
+
+def test_avc1_mp4_with_p_samples_decodes_as_gop():
+    """r8 (r7 ADVICE): an avc1 track whose later samples are P frames
+    is decodable end to end — the MP4 frame-feature path decodes the
+    sample sequence as a GOP instead of standalone (where a P sample
+    raises 'P slice without a reference frame')."""
+    offsets = np.array([[10, -5, 3, 2], [0, 7, -12, 1]])
+    idr = h.h264_encode_flat_mbs(offsets, qp=36)
+    p1 = h.h264_encode_p_frame([(4, 0)] * 8, 4, 2, frame_num=1)
+    p2 = h.h264_encode_p_frame([None] * 8, 4, 2, frame_num=2,
+                               ref_idc=0)
+    cfg = mc._box(b"avcC", h.h264_avcc_config(idr))
+    mp4 = mc.mp4_mux([h.h264_to_avcc_sample(s) for s in (idr, p1, p2)],
+                     frame_ms=500, fourcc=b"avc1",
+                     width=64, height=32, config=cfg)
+
+    want = [mc.pixel_features(f) for f in h.h264_decode_gop(idr + p1 + p2)]
+    got = list(mc.mp4_sample_frame_features(mp4, every_ms=1))
+    assert [(i, t) for i, t, _ in got] == [(0, 0), (1, 500), (2, 1000)]
+    assert [f for _, _, f in got] == want
+
+    # sampling skips the mid frame but still decodes it (P at ts=1000
+    # depends on it) — the sampled features match the full GOP decode
+    got2 = list(mc.mp4_sample_frame_features(mp4, every_ms=1000))
+    assert [(i, t) for i, t, _ in got2] == [(0, 0), (2, 1000)]
+    assert [f for _, _, f in got2] == [want[0], want[2]]
+
+    # MJPEG MP4s take the standalone path with identical sampling
+    yy, xx = np.mgrid[0:16, 0:32]
+    bi = (yy // 8) * 4 + (xx // 8)
+    frames = [mc.jpeg_encode(((k * 37 + bi * 17) % 256).astype(np.uint8),
+                             95) for k in range(3)]
+    mj = mc.mp4_mux(frames, frame_ms=500, width=32, height=16)
+    gotj = list(mc.mp4_sample_frame_features(mj, every_ms=1000))
+    assert [(i, t) for i, t, _ in gotj] == [(0, 0), (2, 1000)]
+    assert gotj[0][2] == mc.image_features(frames[0])

@@ -225,3 +225,34 @@ def test_shared_run_partial_resume_and_single_scan(spark, job_env,
                 plan
     finally:
         pts.unpersist()
+
+
+def test_compact_sweep_invalidates_spread_cache(spark, tmp_path):
+    """r8 (r7 ADVICE/VERDICT #7): an in-place rewrite changes the
+    table's file set without changing the analyzed plan's semanticHash,
+    so compact_sweep must drop the memoized spread() widen decisions —
+    the post-compaction stage re-evaluates its partitioning."""
+    from gorillaspark.operators import spread as sp
+    from gorillaspark.operators.encode import encode_points
+    from gorillaspark.plans.maintenance import compact_sweep
+
+    io = ParquetTableIO(spark, str(tmp_path / "wh"))
+    day0 = 1_700_000_000_000 - (1_700_000_000_000 % 86_400_000)
+    rows = [("s1", day0 + i * 60_000, float(i % 13) + 0.5)
+            for i in range(80)]
+    schema = "series_key string, ts_ms long, value double"
+    io.append("blocks", encode_points(
+        spark.createDataFrame(rows[:40], schema)), commit_key="b0")
+    io.append("blocks", encode_points(
+        spark.createDataFrame(rows[40:], schema)), commit_key="b1")
+
+    sp.invalidate()
+    sp.spread(io.read("blocks"))          # prime the memo
+    assert sp._SPREAD_CACHE
+    assert compact_sweep(spark, io, "blocks", job_id="mi") == 1
+    assert sp._SPREAD_CACHE == {}         # sweep dropped stale entries
+    sp.spread(io.read("blocks"))          # next stage re-evaluates
+    assert sp._SPREAD_CACHE
+    # a clean no-op sweep does not churn the cache
+    assert compact_sweep(spark, io, "blocks", job_id="mi") == 0
+    assert sp._SPREAD_CACHE

@@ -975,3 +975,35 @@ def test_jpeg_progressive_parity_and_restarts():
     # DC=34, quant=1: every pixel of both blocks is 34/8 scaled by the
     # IDCT DC gain (c0^2 * 34 = 34/8) + 128 -> round(132.25) = 132
     assert got.shape == (8, 16, 1) and np.all(got == 132), got[0, :4, 0]
+
+
+def test_video_frame_stats_avc1_p_sample_gop(spark):
+    """r8: the Spark frame-stats surface decodes avc1 tracks whose
+    later samples are P frames (GOP-ordered decode — r7 ADVICE flagged
+    that the standalone per-sample path raised 'P slice without a
+    reference frame' for any real avc1 GOP)."""
+    import numpy as np
+    from gorillaspark.operators import h264 as h
+    from gorillaspark.operators import media_codecs as mc
+    from gorillaspark.operators.multimodal import (MEDIA_SCHEMA,
+                                                   video_frame_stats)
+    offsets = np.array([[10, -5, 3, 2], [0, 7, -12, 1]])
+    idr = h.h264_encode_flat_mbs(offsets, qp=36)
+    p1 = h.h264_encode_p_frame([(4, 0)] * 8, 4, 2, frame_num=1)
+    p2 = h.h264_encode_p_frame([None] * 8, 4, 2, frame_num=2,
+                               ref_idc=0)
+    cfg = mc._box(b"avcC", h.h264_avcc_config(idr))
+    mp4 = mc.mp4_mux([h.h264_to_avcc_sample(s) for s in (idr, p1, p2)],
+                     frame_ms=500, fourcc=b"avc1",
+                     width=64, height=32, config=cfg)
+    media = spark.createDataFrame(
+        [(1, "video", "video/mp4", 64, 32, 1000, bytearray(mp4))],
+        MEDIA_SCHEMA)
+    got = video_frame_stats(media, every_ms=500).toPandas() \
+        .sort_values("frame_index")
+    want = [mc.pixel_features(f)
+            for f in h.h264_decode_gop(idr + p1 + p2)]
+    assert list(got.frame_index) == [0, 1, 2]
+    assert list(got.frame_ts_ms) == [0, 500, 1000]
+    assert list(got.ahash) == [w["ahash"] for w in want]
+    assert list(got.width) == [64] * 3 and list(got.height) == [32] * 3
