@@ -2827,11 +2827,12 @@ _EXTRA_NAMES = [
     # production-threshold near-dup: planner-sized banding + the
     # segmented mapInArrow verify) moves IN for first driver
     # evidence; the longest-green ANN sibling moves out:
-    # r7: media_jpeg_prog_stats starts in EXTRA (pytest oracle gate
-    # at sf0.001 via test_extra_oracles) — rotate it in-window in r8
-    # for driver evidence; three first-time rotations are already in
-    # this round's window (h264, stream_dedup, near_dup_sparse)
-    "media_jpeg_prog_stats",
+    # r8 rotation (VERDICT r7 #3): media_jpeg_prog_stats — the only
+    # registered query never in a CORRECTNESS window — moves IN for
+    # first driver evidence; lang_id (driver-green r3-r7, and the
+    # textstats family keeps doc_stats / doc_fingerprint /
+    # doc_trigram_lm in-window) takes its EXTRA slot:
+    "lang_id",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
