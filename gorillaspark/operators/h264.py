@@ -15,8 +15,14 @@ only — the constrained-baseline intra subset:
 * Integer inverse core transform, Intra_16x16 luma DC Hadamard and
   2x2 chroma DC transforms, LevelScale dequantisation.
 
-Out of scope, rejected loudly (NotImplementedError): CABAC, inter
-prediction (P/B slices), multiple slice groups, fields/MBAFF, 8x8
+CABAC entropy coding for I slices lives in the sibling module
+h264_cabac.py (r8); this module's encoder stays CAVLC and exposes
+the entropy-independent plan/emit split (_plan_mb_i16/_plan_mb_i4 +
+_emit_mb_cavlc) both entropy writers serialize from.
+
+Out of scope, rejected loudly (NotImplementedError): CABAC P/B
+slices, inter prediction beyond the CAVLC P-slice subset (B
+slices), multiple slice groups, fields/MBAFF, 8x8
 transform (High profile), monochrome / 4:2:2 / 4:4:4, scaling
 matrices, and in-loop deblocking — the encoder below always signals
 ``disable_deblocking_filter_idc = 1`` and the decoder refuses
@@ -982,8 +988,7 @@ def _parse_sps(br: _Bits) -> dict:
 def _parse_pps(br: _Bits) -> dict:
     pps_id = br.ue()
     sps_id = br.ue()
-    if br.flag():
-        raise NotImplementedError("CABAC entropy coding unsupported")
+    cabac = bool(br.flag())                  # entropy_coding_mode_flag
     bottom_field_poc = br.flag()
     if br.ue() != 0:
         raise NotImplementedError("multiple slice groups (FMO) unsupported")
@@ -998,8 +1003,8 @@ def _parse_pps(br: _Bits) -> dict:
     deblock_ctrl = br.flag()
     constrained_intra = br.flag()
     br.flag()                                 # redundant_pic_cnt_present
-    return {"pps_id": pps_id, "sps_id": sps_id, "init_qp": qp,
-            "chroma_qp_off": chroma_qp_off,
+    return {"pps_id": pps_id, "sps_id": sps_id, "cabac": cabac,
+            "init_qp": qp, "chroma_qp_off": chroma_qp_off,
             "deblock_ctrl": deblock_ctrl,
             "constrained_intra": constrained_intra,
             "bottom_field_poc": bottom_field_poc,
@@ -1037,6 +1042,10 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
         if br.flag():                         # ref_pic_list_mod_l0
             raise NotImplementedError(
                 "reference picture list modification unsupported")
+    if pps["cabac"] and st5 == 0:
+        raise NotImplementedError(
+            "CABAC P slices unsupported (intra-only CABAC decode)")
+        # (a conformant parse would read cabac_init_idc ue(v) here)
     if nal_ref_idc:
         if is_idr:
             br.flag()                         # no_output_of_prior_pics
@@ -1208,7 +1217,16 @@ def h264_decode_gop_planes(payload: bytes):
                 raise ValueError("slice overruns the frame's MB count")
             return addr % mbs_w, addr // mbs_w
 
-        if sh["slice_type"] == 2:                    # I slice
+        if sh["slice_type"] == 2 and pps["cabac"]:   # I slice, CABAC
+            from . import h264_cabac
+            n = h264_cabac.decode_islice_cabac(
+                br, qp, pps, Y, Cb, Cr, states, mbs_w, n_mbs, addr,
+                step)
+            for k in range(n):
+                mv_map[step(addr + k)] = None        # intra
+            n_decoded += n
+            addr += n
+        elif sh["slice_type"] == 2:                  # I slice, CAVLC
             while True:
                 mbx, mby = step(addr)
                 qp = _decode_mb(br, qp, pps, Y, Cb, Cr, states,
@@ -1542,6 +1560,17 @@ def _decode_mb_intra(br, mb_type, qp, pps, Y, Cb, Cr, states, mbx,
             ac[blk, 1:] = coeffs
     cdc, cac = _decode_chroma_residual(br, states, mbx, mby, mbs_w,
                                        cbp_chroma, st)
+    _recon_mb_i16(Y, Cb, Cr, mbx, mby, pred_mode, chroma_mode, qp,
+                  pps, dc_scan, ac, cdc, cac)
+    states[(mbx, mby)] = st
+    return qp
+
+
+def _recon_mb_i16(Y, Cb, Cr, mbx, mby, pred_mode, chroma_mode, qp,
+                  pps, dc_scan, ac, cdc, cac):
+    """Intra_16x16 reconstruction from parsed levels (8.3.3, 8.5) —
+    shared by the CAVLC parser above and h264_cabac's parser."""
+    x0, y0 = mbx * 16, mby * 16
     pred = _pred16(Y, x0, y0, pred_mode)
     dc16 = np.zeros(16, dtype=np.int64)
     dc16[_ZZ4] = dc_scan
@@ -1558,8 +1587,6 @@ def _decode_mb_intra(br, mb_type, qp, pps, Y, Cb, Cr, states, mbx,
             _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
     Y[y0:y0 + 16, x0:x0 + 16] = recon
     _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, cdc, cac, qp, pps)
-    states[(mbx, mby)] = st
-    return qp
 
 
 def _apply_qp_delta(br, qp):
@@ -1647,7 +1674,16 @@ def _decode_mb_i4(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w, st):
                 luma[blk] = coeffs
     cdc, cac = _decode_chroma_residual(br, states, mbx, mby, mbs_w,
                                        cbp_chroma, st)
-    # reconstruct block-by-block (later blocks predict from earlier)
+    _recon_mb_i4(Y, Cb, Cr, states, mbx, mby, mbs_w, modes, luma,
+                 chroma_mode, qp, pps, cdc, cac)
+    return qp
+
+
+def _recon_mb_i4(Y, Cb, Cr, states, mbx, mby, mbs_w, modes, luma,
+                 chroma_mode, qp, pps, cdc, cac):
+    """Intra_4x4 reconstruction from parsed levels — block-by-block
+    (later blocks predict from earlier); shared with h264_cabac."""
+    x0, y0 = mbx * 16, mby * 16
     for blk in range(16):
         bx, by = _BLK_POS[blk]
         px, py = x0 + bx * 4, y0 + by * 4
@@ -1661,7 +1697,6 @@ def _decode_mb_i4(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w, st):
         r = (_inv_transform_4x4(dq) + 32) >> 6
         Y[py:py + 4, px:px + 4] = _clip255(pred + r)
     _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, cdc, cac, qp, pps)
-    return qp
 
 
 def _i4_top_right_available(bx, by, mbx, mby, mbs_w, states) -> bool:
@@ -1757,11 +1792,11 @@ def _write_sps(mbs_w: int, mbs_h: int) -> bytes:
     return bw.bytes()
 
 
-def _write_pps() -> bytes:
+def _write_pps(cabac: bool = False) -> bytes:
     bw = _BitW()
     bw.ue(0)                                 # pps_id
     bw.ue(0)                                 # sps_id
-    bw.u(0, 1)                               # entropy_coding_mode: CAVLC
+    bw.u(1 if cabac else 0, 1)               # entropy_coding_mode
     bw.u(0, 1)                               # bottom_field_poc
     bw.ue(0)                                 # num_slice_groups_minus1
     bw.ue(0)                                 # num_ref_idx_l0
@@ -1833,13 +1868,15 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             if mb_mode == "i16":
-                _enc_mb_i16(bw, y, cbp, crp, Yr, Cbr, Crr, states,
-                            mbx, mby, mbs_w, qp)
+                sym = _plan_mb_i16(y, cbp, crp, Yr, Cbr, Crr, states,
+                                   mbx, mby, mbs_w, qp)
             elif mb_mode == "i4":
-                _enc_mb_i4(bw, y, cbp, crp, Yr, Cbr, Crr, states,
-                           mbx, mby, mbs_w, qp)
+                sym = _plan_mb_i4(y, cbp, crp, Yr, Cbr, Crr, states,
+                                  mbx, mby, mbs_w, qp)
             else:
                 raise ValueError(f"unknown mb_mode {mb_mode!r}")
+            _emit_mb_cavlc(bw, states, sym, mbx, mby, mbs_w)
+            states[(mbx, mby)] = sym["st"]
     bw.trailing()
     stream = _assemble(_write_sps(mbs_w, mbs_h), _write_pps(),
                        bw.bytes())
@@ -1862,23 +1899,23 @@ def h264_encoder_reconstruction(y, qp: int = 30, cb=None, cr=None,
     Cbr = np.full((H // 2, W // 2), 128, dtype=np.int64)
     Crr = np.full((H // 2, W // 2), 128, dtype=np.int64)
     states: dict = {}
-    bw = _BitW()
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             if mb_mode == "i16":
-                _enc_mb_i16(bw, y, cbp, crp, Yr, Cbr, Crr, states,
-                            mbx, mby, mbs_w, qp)
+                sym = _plan_mb_i16(y, cbp, crp, Yr, Cbr, Crr, states,
+                                   mbx, mby, mbs_w, qp)
             else:
-                _enc_mb_i4(bw, y, cbp, crp, Yr, Cbr, Crr, states,
-                           mbx, mby, mbs_w, qp)
+                sym = _plan_mb_i4(y, cbp, crp, Yr, Cbr, Crr, states,
+                                  mbx, mby, mbs_w, qp)
+            states[(mbx, mby)] = sym["st"]
     return Yr
 
 
-def _enc_chroma(bw_or_none, src_cb, src_cr, Cbr, Crr, states, mbx,
-                mby, mbs_w, qp, st, probe=False):
-    """Chroma encode for one MB (DC pred). Returns (cbp_chroma,
-    payload-writer closure, recon pair) — split so mb_type (which
-    encodes cbp for I16x16) can be written before the residual."""
+def _plan_chroma(src_cb, src_cr, Cbr, Crr, mbx, mby, qp, st):
+    """Chroma plan for one MB (DC pred): quantized DC/AC levels and
+    the CBP decision, entropy-layer independent. Updates the MB
+    state's chroma nnz (CAVLC context bookkeeping, mirrored by the
+    decoder) and reconstructs the chroma planes in place."""
     qpc = _qpc_from_qp(qp)
     cx, cy = mbx * 8, mby * 8
     plan = []
@@ -1905,42 +1942,78 @@ def _enc_chroma(bw_or_none, src_cb, src_cr, Cbr, Crr, states, mbx,
             any_dc = True
         if np.any(wac[:, 1:]):
             any_ac = True
-        plan.append((pred, qdc, wac))
+        plan.append((qdc, wac))
     cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
     cdc = np.zeros((2, 4), dtype=np.int64)
     cac = np.zeros((2, 4, 16), dtype=np.int64)
-    for ci, (pred, qdc, wac) in enumerate(plan):
+    for ci, (qdc, wac) in enumerate(plan):
         if cbp_chroma:
             # scan order of the 2x2 DC block: raster (0,0),(0,1),
             # (1,0),(1,1)
             cdc[ci] = qdc.reshape(4)
         if cbp_chroma == 2:
-            cac[ci, :, 1:] = wac[:, 1:15 + 1][:, 0:15] if False else \
-                wac[:, 1:16]
-
-    def write(bw, st):
-        if cbp_chroma:
-            for ci in range(2):
-                _encode_residual(bw, cdc[ci], -1, 4)
-        if cbp_chroma == 2:
-            for ci in range(2):
-                for blk in range(4):
-                    nc = _chroma_nc(states, mbx, mby, mbs_w, ci, blk)
-                    _encode_residual(bw, cac[ci, blk, 1:], nc, 15)
-                    st.nnz_c[ci][blk] = np.count_nonzero(
-                        cac[ci, blk, 1:])
-
-    def recon(pps_like):
-        _recon_chroma(Cbr, Crr, mbx, mby, 0, cdc, cac, qp,
-                      {"chroma_qp_off": 0})
-
-    return cbp_chroma, write, recon
+            cac[ci, :, 1:] = wac[:, 1:16]
+            st.nnz_c[ci] = np.count_nonzero(cac[ci, :, 1:], axis=1)
+    _recon_chroma(Cbr, Crr, mbx, mby, 0, cdc, cac, qp,
+                  {"chroma_qp_off": 0})
+    return cbp_chroma, cdc, cac
 
 
+def _emit_chroma_cavlc(bw, states, sym, mbx, mby, mbs_w):
+    if sym["cbp_chroma"]:
+        for ci in range(2):
+            _encode_residual(bw, sym["cdc"][ci], -1, 4)
+    if sym["cbp_chroma"] == 2:
+        for ci in range(2):
+            for blk in range(4):
+                nc = _chroma_nc(states, mbx, mby, mbs_w, ci, blk)
+                _encode_residual(bw, sym["cac"][ci, blk, 1:], nc, 15)
 
 
-def _enc_mb_i16(bw, y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx,
-                mby, mbs_w, qp):
+def _emit_mb_cavlc(bw, states, sym, mbx, mby, mbs_w):
+    """Serialize one planned MB with CAVLC — exactly the bit sequence
+    the pre-r8 inline encoder produced. The plan/emit split exists so
+    h264_cabac.py can serialize the SAME plans with CABAC."""
+    if sym["kind"] == "i16":
+        bw.ue(sym["mb_type"])
+        bw.ue(sym["chroma_mode"])
+        bw.se(sym["qp_delta"])
+        nc = _luma_nc(states, mbx, mby, mbs_w, 0)
+        _encode_residual(bw, sym["dc_scan"], nc, 16)
+        if sym["cbp_luma"]:
+            for blk in range(16):
+                nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+                _encode_residual(bw, sym["qac"][blk, 1:], nc, 15)
+    else:
+        bw.ue(0)                             # mb_type I_4x4
+        for blk in range(16):
+            pm = sym["pred_modes"][blk]
+            m = int(sym["modes"][blk])
+            if m == pm:
+                bw.u(1, 1)
+            else:
+                bw.u(0, 1)
+                bw.u(m if m < pm else m - 1, 3)
+        bw.ue(sym["chroma_mode"])
+        bw.ue(_CBP_INTRA_INV[sym["cbp_luma"] | (sym["cbp_chroma"] << 4)])
+        if sym["cbp_luma"] or sym["cbp_chroma"]:
+            bw.se(sym["qp_delta"])
+        if sym["cbp_luma"]:
+            for blk in range(16):
+                if sym["cbp_luma"] & (1 << (blk // 4)):
+                    nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+                    _encode_residual(bw, sym["qblocks"][blk], nc, 16)
+    _emit_chroma_cavlc(bw, states, sym, mbx, mby, mbs_w)
+
+
+
+
+def _plan_mb_i16(y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx, mby,
+                 mbs_w, qp):
+    """Plan one Intra_16x16 MB: mode decisions + quantized levels
+    (entropy-layer independent), reconstructing the planes in place
+    with the same integer path as the decoder. Does NOT add the MB
+    state to ``states`` — the caller does that after emitting."""
     st = _MBState()
     st.intra16 = True
     x0, y0 = mbx * 16, mby * 16
@@ -1964,21 +2037,11 @@ def _enc_mb_i16(bw, y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx,
     qdc4 = _quant_dc(_hadamard4(wdc), qp, shift_extra=-2)
     dc_scan = qdc4.reshape(16)[_ZZ4]
     cbp_luma = 15 if np.any(qac[:, 1:]) else 0
-    cbp_chroma, write_chroma, recon_chroma = _enc_chroma(
-        bw, src_cb, src_cr, Cbr, Crr, states, mbx, mby, mbs_w, qp,
-        st)
-    mb_type = 1 + 2 + 4 * cbp_chroma + (12 if cbp_luma else 0)
-    bw.ue(mb_type)
-    bw.ue(0)                                 # intra_chroma_pred_mode DC
-    bw.se(0)                                 # mb_qp_delta
-    nc = _luma_nc(states, mbx, mby, mbs_w, 0)
-    _encode_residual(bw, dc_scan, nc, 16)
     if cbp_luma:
-        for blk in range(16):
-            nc = _luma_nc(states, mbx, mby, mbs_w, blk)
-            _encode_residual(bw, qac[blk, 1:], nc, 15)
-            st.nnz_l[blk] = np.count_nonzero(qac[blk, 1:])
-    write_chroma(bw, st)
+        st.nnz_l[:] = np.count_nonzero(qac[:, 1:], axis=1)
+    cbp_chroma, cdc, cac = _plan_chroma(src_cb, src_cr, Cbr, Crr,
+                                        mbx, mby, qp, st)
+    mb_type = 1 + 2 + 4 * cbp_chroma + (12 if cbp_luma else 0)
     # reconstruction (same integer path as the decoder)
     dcs = _luma_dc_dequant(qdc4, qp)
     for blk in range(16):
@@ -1990,12 +2053,17 @@ def _enc_mb_i16(bw, y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx,
         r = (_inv_transform_4x4(dq) + 32) >> 6
         Yr[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
             _clip255(pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
-    recon_chroma(None)
-    states[(mbx, mby)] = st
+    return {"kind": "i16", "mb_type": mb_type, "chroma_mode": 0,
+            "qp_delta": 0, "qp": qp, "cbp_luma": cbp_luma,
+            "cbp_chroma": cbp_chroma, "dc_scan": dc_scan, "qac": qac,
+            "cdc": cdc, "cac": cac, "st": st}
 
 
-def _enc_mb_i4(bw, y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx,
-               mby, mbs_w, qp):
+def _plan_mb_i4(y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx, mby,
+                mbs_w, qp):
+    """Plan one Intra_4x4 MB (mode search + quantized levels),
+    reconstructing in place; entropy-layer independent twin of
+    :func:`_plan_mb_i16`."""
     st = _MBState()
     x0, y0 = mbx * 16, mby * 16
     modes = np.empty(16, dtype=np.int64)
@@ -2035,31 +2103,21 @@ def _enc_mb_i4(bw, y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx,
     for g in range(4):
         if np.any(qblocks[g * 4:(g + 1) * 4]):
             cbp_luma |= 1 << g
-    cbp_chroma, write_chroma, recon_chroma = _enc_chroma(
-        bw, src_cb, src_cr, Cbr, Crr, states, mbx, mby, mbs_w, qp,
-        st)
-    bw.ue(0)                                 # mb_type I_4x4
-    for blk in range(16):
-        pm = _predict_i4_mode(states, st, mbx, mby, mbs_w, blk)
-        m = int(modes[blk])
-        if m == pm:
-            bw.u(1, 1)
-        else:
-            bw.u(0, 1)
-            bw.u(m if m < pm else m - 1, 3)
-    bw.ue(0)                                 # intra_chroma_pred_mode DC
-    bw.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
-    if cbp_luma or cbp_chroma:
-        bw.se(0)                             # mb_qp_delta
     if cbp_luma:
         for blk in range(16):
             if cbp_luma & (1 << (blk // 4)):
-                nc = _luma_nc(states, mbx, mby, mbs_w, blk)
-                _encode_residual(bw, qblocks[blk], nc, 16)
                 st.nnz_l[blk] = np.count_nonzero(qblocks[blk])
-    write_chroma(bw, st)
-    recon_chroma(None)
-    states[(mbx, mby)] = st
+    cbp_chroma, cdc, cac = _plan_chroma(src_cb, src_cr, Cbr, Crr,
+                                        mbx, mby, qp, st)
+    # predicted modes read only earlier-in-scan same-MB blocks (the
+    # 4x4 Z-scan's left/top neighbours always precede), so computing
+    # them from the final mode array equals the progressive decode
+    pred_modes = [_predict_i4_mode(states, st, mbx, mby, mbs_w, blk)
+                  for blk in range(16)]
+    return {"kind": "i4", "modes": modes, "pred_modes": pred_modes,
+            "chroma_mode": 0, "qp_delta": 0, "qp": qp,
+            "cbp_luma": cbp_luma, "cbp_chroma": cbp_chroma,
+            "qblocks": qblocks, "cdc": cdc, "cac": cac, "st": st}
 
 
 def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36) -> bytes:
@@ -2101,6 +2159,19 @@ def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36) -> bytes:
     states: dict = {}
     bw = _BitW()
     _slice_header(bw, qp)
+    for mx, my, sym in _flat_mb_syms(offsets, qp):
+        _emit_mb_cavlc(bw, states, sym, mx, my, mbs_w)
+        states[(mx, my)] = sym["st"]
+    bw.trailing()
+    return _assemble(_write_sps(mbs_w, mbs_h), _write_pps(),
+                     bw.bytes())
+
+
+def _flat_mb_syms(offsets, qp):
+    """MB plans for the flat-macroblock oracle family (one luma DC
+    coefficient per Intra_16x16 MB, CBP 0/0) — shared by the CAVLC
+    writer above and h264_cabac's CABAC writer."""
+    mbs_h, mbs_w = offsets.shape
     for my in range(mbs_h):
         for mx in range(mbs_w):
             st = _MBState()
@@ -2111,17 +2182,15 @@ def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36) -> bytes:
             else:
                 c = -(-(64 * o - 32) // 10)          # ceil division
                 assert (10 * c + 32) >> 6 == o
-            bw.ue(3)                          # I_16x16, DC, cbp 0/0
-            bw.ue(0)                          # chroma pred DC
-            bw.se(0)                          # mb_qp_delta
             dc_scan = np.zeros(16, dtype=np.int64)
             dc_scan[0] = c
-            nc = _luma_nc(states, mx, my, mbs_w, 0)
-            _encode_residual(bw, dc_scan, nc, 16)
-            states[(mx, my)] = st
-    bw.trailing()
-    return _assemble(_write_sps(mbs_w, mbs_h), _write_pps(),
-                     bw.bytes())
+            yield mx, my, {
+                "kind": "i16", "mb_type": 3, "chroma_mode": 0,
+                "qp_delta": 0, "qp": qp, "cbp_luma": 0,
+                "cbp_chroma": 0, "dc_scan": dc_scan,
+                "qac": np.zeros((16, 16), dtype=np.int64),
+                "cdc": np.zeros((2, 4), dtype=np.int64),
+                "cac": np.zeros((2, 4, 16), dtype=np.int64), "st": st}
 
 
 # ---------------------------------------------------------------------------
