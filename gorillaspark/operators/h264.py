@@ -48,6 +48,14 @@ from __future__ import annotations
 
 import numpy as np
 
+# SEI user_data_unregistered UUID marking streams produced by
+# h264_cabac's writer. Our CABAC probability tables are regenerated
+# from the published design formulas rather than transcribed from the
+# spec's literal init tables (see h264_cabac.py), so only streams
+# carrying this marker are accepted for CABAC decode — a foreign CABAC
+# stream would desync and must be rejected loudly, never decoded wrong.
+_GS_CABAC_UUID = b"gorillaspark-cab"
+
 # ---------------------------------------------------------------------------
 # bit I/O over RBSP payloads
 # ---------------------------------------------------------------------------
@@ -1149,6 +1157,7 @@ def h264_decode_gop_planes(payload: bytes):
     quarter-pel motion compensation)."""
     sps = pps = None
     slices = []
+    cabac_marker = False
     for nal_type, ref_idc, rbsp in _split_annexb(payload):
         if nal_type == 7:
             sps = _parse_sps(_Bits(rbsp))
@@ -1158,7 +1167,10 @@ def h264_decode_gop_planes(payload: bytes):
             if nal_type == 5 and ref_idc == 0:
                 raise ValueError("IDR NAL with nal_ref_idc 0")
             slices.append((rbsp, ref_idc, nal_type == 5))
-        # SEI (6), AUD (9), filler (12): ignored
+        elif nal_type == 6:
+            # gorillaspark CABAC marker (see _GS_CABAC_UUID)
+            cabac_marker = cabac_marker or _GS_CABAC_UUID in rbsp
+        # other SEI (6), AUD (9), filler (12): ignored
     if sps is None or pps is None or not slices:
         raise ValueError("stream lacks SPS, PPS or a coded slice")
     mbs_w, mbs_h = sps["w_mbs"], sps["h_mbs"]
@@ -1218,6 +1230,13 @@ def h264_decode_gop_planes(payload: bytes):
             return addr % mbs_w, addr // mbs_w
 
         if sh["slice_type"] == 2 and pps["cabac"]:   # I slice, CABAC
+            if not cabac_marker:
+                raise NotImplementedError(
+                    "third-party CABAC stream unsupported: this "
+                    "decoder's probability tables are regenerated "
+                    "from the published design formulas, not the "
+                    "spec's literal init tables, so a foreign CABAC "
+                    "stream would desync (see h264_cabac.py)")
             from . import h264_cabac
             n = h264_cabac.decode_islice_cabac(
                 br, qp, pps, Y, Cb, Cr, states, mbs_w, n_mbs, addr,
@@ -1772,10 +1791,10 @@ def _quant_dc(w: np.ndarray, qp: int, shift_extra: int = 0) -> np.ndarray:
     return np.sign(w) * ((np.abs(w) * mf + 2 * f) >> (qbits + shift_extra))
 
 
-def _write_sps(mbs_w: int, mbs_h: int) -> bytes:
+def _write_sps(mbs_w: int, mbs_h: int, profile: int = 66) -> bytes:
     bw = _BitW()
-    bw.u(66, 8)                              # profile_idc: Baseline
-    bw.u(0b11000000, 8)                      # constraint_set0/1
+    bw.u(profile, 8)                         # 66 Baseline / 77 Main
+    bw.u(0b11000000 if profile == 66 else 0, 8)  # constraint_set0/1
     bw.u(20, 8)                              # level 2.0
     bw.ue(0)                                 # sps_id
     bw.ue(0)                                 # log2_max_frame_num_minus4
@@ -1825,11 +1844,20 @@ def _slice_header(bw: _BitW, qp: int):
     bw.ue(1)                                 # disable_deblocking_filter
 
 
-def _assemble(sps: bytes, pps: bytes, slice_rbsp: bytes) -> bytes:
+def _assemble(sps: bytes, pps: bytes, slice_rbsp: bytes,
+              sei: bytes | None = None) -> bytes:
     sc = b"\x00\x00\x00\x01"
-    return (sc + bytes([0x67]) + _escape(sps)
+    mid = sc + bytes([0x06]) + _escape(sei) if sei is not None else b""
+    return (sc + bytes([0x67]) + _escape(sps) + mid
             + sc + bytes([0x68]) + _escape(pps)
             + sc + bytes([0x65]) + _escape(slice_rbsp))
+
+
+def _gs_cabac_sei() -> bytes:
+    """SEI RBSP: user_data_unregistered (payloadType 5) carrying the
+    gorillaspark CABAC marker UUID (see _GS_CABAC_UUID)."""
+    payload = _GS_CABAC_UUID + b"ac-v1"
+    return bytes([5, len(payload)]) + payload + b"\x80"
 
 
 _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
@@ -1838,12 +1866,15 @@ _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
 def h264_encode(y: np.ndarray, qp: int = 30,
                 cb: np.ndarray | None = None,
                 cr: np.ndarray | None = None,
-                mb_mode: str = "i16") -> bytes:
+                mb_mode: str = "i16",
+                entropy: str = "cavlc") -> bytes:
     """Encode a (h, w) uint8 luma plane (h, w multiples of 16; cb/cr
     optional (h/2, w/2) planes, default neutral 128) as a one-slice
     Annex-B IDR access unit. ``mb_mode``: 'i16' (Intra_16x16 DC
     prediction, full AC residual) or 'i4' (Intra_4x4, per-block
-    SAD-chosen mode, full residual).
+    SAD-chosen mode, full residual). ``entropy``: 'cavlc' (baseline)
+    or 'cabac' (h264_cabac's writer — same plans, Main-profile SPS,
+    marker SEI; see that module for the interop contract).
 
     A real lossy encoder with the standard reconstruction loop: each
     MB predicts from the *reconstructed* neighbours, so
@@ -1863,8 +1894,15 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     Cbr = np.full((H // 2, W // 2), 128, dtype=np.int64)
     Crr = np.full((H // 2, W // 2), 128, dtype=np.int64)
     states: dict = {}
+    wr = None
+    if entropy == "cabac":
+        from . import h264_cabac
+        wr = h264_cabac.CabacSliceWriter(mbs_w)
+    elif entropy != "cavlc":
+        raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
     _slice_header(bw, qp)
+    n_mbs = mbs_w * mbs_h
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             if mb_mode == "i16":
@@ -1875,8 +1913,16 @@ def h264_encode(y: np.ndarray, qp: int = 30,
                                   mbx, mby, mbs_w, qp)
             else:
                 raise ValueError(f"unknown mb_mode {mb_mode!r}")
-            _emit_mb_cavlc(bw, states, sym, mbx, mby, mbs_w)
+            if wr is not None:
+                wr.emit(sym, mbx, mby)
+                wr.end_mb(mby * mbs_w + mbx == n_mbs - 1)
+            else:
+                _emit_mb_cavlc(bw, states, sym, mbx, mby, mbs_w)
             states[(mbx, mby)] = sym["st"]
+    if wr is not None:
+        return _assemble(_write_sps(mbs_w, mbs_h, profile=77),
+                         _write_pps(cabac=True), wr.rbsp(qp),
+                         sei=_gs_cabac_sei())
     bw.trailing()
     stream = _assemble(_write_sps(mbs_w, mbs_h), _write_pps(),
                        bw.bytes())
@@ -2120,7 +2166,8 @@ def _plan_mb_i4(y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx, mby,
             "qblocks": qblocks, "cdc": cdc, "cac": cac, "st": st}
 
 
-def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36) -> bytes:
+def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,
+                         entropy: str = "cavlc") -> bytes:
     """The ORACLE FAMILY: an IDR frame of Intra_16x16 DC-predicted
     macroblocks, each carrying a single luma DC coefficient chosen so
     the whole MB reconstructs to pred + offsets[my][mx] exactly —
@@ -2157,6 +2204,18 @@ def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36) -> bytes:
         raise ValueError("offsets would clip; oracle family requires "
                          "unclipped reconstruction")
     states: dict = {}
+    if entropy == "cabac":
+        from . import h264_cabac
+        wr = h264_cabac.CabacSliceWriter(mbs_w)
+        n_mbs = mbs_w * mbs_h
+        for mx, my, sym in _flat_mb_syms(offsets, qp):
+            wr.emit(sym, mx, my)
+            wr.end_mb(my * mbs_w + mx == n_mbs - 1)
+        return _assemble(_write_sps(mbs_w, mbs_h, profile=77),
+                         _write_pps(cabac=True), wr.rbsp(qp),
+                         sei=_gs_cabac_sei())
+    if entropy != "cavlc":
+        raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
     _slice_header(bw, qp)
     for mx, my, sym in _flat_mb_syms(offsets, qp):

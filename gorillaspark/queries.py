@@ -2420,18 +2420,21 @@ _MEDIA_FRAMES_SQL = """
 """
 
 
-def _synth_avc1_udf():
+def _synth_avc1_udf(entropy="cavlc"):
     """Per-doc avc1 MP4 — a REAL ISO/IEC 14496-15 track (avcC
     decoder-configuration record + 4-byte-length-prefixed sample
-    NALs) of intra-only baseline H.264 I-frames from the
-    flat-macroblock family (h264.h264_encode_flat_mbs): at QP=36 the
-    luma DC dequant chain is the exact integer map
-    offset(c) = (10*c + 32) >> 6, so each 16x16 Intra_16x16
-    DC-predicted macroblock reconstructs to the closed-form value
-    v = 20 + (doc*7 + k*37 + mx*13 + my*29) % 200 with neutral
-    chroma — a real CAVLC + intra-prediction decode whose statistics
-    a DuckDB oracle predicts analytically (the H.264 analogue of the
-    quantization-exact JPEG family)."""
+    NALs) of intra-only H.264 I-frames from the flat-macroblock
+    family (h264.h264_encode_flat_mbs): at QP=36 the luma DC dequant
+    chain is the exact integer map offset(c) = (10*c + 32) >> 6, so
+    each 16x16 Intra_16x16 DC-predicted macroblock reconstructs to
+    the closed-form value v = 20 + (doc*7 + k*37 + mx*13 + my*29)
+    % 200 with neutral chroma — a real entropy + intra-prediction
+    decode whose statistics a DuckDB oracle predicts analytically
+    (the H.264 analogue of the quantization-exact JPEG family).
+    ``entropy``: 'cavlc' (baseline profile) or 'cabac' (r8 — the
+    h264_cabac writer: Main-profile SPS, marker SEI in the samples,
+    §9.3 arithmetic decode on the read side; the pixel formula is
+    entropy-coder-independent, so the SAME oracle gates both)."""
     from .operators import media_codecs as mc
     from .operators import h264 as hh
 
@@ -2454,7 +2457,8 @@ def _synth_avc1_udf():
                         else:
                             pred = (v[my, mx - 1] + v[my - 1, mx] + 1) >> 1
                         off[my, mx] = v[my, mx] - pred
-                ab = hh.h264_encode_flat_mbs(off, qp=36)
+                ab = hh.h264_encode_flat_mbs(off, qp=36,
+                                             entropy=entropy)
                 if cfg is None:
                     cfg = mc._box(b"avcC", hh.h264_avcc_config(ab))
                 frames.append(hh.h264_to_avcc_sample(ab))
@@ -2494,6 +2498,25 @@ def q_media_h264_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_avc1_udf()(F.col("doc_id")).alias("payload"))
+    st = video_frame_stats(vid, every_ms=1000)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long").alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
+def q_media_h264_cabac_stats(spark, sf_dir):
+    """CABAC twin of media_h264_stats (r8): the same flat-macroblock
+    avc1 tracks re-coded with h264_cabac's §9.3 arithmetic coder
+    (Main-profile SPS, entropy_coding_mode=1 PPS, marker SEI), so the
+    read side exercises the CABAC engine, the I-slice binarizations
+    and the context machinery end to end — and because the pixel
+    formula is entropy-coder-independent, the IDENTICAL analytic
+    oracle gates it."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_avc1_udf(entropy="cabac")(F.col("doc_id"))
+                      .alias("payload"))
     st = video_frame_stats(vid, every_ms=1000)
     return st.select(F.col("media_id").alias("doc_id"),
                      F.col("frame_index").cast("long").alias("frame_index"),
@@ -2547,6 +2570,7 @@ QUERIES.update({
     "doc_trigram_lm_frozen": q_doc_trigram_lm_frozen,
     "media_frame_ahash": q_media_frame_ahash,
     "media_h264_stats": q_media_h264_stats,
+    "media_h264_cabac_stats": q_media_h264_cabac_stats,
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
 })
 ORACLES.update({
@@ -2560,6 +2584,7 @@ ORACLES.update({
     "doc_trigram_lm_frozen": _TRIGRAM_LM_FROZEN_SQL,
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
     "media_h264_stats": _MEDIA_H264_SQL,  # exact flat-MB H.264 family
+    "media_h264_cabac_stats": _MEDIA_H264_SQL,  # same pixels, CABAC
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
 })
 
@@ -2833,6 +2858,17 @@ _EXTRA_NAMES = [
     # textstats family keeps doc_stats / doc_fingerprint /
     # doc_trigram_lm in-window) takes its EXTRA slot:
     "lang_id",
+    # r8 second rotation: media_h264_cabac_stats (NEW — the §9.3
+    # CABAC entropy layer over the same exact flat-MB family, closing
+    # the r7 verdict ask #4) moves IN for first driver evidence; the
+    # longest-green video sibling moves out:
+    "media_frame_ahash",       # kept: media_mp4_stats and both
+                               #       media_h264* queries exercise
+                               #       the video_frame_stats/ahash
+                               #       machinery in-window; the GSV1
+                               #       decode path stays EXTRA-oracled
+                               #       + pytest-fuzzed; driver-green
+                               #       r5-r7
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =

@@ -1,0 +1,189 @@
+"""CABAC entropy layer (gorillaspark.operators.h264_cabac).
+
+Three levels of pinning:
+1. the arithmetic engine round-trips arbitrary bin sequences
+   (regular bins over every context, bypass, interleaved non-final
+   terminate bins) — the §9.3 M-coder state machine itself;
+2. full-stream round-trips: h264_encode(entropy='cabac') decodes to
+   EXACTLY the pixels of the CAVLC stream built from the same MB
+   plans (the entropy layer must be pixel-transparent);
+3. the flat-macroblock analytic oracle family decodes exactly, and
+   foreign/truncated CABAC is rejected loudly (the interop honesty
+   contract — see h264_cabac's module docstring).
+"""
+
+import numpy as np
+import pytest
+
+from gorillaspark.operators import h264 as hh
+from gorillaspark.operators import h264_cabac as hc
+
+
+def test_table_invariants():
+    # regenerated tables satisfy the engine invariants of the spec's
+    # Tables 9-44/9-45
+    assert len(hc._RANGE_LPS) == 64 and len(hc._TRANS_LPS) == 64
+    for s in range(64):
+        for r in range(4):
+            assert 2 <= hc._RANGE_LPS[s][r] <= 240
+    # near-equiprobable state subdivides near half of each cell
+    assert hc._RANGE_LPS[0] == [144, 176, 208, 240]
+    # LPS transitions move toward more-skewed-MPS states
+    for s in range(1, 63):
+        assert hc._TRANS_LPS[s] <= s
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_engine_roundtrip_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(30):
+        n = int(rng.integers(1, 500))
+        ops = []
+        for _ in range(n):
+            kind = int(rng.integers(0, 10))
+            if kind < 6:
+                ops.append(("r", int(rng.integers(0, hc.N_CTX)),
+                            int(rng.integers(0, 2))))
+            elif kind < 9:
+                ops.append(("b", int(rng.integers(0, 2))))
+            else:
+                ops.append(("t",))   # non-final terminate (bin 0)
+        enc, ctx = hc._CabacEnc(), hc._Ctx()
+        for op in ops:
+            if op[0] == "r":
+                enc.bit(ctx, op[1], op[2])
+            elif op[0] == "b":
+                enc.bypass(op[1])
+            else:
+                enc.terminate(0)
+        enc.terminate(1)
+        data = enc.bytes()
+        dec, ctx2 = hc._CabacDec(hh._Bits(data)), hc._Ctx()
+        for op in ops:
+            if op[0] == "r":
+                assert dec.bit(ctx2, op[1]) == op[2]
+            elif op[0] == "b":
+                assert dec.bypass() == op[1]
+            else:
+                assert dec.terminate() == 0
+        assert dec.terminate() == 1
+
+
+def test_skewed_bin_sequences_compress_and_roundtrip():
+    # long MPS runs drive the state to 62 and stress renormalisation
+    enc, ctx = hc._CabacEnc(), hc._Ctx()
+    bins = [0] * 2000 + [1] + [0] * 2000
+    for b in bins:
+        enc.bit(ctx, 100, b)
+    enc.terminate(1)
+    data = enc.bytes()
+    assert len(data) < 120           # ~4000 skewed bins compress hard
+    dec, ctx2 = hc._CabacDec(hh._Bits(data)), hc._Ctx()
+    for b in bins:
+        assert dec.bit(ctx2, 100) == b
+    assert dec.terminate() == 1
+
+
+def _rand_planes(rng, h, w, smooth=False):
+    if smooth:
+        base = rng.integers(40, 200, size=(h // 8, w // 8))
+        y = np.repeat(np.repeat(base, 8, 0), 8, 1)
+        y = (y + rng.integers(-6, 7, size=(h, w))).clip(0, 255)
+    else:
+        y = rng.integers(0, 256, size=(h, w))
+    cb = rng.integers(0, 256, size=(h // 2, w // 2))
+    cr = rng.integers(0, 256, size=(h // 2, w // 2))
+    return (y.astype(np.uint8), cb.astype(np.uint8),
+            cr.astype(np.uint8))
+
+
+@pytest.mark.parametrize("mode", ["i16", "i4"])
+@pytest.mark.parametrize("qp", [22, 30, 38])
+def test_cabac_stream_matches_cavlc_pixels(mode, qp):
+    rng = np.random.default_rng(qp * 7 + (mode == "i4"))
+    y, cb, cr = _rand_planes(rng, 48, 64, smooth=(qp == 30))
+    cavlc = hh.h264_encode(y, qp=qp, cb=cb, cr=cr, mb_mode=mode)
+    cabac = hh.h264_encode(y, qp=qp, cb=cb, cr=cr, mb_mode=mode,
+                           entropy="cabac")
+    np.testing.assert_array_equal(hh.h264_decode(cavlc),
+                                  hh.h264_decode(cabac))
+    # and both equal the encoder's own reconstruction (luma)
+    Y, _, _, _ = hh.h264_decode_planes(cabac)
+    np.testing.assert_array_equal(
+        Y, hh.h264_encoder_reconstruction(y, qp=qp, cb=cb, cr=cr,
+                                          mb_mode=mode))
+
+
+def test_flat_mbs_cabac_exact():
+    # the analytic oracle family, CABAC-coded: decode must land the
+    # closed-form macroblock values exactly
+    rng = np.random.default_rng(11)
+    off = rng.integers(-10, 11, size=(2, 4))
+    off[0, 0] = abs(off[0, 0])
+    stream = hh.h264_encode_flat_mbs(off, qp=36, entropy="cabac")
+    Y, Cb, Cr, crop = hh.h264_decode_planes(stream)
+    v = np.zeros((2, 4), dtype=np.int64)
+    for my in range(2):
+        for mx in range(4):
+            if mx == 0 and my == 0:
+                pred = 128
+            elif my == 0:
+                pred = v[my, mx - 1]
+            elif mx == 0:
+                pred = v[my - 1, mx]
+            else:
+                pred = (v[my, mx - 1] + v[my - 1, mx] + 1) >> 1
+            v[my, mx] = pred + off[my, mx]
+    for my in range(2):
+        for mx in range(4):
+            blk = Y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16]
+            assert (blk == v[my, mx]).all()
+    assert (Cb == 128).all() and (Cr == 128).all()
+    # identical pixels to the CAVLC twin of the same family
+    cavlc = hh.h264_encode_flat_mbs(off, qp=36)
+    np.testing.assert_array_equal(hh.h264_decode(cavlc),
+                                  hh.h264_decode(stream))
+
+
+def test_foreign_cabac_rejected_loudly():
+    # strip the gorillaspark SEI marker: the stream must be REFUSED,
+    # not misdecoded (our tables are regenerated, not the spec's)
+    off = np.full((1, 2), 5, dtype=np.int64)
+    stream = hh.h264_encode_flat_mbs(off, qp=36, entropy="cabac")
+    sc = b"\x00\x00\x00\x01"
+    nals = [sc + n for n in hh._split_annexb_raw(stream)
+            if (n[0] & 0x1F) != 6]
+    foreign = b"".join(nals)
+    with pytest.raises(NotImplementedError, match="third-party"):
+        hh.h264_decode(foreign)
+
+
+def test_cabac_p_slice_rejected():
+    # PPS with entropy_coding_mode=1 + a P slice header must reject
+    # in the header parse (before any entropy decode is attempted)
+    p = hh.h264_encode_p_frame([None], 1, 1, qp=30)
+    sc = b"\x00\x00\x00\x01"
+    stream = (sc + bytes([0x67]) + hh._escape(hh._write_sps(1, 1, 77))
+              + sc + bytes([0x06]) + hh._escape(hh._gs_cabac_sei())
+              + sc + bytes([0x68])
+              + hh._escape(hh._write_pps(cabac=True)) + p)
+    with pytest.raises(NotImplementedError, match="CABAC P slices"):
+        hh.h264_decode_gop(stream)
+
+
+def test_truncated_cabac_raises():
+    rng = np.random.default_rng(3)
+    y, cb, cr = _rand_planes(rng, 32, 32)
+    stream = hh.h264_encode(y, qp=26, cb=cb, cr=cr, entropy="cabac")
+    with pytest.raises((ValueError, NotImplementedError)):
+        hh.h264_decode(stream[:len(stream) // 2])
+
+
+def test_cabac_stream_parses_as_main_profile():
+    y = np.full((16, 32), 77, np.uint8)
+    stream = hh.h264_encode(y, qp=30, entropy="cabac")
+    for nal_type, _ref, rbsp in hh._split_annexb(stream):
+        if nal_type == 7:
+            assert rbsp[0] == 77  # Main (CABAC is not Baseline)
+        if nal_type == 8:
+            assert hh._parse_pps(hh._Bits(rbsp))["cabac"]
