@@ -15,14 +15,13 @@ only — the constrained-baseline intra subset:
 * Integer inverse core transform, Intra_16x16 luma DC Hadamard and
   2x2 chroma DC transforms, LevelScale dequantisation.
 
-CABAC entropy coding for I slices lives in the sibling module
-h264_cabac.py (r8); this module's encoder stays CAVLC and exposes
+CABAC entropy coding (I and P slices, r8) lives in the sibling
+module h264_cabac.py; this module's encoder stays CAVLC and exposes
 the entropy-independent plan/emit split (_plan_mb_i16/_plan_mb_i4 +
 _emit_mb_cavlc) both entropy writers serialize from.
 
-Out of scope, rejected loudly (NotImplementedError): CABAC P/B
-slices, inter prediction beyond the CAVLC P-slice subset (B
-slices), multiple slice groups, fields/MBAFF, 8x8
+Out of scope, rejected loudly (NotImplementedError): B slices,
+multiple slice groups, fields/MBAFF, 8x8
 transform (High profile), monochrome / 4:2:2 / 4:4:4, scaling
 matrices, and in-loop deblocking — the encoder below always signals
 ``disable_deblocking_filter_idc = 1`` and the decoder refuses
@@ -1050,10 +1049,6 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
         if br.flag():                         # ref_pic_list_mod_l0
             raise NotImplementedError(
                 "reference picture list modification unsupported")
-    if pps["cabac"] and st5 == 0:
-        raise NotImplementedError(
-            "CABAC P slices unsupported (intra-only CABAC decode)")
-        # (a conformant parse would read cabac_init_idc ue(v) here)
     if nal_ref_idc:
         if is_idr:
             br.flag()                         # no_output_of_prior_pics
@@ -1061,6 +1056,12 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
         elif br.flag():                       # adaptive_ref_pic_marking
             raise NotImplementedError(
                 "adaptive reference picture marking unsupported")
+    if pps["cabac"] and st5 == 0:
+        # cabac_init_idc: selects among the spec's three init-table
+        # columns; our contexts init uniformly (see h264_cabac), so
+        # any legal value decodes identically — parse and bound it
+        if br.ue() > 2:
+            raise ValueError("cabac_init_idc out of range")
     qp = pps["init_qp"] + br.se()
     if pps["deblock_ctrl"]:
         if br.ue() != 1:
@@ -1229,7 +1230,7 @@ def h264_decode_gop_planes(payload: bytes):
                 raise ValueError("slice overruns the frame's MB count")
             return addr % mbs_w, addr // mbs_w
 
-        if sh["slice_type"] == 2 and pps["cabac"]:   # I slice, CABAC
+        if pps["cabac"]:
             if not cabac_marker:
                 raise NotImplementedError(
                     "third-party CABAC stream unsupported: this "
@@ -1238,11 +1239,16 @@ def h264_decode_gop_planes(payload: bytes):
                     "spec's literal init tables, so a foreign CABAC "
                     "stream would desync (see h264_cabac.py)")
             from . import h264_cabac
-            n = h264_cabac.decode_islice_cabac(
-                br, qp, pps, Y, Cb, Cr, states, mbs_w, n_mbs, addr,
-                step)
-            for k in range(n):
-                mv_map[step(addr + k)] = None        # intra
+            if sh["slice_type"] == 2:                # I slice, CABAC
+                n = h264_cabac.decode_islice_cabac(
+                    br, qp, pps, Y, Cb, Cr, states, mbs_w, n_mbs,
+                    addr, step)
+                for k in range(n):
+                    mv_map[step(addr + k)] = None    # intra
+            else:                                    # P slice, CABAC
+                n = h264_cabac.decode_pslice_cabac(
+                    br, qp, pps, ref, Y, Cb, Cr, states, mv_map,
+                    mbs_w, n_mbs, addr, step)
             n_decoded += n
             addr += n
         elif sh["slice_type"] == 2:                  # I slice, CAVLC
@@ -2288,7 +2294,8 @@ _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
 
 def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         qp: int = 30, frame_num: int = 1,
-                        ref_idc: int = 2) -> bytes:
+                        ref_idc: int = 2,
+                        entropy: str = "cavlc") -> bytes:
     """Encode ONE P frame as an Annex-B non-IDR NAL (nal_ref_idc
     ``ref_idc``, single slice, CAVLC) to append after an IDR access
     unit. ``ref_idc=0`` emits a non-reference slice — legal for the
@@ -2305,7 +2312,18 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     The encoder replicates the decoder's MV prediction (median /
     skip rules) to derive mvd, and the CAVLC nC neighbour contexts
     to pick coefficient tables — so any decoder divergence shows up
-    as a hard mismatch in tests rather than cancelling out."""
+    as a hard mismatch in tests rather than cancelling out.
+
+    ``entropy='cabac'`` (r8) serializes the same mb_specs with
+    h264_cabac's writer (the frame must follow an IDR encoded with
+    entropy='cabac', sharing its CABAC PPS and marker SEI)."""
+    if entropy == "cabac":
+        from . import h264_cabac
+        return h264_cabac.encode_p_frame_cabac(mb_specs, mbs_w,
+                                               mbs_h, qp, frame_num,
+                                               ref_idc)
+    if entropy != "cavlc":
+        raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
     bw.ue(0)                                 # first_mb_in_slice
     bw.ue(0)                                 # slice_type: P

@@ -1,18 +1,23 @@
-"""CABAC entropy coding for H.264 I slices (Rec. ITU-T H.264 §9.3).
+"""CABAC entropy coding for H.264 I and P slices (Rec. H.264 §9.3).
 
 Closes the r7 verdict's remaining media-entropy ask: most real-world
 MP4s carry CABAC, and until r8 any ``entropy_coding_mode_flag = 1``
 PPS was rejected outright. This module implements the CABAC coding
 layer — the binary arithmetic engine (§9.3.3.2 decode / §9.3.4
 encode, M-coder with 64 probability states and 4 range cells), the
-I-slice macroblock-layer binarizations (mb_type, intra pred modes,
+macroblock-layer binarizations (mb_type, intra pred modes,
 coded_block_pattern, mb_qp_delta, coded_block_flag, significance
-map, UEG0 levels, end_of_slice terminate bins) and the context
-bookkeeping — and serializes the SAME entropy-independent macroblock
-plans h264.py's CAVLC writer emits (``_plan_mb_i16`` /
-``_plan_mb_i4`` / ``_flat_mb_syms``), reconstructing through the
-SAME shared pixel path (``_recon_mb_i16`` / ``_recon_mb_i4``), so
-the analytic flat-macroblock oracle family gates it end to end.
+map, UEG0 levels, end_of_slice terminate bins; P slices:
+mb_skip_flag, the P_L0_16x16 prefix and UEG3 mvd with
+neighbour-|mvd| contexts) and the context bookkeeping — and
+serializes the SAME entropy-independent macroblock plans h264.py's
+CAVLC writer emits (``_plan_mb_i16`` / ``_plan_mb_i4`` /
+``_flat_mb_syms`` / the P-frame mb_specs), reconstructing through
+the SAME shared pixel path (``_recon_mb_i16`` / ``_recon_mb_i4`` /
+the inter MC+residual chain), so the analytic flat-macroblock
+oracle family and the CAVLC/CABAC pixel-parity tests gate it end to
+end. P coverage matches the CAVLC subset: P_Skip / P_L0_16x16 /
+intra-in-P, one reference.
 
 Honesty contract — a deviation in the spec's DATA, not its STRUCTURE
 (this sandbox has no network, no H.264 binaries and no conformance
@@ -66,7 +71,8 @@ from __future__ import annotations
 import numpy as np
 
 from .h264 import (_Bits, _BitW, _BLK_POS, _MBState, _slice_header,
-                   _predict_i4_mode, _recon_mb_i16, _recon_mb_i4)
+                   _mv_pred_16x16, _mv_pred_skip, _predict_i4_mode,
+                   _recon_mb_i16, _recon_mb_i4)
 
 # ---------------------------------------------------------------------------
 # probability model tables — regenerated from the published design
@@ -105,6 +111,11 @@ assert all(0 <= _TRANS_LPS[s] <= max(s, 1) for s in range(63))
 # ---------------------------------------------------------------------------
 
 _MB_TYPE_I = 3      # bin0: 3..5 (neighbour inc); suffix bins 6..10
+_SKIP_P = 11        # mb_skip_flag (P): + condA + condB
+_MB_TYPE_P = 14     # P prefix bins: 14 (P-vs-intra), 15, 16
+_MB_TYPE_PI = 17    # intra mb_type suffix inside P slices: 17..22
+_MVD_X = 40         # mvd_l0 x: bin0 40..42 (nbr |mvd| inc), 43..46
+_MVD_Y = 47         # mvd_l0 y: same shape
 _QP_DELTA = 60      # bin0: 60/61; bin1: 62; rest: 63
 _CHROMA_MODE = 64   # bin0: 64..66; rest: 67
 _PREV_I4 = 68
@@ -122,7 +133,9 @@ _ABS_CAT = [0, 10, 20, 30, 39]
 N_CTX = 276
 
 # the allocation blocks must not overlap
-_blocks = [(_MB_TYPE_I, 11), (_QP_DELTA, 4), (_CHROMA_MODE, 4),
+_blocks = [(_MB_TYPE_I, 8), (_SKIP_P, 3), (_MB_TYPE_P, 3),
+           (_MB_TYPE_PI, 6), (_MVD_X, 7), (_MVD_Y, 7),
+           (_QP_DELTA, 4), (_CHROMA_MODE, 4),
            (_PREV_I4, 1), (_REM_I4, 1), (_CBP_LUMA, 4),
            (_CBP_CHROMA, 8), (_CBF, 20), (_SIG, 61), (_LAST, 61),
            (_ABS, 49)]
@@ -318,7 +331,7 @@ class _CabacDec:
 
 class _Rec:
     __slots__ = ("nxn", "cm", "cbp_l", "cbp_c", "qpd", "dcY", "acY",
-                 "dcC", "acC")
+                 "dcC", "acC", "skip", "intra", "mvd")
 
     def __init__(self):
         self.nxn = False
@@ -330,6 +343,9 @@ class _Rec:
         self.acY = [0] * 16          # per luma 4x4 block cbf
         self.dcC = [0, 0]
         self.acC = [[0] * 4, [0] * 4]
+        self.skip = False            # P slices: mb_skip_flag
+        self.intra = True            # inter MBs set False
+        self.mvd = (0, 0)            # coded |mvd| components (P)
 
 
 def _nb(recs, mbx, mby, dx, dy, mbs_w):
@@ -449,6 +465,91 @@ def _lvl_ctx(cat: int, binidx: int, n_eq1: int, n_gt1: int) -> int:
     else:
         inc = 5 + min(4, n_gt1)
     return base + inc
+
+
+def _skip_inc(recs, mbx, mby, mbs_w) -> int:
+    inc = 0
+    for dx, dy in ((-1, 0), (0, -1)):
+        r = _nb(recs, mbx, mby, dx, dy, mbs_w)
+        if r is not None and not r.skip:
+            inc += 1
+    return inc
+
+
+def _mvd_ctx0(recs, mbx, mby, mbs_w, comp: int) -> int:
+    e = 0
+    for dx, dy in ((-1, 0), (0, -1)):
+        r = _nb(recs, mbx, mby, dx, dy, mbs_w)
+        if r is not None:
+            e += r.mvd[comp]
+    base = _MVD_X if comp == 0 else _MVD_Y
+    return base + (0 if e < 3 else (1 if e <= 32 else 2))
+
+
+def _code_mvd(x, ctx, recs, mbx, mby, mbs_w, comp: int, v=None):
+    """One mvd_l0 component: UEG3 binarization (TU prefix, uCoff 9,
+    neighbour-|mvd| bin0 context) + EG3 bypass suffix + bypass sign.
+    Encode when ``v`` given, else decode and return the value."""
+    base = _MVD_X if comp == 0 else _MVD_Y
+    b0 = _mvd_ctx0(recs, mbx, mby, mbs_w, comp)
+
+    def bctx(i):
+        return b0 if i == 0 else base + 3 + min(i - 1, 3)
+
+    if v is None:                    # decode
+        a = 0
+        while a < 9 and x.bit(ctx, bctx(a)):
+            a += 1
+        if a == 9:
+            s = 0
+            k = 3
+            while x.bypass():
+                s += 1 << k
+                k += 1
+                if k > 30:
+                    raise ValueError("mvd suffix overflows")
+            while k:
+                k -= 1
+                s += x.bypass() << k
+            a = 9 + s
+        if a == 0:
+            return 0
+        return -a if x.bypass() else a
+    a = abs(v)
+    pref = min(a, 9)
+    for i in range(pref):
+        x.bit(ctx, bctx(i), 1)
+    if pref < 9:
+        x.bit(ctx, bctx(pref), 0)
+    else:                            # EG3 suffix
+        s = a - 9
+        k = 3
+        while s >= (1 << k):
+            x.bypass(1)
+            s -= 1 << k
+            k += 1
+        x.bypass(0)
+        while k:
+            k -= 1
+            x.bypass((s >> k) & 1)
+    if a:
+        x.bypass(1 if v < 0 else 0)
+    return v
+
+
+def _i16dc_sym(c: int) -> dict:
+    """The one-DC-coefficient Intra_16x16 plan (mb_type 3, CBP 0/0)
+    used by intra-in-P macroblocks — the CABAC twin of the inline
+    'i16dc' emit in h264.h264_encode_p_frame."""
+    dc_scan = np.zeros(16, dtype=np.int64)
+    dc_scan[0] = c
+    st = _MBState()
+    st.intra16 = True
+    return {"kind": "i16", "mb_type": 3, "chroma_mode": 0,
+            "qp_delta": 0, "cbp_luma": 0, "cbp_chroma": 0,
+            "dc_scan": dc_scan, "qac": np.zeros((16, 16), np.int64),
+            "cdc": np.zeros((2, 4), np.int64),
+            "cac": np.zeros((2, 4, 16), np.int64), "st": st}
 
 
 # ---------------------------------------------------------------------------
@@ -588,113 +689,128 @@ def _code_chroma_mode(x, ctx, recs, mbx, mby, mbs_w, mode=None):
 
 class CabacSliceWriter:
     """Serializes h264.py's entropy-independent MB plans (the ``sym``
-    dicts of _plan_mb_i16/_plan_mb_i4/_flat_mb_syms) as one CABAC I
-    slice. Usage: emit() per MB in raster order, end_mb(last) after
-    each, then rbsp(qp) for the full slice RBSP."""
+    dicts of _plan_mb_i16/_plan_mb_i4/_flat_mb_syms) as one CABAC
+    slice. I slices: emit() per MB in raster order; P slices (r8):
+    emit_p() with h264_encode_p_frame's mb_spec format. end_mb(last)
+    after each MB, then rbsp(qp) / rbsp_from_header(bw) for the full
+    slice RBSP."""
 
     def __init__(self, mbs_w: int):
         self.mbs_w = mbs_w
         self.enc = _CabacEnc()
         self.ctx = _Ctx()
         self.recs: dict = {}
+        self.mv_map: dict = {}       # P slices: encoder's MV replica
         self.prev_qpd = 0
         self.done = False
 
-    def emit(self, sym: dict, mbx: int, mby: int):
-        if self.done:
-            raise ValueError("slice already terminated")
-        enc, ctx, recs, mbs_w = self.enc, self.ctx, self.recs, self.mbs_w
-        cur = _Rec()
-        inc = _mbtype_inc(recs, mbx, mby, mbs_w)
-        if sym["kind"] == "i16":
-            mb_type = sym["mb_type"]
-            pred = (mb_type - 1) % 4
-            enc.bit(ctx, _MB_TYPE_I + inc, 1)
-            enc.terminate(0)         # not I_PCM
-            enc.bit(ctx, _MB_TYPE_I + 3, 1 if sym["cbp_luma"] else 0)
-            cbp_c = sym["cbp_chroma"]
-            enc.bit(ctx, _MB_TYPE_I + 4, 1 if cbp_c else 0)
-            if cbp_c:
-                enc.bit(ctx, _MB_TYPE_I + 5, 1 if cbp_c == 2 else 0)
-            enc.bit(ctx, _MB_TYPE_I + 6, (pred >> 1) & 1)
-            enc.bit(ctx, _MB_TYPE_I + 7, pred & 1)
-            cur.cbp_l = sym["cbp_luma"]
-            cur.cbp_c = cbp_c
-            cur.cm = sym["chroma_mode"]
-            _code_chroma_mode(enc, ctx, recs, mbx, mby, mbs_w,
-                              mode=cur.cm)
-            cur.qpd = sym["qp_delta"]
-            _code_qp_delta(enc, ctx, self.prev_qpd != 0, delta=cur.qpd)
-            self.prev_qpd = cur.qpd
-            # luma DC (cat 0)
-            dc = sym["dc_scan"]
-            cbf = 1 if np.any(dc) else 0
-            a, b = _cbf_dc_luma_nb(recs, mbx, mby, mbs_w)
-            enc.bit(ctx, _cbf_ctx(0, a, b), cbf)
-            cur.dcY = cbf
-            if cbf:
-                _enc_residual(enc, ctx, 0, dc)
-            # luma AC (cat 1)
-            if sym["cbp_luma"]:
-                qac = sym["qac"]
-                for blk in range(16):
-                    lv = qac[blk, 1:]
-                    cbf = 1 if np.any(lv) else 0
-                    a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
-                                            mbs_w)
-                    enc.bit(ctx, _cbf_ctx(1, a, b), cbf)
-                    cur.acY[blk] = cbf
-                    if cbf:
-                        _enc_residual(enc, ctx, 1, lv)
-        else:                        # I_NxN
-            enc.bit(ctx, _MB_TYPE_I + inc, 0)
-            cur.nxn = True
+    # -- shared bodies (everything after the mb_type bins) ----------
+
+    def _emit_i16_mbtype_suffix(self, sym: dict, base: int):
+        """The 5 mb_type suffix bins of an Intra_16x16 MB (cbp luma,
+        cbp chroma x2, pred mode x2) at context block ``base``."""
+        enc, ctx = self.enc, self.ctx
+        pred = (sym["mb_type"] - 1) % 4
+        cbp_c = sym["cbp_chroma"]
+        enc.bit(ctx, base, 1 if sym["cbp_luma"] else 0)
+        enc.bit(ctx, base + 1, 1 if cbp_c else 0)
+        if cbp_c:
+            enc.bit(ctx, base + 2, 1 if cbp_c == 2 else 0)
+        enc.bit(ctx, base + 3, (pred >> 1) & 1)
+        enc.bit(ctx, base + 4, pred & 1)
+
+    def _emit_i16_rest(self, sym: dict, mbx: int, mby: int, cur):
+        enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
+                                 self.mbs_w)
+        cur.cbp_l = sym["cbp_luma"]
+        cur.cbp_c = sym["cbp_chroma"]
+        cur.cm = sym["chroma_mode"]
+        _code_chroma_mode(enc, ctx, recs, mbx, mby, mbs_w,
+                          mode=cur.cm)
+        cur.qpd = sym["qp_delta"]
+        _code_qp_delta(enc, ctx, self.prev_qpd != 0, delta=cur.qpd)
+        self.prev_qpd = cur.qpd
+        # luma DC (cat 0)
+        dc = sym["dc_scan"]
+        cbf = 1 if np.any(dc) else 0
+        a, b = _cbf_dc_luma_nb(recs, mbx, mby, mbs_w)
+        enc.bit(ctx, _cbf_ctx(0, a, b), cbf)
+        cur.dcY = cbf
+        if cbf:
+            _enc_residual(enc, ctx, 0, dc)
+        # luma AC (cat 1)
+        if sym["cbp_luma"]:
+            qac = sym["qac"]
             for blk in range(16):
-                pm = sym["pred_modes"][blk]
-                mo = int(sym["modes"][blk])
-                if mo == pm:
-                    enc.bit(ctx, _PREV_I4, 1)
-                else:
-                    enc.bit(ctx, _PREV_I4, 0)
-                    rem = mo if mo < pm else mo - 1
-                    for i in (2, 1, 0):
-                        enc.bit(ctx, _REM_I4, (rem >> i) & 1)
-            cur.cm = sym["chroma_mode"]
-            _code_chroma_mode(enc, ctx, recs, mbx, mby, mbs_w,
-                              mode=cur.cm)
-            cbp_l, cbp_c = sym["cbp_luma"], sym["cbp_chroma"]
-            for b8 in range(4):
-                cx = _cbp_luma_ctx(recs, mbx, mby, mbs_w, b8,
-                                   cbp_l & ((1 << b8) - 1))
-                enc.bit(ctx, cx, (cbp_l >> b8) & 1)
-            enc.bit(ctx, _cbp_chroma_ctx(recs, mbx, mby, mbs_w, 0),
-                    1 if cbp_c else 0)
-            if cbp_c:
-                enc.bit(ctx, _cbp_chroma_ctx(recs, mbx, mby, mbs_w, 1),
-                        1 if cbp_c == 2 else 0)
-            cur.cbp_l, cur.cbp_c = cbp_l, cbp_c
-            if cbp_l or cbp_c:
-                cur.qpd = sym["qp_delta"]
-                _code_qp_delta(enc, ctx, self.prev_qpd != 0,
-                               delta=cur.qpd)
-                self.prev_qpd = cur.qpd
+                lv = qac[blk, 1:]
+                cbf = 1 if np.any(lv) else 0
+                a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
+                                        mbs_w)
+                enc.bit(ctx, _cbf_ctx(1, a, b), cbf)
+                cur.acY[blk] = cbf
+                if cbf:
+                    _enc_residual(enc, ctx, 1, lv)
+        self._emit_chroma(sym, mbx, mby, cur)
+
+    def _emit_i4_rest(self, sym: dict, mbx: int, mby: int, cur):
+        enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
+                                 self.mbs_w)
+        cur.nxn = True
+        for blk in range(16):
+            pm = sym["pred_modes"][blk]
+            mo = int(sym["modes"][blk])
+            if mo == pm:
+                enc.bit(ctx, _PREV_I4, 1)
             else:
-                self.prev_qpd = 0    # inferred delta counts as 0
-            # luma 4x4 (cat 2)
-            if cbp_l:
-                qb = sym["qblocks"]
-                for blk in range(16):
-                    if not (cbp_l >> (blk // 4)) & 1:
-                        continue
-                    lv = qb[blk]
-                    cbf = 1 if np.any(lv) else 0
-                    a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
-                                            mbs_w)
-                    enc.bit(ctx, _cbf_ctx(2, a, b), cbf)
-                    cur.acY[blk] = cbf
-                    if cbf:
-                        _enc_residual(enc, ctx, 2, lv)
-        # chroma residuals (cats 3/4), shared by both MB kinds
+                enc.bit(ctx, _PREV_I4, 0)
+                rem = mo if mo < pm else mo - 1
+                for i in (2, 1, 0):
+                    enc.bit(ctx, _REM_I4, (rem >> i) & 1)
+        cur.cm = sym["chroma_mode"]
+        _code_chroma_mode(enc, ctx, recs, mbx, mby, mbs_w,
+                          mode=cur.cm)
+        cbp_l, cbp_c = sym["cbp_luma"], sym["cbp_chroma"]
+        self._emit_cbp(cbp_l, cbp_c, mbx, mby)
+        cur.cbp_l, cur.cbp_c = cbp_l, cbp_c
+        if cbp_l or cbp_c:
+            cur.qpd = sym["qp_delta"]
+            _code_qp_delta(enc, ctx, self.prev_qpd != 0,
+                           delta=cur.qpd)
+            self.prev_qpd = cur.qpd
+        else:
+            self.prev_qpd = 0        # inferred delta counts as 0
+        # luma 4x4 (cat 2)
+        if cbp_l:
+            qb = sym["qblocks"]
+            for blk in range(16):
+                if not (cbp_l >> (blk // 4)) & 1:
+                    continue
+                lv = qb[blk]
+                cbf = 1 if np.any(lv) else 0
+                a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
+                                        mbs_w)
+                enc.bit(ctx, _cbf_ctx(2, a, b), cbf)
+                cur.acY[blk] = cbf
+                if cbf:
+                    _enc_residual(enc, ctx, 2, lv)
+        self._emit_chroma(sym, mbx, mby, cur)
+
+    def _emit_cbp(self, cbp_l: int, cbp_c: int, mbx: int, mby: int):
+        enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
+                                 self.mbs_w)
+        for b8 in range(4):
+            cx = _cbp_luma_ctx(recs, mbx, mby, mbs_w, b8,
+                               cbp_l & ((1 << b8) - 1))
+            enc.bit(ctx, cx, (cbp_l >> b8) & 1)
+        enc.bit(ctx, _cbp_chroma_ctx(recs, mbx, mby, mbs_w, 0),
+                1 if cbp_c else 0)
+        if cbp_c:
+            enc.bit(ctx, _cbp_chroma_ctx(recs, mbx, mby, mbs_w, 1),
+                    1 if cbp_c == 2 else 0)
+
+    def _emit_chroma(self, sym: dict, mbx: int, mby: int, cur):
+        enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
+                                 self.mbs_w)
         cbp_c = cur.cbp_c
         if cbp_c:
             for ci in range(2):
@@ -716,6 +832,94 @@ class CabacSliceWriter:
                     cur.acC[ci][blk] = cbf
                     if cbf:
                         _enc_residual(enc, ctx, 4, lv)
+
+    # -- I slice -----------------------------------------------------
+
+    def emit(self, sym: dict, mbx: int, mby: int):
+        if self.done:
+            raise ValueError("slice already terminated")
+        enc, ctx, recs = self.enc, self.ctx, self.recs
+        cur = _Rec()
+        inc = _mbtype_inc(recs, mbx, mby, self.mbs_w)
+        if sym["kind"] == "i16":
+            enc.bit(ctx, _MB_TYPE_I + inc, 1)
+            enc.terminate(0)         # not I_PCM
+            self._emit_i16_mbtype_suffix(sym, _MB_TYPE_I + 3)
+            self._emit_i16_rest(sym, mbx, mby, cur)
+        else:                        # I_NxN
+            enc.bit(ctx, _MB_TYPE_I + inc, 0)
+            self._emit_i4_rest(sym, mbx, mby, cur)
+        recs[(mbx, mby)] = cur
+
+    # -- P slice (r8) --------------------------------------------------
+
+    def emit_p(self, spec, mbx: int, mby: int):
+        """One P-slice MB in h264_encode_p_frame's mb_spec format:
+        None (P_Skip), (mvx, mvy[, levels]) (P_L0_16x16), or
+        ('i16dc', c) (Intra_16x16 DC inside the P slice)."""
+        if self.done:
+            raise ValueError("slice already terminated")
+        enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
+                                 self.mbs_w)
+        skip_ctx = _SKIP_P + _skip_inc(recs, mbx, mby, mbs_w)
+        if spec is None:             # P_Skip
+            enc.bit(ctx, skip_ctx, 1)
+            self.mv_map[(mbx, mby)] = _mv_pred_skip(self.mv_map, mbx,
+                                                    mby, mbs_w)
+            cur = _Rec()
+            cur.skip = True
+            cur.intra = False
+            self.prev_qpd = 0        # skipped MB: delta inferred 0
+            recs[(mbx, mby)] = cur
+            return
+        enc.bit(ctx, skip_ctx, 0)
+        cur = _Rec()
+        if spec[0] == "i16dc":       # intra inside the P slice
+            enc.bit(ctx, _MB_TYPE_P, 1)          # prefix: intra
+            enc.bit(ctx, _MB_TYPE_PI, 1)         # suffix b0: not NxN
+            enc.terminate(0)                     # not I_PCM
+            sym = _i16dc_sym(int(spec[1]))
+            self._emit_i16_mbtype_suffix(sym, _MB_TYPE_PI + 1)
+            self._emit_i16_rest(sym, mbx, mby, cur)
+            self.mv_map[(mbx, mby)] = None
+            recs[(mbx, mby)] = cur
+            return
+        mvx, mvy = int(spec[0]), int(spec[1])
+        levels = spec[2] if len(spec) > 2 else None
+        enc.bit(ctx, _MB_TYPE_P, 0)              # P_L0_16x16: 000
+        enc.bit(ctx, _MB_TYPE_P + 1, 0)
+        enc.bit(ctx, _MB_TYPE_P + 2, 0)
+        mvpx, mvpy = _mv_pred_16x16(self.mv_map, mbx, mby, mbs_w)
+        dx, dy = mvx - mvpx, mvy - mvpy
+        _code_mvd(enc, ctx, recs, mbx, mby, mbs_w, 0, v=dx)
+        _code_mvd(enc, ctx, recs, mbx, mby, mbs_w, 1, v=dy)
+        cur.intra = False
+        cur.mvd = (abs(dx), abs(dy))
+        cbp_l = 0
+        if levels is not None:
+            levels = np.asarray(levels, dtype=np.int64)
+            for blk in range(16):
+                if np.any(levels[blk]):
+                    cbp_l |= 1 << (blk // 4)
+        self._emit_cbp(cbp_l, 0, mbx, mby)
+        cur.cbp_l = cbp_l
+        if cbp_l:
+            _code_qp_delta(enc, ctx, self.prev_qpd != 0, delta=0)
+            self.prev_qpd = 0
+            for blk in range(16):
+                if not (cbp_l >> (blk // 4)) & 1:
+                    continue
+                lv = levels[blk]
+                cbf = 1 if np.any(lv) else 0
+                a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
+                                        mbs_w)
+                enc.bit(ctx, _cbf_ctx(2, a, b), cbf)
+                cur.acY[blk] = cbf
+                if cbf:
+                    _enc_residual(enc, ctx, 2, lv)
+        else:
+            self.prev_qpd = 0
+        self.mv_map[(mbx, mby)] = (mvx, mvy)
         recs[(mbx, mby)] = cur
 
     def end_mb(self, last: bool):
@@ -724,13 +928,45 @@ class CabacSliceWriter:
             self.done = True
 
     def rbsp(self, qp: int) -> bytes:
-        if not self.done:
-            raise ValueError("slice not terminated")
         bw = _BitW()
         _slice_header(bw, qp)
+        return self.rbsp_from_header(bw)
+
+    def rbsp_from_header(self, bw: _BitW) -> bytes:
+        if not self.done:
+            raise ValueError("slice not terminated")
         while len(bw.bits) % 8:
             bw.u(1, 1)               # cabac_alignment_one_bit
         return bw.bytes() + self.enc.bytes()
+
+
+def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
+                         qp: int = 30, frame_num: int = 1,
+                         ref_idc: int = 2) -> bytes:
+    """CABAC twin of h264.h264_encode_p_frame: ONE P frame as an
+    Annex-B non-IDR NAL from the same mb_spec format (must follow an
+    IDR encoded with entropy='cabac' so the stream shares the
+    entropy_coding_mode=1 PPS and the marker SEI)."""
+    from .h264 import _escape
+    bw = _BitW()
+    bw.ue(0)                                 # first_mb_in_slice
+    bw.ue(0)                                 # slice_type: P
+    bw.ue(0)                                 # pps_id
+    bw.u(frame_num & 15, 4)                  # frame_num
+    bw.u(0, 1)                               # num_ref_idx_override
+    bw.u(0, 1)                               # ref_pic_list_modification
+    if ref_idc:
+        bw.u(0, 1)                           # adaptive_ref_pic_marking
+    bw.ue(0)                                 # cabac_init_idc
+    bw.se(qp - 26)                           # slice_qp_delta
+    bw.ue(1)                                 # disable_deblocking
+    wr = CabacSliceWriter(mbs_w)
+    n = len(mb_specs)
+    for addr, spec in enumerate(mb_specs):
+        wr.emit_p(spec, addr % mbs_w, addr // mbs_w)
+        wr.end_mb(addr == n - 1)
+    return (b"\x00\x00\x00\x01" + bytes([(ref_idc & 3) << 5 | 1])
+            + _escape(wr.rbsp_from_header(bw)))
 
 
 # ---------------------------------------------------------------------------
@@ -768,6 +1004,109 @@ def decode_islice_cabac(br: _Bits, qp: int, pps: dict, Y, Cb, Cr,
     return n
 
 
+def _dec_i16_suffix(dec, ctx, base):
+    """mb_type suffix bins of an Intra_16x16 MB at ctx block ``base``
+    -> (cbp_luma, cbp_chroma, pred_mode)."""
+    cbp_luma = 15 if dec.bit(ctx, base) else 0
+    cbp_chroma = 0
+    if dec.bit(ctx, base + 1):
+        cbp_chroma = 2 if dec.bit(ctx, base + 2) else 1
+    pred = (dec.bit(ctx, base + 3) << 1) | dec.bit(ctx, base + 4)
+    return cbp_luma, cbp_chroma, pred
+
+
+def _dec_i16_body(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y, Cb,
+                  Cr, mbx, mby, mbs_w, cbp_luma, cbp_chroma, pred):
+    """Everything after the mb_type bins of an Intra_16x16 MB, shared
+    by the I-slice and P-slice (intra-in-P) decoders."""
+    st.intra16 = True
+    chroma_mode = _code_chroma_mode(dec, ctx, recs, mbx, mby, mbs_w)
+    delta = _code_qp_delta(dec, ctx, prev_qpd != 0)
+    if not -27 <= delta <= 26:
+        raise ValueError("mb_qp_delta out of range")
+    qp = (qp + delta + 52) % 52
+    prev_qpd = delta
+    cur.cbp_l, cur.cbp_c = cbp_luma, cbp_chroma
+    cur.cm = chroma_mode
+    cur.qpd = delta
+    a, b = _cbf_dc_luma_nb(recs, mbx, mby, mbs_w)
+    dc_scan = np.zeros(16, dtype=np.int64)
+    if dec.bit(ctx, _cbf_ctx(0, a, b)):
+        cur.dcY = 1
+        dc_scan = _dec_residual(dec, ctx, 0, 16)
+    ac = np.zeros((16, 16), dtype=np.int64)
+    if cbp_luma:
+        for blk in range(16):
+            a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk, mbs_w)
+            if dec.bit(ctx, _cbf_ctx(1, a, b)):
+                cur.acY[blk] = 1
+                coeffs = _dec_residual(dec, ctx, 1, 15)
+                st.nnz_l[blk] = np.count_nonzero(coeffs)
+                ac[blk, 1:] = coeffs
+    cdc, cac = _dec_chroma_cabac(dec, ctx, recs, cur, st, mbx, mby,
+                                 mbs_w, cbp_chroma)
+    _recon_mb_i16(Y, Cb, Cr, mbx, mby, pred, chroma_mode, qp, pps,
+                  dc_scan, ac, cdc, cac)
+    return qp, prev_qpd
+
+
+def _dec_i4_body(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y, Cb,
+                 Cr, states, mbx, mby, mbs_w):
+    cur.nxn = True
+    modes = st.i4_modes
+    for blk in range(16):
+        pm = _predict_i4_mode(states, st, mbx, mby, mbs_w, blk)
+        if dec.bit(ctx, _PREV_I4):
+            modes[blk] = pm
+        else:
+            rem = 0
+            for _ in range(3):
+                rem = (rem << 1) | dec.bit(ctx, _REM_I4)
+            modes[blk] = rem if rem < pm else rem + 1
+    chroma_mode = _code_chroma_mode(dec, ctx, recs, mbx, mby, mbs_w)
+    cbp_luma, cbp_chroma = _dec_cbp(dec, ctx, recs, mbx, mby, mbs_w)
+    cur.cbp_l, cur.cbp_c = cbp_luma, cbp_chroma
+    cur.cm = chroma_mode
+    if cbp_luma or cbp_chroma:
+        delta = _code_qp_delta(dec, ctx, prev_qpd != 0)
+        if not -27 <= delta <= 26:
+            raise ValueError("mb_qp_delta out of range")
+        qp = (qp + delta + 52) % 52
+        prev_qpd = delta
+        cur.qpd = delta
+    else:
+        prev_qpd = 0                 # inferred delta counts as 0
+    luma = np.zeros((16, 16), dtype=np.int64)
+    if cbp_luma:
+        for blk in range(16):
+            if not (cbp_luma >> (blk // 4)) & 1:
+                continue
+            a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk, mbs_w)
+            if dec.bit(ctx, _cbf_ctx(2, a, b)):
+                cur.acY[blk] = 1
+                coeffs = _dec_residual(dec, ctx, 2, 16)
+                st.nnz_l[blk] = np.count_nonzero(coeffs)
+                luma[blk] = coeffs
+    cdc, cac = _dec_chroma_cabac(dec, ctx, recs, cur, st, mbx, mby,
+                                 mbs_w, cbp_chroma)
+    _recon_mb_i4(Y, Cb, Cr, states, mbx, mby, mbs_w, modes, luma,
+                 chroma_mode, qp, pps, cdc, cac)
+    return qp, prev_qpd
+
+
+def _dec_cbp(dec, ctx, recs, mbx, mby, mbs_w):
+    cbp_luma = 0
+    for b8 in range(4):
+        cx = _cbp_luma_ctx(recs, mbx, mby, mbs_w, b8, cbp_luma)
+        if dec.bit(ctx, cx):
+            cbp_luma |= 1 << b8
+    cbp_chroma = 0
+    if dec.bit(ctx, _cbp_chroma_ctx(recs, mbx, mby, mbs_w, 0)):
+        cbp_chroma = 2 if dec.bit(ctx, _cbp_chroma_ctx(
+            recs, mbx, mby, mbs_w, 1)) else 1
+    return cbp_luma, cbp_chroma
+
+
 def _decode_mb_cabac(dec, ctx, recs, qp, prev_qpd, pps, Y, Cb, Cr,
                      states, mbx, mby, mbs_w):
     cur = _Rec()
@@ -776,93 +1115,141 @@ def _decode_mb_cabac(dec, ctx, recs, qp, prev_qpd, pps, Y, Cb, Cr,
     if dec.bit(ctx, _MB_TYPE_I + inc):
         if dec.terminate():
             raise NotImplementedError("I_PCM macroblocks unsupported")
-        st.intra16 = True
-        cbp_luma = 15 if dec.bit(ctx, _MB_TYPE_I + 3) else 0
-        cbp_chroma = 0
-        if dec.bit(ctx, _MB_TYPE_I + 4):
-            cbp_chroma = 2 if dec.bit(ctx, _MB_TYPE_I + 5) else 1
-        pred = (dec.bit(ctx, _MB_TYPE_I + 6) << 1) \
-            | dec.bit(ctx, _MB_TYPE_I + 7)
-        chroma_mode = _code_chroma_mode(dec, ctx, recs, mbx, mby,
-                                        mbs_w)
+        cbp_luma, cbp_chroma, pred = _dec_i16_suffix(dec, ctx,
+                                                     _MB_TYPE_I + 3)
+        qp, prev_qpd = _dec_i16_body(dec, ctx, recs, cur, st, qp,
+                                     prev_qpd, pps, Y, Cb, Cr, mbx,
+                                     mby, mbs_w, cbp_luma,
+                                     cbp_chroma, pred)
+    else:                            # I_NxN
+        qp, prev_qpd = _dec_i4_body(dec, ctx, recs, cur, st, qp,
+                                    prev_qpd, pps, Y, Cb, Cr, states,
+                                    mbx, mby, mbs_w)
+    states[(mbx, mby)] = st
+    recs[(mbx, mby)] = cur
+    return qp, prev_qpd
+
+
+# ---------------------------------------------------------------------------
+# P slices (r8): mb_skip_flag + P_L0_16x16 / intra-in-P macroblocks
+# ---------------------------------------------------------------------------
+
+
+def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
+                        Cr, states: dict, mv_map: dict, mbs_w: int,
+                        n_mbs: int, addr: int, step) -> int:
+    """Decode one CABAC P slice starting at macroblock ``addr``;
+    returns the number of MBs decoded. Same gate/contract as
+    :func:`decode_islice_cabac`; supports the CAVLC P subset
+    (P_Skip / P_L0_16x16 / Intra_16x16-in-P, one reference)."""
+    from .h264 import _decode_mb_p_skip
+    while br.pos % 8:
+        if not br.u(1):
+            raise ValueError("cabac_alignment_one_bit is 0")
+    dec = _CabacDec(br)
+    ctx = _Ctx()
+    recs: dict = {}
+    prev_qpd = 0
+    n = 0
+    while True:
+        mbx, mby = step(addr + n)
+        if dec.bit(ctx, _SKIP_P + _skip_inc(recs, mbx, mby, mbs_w)):
+            _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map, mbx,
+                              mby, mbs_w)
+            cur = _Rec()
+            cur.skip = True
+            cur.intra = False
+            recs[(mbx, mby)] = cur
+            prev_qpd = 0
+        else:
+            qp, prev_qpd = _decode_mb_p_cabac(
+                dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb, Cr,
+                states, mv_map, mbx, mby, mbs_w)
+        n += 1
+        if dec.terminate():          # end_of_slice_flag
+            break
+        if addr + n >= n_mbs:
+            raise ValueError("CABAC slice overruns the frame's MBs")
+    return n
+
+
+def _decode_mb_p_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb,
+                       Cr, states, mv_map, mbx, mby, mbs_w):
+    from .h264 import (_BLK_POS as BP, _ZZ4, _clip255, _dequant_ac,
+                       _inv_transform_4x4, _mc_predict_mb,
+                       _mv_pred_16x16, _recon_chroma_from_pred)
+    cur = _Rec()
+    st = _MBState()
+    if dec.bit(ctx, _MB_TYPE_P):     # intra macroblock in the P slice
+        mv_map[(mbx, mby)] = None
+        if dec.bit(ctx, _MB_TYPE_PI):
+            if dec.terminate():
+                raise NotImplementedError(
+                    "I_PCM macroblocks unsupported")
+            cbp_l, cbp_c, pred = _dec_i16_suffix(dec, ctx,
+                                                 _MB_TYPE_PI + 1)
+            qp, prev_qpd = _dec_i16_body(dec, ctx, recs, cur, st, qp,
+                                         prev_qpd, pps, Y, Cb, Cr,
+                                         mbx, mby, mbs_w, cbp_l,
+                                         cbp_c, pred)
+        else:
+            qp, prev_qpd = _dec_i4_body(dec, ctx, recs, cur, st, qp,
+                                        prev_qpd, pps, Y, Cb, Cr,
+                                        states, mbx, mby, mbs_w)
+        states[(mbx, mby)] = st
+        recs[(mbx, mby)] = cur
+        return qp, prev_qpd
+    # inter: only P_L0_16x16 ("000") in the supported subset
+    if dec.bit(ctx, _MB_TYPE_P + 1) or dec.bit(ctx, _MB_TYPE_P + 2):
+        raise NotImplementedError(
+            "P macroblock partitions 16x8/8x16/8x8 unsupported")
+    if ref is None:
+        raise ValueError("P macroblock without a reference frame")
+    mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
+    dx = _code_mvd(dec, ctx, recs, mbx, mby, mbs_w, 0)
+    dy = _code_mvd(dec, ctx, recs, mbx, mby, mbs_w, 1)
+    mvx, mvy = mvpx + dx, mvpy + dy
+    if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+        raise ValueError("implausible motion vector")
+    cur.intra = False
+    cur.mvd = (abs(dx), abs(dy))
+    predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx, mvy)
+    cbp_luma, cbp_chroma = _dec_cbp(dec, ctx, recs, mbx, mby, mbs_w)
+    cur.cbp_l, cur.cbp_c = cbp_luma, cbp_chroma
+    if cbp_luma or cbp_chroma:
         delta = _code_qp_delta(dec, ctx, prev_qpd != 0)
         if not -27 <= delta <= 26:
             raise ValueError("mb_qp_delta out of range")
         qp = (qp + delta + 52) % 52
         prev_qpd = delta
-        cur.cbp_l, cur.cbp_c = cbp_luma, cbp_chroma
-        cur.cm = chroma_mode
         cur.qpd = delta
-        a, b = _cbf_dc_luma_nb(recs, mbx, mby, mbs_w)
-        dc_scan = np.zeros(16, dtype=np.int64)
-        if dec.bit(ctx, _cbf_ctx(0, a, b)):
-            cur.dcY = 1
-            dc_scan = _dec_residual(dec, ctx, 0, 16)
-        ac = np.zeros((16, 16), dtype=np.int64)
-        if cbp_luma:
-            for blk in range(16):
-                a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
-                                        mbs_w)
-                if dec.bit(ctx, _cbf_ctx(1, a, b)):
-                    cur.acY[blk] = 1
-                    coeffs = _dec_residual(dec, ctx, 1, 15)
-                    st.nnz_l[blk] = np.count_nonzero(coeffs)
-                    ac[blk, 1:] = coeffs
-        cdc, cac = _dec_chroma_cabac(dec, ctx, recs, cur, st, mbx,
-                                     mby, mbs_w, cbp_chroma)
-        _recon_mb_i16(Y, Cb, Cr, mbx, mby, pred, chroma_mode, qp,
-                      pps, dc_scan, ac, cdc, cac)
-    else:                            # I_NxN
-        cur.nxn = True
-        modes = st.i4_modes
+    else:
+        prev_qpd = 0
+    recon = predY.copy()
+    if cbp_luma:
         for blk in range(16):
-            pm = _predict_i4_mode(states, st, mbx, mby, mbs_w, blk)
-            if dec.bit(ctx, _PREV_I4):
-                modes[blk] = pm
-            else:
-                rem = 0
-                for _ in range(3):
-                    rem = (rem << 1) | dec.bit(ctx, _REM_I4)
-                modes[blk] = rem if rem < pm else rem + 1
-        chroma_mode = _code_chroma_mode(dec, ctx, recs, mbx, mby,
-                                        mbs_w)
-        cbp_luma = 0
-        for b8 in range(4):
-            cx = _cbp_luma_ctx(recs, mbx, mby, mbs_w, b8, cbp_luma)
-            if dec.bit(ctx, cx):
-                cbp_luma |= 1 << b8
-        cbp_chroma = 0
-        if dec.bit(ctx, _cbp_chroma_ctx(recs, mbx, mby, mbs_w, 0)):
-            cbp_chroma = 2 if dec.bit(ctx, _cbp_chroma_ctx(
-                recs, mbx, mby, mbs_w, 1)) else 1
-        cur.cbp_l, cur.cbp_c = cbp_luma, cbp_chroma
-        cur.cm = chroma_mode
-        if cbp_luma or cbp_chroma:
-            delta = _code_qp_delta(dec, ctx, prev_qpd != 0)
-            if not -27 <= delta <= 26:
-                raise ValueError("mb_qp_delta out of range")
-            qp = (qp + delta + 52) % 52
-            prev_qpd = delta
-            cur.qpd = delta
-        else:
-            prev_qpd = 0             # inferred delta counts as 0
-        luma = np.zeros((16, 16), dtype=np.int64)
-        if cbp_luma:
-            for blk in range(16):
-                if not (cbp_luma >> (blk // 4)) & 1:
-                    continue
-                a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
-                                        mbs_w)
-                if dec.bit(ctx, _cbf_ctx(2, a, b)):
-                    cur.acY[blk] = 1
-                    coeffs = _dec_residual(dec, ctx, 2, 16)
-                    st.nnz_l[blk] = np.count_nonzero(coeffs)
-                    luma[blk] = coeffs
-        cdc, cac = _dec_chroma_cabac(dec, ctx, recs, cur, st, mbx,
-                                     mby, mbs_w, cbp_chroma)
-        _recon_mb_i4(Y, Cb, Cr, states, mbx, mby, mbs_w, modes, luma,
-                     chroma_mode, qp, pps, cdc, cac)
+            if not (cbp_luma >> (blk // 4)) & 1:
+                continue
+            a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk, mbs_w)
+            if not dec.bit(ctx, _cbf_ctx(2, a, b)):
+                continue
+            cur.acY[blk] = 1
+            coeffs = _dec_residual(dec, ctx, 2, 16)
+            st.nnz_l[blk] = np.count_nonzero(coeffs)
+            d = np.zeros(16, dtype=np.int64)
+            d[_ZZ4] = coeffs
+            dq = _dequant_ac(d.reshape(4, 4), qp)
+            r = (_inv_transform_4x4(dq) + 32) >> 6
+            bx, by = BP[blk]
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _clip255(
+                predY[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
+    Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = recon
+    cdc, cac = _dec_chroma_cabac(dec, ctx, recs, cur, st, mbx, mby,
+                                 mbs_w, cbp_chroma)
+    _recon_chroma_from_pred(Cb, Cr, predCb, predCr, mbx, mby, cdc,
+                            cac, qp, pps)
     states[(mbx, mby)] = st
+    mv_map[(mbx, mby)] = (mvx, mvy)
     recs[(mbx, mby)] = cur
     return qp, prev_qpd
 

@@ -158,17 +158,46 @@ def test_foreign_cabac_rejected_loudly():
         hh.h264_decode(foreign)
 
 
-def test_cabac_p_slice_rejected():
-    # PPS with entropy_coding_mode=1 + a P slice header must reject
-    # in the header parse (before any entropy decode is attempted)
-    p = hh.h264_encode_p_frame([None], 1, 1, qp=30)
-    sc = b"\x00\x00\x00\x01"
-    stream = (sc + bytes([0x67]) + hh._escape(hh._write_sps(1, 1, 77))
-              + sc + bytes([0x06]) + hh._escape(hh._gs_cabac_sei())
-              + sc + bytes([0x68])
-              + hh._escape(hh._write_pps(cabac=True)) + p)
-    with pytest.raises(NotImplementedError, match="CABAC P slices"):
-        hh.h264_decode_gop(stream)
+def test_cabac_p_gop_matches_cavlc_pixels():
+    """The r8 P-slice CABAC layer: an IDR + three P frames (skips,
+    mixed integer/fractional MVs, inter residual levels, intra-in-P)
+    built from the SAME mb_specs in both entropy coders must decode
+    to identical pixel planes, frame for frame."""
+    rng = np.random.default_rng(17)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    lv = np.zeros((16, 16), dtype=np.int64)
+    lv[0, 0], lv[0, 1], lv[5, 0], lv[9, 3] = 3, -1, 2, -4
+    p_specs = [
+        [None] * 8,                                      # all skip
+        [(8, 4), None, (-4, 0), (5, 7), None, (4, -4), (12, 12),
+         (0, 0)],                                        # MVs + skip
+        [(0, 0, lv), ("i16dc", 13)] + [None] * 6,        # resid+intra
+    ]
+    streams = {}
+    for entropy in ("cavlc", "cabac"):
+        gop = hh.h264_encode(y, qp=26, mb_mode="i4", entropy=entropy)
+        for k, specs in enumerate(p_specs):
+            gop += hh.h264_encode_p_frame(
+                specs, 4, 2, qp=28, frame_num=k + 1,
+                ref_idc=0 if k == len(p_specs) - 1 else 2,
+                entropy=entropy)
+        streams[entropy] = gop
+    fa, crop_a = hh.h264_decode_gop_planes(streams["cavlc"])
+    fb, crop_b = hh.h264_decode_gop_planes(streams["cabac"])
+    assert crop_a == crop_b and len(fa) == len(fb) == 4
+    for k, (pa, pb) in enumerate(zip(fa, fb)):
+        for plane_a, plane_b in zip(pa, pb):
+            np.testing.assert_array_equal(plane_a, plane_b, err_msg=str(k))
+
+
+def test_cabac_p_gop_skip_repeats_frame():
+    off = np.zeros((2, 4), dtype=np.int64)
+    off[0, 1] = 25
+    idr = hh.h264_encode_flat_mbs(off, qp=36, entropy="cabac")
+    p = hh.h264_encode_p_frame([None] * 8, 4, 2, entropy="cabac")
+    frames = hh.h264_decode_gop(idr + p)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], frames[1])
 
 
 def test_truncated_cabac_raises():
