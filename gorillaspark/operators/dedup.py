@@ -264,17 +264,35 @@ def _fnv1a64_arrow(tokens: pa.StringArray) -> np.ndarray:
     return h
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants): derives a
+    second, effectively independent token hash from the FNV value
+    without re-walking the string bytes — the cheap second word of
+    the 128-bit SimHash."""
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xbf58476d1ce4e5b9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94d049bb133111eb)
+        return h ^ (h >> np.uint64(31))
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
+                       id_col: str = "doc_id",
+                       bits: int = 64) -> DataFrame:
+    """(doc_id, simhash[, simhash2]): SimHash over whitespace tokens.
 
     Bit i of the signature is 1 iff the (+1/-1) majority vote of bit i
     across all token hashes (duplicates counted) is positive. Computed
     with mapInArrow: token lists stay in Arrow buffers end to end, the
     bit-majority is one segmented ``np.add.reduceat`` per batch.
+
+    ``bits=128`` (r8, the scale configuration) adds a second 64-bit
+    word voted from an independent per-token hash (splitmix64 mix of
+    the FNV value) — same single pass, one extra vectorized column.
     """
     from .spread import spread
 
+    if bits not in (64, 128):
+        raise ValueError("simhash width must be 64 or 128")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # widen under-parallel inputs (a small corpus is one parquet
     # split, which would serialize the whole signature stage on one
@@ -283,33 +301,57 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks"))
     shifts = np.arange(64, dtype=np.uint64)
     weights = np.uint64(1) << shifts
+    wide = bits == 128
+
+    # doc-axis chunking bounds the (n_tokens, 64) ±1 contribution
+    # matrix: an unchunked Arrow batch can hold millions of tokens,
+    # whose int32 vote matrix (0.5+ GB) hits this box's cold-alloc
+    # page-fault cliff when 32 workers allocate it simultaneously —
+    # measured 3x wall on the r8 sf3 curve for the double-vote
+    # (bits=128) path before chunking
+    chunk_docs = 1024
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            ids = batch.column("doc_id")
-            lists = batch.column("toks")
-            n = len(ids)
-            if n == 0:
-                continue
-            lens = np.asarray(
-                pa.compute.list_value_length(lists), dtype=np.int64)
-            flat = lists.flatten()
-            hs = _fnv1a64_arrow(flat)
-            # (n_tokens, 64) ±1 contributions, segmented sum per doc
+        def vote(hs, starts, nz, n):
             contrib = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
                        .astype(np.int32) * 2 - 1)
-            starts = np.zeros(n, dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            nz = lens > 0
             sig = np.zeros(n, dtype=np.uint64)
-            if nz.any():
-                sums = np.add.reduceat(contrib, starts[nz], axis=0)
-                sig[nz] = ((sums > 0).astype(np.uint64) * weights).sum(axis=1)
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(sig.view(np.int64))],
-                names=["doc_id", "simhash"])
+            sums = np.add.reduceat(contrib, starts[nz], axis=0)
+            sig[nz] = ((sums > 0).astype(np.uint64) * weights).sum(axis=1)
+            return sig
 
-    return prepared.mapInArrow(mapper, "doc_id long, simhash long")
+        for full in batches:
+            for off in range(0, full.num_rows, chunk_docs):
+                batch = full.slice(off, chunk_docs)
+                ids = batch.column("doc_id")
+                lists = batch.column("toks")
+                n = len(ids)
+                if n == 0:
+                    continue
+                lens = np.asarray(
+                    pa.compute.list_value_length(lists), dtype=np.int64)
+                flat = lists.flatten()
+                hs = _fnv1a64_arrow(flat)
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                nz = lens > 0
+                if nz.any():
+                    sig = vote(hs, starts, nz, n)
+                    sig2 = vote(_mix64(hs), starts, nz, n) if wide \
+                        else None
+                else:
+                    sig = np.zeros(n, dtype=np.uint64)
+                    sig2 = np.zeros(n, dtype=np.uint64) if wide else None
+                arrays = [ids, pa.array(sig.view(np.int64))]
+                names = ["doc_id", "simhash"]
+                if wide:
+                    arrays.append(pa.array(sig2.view(np.int64)))
+                    names.append("simhash2")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    schema = "doc_id long, simhash long" + (", simhash2 long" if wide
+                                            else "")
+    return prepared.mapInArrow(mapper, schema)
 
 
 def simhash_duplicates(docs: DataFrame, text_col: str = "text",
@@ -326,20 +368,34 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text",
 
 def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
                           n_bands: int = 4, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          bits: int = 64) -> DataFrame:
     """Near-dup pairs at SimHash Hamming distance ≤ ``max_dist``.
 
-    Banded search: the 64-bit signature splits into ``n_bands`` equal
+    Banded search: the signature splits into ``n_bands`` equal
     chunks; candidates share at least one identical chunk; candidates
     are verified with an exact popcount. By pigeonhole this is
     *complete* (recall exactly 1.0, not probabilistic) whenever
     ``max_dist < n_bands`` — d flipped bits can dirty at most d bands,
-    leaving ≥ 1 band identical. At scale each band-bucket join touches
-    only docs agreeing on 16 signature bits (~corpus/2^16 per bucket);
-    no all-pairs anywhere.
+    leaving ≥ 1 band identical.
+
+    Scale control (r8): with ``bits=64`` the four band codes are 16
+    bits wide, so RANDOM band collisions contribute ~n_bands *
+    C(n,2) / 2^16 candidate pairs — a quadratic term that the r8
+    three-point scale curve (BENCH/BASELINE.md) surfaced at 150k
+    docs (sf3). ``bits=128`` votes a second signature word from an
+    independent token hash and splits the 128-bit fingerprint into
+    four 32-bit bands: identical pigeonhole completeness at
+    ``max_dist < 4`` over the finer 128-bit metric, random-collision
+    mass down by 2^16 — the configuration a 100 TB corpus runs.
     """
     if max_dist >= n_bands:
         raise ValueError("completeness needs max_dist < n_bands")
+    if bits == 128:
+        return _simhash_hamming_pairs_128(docs, max_dist, text_col,
+                                          id_col)
+    if bits != 64:
+        raise ValueError("simhash width must be 64 or 128")
     width = 64 // n_bands
     mask = (1 << width) - 1
     # both sides of the band self-join read the signature relation —
@@ -372,5 +428,39 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
             .withColumn("hamming",
                         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
                         .cast("long"))
+            .where(F.col("hamming") <= max_dist)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def _simhash_hamming_pairs_128(docs: DataFrame, max_dist: int,
+                               text_col: str, id_col: str) -> DataFrame:
+    """128-bit variant: four 32-bit bands (two per signature word),
+    Hamming distance summed over both words. Same plan shape as the
+    64-bit path — band equi-join + popcount verify — with the
+    random-collision candidate mass divided by 2^16."""
+    sigs = simhash_signatures(docs, text_col, id_col, bits=128) \
+        .localCheckpoint(eager=False)
+    mask = (1 << 32) - 1
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col(c), s).bitwiseAND(F.lit(mask))
+        for c in ("simhash", "simhash2") for s in (0, 32)])
+    bands = sigs.select("doc_id", "simhash", "simhash2",
+                        F.posexplode(chunks).alias("band", "code"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.code") == F.col("b.code"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("s1a"),
+                     F.col("a.simhash2").alias("s2a"),
+                     F.col("b.simhash").alias("s1b"),
+                     F.col("b.simhash2").alias("s2b"))
+             .distinct())
+    ham = (F.bit_count(F.col("s1a").bitwiseXOR(F.col("s1b")))
+           + F.bit_count(F.col("s2a").bitwiseXOR(F.col("s2b")))
+           ).cast("long")
+    return (pairs.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_dist)
             .select("doc_a", "doc_b", "hamming"))

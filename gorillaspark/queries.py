@@ -1336,6 +1336,113 @@ _SIMHASH_HAMMING_SQL = f"""
 """
 
 
+def q_simhash128_hamming_pairs(spark, sf_dir):
+    """The 128-bit scale configuration (r8): four 32-bit bands over a
+    two-word fingerprint — identical pigeonhole completeness at
+    dist ≤ 3, random band collisions down by 2^16 (the quadratic
+    term the r8 sf3 curve surfaced for 16-bit bands). Brute-force
+    all-pairs SQL oracle over both words."""
+    from .operators.dedup import simhash_hamming_pairs
+    return simhash_hamming_pairs(_docs(spark, sf_dir), max_dist=3,
+                                 bits=128)
+
+
+# splitmix64 finalizer of the FNV token hash in DuckDB: shifts are
+# integer division (operands of the xor's RIGHT side are < 2^37, so
+# only the left side needs the signed wrap); xor runs on signed
+# BIGINT (bitwise-identical to unsigned); multiplies wrap mod 2^64.
+# HUGEINT is SIGNED INT128, so a u64*u64 product overflows — the
+# multiplier splits into 32-bit halves (every partial product < 2^96):
+#   z*M mod 2^64 = (z*lo(M) + ((z mod 2^32)*hi(M) mod 2^32)*2^32)
+#                  mod 2^64
+# Constants are the public splitmix64 set.
+_U64 = 18446744073709551616
+_U32 = 4294967296
+_H63 = 9223372036854775808
+_SM1, _SM2 = 0xbf58476d1ce4e5b9, 0x94d049bb133111eb
+
+
+def _sql_sgn(u):
+    return (f"CAST(CASE WHEN {u} >= {_H63}::HUGEINT THEN {u} - "
+            f"{_U64}::HUGEINT ELSE {u} END AS BIGINT)")
+
+
+def _sql_uns(s):
+    return (f"CAST(CASE WHEN {s} < 0 THEN {s} + {_U64}::HUGEINT "
+            f"ELSE CAST({s} AS HUGEINT) END AS HUGEINT)")
+
+
+def _sql_mul64(z, m):
+    hi, lo = m >> 32, m & (_U32 - 1)
+    return (f"(({z} * {lo} + ((({z} % {_U32}) * {hi}) % {_U32})"
+            f" * {_U32}) % {_U64})")
+
+
+_SIMHASH128_SIG_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents),
+    tok_hashes AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                       list_transform(string_split(tok, ''),
+                                      c -> CAST(ascii(c) AS HUGEINT))),
+                   (acc, c) -> ((acc - (acc % 256)
+                                 + xor(CAST(acc % 256 AS BIGINT),
+                                       CAST(c AS BIGINT))) * 1099511628211)
+                               % {_U64}) AS h
+        FROM toks),
+    sm1 AS (SELECT doc_id, h,
+                   {_sql_uns(f"xor({_sql_sgn('h')}, CAST(h // 1073741824 AS BIGINT))")} AS z1
+            FROM tok_hashes),
+    sm2 AS (SELECT doc_id, h, {_sql_mul64('z1', _SM1)} AS z2 FROM sm1),
+    sm3 AS (SELECT doc_id, h,
+                   {_sql_uns(f"xor({_sql_sgn('z2')}, CAST(z2 // 134217728 AS BIGINT))")} AS z3
+            FROM sm2),
+    sm4 AS (SELECT doc_id, h, {_sql_mul64('z3', _SM2)} AS z4 FROM sm3),
+    hashes2 AS (SELECT doc_id, h,
+                   {_sql_uns(f"xor({_sql_sgn('z4')}, CAST(z4 // 2147483648 AS BIGINT))")} AS h2
+            FROM sm4),
+    bitsum AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h // CAST(power(2, bit) AS HUGEINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s,
+               sum(CASE WHEN (h2 // CAST(power(2, bit) AS HUGEINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s2
+        FROM hashes2
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) bits
+        GROUP BY 1, 2),
+    usig AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END) AS u,
+               sum(CASE WHEN s2 > 0 THEN CAST(power(2, bit) AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END) AS u2
+        FROM bitsum GROUP BY 1)
+    SELECT doc_id,
+           CAST(CASE WHEN u >= {_H63}::HUGEINT
+                     THEN u - {_U64}::HUGEINT
+                     ELSE u END AS BIGINT) AS simhash,
+           CAST(CASE WHEN u2 >= {_H63}::HUGEINT
+                     THEN u2 - {_U64}::HUGEINT
+                     ELSE u2 END AS BIGINT) AS simhash2
+    FROM usig
+"""
+
+_SIMHASH128_HAMMING_SQL = f"""
+    WITH sigs AS ({_SIMHASH128_SIG_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash))
+                + bit_count(xor(a.simhash2, b.simhash2))
+                AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash))
+          + bit_count(xor(a.simhash2, b.simhash2)) <= 3
+"""
+
+
 QUERIES.update({
     "dedup_exact": q_dedup_exact,
     "stream_dedup_exact": q_stream_dedup_exact,
@@ -1353,6 +1460,7 @@ QUERIES.update({
     "embedding_near_dup_sparse": q_embedding_near_dup_sparse,
     "simhash_dupes": q_simhash_dupes,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "simhash128_hamming_pairs": q_simhash128_hamming_pairs,
 })
 
 ORACLES.update({
@@ -1373,6 +1481,7 @@ ORACLES.update({
     "embedding_near_dup_sparse": _NEAR_DUP_SPARSE_SQL,
     "simhash_dupes": _SIMHASH_DUPES_SQL,
     "simhash_hamming_pairs": _SIMHASH_HAMMING_SQL,
+    "simhash128_hamming_pairs": _SIMHASH128_HAMMING_SQL,
 })
 
 
@@ -2869,6 +2978,11 @@ _EXTRA_NAMES = [
                                #       decode path stays EXTRA-oracled
                                #       + pytest-fuzzed; driver-green
                                #       r5-r7
+    # r8: the 128-bit simhash scale configuration registers straight
+    # to EXTRA (pytest extra-oracle gate + the committed sf1 sweep):
+    # the 64-bit twin holds the in-window slot, and both share the
+    # banded-join plan — only the fingerprint width/band size differ
+    "simhash128_hamming_pairs",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =

@@ -147,6 +147,69 @@ def test_simhash_hamming_pairs_complete(spark, docs):
     assert (0, 3, 0) in want  # the exact dup pair is in scope
 
 
+def test_simhash128_complete_vs_bruteforce(spark, docs):
+    """The 128-bit scale configuration: banded candidates + exact
+    verify == brute-force pairs over the 128-bit Hamming metric."""
+    from gorillaspark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_signatures,
+    )
+    sig = (simhash_signatures(docs, bits=128).toPandas()
+           .set_index("doc_id"))
+    m = (1 << 64) - 1
+
+    def ham(i, j):
+        return (bin((int(sig.loc[i, "simhash"])
+                     ^ int(sig.loc[j, "simhash"])) & m).count("1")
+                + bin((int(sig.loc[i, "simhash2"])
+                       ^ int(sig.loc[j, "simhash2"])) & m).count("1"))
+
+    ids = sorted(sig.index)
+    want = {(i, j, ham(i, j)) for i in ids for j in ids
+            if i < j and ham(i, j) <= 3}
+    got = simhash_hamming_pairs(docs, max_dist=3, bits=128).toPandas()
+    assert {tuple(r) for r in got.to_numpy()} == want
+    assert (0, 3, 0) in want  # exact dup: both words identical
+    # the first word equals the 64-bit signature (same vote, same
+    # token hash), so 128 is a pure refinement, not a re-hash
+    sig64 = simhash_signatures(docs).toPandas().set_index("doc_id")
+    assert (sig["simhash"] == sig64["simhash"]).all()
+
+
+def test_simhash128_collision_mass_drops(spark):
+    """The r8 scale-curve finding in miniature: on unrelated random
+    texts, 16-bit bands produce quadratically many random candidate
+    pairs while 32-bit bands produce ~none. Computed analytically
+    from the band codes (sum over buckets of C(k,2)) — the exact
+    candidate count the equi-join would materialize."""
+    import pandas as pd
+
+    from gorillaspark.operators.dedup import simhash_signatures
+    rng = np.random.default_rng(42)
+    words = ["w%04d" % w for w in range(4000)]
+    texts = [" ".join(rng.choice(words, size=12, replace=False))
+             for _ in range(4000)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(4000), "text": texts}))
+    sig = simhash_signatures(docs, bits=128).toPandas()
+
+    def cand_mass(codes):
+        _, counts = np.unique(codes, return_counts=True)
+        return int((counts * (counts - 1) // 2).sum())
+
+    s1 = sig["simhash"].to_numpy().astype(np.uint64)
+    s2 = sig["simhash2"].to_numpy().astype(np.uint64)
+    mass64 = sum(cand_mass((s1 >> np.uint64(16 * b))
+                           & np.uint64(0xFFFF)) for b in range(4))
+    mass128 = sum(cand_mass((w >> np.uint64(s)) & np.uint64(0xFFFFFFFF))
+                  for w in (s1, s2) for s in (0, 32))
+    # 4000 random docs: E[mass64] ~ 4 * C(4000,2)/2^16 ~ 488;
+    # E[mass128] ~ 4 * C(4000,2)/2^32 ~ 0.007
+    assert mass64 > 100
+    assert mass128 <= 2
+    assert mass64 > 50 * max(mass128, 1)
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(5)
     vecs = rng.normal(size=(60, 16)).astype(np.float32)
