@@ -20,8 +20,14 @@ module h264_cabac.py; this module's encoder stays CAVLC and exposes
 the entropy-independent plan/emit split (_plan_mb_i16/_plan_mb_i4 +
 _emit_mb_cavlc) both entropy writers serialize from.
 
-Out of scope, rejected loudly (NotImplementedError): B slices,
-multiple slice groups, fields/MBAFF, 8x8
+B slices (r8): the 16x16 subset — B_L0_16x16 / B_L1_16x16 /
+B_Bi_16x16 (default average) / intra-in-B over a two-list DPB with
+poc_type-0 output reordering (h264_encode_b_frame + the GOP
+decoder); B_Direct/B_Skip (direct-mode prediction), sub-16x16 B
+partitions and CABAC B slices stay rejected loudly.
+
+Out of scope, rejected loudly (NotImplementedError): direct-mode
+B prediction, multiple slice groups, fields/MBAFF, 8x8
 transform (High profile), monochrome / 4:2:2 / 4:4:4, scaling
 matrices, and in-loop deblocking — the encoder below always signals
 ``disable_deblocking_filter_idc = 1`` and the decoder refuses
@@ -1003,7 +1009,7 @@ def _parse_pps(br: _Bits) -> dict:
     br.ue()                                   # num_ref_idx_l1_default
     if br.flag():                             # weighted_pred_flag
         raise NotImplementedError("weighted prediction unsupported")
-    br.u(2)                                   # weighted_bipred_idc
+    weighted_bipred = br.u(2)
     qp = 26 + br.se()                         # pic_init_qp
     br.se()                                   # pic_init_qs
     chroma_qp_off = br.se()
@@ -1015,7 +1021,8 @@ def _parse_pps(br: _Bits) -> dict:
             "deblock_ctrl": deblock_ctrl,
             "constrained_intra": constrained_intra,
             "bottom_field_poc": bottom_field_poc,
-            "num_ref_idx_l0": num_ref_idx_l0}
+            "num_ref_idx_l0": num_ref_idx_l0,
+            "weighted_bipred": weighted_bipred}
 
 
 def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
@@ -1023,30 +1030,48 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
     first_mb = br.ue()
     slice_type = br.ue()
     st5 = slice_type % 5
-    if st5 not in (0, 2):
+    if st5 not in (0, 1, 2):
         raise NotImplementedError(
-            f"only I and P slices supported (slice_type {slice_type})")
-    if st5 == 0 and is_idr:
-        raise ValueError("P slice in an IDR NAL unit")
+            f"only I, P and B slices supported (slice_type "
+            f"{slice_type})")
+    if st5 in (0, 1) and is_idr:
+        raise ValueError("inter slice in an IDR NAL unit")
+    if st5 == 1:
+        if sps["poc_type"] != 0:
+            raise ValueError(
+                "B slices require pic_order_cnt_type 0 (decoding "
+                "order differs from output order)")
+        if pps["weighted_bipred"] != 0:
+            raise NotImplementedError(
+                "weighted biprediction unsupported (default average "
+                "only)")
     br.ue()                                   # pic_parameter_set_id
     br.u(sps["log2_max_frame_num"])           # frame_num
     if is_idr:
         br.ue()                               # idr_pic_id
+    poc_lsb = 0
     if sps["poc_type"] == 0:
-        br.u(sps["log2_max_poc_lsb"])         # pic_order_cnt_lsb
+        poc_lsb = br.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
             br.se()
-    if st5 == 0:
+    if st5 == 1:
+        br.flag()                             # direct_spatial_mv_pred
+        # (value irrelevant: B_Direct/B_Skip macroblocks are rejected)
+    if st5 in (0, 1):
         if br.flag():                         # num_ref_idx_override
-            if br.ue() != 0:
+            if br.ue() != 0 or (st5 == 1 and br.ue() != 0):
                 raise NotImplementedError(
-                    "P decode supports one reference picture "
-                    "(num_ref_idx_l0_active_minus1 must be 0)")
+                    "inter decode supports one reference picture "
+                    "per list (num_ref_idx_lX_active_minus1 must "
+                    "be 0)")
         elif pps["num_ref_idx_l0"] != 0:
             raise NotImplementedError(
-                "P decode supports one reference picture (PPS "
+                "inter decode supports one reference picture (PPS "
                 "num_ref_idx_l0_default_active_minus1 must be 0)")
         if br.flag():                         # ref_pic_list_mod_l0
+            raise NotImplementedError(
+                "reference picture list modification unsupported")
+        if st5 == 1 and br.flag():            # ref_pic_list_mod_l1
             raise NotImplementedError(
                 "reference picture list modification unsupported")
     if nal_ref_idc:
@@ -1056,7 +1081,11 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
         elif br.flag():                       # adaptive_ref_pic_marking
             raise NotImplementedError(
                 "adaptive reference picture marking unsupported")
-    if pps["cabac"] and st5 == 0:
+    if pps["cabac"] and st5 in (0, 1):
+        if st5 == 1:
+            raise NotImplementedError(
+                "CABAC B slices unsupported (CAVLC B + CABAC I/P "
+                "only)")
         # cabac_init_idc: selects among the spec's three init-table
         # columns; our contexts init uniformly (see h264_cabac), so
         # any legal value decodes identically — parse and bound it
@@ -1073,7 +1102,8 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
             "stream may enable deblocking (PPS lacks "
             "deblocking_filter_control_present_flag); decoder only "
             "supports streams that disable the loop filter")
-    return {"first_mb": first_mb, "qp": qp, "slice_type": st5}
+    return {"first_mb": first_mb, "qp": qp, "slice_type": st5,
+            "poc_lsb": poc_lsb}
 
 
 # ---------------------------------------------------------------------------
@@ -1188,10 +1218,14 @@ def h264_decode_gop_planes(payload: bytes):
     if n_mbs * len(slices) > 1 << 22:
         raise ValueError("implausible GOP size for frame dimensions")
     W, H = mbs_w * 16, mbs_h * 16
-    frames: list = []
-    cur = None                       # (Y, Cb, Cr, states, mv_map)
+    frames: list = []                # [(sort_key, planes)]
+    cur = None                       # (Y, Cb, Cr, states, mvs)
     cur_is_ref = True                # nal_ref_idc of the current frame
-    ref = None                       # previous completed REFERENCE frame
+    cur_key = (0, 0)                 # (idr_era, poc)
+    ref = None                       # most recent completed REFERENCE
+    refs: list = []                  # DPB: [(poc, planes)], era-local
+    era = -1                         # IDR counter (POC restarts there)
+    seq = 0                          # decode index (poc_type 2 key)
     n_decoded = 0
 
     def finish():
@@ -1201,9 +1235,11 @@ def h264_decode_gop_planes(payload: bytes):
         if n_decoded != n_mbs:
             raise ValueError(
                 f"decoded {n_decoded} of {n_mbs} macroblocks")
-        frames.append(cur[:3])
+        frames.append((cur_key, cur[:3]))
         if cur_is_ref:  # non-reference frames never enter the DPB
             ref = cur[:3]
+            refs.append((cur_key[1], cur[:3]))
+            del refs[:-16]
         cur = None
 
     for rbsp, nal_ref_idc, is_idr in slices:
@@ -1214,14 +1250,30 @@ def h264_decode_gop_planes(payload: bytes):
             cur = (np.zeros((H, W), dtype=np.int64),
                    np.full((H // 2, W // 2), 128, dtype=np.int64),
                    np.full((H // 2, W // 2), 128, dtype=np.int64),
-                   {}, {})
+                   {}, {"l0": {}, "l1": {}})
             cur_is_ref = nal_ref_idc != 0
             n_decoded = 0
+            if is_idr:               # IDR clears the DPB, POC restarts
+                era += 1
+                refs.clear()
+            poc = sh["poc_lsb"] if sps["poc_type"] == 0 else seq
+            cur_key = (era, poc)
+            seq += 1
         elif cur is None:
             raise ValueError("slice continues a frame never started")
-        Y, Cb, Cr, states, mv_map = cur
+        Y, Cb, Cr, states, mvs = cur
+        mv_map = mvs["l0"]
         if sh["slice_type"] == 0 and ref is None:
             raise ValueError("P slice without a reference frame")
+        ref0 = ref1 = None
+        if sh["slice_type"] == 1:    # B: nearest refs by output order
+            below = [r for r in refs if r[0] < cur_key[1]]
+            above = [r for r in refs if r[0] > cur_key[1]]
+            if not below or not above:
+                raise ValueError(
+                    "B slice lacks a past or future reference frame")
+            ref0 = max(below, key=lambda r: r[0])[1]
+            ref1 = min(above, key=lambda r: r[0])[1]
         qp = sh["qp"]
         addr = sh["first_mb"]
 
@@ -1261,6 +1313,21 @@ def h264_decode_gop_planes(payload: bytes):
                 addr += 1
                 if not br.more_rbsp_data():
                     break
+        elif sh["slice_type"] == 1:                  # B slice, CAVLC
+            while True:
+                if br.ue() != 0:                     # mb_skip_run
+                    raise NotImplementedError(
+                        "B_Skip macroblocks (direct prediction) "
+                        "unsupported")
+                if not br.more_rbsp_data():
+                    break
+                mbx, mby = step(addr)
+                qp = _decode_mb_b(br, qp, pps, ref0, ref1, Y, Cb, Cr,
+                                  states, mvs, mbx, mby, mbs_w)
+                n_decoded += 1
+                addr += 1
+                if not br.more_rbsp_data():
+                    break
         else:                                        # P slice
             while True:
                 skip_run = br.ue()
@@ -1282,7 +1349,10 @@ def h264_decode_gop_planes(payload: bytes):
     finish()
     if not frames:
         raise ValueError("no complete frame decoded")
-    return frames, sps["crop"]
+    # output order: decode order under poc_type 2 (seq keys), POC
+    # order within each IDR era under poc_type 0 (B reordering)
+    frames.sort(key=lambda f: f[0])
+    return [f[1] for f in frames], sps["crop"]
 
 
 def h264_decode_planes(payload: bytes):
@@ -1545,6 +1615,77 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
     return qp
 
 
+def _decode_mb_b(br, qp, pps, ref0, ref1, Y, Cb, Cr, states, mvs,
+                 mbx, mby, mbs_w):
+    """B-slice macroblock (r8): B_L0_16x16 / B_L1_16x16 /
+    B_Bi_16x16 (default average) / intra. Direct modes and
+    sub-16x16 partitions are rejected loudly."""
+    mb_type = br.ue()
+    if mb_type == 0:
+        raise NotImplementedError(
+            "B_Direct_16x16 macroblocks unsupported")
+    if mb_type >= 23:                # intra macroblock in a B slice
+        qp = _decode_mb_intra(br, mb_type - 23, qp, pps, Y, Cb, Cr,
+                              states, mbx, mby, mbs_w)
+        mvs["l0"][(mbx, mby)] = None
+        mvs["l1"][(mbx, mby)] = None
+        return qp
+    if mb_type > 3:
+        raise NotImplementedError(
+            "B macroblock partitions beyond 16x16 unsupported "
+            f"(mb_type {mb_type})")
+    use_l0 = mb_type in (1, 3)
+    use_l1 = mb_type in (2, 3)
+    preds = []
+    for lst, use, refp in (("l0", use_l0, ref0), ("l1", use_l1,
+                                                  ref1)):
+        if not use:
+            mvs[lst][(mbx, mby)] = None
+            continue
+        mvpx, mvpy = _mv_pred_16x16(mvs[lst], mbx, mby, mbs_w)
+        mvx = mvpx + br.se()
+        mvy = mvpy + br.se()
+        if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+            raise ValueError("implausible motion vector")
+        mvs[lst][(mbx, mby)] = (mvx, mvy)
+        preds.append(_mc_predict_mb(refp, mbx, mby, mvx, mvy))
+    if len(preds) == 2:              # default (non-weighted) average
+        predY, predCb, predCr = (
+            (a + b + 1) >> 1 for a, b in zip(preds[0], preds[1]))
+    else:
+        predY, predCb, predCr = preds[0]
+    st = _MBState()
+    cbp_code = br.ue()
+    if cbp_code > 47:
+        raise ValueError("invalid coded_block_pattern")
+    cbp = _CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = _apply_qp_delta(br, qp)
+    recon = predY.copy()
+    if cbp_luma:
+        for blk in range(16):
+            if not (cbp_luma >> (blk // 4)) & 1:
+                continue
+            nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+            coeffs = _decode_residual(br, nc, 16)
+            st.nnz_l[blk] = np.count_nonzero(coeffs)
+            d = np.zeros(16, dtype=np.int64)
+            d[_ZZ4] = coeffs
+            dq = _dequant_ac(d.reshape(4, 4), qp)
+            r = (_inv_transform_4x4(dq) + 32) >> 6
+            bx, by = _BLK_POS[blk]
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _clip255(
+                predY[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
+    Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = recon
+    cdc, cac = _decode_chroma_residual(br, states, mbx, mby, mbs_w,
+                                       cbp_chroma, st)
+    _recon_chroma_from_pred(Cb, Cr, predCb, predCr, mbx, mby, cdc,
+                            cac, qp, pps)
+    states[(mbx, mby)] = st
+    return qp
+
+
 def _decode_mb(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w):
     return _decode_mb_intra(br, br.ue(), qp, pps, Y, Cb, Cr, states,
                             mbx, mby, mbs_w)
@@ -1797,15 +1938,18 @@ def _quant_dc(w: np.ndarray, qp: int, shift_extra: int = 0) -> np.ndarray:
     return np.sign(w) * ((np.abs(w) * mf + 2 * f) >> (qbits + shift_extra))
 
 
-def _write_sps(mbs_w: int, mbs_h: int, profile: int = 66) -> bytes:
+def _write_sps(mbs_w: int, mbs_h: int, profile: int = 66,
+               poc_type: int = 2) -> bytes:
     bw = _BitW()
     bw.u(profile, 8)                         # 66 Baseline / 77 Main
     bw.u(0b11000000 if profile == 66 else 0, 8)  # constraint_set0/1
     bw.u(20, 8)                              # level 2.0
     bw.ue(0)                                 # sps_id
     bw.ue(0)                                 # log2_max_frame_num_minus4
-    bw.ue(2)                                 # pic_order_cnt_type 2
-    bw.ue(1)                                 # max_num_ref_frames
+    bw.ue(poc_type)                          # pic_order_cnt_type
+    if poc_type == 0:
+        bw.ue(2)                             # log2_max_poc_lsb = 6
+    bw.ue(2 if poc_type == 0 else 1)         # max_num_ref_frames
     bw.u(0, 1)                               # gaps_in_frame_num
     bw.ue(mbs_w - 1)
     bw.ue(mbs_h - 1)
@@ -1838,12 +1982,14 @@ def _write_pps(cabac: bool = False) -> bytes:
     return bw.bytes()
 
 
-def _slice_header(bw: _BitW, qp: int):
+def _slice_header(bw: _BitW, qp: int, poc_lsb: int | None = None):
     bw.ue(0)                                 # first_mb_in_slice
     bw.ue(7)                                 # slice_type: I (all)
     bw.ue(0)                                 # pps_id
     bw.u(0, 4)                               # frame_num
     bw.ue(0)                                 # idr_pic_id
+    if poc_lsb is not None:                  # poc_type 0 streams
+        bw.u(poc_lsb & 63, 6)
     bw.u(1, 1)                               # no_output_of_prior_pics
     bw.u(0, 1)                               # long_term_reference
     bw.se(qp - 26)                           # slice_qp_delta
@@ -1873,7 +2019,8 @@ def h264_encode(y: np.ndarray, qp: int = 30,
                 cb: np.ndarray | None = None,
                 cr: np.ndarray | None = None,
                 mb_mode: str = "i16",
-                entropy: str = "cavlc") -> bytes:
+                entropy: str = "cavlc",
+                poc_lsb: int | None = None) -> bytes:
     """Encode a (h, w) uint8 luma plane (h, w multiples of 16; cb/cr
     optional (h/2, w/2) planes, default neutral 128) as a one-slice
     Annex-B IDR access unit. ``mb_mode``: 'i16' (Intra_16x16 DC
@@ -1902,12 +2049,14 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     states: dict = {}
     wr = None
     if entropy == "cabac":
+        if poc_lsb is not None:
+            raise ValueError("poc_lsb (B-GOP streams) is CAVLC-only")
         from . import h264_cabac
         wr = h264_cabac.CabacSliceWriter(mbs_w)
     elif entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
-    _slice_header(bw, qp)
+    _slice_header(bw, qp, poc_lsb)
     n_mbs = mbs_w * mbs_h
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
@@ -1930,8 +2079,10 @@ def h264_encode(y: np.ndarray, qp: int = 30,
                          _write_pps(cabac=True), wr.rbsp(qp),
                          sei=_gs_cabac_sei())
     bw.trailing()
-    stream = _assemble(_write_sps(mbs_w, mbs_h), _write_pps(),
-                       bw.bytes())
+    stream = _assemble(
+        _write_sps(mbs_w, mbs_h,
+                   poc_type=0 if poc_lsb is not None else 2),
+        _write_pps(), bw.bytes())
     return stream
 
 
@@ -2295,7 +2446,8 @@ _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
 def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         qp: int = 30, frame_num: int = 1,
                         ref_idc: int = 2,
-                        entropy: str = "cavlc") -> bytes:
+                        entropy: str = "cavlc",
+                        poc_lsb: int | None = None) -> bytes:
     """Encode ONE P frame as an Annex-B non-IDR NAL (nal_ref_idc
     ``ref_idc``, single slice, CAVLC) to append after an IDR access
     unit. ``ref_idc=0`` emits a non-reference slice — legal for the
@@ -2318,6 +2470,8 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     h264_cabac's writer (the frame must follow an IDR encoded with
     entropy='cabac', sharing its CABAC PPS and marker SEI)."""
     if entropy == "cabac":
+        if poc_lsb is not None:
+            raise ValueError("poc_lsb (B-GOP streams) is CAVLC-only")
         from . import h264_cabac
         return h264_cabac.encode_p_frame_cabac(mb_specs, mbs_w,
                                                mbs_h, qp, frame_num,
@@ -2329,6 +2483,8 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.ue(0)                                 # slice_type: P
     bw.ue(0)                                 # pps_id
     bw.u(frame_num & 15, 4)                  # frame_num
+    if poc_lsb is not None:                  # poc_type 0 streams
+        bw.u(poc_lsb & 63, 6)
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_modification
     if ref_idc:
@@ -2393,6 +2549,112 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         bw.ue(skip_run)
     bw.trailing()
     return (b"\x00\x00\x00\x01" + bytes([(ref_idc & 3) << 5 | 1])
+            + _escape(bw.bytes()))
+
+
+def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
+                        poc_lsb: int, qp: int = 30,
+                        frame_num: int = 1) -> bytes:
+    """Encode ONE B frame as an Annex-B non-reference NAL (CAVLC,
+    single slice) for a poc_type-0 stream (build the IDR with
+    ``h264_encode(..., poc_lsb=...)`` and reference P frames with
+    ``h264_encode_p_frame(..., poc_lsb=...)``; decoding order is NAL
+    order, output order is POC order).
+
+    ``mb_specs`` is raster-order, one entry per MB — no skips (B_Skip
+    uses direct prediction, which is out of scope):
+      * ``('l0', mvx, mvy[, lv])``  — B_L0_16x16 from the nearest
+        reference BEFORE this frame in output order;
+      * ``('l1', mvx, mvy[, lv])``  — B_L1_16x16 from the nearest
+        reference AFTER it;
+      * ``('bi', mvx0, mvy0, mvx1, mvy1[, lv])`` — B_Bi_16x16, the
+        default (non-weighted) average (p0 + p1 + 1) >> 1;
+      * ``('i16dc', c)``            — Intra_16x16 DC, one luma level.
+    ``lv`` is a (16, 16) scan-order luma level array as in the P
+    encoder. MV prediction replicates the decoder per reference list
+    (median over neighbours that use the same list)."""
+    bw = _BitW()
+    bw.ue(0)                                 # first_mb_in_slice
+    bw.ue(1)                                 # slice_type: B
+    bw.ue(0)                                 # pps_id
+    bw.u(frame_num & 15, 4)                  # frame_num
+    bw.u(poc_lsb & 63, 6)                    # pic_order_cnt_lsb
+    bw.u(1, 1)                               # direct_spatial_mv_pred
+    bw.u(0, 1)                               # num_ref_idx_override
+    bw.u(0, 1)                               # ref_pic_list_mod_l0
+    bw.u(0, 1)                               # ref_pic_list_mod_l1
+    # nal_ref_idc 0: no dec_ref_pic_marking
+    bw.se(qp - 26)                           # slice_qp_delta
+    bw.ue(1)                                 # disable_deblocking
+    states: dict = {}
+    mvs = {"l0": {}, "l1": {}}
+
+    def code_mvd(lst, mbx, mby, mvx, mvy):
+        mvpx, mvpy = _mv_pred_16x16(mvs[lst], mbx, mby, mbs_w)
+        bw.se(mvx - mvpx)
+        bw.se(mvy - mvpy)
+        mvs[lst][(mbx, mby)] = (mvx, mvy)
+
+    for addr, spec in enumerate(mb_specs):
+        mbx, mby = addr % mbs_w, addr // mbs_w
+        if spec is None:
+            raise ValueError(
+                "B_Skip/B_Direct macroblocks unsupported — every B "
+                "mb_spec must be explicit")
+        bw.ue(0)                             # mb_skip_run
+        if spec[0] == "i16dc":
+            st = _MBState()
+            st.intra16 = True
+            bw.ue(23 + 3)                    # Intra_16x16 DC, CBP 0/0
+            bw.ue(0)                         # chroma pred DC
+            bw.se(0)                         # mb_qp_delta
+            dc_scan = np.zeros(16, dtype=np.int64)
+            dc_scan[0] = int(spec[1])
+            nc = _luma_nc(states, mbx, mby, mbs_w, 0)
+            _encode_residual(bw, dc_scan, nc, 16)
+            states[(mbx, mby)] = st
+            mvs["l0"][(mbx, mby)] = None
+            mvs["l1"][(mbx, mby)] = None
+            continue
+        kind = spec[0]
+        if kind == "l0":
+            bw.ue(1)                         # B_L0_16x16
+            levels = spec[3] if len(spec) > 3 else None
+            code_mvd("l0", mbx, mby, int(spec[1]), int(spec[2]))
+            mvs["l1"][(mbx, mby)] = None
+        elif kind == "l1":
+            bw.ue(2)                         # B_L1_16x16
+            levels = spec[3] if len(spec) > 3 else None
+            code_mvd("l1", mbx, mby, int(spec[1]), int(spec[2]))
+            mvs["l0"][(mbx, mby)] = None
+        elif kind == "bi":
+            bw.ue(3)                         # B_Bi_16x16
+            levels = spec[5] if len(spec) > 5 else None
+            code_mvd("l0", mbx, mby, int(spec[1]), int(spec[2]))
+            code_mvd("l1", mbx, mby, int(spec[3]), int(spec[4]))
+        else:
+            raise ValueError(f"unknown B mb_spec kind {kind!r}")
+        st = _MBState()
+        if levels is None:
+            bw.ue(_CBP_INTER_INV[0])
+        else:
+            levels = np.asarray(levels, dtype=np.int64)
+            cbp_luma = 0
+            for blk in range(16):
+                if np.any(levels[blk]):
+                    cbp_luma |= 1 << (blk // 4)
+            bw.ue(_CBP_INTER_INV[cbp_luma])
+            if cbp_luma:
+                bw.se(0)                     # mb_qp_delta
+            for blk in range(16):
+                if not (cbp_luma >> (blk // 4)) & 1:
+                    continue
+                nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+                _encode_residual(bw, levels[blk], nc, 16)
+                st.nnz_l[blk] = np.count_nonzero(levels[blk])
+        states[(mbx, mby)] = st
+    bw.trailing()
+    return (b"\x00\x00\x00\x01" + bytes([0x01])   # ref_idc 0, type 1
             + _escape(bw.bytes()))
 
 

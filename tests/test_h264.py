@@ -516,3 +516,97 @@ def test_avc1_mp4_with_p_samples_decodes_as_gop():
     gotj = list(mc.mp4_sample_frame_features(mj, every_ms=1000))
     assert [(i, t) for i, t, _ in gotj] == [(0, 0), (2, 1000)]
     assert gotj[0][2] == mc.image_features(frames[0])
+
+
+def test_b_frame_gop_l0_l1_bi_intra_and_reorder():
+    """r8 B slices (CAVLC): a poc_type-0 IBP GOP. Decoding order
+    IDR(poc 0), P(poc 4), B(poc 2); output order must be POC order
+    [IDR, B, P]. B macroblocks: L0 zero-MV copies the IDR, L1 zero-MV
+    copies the P, Bi is the exact default average (a+b+1)>>1, an
+    intra-in-B MB DC-predicts from its reconstructed neighbours, and
+    an L0 residual lands via dequant+IDCT on top of MC."""
+    rng = np.random.default_rng(31)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0)
+    p = h.h264_encode_p_frame([(4, 0)] * 8, 4, 2, qp=30,
+                              frame_num=1, poc_lsb=4)
+    lv = np.zeros((16, 16), dtype=np.int64)
+    lv[0, 0], lv[3, 2] = 4, -2
+    specs = [("l0", 0, 0), ("l1", 0, 0), ("bi", 0, 0, 0, 0),
+             ("i16dc", 11), ("l0", 8, 4), ("l1", -4, 8),
+             ("bi", 4, 0, 0, 4), ("l0", 0, 0, lv)]
+    b = h.h264_encode_b_frame(specs, 4, 2, poc_lsb=2, qp=28,
+                              frame_num=2)
+    frames, crop = h.h264_decode_gop_planes(idr + p + b)
+    assert len(frames) == 3
+    Yi = h.h264_decode_gop_planes(idr)[0][0][0]
+    Yp = h.h264_decode_gop_planes(idr + p)[0][1][0]
+    Y0, Yb, Y1 = frames[0][0], frames[1][0], frames[2][0]
+    assert np.array_equal(Y0, Yi)        # output order: POC order
+    assert np.array_equal(Y1, Yp)
+
+    def mb(Y, addr):
+        mbx, mby = addr % 4, addr // 4
+        return Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16]
+
+    # L0/L1 zero-MV copies
+    assert np.array_equal(mb(Yb, 0), mb(Yi, 0))
+    assert np.array_equal(mb(Yb, 1), mb(Yp, 1))
+    # Bi zero-MV: exact default average of the two references
+    assert np.array_equal(mb(Yb, 2), (mb(Yi, 2) + mb(Yp, 2) + 1) >> 1)
+    # shifted L0/L1 vs the independent interpolator
+    assert np.array_equal(
+        mb(Yb, 4), _ref_mc_luma(Yi, 0, 16, 8, 4, 16))
+    assert np.array_equal(
+        mb(Yb, 5), _ref_mc_luma(Yp, 16, 16, -4, 8, 16))
+    # mixed-MV Bi
+    want_bi = (_ref_mc_luma(Yi, 32, 16, 4, 0, 16)
+               + _ref_mc_luma(Yp, 32, 16, 0, 4, 16) + 1) >> 1
+    assert np.array_equal(mb(Yb, 6), want_bi)
+    # L0 + residual levels on two 4x4 blocks
+    base = _ref_mc_luma(Yi, 48, 16, 0, 0, 16)
+    want = base.copy()
+    for blk in (0, 3):
+        d = np.zeros(16, dtype=np.int64)
+        d[h._ZZ4] = lv[blk]
+        r = (h._inv_transform_4x4(
+            h._dequant_ac(d.reshape(4, 4), 28)) + 32) >> 6
+        bx, by = h._BLK_POS[blk]
+        want[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = np.clip(
+            base[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r, 0, 255)
+    assert np.array_equal(mb(Yb, 7), want)
+    # intra-in-B: DC level over DC prediction from recon neighbours
+    blk3 = mb(Yb, 3)
+    assert (blk3 == blk3[0, 0]).all()
+
+
+def test_b_frame_without_future_reference_rejected():
+    y = np.full((16, 16), 80, np.uint8)
+    idr = h.h264_encode(y, qp=30, poc_lsb=0)
+    b = h.h264_encode_b_frame([("l0", 0, 0)], 1, 1, poc_lsb=2,
+                              frame_num=1)
+    with pytest.raises(ValueError, match="future reference"):
+        h.h264_decode_gop_planes(idr + b)
+
+
+def test_b_skip_and_weighted_bipred_rejected():
+    y = np.full((16, 16), 80, np.uint8)
+    idr = h.h264_encode(y, qp=30, poc_lsb=0)
+    p = h.h264_encode_p_frame([None], 1, 1, frame_num=1, poc_lsb=4)
+    # hand-build a B slice whose first symbol is mb_skip_run = 1
+    bw = h._BitW()
+    for v in (0, 1, 0):
+        bw.ue(v)                      # first_mb, slice_type B, pps
+    bw.u(2, 4)                        # frame_num
+    bw.u(2, 6)                        # poc_lsb
+    bw.u(1, 1)                        # direct_spatial
+    bw.u(0, 1)                        # num_ref_override
+    bw.u(0, 1)                        # ref_list_mod_l0
+    bw.u(0, 1)                        # ref_list_mod_l1
+    bw.se(0)                          # qp delta
+    bw.ue(1)                          # disable_deblocking
+    bw.ue(1)                          # mb_skip_run = 1 (B_Skip)
+    bw.trailing()
+    bskip = b"\x00\x00\x00\x01\x01" + h._escape(bw.bytes())
+    with pytest.raises(NotImplementedError, match="B_Skip"):
+        h.h264_decode_gop_planes(idr + p + bskip)
