@@ -1660,7 +1660,8 @@ def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
 
 def mp4_mux(frames: list, frame_ms: int = 500, fourcc: bytes = b"jpeg",
             width: int = 0, height: int = 0,
-            config: bytes = b"") -> bytes:
+            config: bytes = b"",
+            ctts_offsets: list | None = None) -> bytes:
     """Mux video sample payloads into a minimal valid MP4: ftyp +
     mdat + moov with a one-trak sample table (1000-tick timescale,
     constant ``frame_ms`` per sample, one chunk). ``fourcc='jpeg'``
@@ -1669,7 +1670,10 @@ def mp4_mux(frames: list, frame_ms: int = 500, fourcc: bytes = b"jpeg",
     sample entry — for ``fourcc='avc1'`` pass the avcC box
     (``_box(b"avcC", h264.h264_avcc_config(...))``) and
     length-prefixed samples (``h264.h264_to_avcc_sample``), the real
-    ISO/IEC 14496-15 shape."""
+    ISO/IEC 14496-15 shape. ``ctts_offsets`` (r8): per-sample
+    composition-time offsets in media ticks for B-frame tracks where
+    decoding order differs from presentation order — emitted as a
+    version-1 (signed) ctts box."""
     n = len(frames)
     dur = n * frame_ms
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
@@ -1701,6 +1705,11 @@ def mp4_mux(frames: list, frame_ms: int = 500, fourcc: bytes = b"jpeg",
                  + struct.pack(">Hh", 24, -1) + config)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_ms))
+    if ctts_offsets is not None:
+        if len(ctts_offsets) != n:
+            raise ValueError("ctts_offsets must cover every sample")
+        stts += _full(b"ctts", 1, 0, struct.pack(">I", n) + b"".join(
+            struct.pack(">Ii", 1, int(o)) for o in ctts_offsets))
     stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
                  + b"".join(struct.pack(">I", len(f)) for f in frames))
@@ -1803,15 +1812,39 @@ def mp4_demux(payload: bytes) -> dict:
     (n_ent,) = struct.unpack_from(">I", payload, off)
     if n_ent > cap:
         raise ValueError("implausible stts entry count")
-    ts, t = [], 0
+    ts, ticks, t = [], [], 0
     for i in range(n_ent):
         cnt, delta = struct.unpack_from(">II", payload, off + 4 + 8 * i)
         if cnt + len(ts) > cap:
             raise ValueError("implausible stts sample count")
         for _ in range(cnt):
             ts.append(t * 1000 // timescale)
+            ticks.append(t)
             t += delta
     n = len(ts)
+
+    # ctts (composition offsets, B-frame reordering): presentation
+    # time = decode time + per-sample offset (v1 offsets are signed)
+    comp_ts = None
+    if b"ctts" in boxes:
+        coff, cend = boxes[b"ctts"]
+        ver = payload[coff]
+        if ver > 1:
+            raise NotImplementedError("ctts v>1 unsupported")
+        (n_ce,) = struct.unpack_from(">I", payload, coff + 4)
+        if n_ce > cap:
+            raise ValueError("implausible ctts entry count")
+        offs: list = []
+        fmt = ">Ii" if ver == 1 else ">II"
+        for i in range(n_ce):
+            cnt, o = struct.unpack_from(fmt, payload, coff + 8 + 8 * i)
+            if cnt + len(offs) > cap:
+                raise ValueError("implausible ctts sample count")
+            offs += [o] * cnt
+        if len(offs) < n:
+            raise ValueError("ctts covers fewer samples than stts")
+        comp_ts = [(tk + o) * 1000 // timescale
+                   for tk, o in zip(ticks, offs)]
 
     off, _ = full(b"stsz")
     uniform, cnt = struct.unpack_from(">II", payload, off)
@@ -1856,7 +1889,8 @@ def mp4_demux(payload: bytes) -> dict:
         from . import h264 as _h264
         samples = [_h264.h264_sample_to_annexb(s, avcc) for s in samples]
     return {"fourcc": fourcc, "timescale": timescale, "width": w,
-            "height": h, "sample_ts": ts, "samples": samples}
+            "height": h, "sample_ts": ts, "samples": samples,
+            "composition_ts": comp_ts}
 
 
 def mp4_frames(payload: bytes):
@@ -1891,12 +1925,18 @@ def mp4_sample_frame_features(payload: bytes, every_ms: int):
     if d["fourcc"] == b"avc1":
         from . import h264 as _h264
         # each demuxed sample is already a full Annex-B access unit
-        # (SPS/PPS + slice NALs); their concatenation is the GOP
+        # (SPS/PPS + slice NALs); their concatenation is the GOP.
+        # h264_decode_gop returns frames in OUTPUT order (POC order
+        # for poc_type-0 B streams), so pair them with the sorted
+        # presentation timeline: ctts composition times when the
+        # track carries B reordering, decode times otherwise (equal
+        # timelines for I/P-only tracks).
         frames = _h264.h264_decode_gop(b"".join(d["samples"]))
         if len(frames) != len(d["samples"]):
             raise ValueError("avc1 sample count != decoded frame count")
+        pres = sorted(d["composition_ts"] or d["sample_ts"])
         next_ts = 0
-        for i, (ts, px) in enumerate(zip(d["sample_ts"], frames)):
+        for i, (ts, px) in enumerate(zip(pres, frames)):
             if ts >= next_ts:
                 yield i, ts, pixel_features(px)
                 next_ts = (ts // every_ms + 1) * every_ms

@@ -610,3 +610,37 @@ def test_b_skip_and_weighted_bipred_rejected():
     bskip = b"\x00\x00\x00\x01\x01" + h._escape(bw.bytes())
     with pytest.raises(NotImplementedError, match="B_Skip"):
         h.h264_decode_gop_planes(idr + p + bskip)
+
+
+def test_avc1_mp4_with_b_samples_ctts_presentation_order():
+    """B-frame avc1 MP4 (r8): samples stored in DECODING order with a
+    v1 ctts box carrying the composition offsets; the Spark media
+    surface must emit features in PRESENTATION order with the
+    composition timeline."""
+    from gorillaspark.operators import media_codecs as mc
+    rng = np.random.default_rng(23)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, poc_lsb=0)
+    p = h.h264_encode_p_frame([(4, 0)] * 8, 4, 2, qp=30,
+                              frame_num=1, poc_lsb=4)
+    b = h.h264_encode_b_frame([("bi", 0, 0, 0, 0)] * 8, 4, 2,
+                              poc_lsb=2, qp=28, frame_num=2)
+    cfg = mc._box(b"avcC", h.h264_avcc_config(idr))
+    samples = [h.h264_to_avcc_sample(s) for s in (idr, p, b)]
+    # decode order [I,P,B] at dts [0,500,1000]; presentation
+    # [0,1000,500] -> signed composition offsets [0, +500, -500]
+    mp4 = mc.mp4_mux(samples, frame_ms=500, fourcc=b"avc1",
+                     width=64, height=32, config=cfg,
+                     ctts_offsets=[0, 500, -500])
+    d = mc.mp4_demux(mp4)
+    assert d["composition_ts"] == [0, 1000, 500]  # dts+off in ms
+    got = list(mc.mp4_sample_frame_features(mp4, every_ms=1))
+    want_frames = h.h264_decode_gop(idr + p + b)  # output order I,B,P
+    assert [(i, t) for i, t, _ in got] == [(0, 0), (1, 500), (2, 1000)]
+    assert [f for _, _, f in got] == [mc.pixel_features(f)
+                                      for f in want_frames]
+    # and an I/P-only track (no ctts) behaves exactly as before
+    mp4_ip = mc.mp4_mux(samples[:2], frame_ms=500, fourcc=b"avc1",
+                        width=64, height=32, config=cfg)
+    got2 = list(mc.mp4_sample_frame_features(mp4_ip, every_ms=1))
+    assert [(i, t) for i, t, _ in got2] == [(0, 0), (1, 500)]
