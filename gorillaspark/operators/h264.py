@@ -1691,12 +1691,37 @@ def _decode_mb(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w):
                             mbx, mby, mbs_w)
 
 
+def _decode_mb_pcm(br, qp, Y, Cb, Cr, states, mbx, mby):
+    """I_PCM (mb_type 25, CAVLC): byte-aligned raw samples — 256 luma
+    + 64 Cb + 64 Cr (4:2:0, 8-bit). Lossless by construction; QP is
+    untouched; the MB counts as fully-coded intra for every
+    neighbour context (nC 16, DC pred mode)."""
+    while br.pos % 8:
+        if br.u(1):
+            raise ValueError("pcm_alignment_zero_bit is 1")
+    x0, y0 = mbx * 16, mby * 16
+    for r in range(16):
+        for c in range(16):
+            Y[y0 + r, x0 + c] = br.u(8)
+    cx, cy = mbx * 8, mby * 8
+    for plane in (Cb, Cr):
+        for r in range(8):
+            for c in range(8):
+                plane[cy + r, cx + c] = br.u(8)
+    st = _MBState()
+    st.intra16 = True
+    st.nnz_l[:] = 16
+    st.nnz_c[:] = 16
+    states[(mbx, mby)] = st
+    return qp
+
+
 def _decode_mb_intra(br, mb_type, qp, pps, Y, Cb, Cr, states, mbx,
                      mby, mbs_w):
     st = _MBState()
     x0, y0 = mbx * 16, mby * 16
     if mb_type == 25:
-        raise NotImplementedError("I_PCM macroblocks unsupported")
+        return _decode_mb_pcm(br, qp, Y, Cb, Cr, states, mbx, mby)
     if mb_type > 25:
         raise ValueError(f"invalid I-slice mb_type {mb_type}")
     if mb_type == 0:
@@ -2024,8 +2049,10 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     """Encode a (h, w) uint8 luma plane (h, w multiples of 16; cb/cr
     optional (h/2, w/2) planes, default neutral 128) as a one-slice
     Annex-B IDR access unit. ``mb_mode``: 'i16' (Intra_16x16 DC
-    prediction, full AC residual) or 'i4' (Intra_4x4, per-block
-    SAD-chosen mode, full residual). ``entropy``: 'cavlc' (baseline)
+    prediction, full AC residual), 'i4' (Intra_4x4, per-block
+    SAD-chosen mode, full residual) or 'pcm' (r8: I_PCM raw
+    macroblocks — LOSSLESS, byte-aligned samples, CAVLC only).
+    ``entropy``: 'cavlc' (baseline)
     or 'cabac' (h264_cabac's writer — same plans, Main-profile SPS,
     marker SEI; see that module for the interop contract).
 
@@ -2060,6 +2087,34 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     n_mbs = mbs_w * mbs_h
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
+            if mb_mode == "pcm":
+                # I_PCM: lossless raw macroblock (CAVLC-only; the
+                # CABAC PCM re-initialization path stays stubbed)
+                if wr is not None:
+                    raise NotImplementedError(
+                        "I_PCM under CABAC unsupported")
+                bw.ue(25)
+                while len(bw.bits) % 8:
+                    bw.u(0, 1)       # pcm_alignment_zero_bit
+                x0, y0 = mbx * 16, mby * 16
+                for r in range(16):
+                    for c in range(16):
+                        bw.u(int(y[y0 + r, x0 + c]), 8)
+                cx, cy = mbx * 8, mby * 8
+                for plane in (cbp, crp):
+                    for r in range(8):
+                        for c in range(8):
+                            bw.u(int(plane[cy + r, cx + c]), 8)
+                st = _MBState()
+                st.intra16 = True
+                st.nnz_l[:] = 16
+                st.nnz_c[:] = 16
+                Yr[y0:y0 + 16, x0:x0 + 16] = y[y0:y0 + 16,
+                                               x0:x0 + 16]
+                Cbr[cy:cy + 8, cx:cx + 8] = cbp[cy:cy + 8, cx:cx + 8]
+                Crr[cy:cy + 8, cx:cx + 8] = crp[cy:cy + 8, cx:cx + 8]
+                states[(mbx, mby)] = st
+                continue
             if mb_mode == "i16":
                 sym = _plan_mb_i16(y, cbp, crp, Yr, Cbr, Crr, states,
                                    mbx, mby, mbs_w, qp)

@@ -644,3 +644,26 @@ def test_avc1_mp4_with_b_samples_ctts_presentation_order():
                         width=64, height=32, config=cfg)
     got2 = list(mc.mp4_sample_frame_features(mp4_ip, every_ms=1))
     assert [(i, t) for i, t, _ in got2] == [(0, 0), (1, 500)]
+
+
+def test_ipcm_lossless_roundtrip():
+    """I_PCM (r8): raw byte-aligned macroblocks are LOSSLESS — the
+    decode reproduces luma and chroma planes exactly, including hard
+    random noise no transform mode could."""
+    rng = np.random.default_rng(41)
+    y = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    stream = h.h264_encode(y, cb=cb, cr=cr, mb_mode="pcm")
+    Y, Cb, Cr, crop = h.h264_decode_planes(stream)
+    assert np.array_equal(Y, y.astype(np.int64))
+    assert np.array_equal(Cb, cb.astype(np.int64))
+    assert np.array_equal(Cr, cr.astype(np.int64))
+    # neutral-chroma form decodes to exact grey through the RGB path
+    g = h.h264_encode(y, mb_mode="pcm")
+    rgb = h.h264_decode(g)
+    assert np.array_equal(rgb[:, :, 0], y)
+    assert np.array_equal(rgb[:, :, 1], y)
+    # PCM under CABAC stays a loud stub
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        h.h264_encode(y, mb_mode="pcm", entropy="cabac")
