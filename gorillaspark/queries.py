@@ -2579,6 +2579,75 @@ def _synth_avc1_udf(entropy="cavlc"):
     return to_avc1
 
 
+def _synth_h264_pcm_udf():
+    """Per-doc Annex-B H.264 IDR of I_PCM macroblocks (r8): raw
+    byte-aligned samples, so the decode is LOSSLESS — the grey
+    16x16 pixel field v = (doc*7 + x*3 + y*5) % 256 comes back
+    bit-exactly (the H.264 analogue of the PNG/BMP lossless
+    families, with neutral chroma so RGB equals the luma plane)."""
+    from .operators import h264 as hh
+
+    @pandas_udf("binary")
+    def to_pcm(ids: pd.Series) -> pd.Series:
+        def one(d):
+            xg, yg = np.meshgrid(np.arange(16), np.arange(16))
+            v = ((d * 7 + xg * 3 + yg * 5) % 256).astype(np.uint8)
+            return hh.h264_encode(v, mb_mode="pcm")
+
+        return ids.map(one)
+
+    return to_pcm
+
+
+def q_media_h264_pcm_stats(spark, sf_dir):
+    """Lossless H.264 (I_PCM) decode value-checked end to end: the
+    byte-aligned raw-sample macroblocks reproduce the synthetic grey
+    field exactly, so a pure-SQL oracle predicts width/height/channel
+    sums and the full 8x8 average-hash."""
+    from .operators.multimodal import image_stats
+    docs = _docs(spark, sf_dir)
+    img = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_h264_pcm_udf()(F.col("doc_id"))
+                      .alias("payload"))
+    st = image_stats(img)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("width").cast("long").alias("width"),
+                     F.col("height").cast("long").alias("height"),
+                     "sum_r", "sum_g", "sum_b", "ahash")
+
+
+# 16x16 grey pixels; ahash cell (i,j) spans 2x2 px, area 4 of 256:
+# block-mean > frame-mean reduces exactly to 64*cellsum > total
+_MEDIA_H264_PCM_SQL = """
+    WITH px AS (
+      SELECT doc_id, x.x, y.y,
+             (doc_id*7 + x.x*3 + y.y*5) % 256 AS v
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) y
+    ),
+    tot AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY 1),
+    cell AS (
+      SELECT doc_id, (y // 2) * 8 + (x // 2) AS bit, sum(v) AS cs
+      FROM px GROUP BY 1, 2
+    ),
+    ah AS (SELECT c.doc_id,
+                  sum(CASE WHEN c.cs * 64 > t.t
+                           THEN (1::HUGEINT << CAST(c.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM cell c JOIN tot t USING (doc_id) GROUP BY 1)
+    SELECT t.doc_id, CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(t.t AS BIGINT) AS sum_r,
+           CAST(t.t AS BIGINT) AS sum_g,
+           CAST(t.t AS BIGINT) AS sum_b,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM tot t JOIN ah USING (doc_id)
+"""
+
+
 def q_media_jpeg_prog_stats(spark, sf_dir):
     """Progressive-JPEG (SOF2) decode value-checked end to end: the
     quantization-exact block-constant family of media_jpeg_stats,
@@ -2680,6 +2749,7 @@ QUERIES.update({
     "media_frame_ahash": q_media_frame_ahash,
     "media_h264_stats": q_media_h264_stats,
     "media_h264_cabac_stats": q_media_h264_cabac_stats,
+    "media_h264_pcm_stats": q_media_h264_pcm_stats,
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
 })
 ORACLES.update({
@@ -2694,6 +2764,7 @@ ORACLES.update({
     "media_frame_ahash": _MEDIA_FRAMES_SQL,
     "media_h264_stats": _MEDIA_H264_SQL,  # exact flat-MB H.264 family
     "media_h264_cabac_stats": _MEDIA_H264_SQL,  # same pixels, CABAC
+    "media_h264_pcm_stats": _MEDIA_H264_PCM_SQL,  # lossless I_PCM
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
 })
 
@@ -2983,6 +3054,9 @@ _EXTRA_NAMES = [
     # the 64-bit twin holds the in-window slot, and both share the
     # banded-join plan — only the fingerprint width/band size differ
     "simhash128_hamming_pairs",
+    # r8: lossless I_PCM H.264 family, EXTRA for the same reason —
+    # media_h264_stats/_cabac_stats hold the in-window H.264 slots
+    "media_h264_pcm_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
