@@ -15,7 +15,7 @@ only — the constrained-baseline intra subset:
 * Integer inverse core transform, Intra_16x16 luma DC Hadamard and
   2x2 chroma DC transforms, LevelScale dequantisation.
 
-CABAC entropy coding (I and P slices, r8) lives in the sibling
+CABAC entropy coding (I, P and B slices, r8) lives in the sibling
 module h264_cabac.py; this module's encoder stays CAVLC and exposes
 the entropy-independent plan/emit split (_plan_mb_i16/_plan_mb_i4 +
 _emit_mb_cavlc) both entropy writers serialize from.
@@ -23,8 +23,8 @@ _emit_mb_cavlc) both entropy writers serialize from.
 B slices (r8): the 16x16 subset — B_L0_16x16 / B_L1_16x16 /
 B_Bi_16x16 (default average) / intra-in-B over a two-list DPB with
 poc_type-0 output reordering (h264_encode_b_frame + the GOP
-decoder); B_Direct/B_Skip (direct-mode prediction), sub-16x16 B
-partitions and CABAC B slices stay rejected loudly.
+decoder), under both entropy coders; B_Direct/B_Skip (direct-mode
+prediction) and sub-16x16 B partitions stay rejected loudly.
 
 Out of scope, rejected loudly (NotImplementedError): direct-mode
 B prediction, multiple slice groups, fields/MBAFF, 8x8
@@ -1082,10 +1082,6 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
             raise NotImplementedError(
                 "adaptive reference picture marking unsupported")
     if pps["cabac"] and st5 in (0, 1):
-        if st5 == 1:
-            raise NotImplementedError(
-                "CABAC B slices unsupported (CAVLC B + CABAC I/P "
-                "only)")
         # cabac_init_idc: selects among the spec's three init-table
         # columns; our contexts init uniformly (see h264_cabac), so
         # any legal value decodes identically — parse and bound it
@@ -1297,6 +1293,10 @@ def h264_decode_gop_planes(payload: bytes):
                     addr, step)
                 for k in range(n):
                     mv_map[step(addr + k)] = None    # intra
+            elif sh["slice_type"] == 1:              # B slice, CABAC
+                n = h264_cabac.decode_bslice_cabac(
+                    br, qp, pps, ref0, ref1, Y, Cb, Cr, states, mvs,
+                    mbs_w, n_mbs, addr, step)
             else:                                    # P slice, CABAC
                 n = h264_cabac.decode_pslice_cabac(
                     br, qp, pps, ref, Y, Cb, Cr, states, mv_map,
@@ -2076,8 +2076,6 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     states: dict = {}
     wr = None
     if entropy == "cabac":
-        if poc_lsb is not None:
-            raise ValueError("poc_lsb (B-GOP streams) is CAVLC-only")
         from . import h264_cabac
         wr = h264_cabac.CabacSliceWriter(mbs_w)
     elif entropy != "cavlc":
@@ -2130,9 +2128,13 @@ def h264_encode(y: np.ndarray, qp: int = 30,
                 _emit_mb_cavlc(bw, states, sym, mbx, mby, mbs_w)
             states[(mbx, mby)] = sym["st"]
     if wr is not None:
-        return _assemble(_write_sps(mbs_w, mbs_h, profile=77),
-                         _write_pps(cabac=True), wr.rbsp(qp),
-                         sei=_gs_cabac_sei())
+        hb = _BitW()
+        _slice_header(hb, qp, poc_lsb)
+        return _assemble(
+            _write_sps(mbs_w, mbs_h, profile=77,
+                       poc_type=0 if poc_lsb is not None else 2),
+            _write_pps(cabac=True), wr.rbsp_from_header(hb),
+            sei=_gs_cabac_sei())
     bw.trailing()
     stream = _assemble(
         _write_sps(mbs_w, mbs_h,
@@ -2525,12 +2527,10 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     h264_cabac's writer (the frame must follow an IDR encoded with
     entropy='cabac', sharing its CABAC PPS and marker SEI)."""
     if entropy == "cabac":
-        if poc_lsb is not None:
-            raise ValueError("poc_lsb (B-GOP streams) is CAVLC-only")
         from . import h264_cabac
         return h264_cabac.encode_p_frame_cabac(mb_specs, mbs_w,
                                                mbs_h, qp, frame_num,
-                                               ref_idc)
+                                               ref_idc, poc_lsb)
     if entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
@@ -2609,7 +2609,8 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
 
 def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         poc_lsb: int, qp: int = 30,
-                        frame_num: int = 1) -> bytes:
+                        frame_num: int = 1,
+                        entropy: str = "cavlc") -> bytes:
     """Encode ONE B frame as an Annex-B non-reference NAL (CAVLC,
     single slice) for a poc_type-0 stream (build the IDR with
     ``h264_encode(..., poc_lsb=...)`` and reference P frames with
@@ -2627,7 +2628,18 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
       * ``('i16dc', c)``            — Intra_16x16 DC, one luma level.
     ``lv`` is a (16, 16) scan-order luma level array as in the P
     encoder. MV prediction replicates the decoder per reference list
-    (median over neighbours that use the same list)."""
+    (median over neighbours that use the same list).
+
+    ``entropy='cabac'`` (r8) serializes the same mb_specs with
+    h264_cabac's B writer (the frame must belong to a poc_type-0
+    GOP encoded end-to-end with entropy='cabac')."""
+    if entropy == "cabac":
+        from . import h264_cabac
+        return h264_cabac.encode_b_frame_cabac(mb_specs, mbs_w,
+                                               mbs_h, poc_lsb, qp,
+                                               frame_num)
+    if entropy != "cavlc":
+        raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
     bw.ue(0)                                 # first_mb_in_slice
     bw.ue(1)                                 # slice_type: B

@@ -1,4 +1,5 @@
-"""CABAC entropy coding for H.264 I and P slices (Rec. H.264 §9.3).
+"""CABAC entropy coding for H.264 I, P and B slices (Rec. H.264
+§9.3).
 
 Closes the r7 verdict's remaining media-entropy ask: most real-world
 MP4s carry CABAC, and until r8 any ``entropy_coding_mode_flag = 1``
@@ -17,7 +18,10 @@ the SAME shared pixel path (``_recon_mb_i16`` / ``_recon_mb_i4`` /
 the inter MC+residual chain), so the analytic flat-macroblock
 oracle family and the CAVLC/CABAC pixel-parity tests gate it end to
 end. P coverage matches the CAVLC subset: P_Skip / P_L0_16x16 /
-intra-in-P, one reference.
+intra-in-P, one reference. B coverage (r8) matches the CAVLC B
+subset: B_L0/B_L1/B_Bi 16x16 + intra-in-B over two lists
+(Table 9-37's truncated mb_type tree, per-list mvd contexts);
+B_Skip/B_Direct and sub-16x16 partitions reject loudly.
 
 Honesty contract — a deviation in the spec's DATA, not its STRUCTURE
 (this sandbox has no network, no H.264 binaries and no conformance
@@ -114,8 +118,12 @@ _MB_TYPE_I = 3      # bin0: 3..5 (neighbour inc); suffix bins 6..10
 _SKIP_P = 11        # mb_skip_flag (P): + condA + condB
 _MB_TYPE_P = 14     # P prefix bins: 14 (P-vs-intra), 15, 16
 _MB_TYPE_PI = 17    # intra mb_type suffix inside P slices: 17..22
-_MVD_X = 40         # mvd_l0 x: bin0 40..42 (nbr |mvd| inc), 43..46
-_MVD_Y = 47         # mvd_l0 y: same shape
+_SKIP_B = 24        # mb_skip_flag (B): + condA + condB
+_MB_TYPE_B = 27     # B prefix bins: 27..29 (bin0 inc), 30, 31, 32
+_MB_TYPE_BI = 33    # intra mb_type suffix inside B slices: 33..38
+_MVD_X = 40         # mvd x: bin0 40..42 (nbr |mvd| inc), 43..46
+_MVD_Y = 47         # mvd y: same shape (contexts shared by L0/L1,
+#                     ctxInc from same-list neighbour |mvd| — §9.3.3.1.1.7)
 _QP_DELTA = 60      # bin0: 60/61; bin1: 62; rest: 63
 _CHROMA_MODE = 64   # bin0: 64..66; rest: 67
 _PREV_I4 = 68
@@ -134,7 +142,8 @@ N_CTX = 276
 
 # the allocation blocks must not overlap
 _blocks = [(_MB_TYPE_I, 8), (_SKIP_P, 3), (_MB_TYPE_P, 3),
-           (_MB_TYPE_PI, 6), (_MVD_X, 7), (_MVD_Y, 7),
+           (_MB_TYPE_PI, 6), (_SKIP_B, 3), (_MB_TYPE_B, 6),
+           (_MB_TYPE_BI, 6), (_MVD_X, 7), (_MVD_Y, 7),
            (_QP_DELTA, 4), (_CHROMA_MODE, 4),
            (_PREV_I4, 1), (_REM_I4, 1), (_CBP_LUMA, 4),
            (_CBP_CHROMA, 8), (_CBF, 20), (_SIG, 61), (_LAST, 61),
@@ -331,7 +340,7 @@ class _CabacDec:
 
 class _Rec:
     __slots__ = ("nxn", "cm", "cbp_l", "cbp_c", "qpd", "dcY", "acY",
-                 "dcC", "acC", "skip", "intra", "mvd")
+                 "dcC", "acC", "skip", "intra", "mvd", "mvd1")
 
     def __init__(self):
         self.nxn = False
@@ -345,7 +354,8 @@ class _Rec:
         self.acC = [[0] * 4, [0] * 4]
         self.skip = False            # P slices: mb_skip_flag
         self.intra = True            # inter MBs set False
-        self.mvd = (0, 0)            # coded |mvd| components (P)
+        self.mvd = (0, 0)            # coded |mvd_l0| components
+        self.mvd1 = (0, 0)           # coded |mvd_l1| components (B)
 
 
 def _nb(recs, mbx, mby, dx, dy, mbs_w):
@@ -476,22 +486,36 @@ def _skip_inc(recs, mbx, mby, mbs_w) -> int:
     return inc
 
 
-def _mvd_ctx0(recs, mbx, mby, mbs_w, comp: int) -> int:
+def _mbtype_b_inc(recs, mbx, mby, mbs_w) -> int:
+    # §9.3.3.1.1.3: condTerm = neighbour available and not
+    # B_Skip/B_Direct_16x16; the supported subset never codes those,
+    # so any recorded non-skip neighbour counts
+    inc = 0
+    for dx, dy in ((-1, 0), (0, -1)):
+        r = _nb(recs, mbx, mby, dx, dy, mbs_w)
+        if r is not None and not r.skip:
+            inc += 1
+    return inc
+
+
+def _mvd_ctx0(recs, mbx, mby, mbs_w, comp: int, lst: int = 0) -> int:
     e = 0
     for dx, dy in ((-1, 0), (0, -1)):
         r = _nb(recs, mbx, mby, dx, dy, mbs_w)
         if r is not None:
-            e += r.mvd[comp]
+            e += (r.mvd if lst == 0 else r.mvd1)[comp]
     base = _MVD_X if comp == 0 else _MVD_Y
     return base + (0 if e < 3 else (1 if e <= 32 else 2))
 
 
-def _code_mvd(x, ctx, recs, mbx, mby, mbs_w, comp: int, v=None):
-    """One mvd_l0 component: UEG3 binarization (TU prefix, uCoff 9,
-    neighbour-|mvd| bin0 context) + EG3 bypass suffix + bypass sign.
-    Encode when ``v`` given, else decode and return the value."""
+def _code_mvd(x, ctx, recs, mbx, mby, mbs_w, comp: int, v=None,
+              lst: int = 0):
+    """One mvd_lX component: UEG3 binarization (TU prefix, uCoff 9,
+    same-list neighbour-|mvd| bin0 context) + EG3 bypass suffix +
+    bypass sign. Encode when ``v`` given, else decode and return the
+    value."""
     base = _MVD_X if comp == 0 else _MVD_Y
-    b0 = _mvd_ctx0(recs, mbx, mby, mbs_w, comp)
+    b0 = _mvd_ctx0(recs, mbx, mby, mbs_w, comp, lst)
 
     def bctx(i):
         return b0 if i == 0 else base + 3 + min(i - 1, 3)
@@ -700,7 +724,8 @@ class CabacSliceWriter:
         self.enc = _CabacEnc()
         self.ctx = _Ctx()
         self.recs: dict = {}
-        self.mv_map: dict = {}       # P slices: encoder's MV replica
+        self.mv_map: dict = {}       # P/B slices: encoder's L0 MVs
+        self.mv_map1: dict = {}      # B slices: encoder's L1 MVs
         self.prev_qpd = 0
         self.done = False
 
@@ -895,6 +920,16 @@ class CabacSliceWriter:
         _code_mvd(enc, ctx, recs, mbx, mby, mbs_w, 1, v=dy)
         cur.intra = False
         cur.mvd = (abs(dx), abs(dy))
+        self._emit_inter_tail(levels, mbx, mby, cur)
+        self.mv_map[(mbx, mby)] = (mvx, mvy)
+        recs[(mbx, mby)] = cur
+
+    def _emit_inter_tail(self, levels, mbx: int, mby: int, cur):
+        """CBP + mb_qp_delta + luma cat-2 residual of a 16x16 inter
+        MB (no chroma residual in the supported subset) — shared by
+        the P and B emitters."""
+        enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
+                                 self.mbs_w)
         cbp_l = 0
         if levels is not None:
             levels = np.asarray(levels, dtype=np.int64)
@@ -919,7 +954,89 @@ class CabacSliceWriter:
                     _enc_residual(enc, ctx, 2, lv)
         else:
             self.prev_qpd = 0
-        self.mv_map[(mbx, mby)] = (mvx, mvy)
+
+    # -- B slice (r8) ----------------------------------------------
+
+    def _code_mvd_b(self, lst: int, mbx: int, mby: int, mvx: int,
+                    mvy: int, cur):
+        """mvd pair for one list of a B 16x16 MB, replicating the
+        decoder's per-list median MV prediction."""
+        mmap = self.mv_map if lst == 0 else self.mv_map1
+        mvpx, mvpy = _mv_pred_16x16(mmap, mbx, mby, self.mbs_w)
+        dx, dy = mvx - mvpx, mvy - mvpy
+        _code_mvd(self.enc, self.ctx, self.recs, mbx, mby,
+                  self.mbs_w, 0, v=dx, lst=lst)
+        _code_mvd(self.enc, self.ctx, self.recs, mbx, mby,
+                  self.mbs_w, 1, v=dy, lst=lst)
+        if lst == 0:
+            cur.mvd = (abs(dx), abs(dy))
+        else:
+            cur.mvd1 = (abs(dx), abs(dy))
+        mmap[(mbx, mby)] = (mvx, mvy)
+
+    def emit_b(self, spec, mbx: int, mby: int):
+        """One B-slice MB in h264_encode_b_frame's mb_spec format:
+        ('l0'|'l1', mvx, mvy[, levels]), ('bi', mvx0, mvy0, mvx1,
+        mvy1[, levels]) or ('i16dc', c). B_Skip/B_Direct (None) are
+        rejected, matching the CAVLC B encoder. mb_type prefix bins
+        follow Table 9-37's truncated tree for the supported subset
+        ('100' L0, '101' L1, '110000' Bi, '111101' intra)."""
+        if self.done:
+            raise ValueError("slice already terminated")
+        if spec is None:
+            raise ValueError(
+                "B_Skip/B_Direct macroblocks unsupported — every B "
+                "mb_spec must be explicit")
+        enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
+                                 self.mbs_w)
+        enc.bit(ctx, _SKIP_B + _skip_inc(recs, mbx, mby, mbs_w), 0)
+        cur = _Rec()
+        binc = _mbtype_b_inc(recs, mbx, mby, mbs_w)
+        enc.bit(ctx, _MB_TYPE_B + binc, 1)       # not B_Direct_16x16
+        if spec[0] == "i16dc":                   # '111101' + suffix
+            enc.bit(ctx, _MB_TYPE_B + 3, 1)
+            enc.bit(ctx, _MB_TYPE_B + 4, 1)
+            enc.bit(ctx, _MB_TYPE_B + 5, 1)
+            enc.bit(ctx, _MB_TYPE_B + 5, 0)
+            enc.bit(ctx, _MB_TYPE_B + 5, 1)
+            enc.bit(ctx, _MB_TYPE_BI, 1)         # suffix b0: not NxN
+            enc.terminate(0)                     # not I_PCM
+            sym = _i16dc_sym(int(spec[1]))
+            self._emit_i16_mbtype_suffix(sym, _MB_TYPE_BI + 1)
+            self._emit_i16_rest(sym, mbx, mby, cur)
+            self.mv_map[(mbx, mby)] = None
+            self.mv_map1[(mbx, mby)] = None
+            recs[(mbx, mby)] = cur
+            return
+        kind = spec[0]
+        cur.intra = False
+        if kind == "l0":                         # '100'
+            enc.bit(ctx, _MB_TYPE_B + 3, 0)
+            enc.bit(ctx, _MB_TYPE_B + 4, 0)
+            levels = spec[3] if len(spec) > 3 else None
+            self._code_mvd_b(0, mbx, mby, int(spec[1]), int(spec[2]),
+                             cur)
+            self.mv_map1[(mbx, mby)] = None
+        elif kind == "l1":                       # '101'
+            enc.bit(ctx, _MB_TYPE_B + 3, 0)
+            enc.bit(ctx, _MB_TYPE_B + 4, 1)
+            levels = spec[3] if len(spec) > 3 else None
+            self._code_mvd_b(1, mbx, mby, int(spec[1]), int(spec[2]),
+                             cur)
+            self.mv_map[(mbx, mby)] = None
+        elif kind == "bi":                       # '110' + FL3 000
+            enc.bit(ctx, _MB_TYPE_B + 3, 1)
+            enc.bit(ctx, _MB_TYPE_B + 4, 0)
+            for _ in range(3):
+                enc.bit(ctx, _MB_TYPE_B + 5, 0)
+            levels = spec[5] if len(spec) > 5 else None
+            self._code_mvd_b(0, mbx, mby, int(spec[1]), int(spec[2]),
+                             cur)
+            self._code_mvd_b(1, mbx, mby, int(spec[3]), int(spec[4]),
+                             cur)
+        else:
+            raise ValueError(f"unknown B mb_spec kind {kind!r}")
+        self._emit_inter_tail(levels, mbx, mby, cur)
         recs[(mbx, mby)] = cur
 
     def end_mb(self, last: bool):
@@ -942,17 +1059,21 @@ class CabacSliceWriter:
 
 def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
                          qp: int = 30, frame_num: int = 1,
-                         ref_idc: int = 2) -> bytes:
+                         ref_idc: int = 2,
+                         poc_lsb: int | None = None) -> bytes:
     """CABAC twin of h264.h264_encode_p_frame: ONE P frame as an
     Annex-B non-IDR NAL from the same mb_spec format (must follow an
     IDR encoded with entropy='cabac' so the stream shares the
-    entropy_coding_mode=1 PPS and the marker SEI)."""
+    entropy_coding_mode=1 PPS and the marker SEI). ``poc_lsb`` only
+    for poc_type-0 streams (B-frame GOPs)."""
     from .h264 import _escape
     bw = _BitW()
     bw.ue(0)                                 # first_mb_in_slice
     bw.ue(0)                                 # slice_type: P
     bw.ue(0)                                 # pps_id
     bw.u(frame_num & 15, 4)                  # frame_num
+    if poc_lsb is not None:                  # poc_type 0 streams
+        bw.u(poc_lsb & 63, 6)
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_modification
     if ref_idc:
@@ -966,6 +1087,38 @@ def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
         wr.emit_p(spec, addr % mbs_w, addr // mbs_w)
         wr.end_mb(addr == n - 1)
     return (b"\x00\x00\x00\x01" + bytes([(ref_idc & 3) << 5 | 1])
+            + _escape(wr.rbsp_from_header(bw)))
+
+
+def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
+                         poc_lsb: int, qp: int = 30,
+                         frame_num: int = 1) -> bytes:
+    """CABAC twin of h264.h264_encode_b_frame: ONE non-reference B
+    frame as an Annex-B NAL for a poc_type-0 CABAC stream (IDR via
+    h264_encode(..., entropy='cabac', poc_lsb=...), reference P
+    frames via encode_p_frame_cabac(..., poc_lsb=...)). Same mb_spec
+    format as the CAVLC B encoder."""
+    from .h264 import _escape
+    bw = _BitW()
+    bw.ue(0)                                 # first_mb_in_slice
+    bw.ue(1)                                 # slice_type: B
+    bw.ue(0)                                 # pps_id
+    bw.u(frame_num & 15, 4)                  # frame_num
+    bw.u(poc_lsb & 63, 6)                    # pic_order_cnt_lsb
+    bw.u(1, 1)                               # direct_spatial_mv_pred
+    bw.u(0, 1)                               # num_ref_idx_override
+    bw.u(0, 1)                               # ref_pic_list_mod_l0
+    bw.u(0, 1)                               # ref_pic_list_mod_l1
+    # nal_ref_idc 0: no dec_ref_pic_marking
+    bw.ue(0)                                 # cabac_init_idc
+    bw.se(qp - 26)                           # slice_qp_delta
+    bw.ue(1)                                 # disable_deblocking
+    wr = CabacSliceWriter(mbs_w)
+    n = len(mb_specs)
+    for addr, spec in enumerate(mb_specs):
+        wr.emit_b(spec, addr % mbs_w, addr // mbs_w)
+        wr.end_mb(addr == n - 1)
+    return (b"\x00\x00\x00\x01" + bytes([0x01])   # ref_idc 0, type 1
             + _escape(wr.rbsp_from_header(bw)))
 
 
@@ -1175,9 +1328,7 @@ def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
 
 def _decode_mb_p_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb,
                        Cr, states, mv_map, mbx, mby, mbs_w):
-    from .h264 import (_BLK_POS as BP, _ZZ4, _clip255, _dequant_ac,
-                       _inv_transform_4x4, _mc_predict_mb,
-                       _mv_pred_16x16, _recon_chroma_from_pred)
+    from .h264 import _mc_predict_mb, _mv_pred_16x16
     cur = _Rec()
     st = _MBState()
     if dec.bit(ctx, _MB_TYPE_P):     # intra macroblock in the P slice
@@ -1214,6 +1365,22 @@ def _decode_mb_p_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb,
     cur.intra = False
     cur.mvd = (abs(dx), abs(dy))
     predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx, mvy)
+    qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
+                                   prev_qpd, pps, Y, Cb, Cr, predY,
+                                   predCb, predCr, mbx, mby, mbs_w)
+    states[(mbx, mby)] = st
+    mv_map[(mbx, mby)] = (mvx, mvy)
+    recs[(mbx, mby)] = cur
+    return qp, prev_qpd
+
+
+def _dec_inter_tail(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y,
+                    Cb, Cr, predY, predCb, predCr, mbx, mby, mbs_w):
+    """CBP + mb_qp_delta + residual + reconstruction of a 16x16
+    inter MB over its prediction planes — shared by the P and B
+    macroblock decoders."""
+    from .h264 import (_BLK_POS as BP, _ZZ4, _clip255, _dequant_ac,
+                       _inv_transform_4x4, _recon_chroma_from_pred)
     cbp_luma, cbp_chroma = _dec_cbp(dec, ctx, recs, mbx, mby, mbs_w)
     cur.cbp_l, cur.cbp_c = cbp_luma, cbp_chroma
     if cbp_luma or cbp_chroma:
@@ -1248,8 +1415,129 @@ def _decode_mb_p_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb,
                                  mbs_w, cbp_chroma)
     _recon_chroma_from_pred(Cb, Cr, predCb, predCr, mbx, mby, cdc,
                             cac, qp, pps)
+    return qp, prev_qpd
+
+
+def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
+                        Y, Cb, Cr, states: dict, mvs: dict,
+                        mbs_w: int, n_mbs: int, addr: int,
+                        step) -> int:
+    """Decode one CABAC B slice starting at macroblock ``addr``;
+    returns the number of MBs decoded. Same gate/contract as
+    :func:`decode_islice_cabac`; supports the CAVLC B subset
+    (B_L0/B_L1/B_Bi 16x16 + intra-in-B, one reference per list;
+    B_Skip/B_Direct and sub-16x16 partitions reject loudly)."""
+    while br.pos % 8:
+        if not br.u(1):
+            raise ValueError("cabac_alignment_one_bit is 0")
+    dec = _CabacDec(br)
+    ctx = _Ctx()
+    recs: dict = {}
+    prev_qpd = 0
+    n = 0
+    while True:
+        mbx, mby = step(addr + n)
+        if dec.bit(ctx, _SKIP_B + _skip_inc(recs, mbx, mby, mbs_w)):
+            raise NotImplementedError(
+                "B_Skip macroblocks (direct prediction) unsupported")
+        qp, prev_qpd = _decode_mb_b_cabac(
+            dec, ctx, recs, qp, prev_qpd, pps, ref0, ref1, Y, Cb, Cr,
+            states, mvs, mbx, mby, mbs_w)
+        n += 1
+        if dec.terminate():          # end_of_slice_flag
+            break
+        if addr + n >= n_mbs:
+            raise ValueError("CABAC slice overruns the frame's MBs")
+    return n
+
+
+def _decode_mb_b_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref0,
+                       ref1, Y, Cb, Cr, states, mvs, mbx, mby,
+                       mbs_w):
+    from .h264 import _mc_predict_mb, _mv_pred_16x16
+    cur = _Rec()
+    st = _MBState()
+    binc = _mbtype_b_inc(recs, mbx, mby, mbs_w)
+    if not dec.bit(ctx, _MB_TYPE_B + binc):
+        raise NotImplementedError(
+            "B_Direct_16x16 macroblocks unsupported")
+    if dec.bit(ctx, _MB_TYPE_B + 3):
+        if dec.bit(ctx, _MB_TYPE_B + 4):         # '111...'
+            if not dec.bit(ctx, _MB_TYPE_B + 5):
+                raise NotImplementedError(       # '1110' family
+                    "B macroblock partitions beyond 16x16 "
+                    "unsupported")
+            if dec.bit(ctx, _MB_TYPE_B + 5):
+                raise NotImplementedError(       # '11111' family
+                    "B macroblock partitions beyond 16x16 "
+                    "unsupported")
+            if not dec.bit(ctx, _MB_TYPE_B + 5):
+                raise NotImplementedError(       # '111100'
+                    "B macroblock partitions beyond 16x16 "
+                    "unsupported")
+            # '111101': intra macroblock in the B slice
+            mvs["l0"][(mbx, mby)] = None
+            mvs["l1"][(mbx, mby)] = None
+            if dec.bit(ctx, _MB_TYPE_BI):
+                if dec.terminate():
+                    raise NotImplementedError(
+                        "I_PCM macroblocks unsupported")
+                cbp_l, cbp_c, pred = _dec_i16_suffix(
+                    dec, ctx, _MB_TYPE_BI + 1)
+                qp, prev_qpd = _dec_i16_body(dec, ctx, recs, cur, st,
+                                             qp, prev_qpd, pps, Y,
+                                             Cb, Cr, mbx, mby, mbs_w,
+                                             cbp_l, cbp_c, pred)
+            else:
+                qp, prev_qpd = _dec_i4_body(dec, ctx, recs, cur, st,
+                                            qp, prev_qpd, pps, Y, Cb,
+                                            Cr, states, mbx, mby,
+                                            mbs_w)
+            states[(mbx, mby)] = st
+            recs[(mbx, mby)] = cur
+            return qp, prev_qpd
+        # '110' + 3 fixed-length bins: 000 is B_Bi_16x16
+        v = 0
+        for _ in range(3):
+            v = (v << 1) | dec.bit(ctx, _MB_TYPE_B + 5)
+        if v:
+            raise NotImplementedError(
+                "B macroblock partitions beyond 16x16 unsupported "
+                f"(mb_type {3 + v})")
+        use_l0 = use_l1 = True
+    else:                                        # '10x': L0 / L1
+        use_l1 = bool(dec.bit(ctx, _MB_TYPE_B + 4))
+        use_l0 = not use_l1
+    cur.intra = False
+    preds = []
+    for lst, use, refp in ((0, use_l0, ref0), (1, use_l1, ref1)):
+        mmap = mvs["l0"] if lst == 0 else mvs["l1"]
+        if not use:
+            mmap[(mbx, mby)] = None
+            continue
+        if refp is None:
+            raise ValueError("B macroblock without a reference frame")
+        mvpx, mvpy = _mv_pred_16x16(mmap, mbx, mby, mbs_w)
+        dx = _code_mvd(dec, ctx, recs, mbx, mby, mbs_w, 0, lst=lst)
+        dy = _code_mvd(dec, ctx, recs, mbx, mby, mbs_w, 1, lst=lst)
+        mvx, mvy = mvpx + dx, mvpy + dy
+        if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+            raise ValueError("implausible motion vector")
+        if lst == 0:
+            cur.mvd = (abs(dx), abs(dy))
+        else:
+            cur.mvd1 = (abs(dx), abs(dy))
+        mmap[(mbx, mby)] = (mvx, mvy)
+        preds.append(_mc_predict_mb(refp, mbx, mby, mvx, mvy))
+    if len(preds) == 2:              # default (non-weighted) average
+        predY, predCb, predCr = (
+            (a + b + 1) >> 1 for a, b in zip(preds[0], preds[1]))
+    else:
+        predY, predCb, predCr = preds[0]
+    qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
+                                   prev_qpd, pps, Y, Cb, Cr, predY,
+                                   predCb, predCr, mbx, mby, mbs_w)
     states[(mbx, mby)] = st
-    mv_map[(mbx, mby)] = (mvx, mvy)
     recs[(mbx, mby)] = cur
     return qp, prev_qpd
 

@@ -216,3 +216,107 @@ def test_cabac_stream_parses_as_main_profile():
             assert rbsp[0] == 77  # Main (CABAC is not Baseline)
         if nal_type == 8:
             assert hh._parse_pps(hh._Bits(rbsp))["cabac"]
+
+
+def test_cabac_b_gop_matches_cavlc_pixels():
+    """r8 CABAC B slices: the CAVLC B GOP (IDR + P ref + B with
+    L0/L1/Bi/intra MBs, residuals, POC reordering) re-coded with the
+    CABAC writer decodes to EXACTLY the same planes — the entropy
+    layer is pixel-transparent for every B macroblock kind."""
+    rng = np.random.default_rng(31)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    lv = np.zeros((16, 16), dtype=np.int64)
+    lv[0, 0], lv[3, 2] = 4, -2
+    specs = [("l0", 0, 0), ("l1", 0, 0), ("bi", 0, 0, 0, 0),
+             ("i16dc", 11), ("l0", 8, 4), ("l1", -4, 8),
+             ("bi", 4, 0, 0, 4), ("l0", 0, 0, lv)]
+    frames = {}
+    for ent in ("cavlc", "cabac"):
+        idr = hh.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                             entropy=ent)
+        p = hh.h264_encode_p_frame([(4, 0)] * 8, 4, 2, qp=30,
+                                   frame_num=1, poc_lsb=4,
+                                   entropy=ent)
+        b = hh.h264_encode_b_frame(specs, 4, 2, poc_lsb=2, qp=28,
+                                   frame_num=2, entropy=ent)
+        fr, crop = hh.h264_decode_gop_planes(idr + p + b)
+        assert len(fr) == 3          # output order: POC order
+        frames[ent] = fr
+    for k in range(3):
+        for pa, pb in zip(frames["cavlc"][k], frames["cabac"][k]):
+            np.testing.assert_array_equal(pa, pb, err_msg=str(k))
+    # and the B frame really reordered: frame 1 is the POC-2 B whose
+    # first MB is the zero-MV L0 copy of the IDR
+    Yi, Yb = frames["cabac"][0][0], frames["cabac"][1][0]
+    np.testing.assert_array_equal(Yb[:16, :16], Yi[:16, :16])
+
+
+def _cabac_b_header(frame_num=2, poc_lsb=2, qp=28):
+    bw = hh._BitW()
+    bw.ue(0)                         # first_mb_in_slice
+    bw.ue(1)                         # slice_type: B
+    bw.ue(0)                         # pps_id
+    bw.u(frame_num & 15, 4)
+    bw.u(poc_lsb & 63, 6)
+    bw.u(1, 1)                       # direct_spatial_mv_pred
+    bw.u(0, 1)                       # num_ref_idx_override
+    bw.u(0, 1)                       # ref_pic_list_mod_l0
+    bw.u(0, 1)                       # ref_pic_list_mod_l1
+    bw.ue(0)                         # cabac_init_idc
+    bw.se(qp - 26)                   # slice_qp_delta
+    bw.ue(1)                         # disable_deblocking
+    return bw
+
+
+def _cabac_b_gop_prefix():
+    y = np.full((16, 16), 80, np.uint8)
+    idr = hh.h264_encode(y, qp=30, poc_lsb=0, entropy="cabac")
+    p = hh.h264_encode_p_frame([(0, 0)], 1, 1, frame_num=1,
+                               poc_lsb=4, entropy="cabac")
+    return idr + p
+
+
+def test_cabac_b_skip_rejected_loudly():
+    """mb_skip_flag = 1 in a CABAC B slice (B_Skip, direct-mode
+    prediction) must reject loudly, mirroring the CAVLC contract."""
+    bw = _cabac_b_header()
+    while len(bw.bits) % 8:
+        bw.u(1, 1)                   # cabac_alignment_one_bit
+    enc = hc._CabacEnc()
+    ctx = hc._Ctx()
+    enc.bit(ctx, hc._SKIP_B, 1)      # first MB: no neighbours, inc 0
+    enc.terminate(1)
+    nal = b"\x00\x00\x00\x01\x01" + hh._escape(bw.bytes()
+                                               + enc.bytes())
+    with pytest.raises(NotImplementedError, match="B_Skip"):
+        hh.h264_decode_gop_planes(_cabac_b_gop_prefix() + nal)
+
+
+def test_cabac_b_partition_mb_types_rejected_loudly():
+    """Unsupported Table 9-37 paths — B_Direct_16x16 ('0') and the
+    16x8 partition region ('110' + non-zero FL3) — reject loudly."""
+    for bins, msg in (((0,), "B_Direct"),
+                      ((1, 1, 0, 0, 0, 1), "partitions"),
+                      ((1, 1, 1, 0), "partitions")):
+        bw = _cabac_b_header()
+        while len(bw.bits) % 8:
+            bw.u(1, 1)
+        enc = hc._CabacEnc()
+        ctx = hc._Ctx()
+        enc.bit(ctx, hc._SKIP_B, 0)
+        ctxs = [hc._MB_TYPE_B, hc._MB_TYPE_B + 3, hc._MB_TYPE_B + 4,
+                hc._MB_TYPE_B + 5, hc._MB_TYPE_B + 5,
+                hc._MB_TYPE_B + 5]
+        for i, b in enumerate(bins):
+            enc.bit(ctx, ctxs[i], b)
+        enc.terminate(1)
+        nal = b"\x00\x00\x00\x01\x01" + hh._escape(bw.bytes()
+                                                   + enc.bytes())
+        with pytest.raises(NotImplementedError, match=msg):
+            hh.h264_decode_gop_planes(_cabac_b_gop_prefix() + nal)
+
+
+def test_cabac_b_encoder_rejects_skip_spec():
+    with pytest.raises(ValueError, match="B_Skip/B_Direct"):
+        hh.h264_encode_b_frame([None], 1, 1, poc_lsb=2, frame_num=2,
+                               entropy="cabac")
