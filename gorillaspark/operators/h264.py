@@ -2381,7 +2381,8 @@ def _plan_mb_i4(y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx, mby,
 
 
 def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,
-                         entropy: str = "cavlc") -> bytes:
+                         entropy: str = "cavlc",
+                         poc_lsb: int | None = None) -> bytes:
     """The ORACLE FAMILY: an IDR frame of Intra_16x16 DC-predicted
     macroblocks, each carrying a single luma DC coefficient chosen so
     the whole MB reconstructs to pred + offsets[my][mx] exactly —
@@ -2418,6 +2419,7 @@ def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,
         raise ValueError("offsets would clip; oracle family requires "
                          "unclipped reconstruction")
     states: dict = {}
+    poc_type = 0 if poc_lsb is not None else 2
     if entropy == "cabac":
         from . import h264_cabac
         wr = h264_cabac.CabacSliceWriter(mbs_w)
@@ -2425,19 +2427,23 @@ def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,
         for mx, my, sym in _flat_mb_syms(offsets, qp):
             wr.emit(sym, mx, my)
             wr.end_mb(my * mbs_w + mx == n_mbs - 1)
-        return _assemble(_write_sps(mbs_w, mbs_h, profile=77),
-                         _write_pps(cabac=True), wr.rbsp(qp),
+        hb = _BitW()
+        _slice_header(hb, qp, poc_lsb)
+        return _assemble(_write_sps(mbs_w, mbs_h, profile=77,
+                                    poc_type=poc_type),
+                         _write_pps(cabac=True),
+                         wr.rbsp_from_header(hb),
                          sei=_gs_cabac_sei())
     if entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
-    _slice_header(bw, qp)
+    _slice_header(bw, qp, poc_lsb)
     for mx, my, sym in _flat_mb_syms(offsets, qp):
         _emit_mb_cavlc(bw, states, sym, mx, my, mbs_w)
         states[(mx, my)] = sym["st"]
     bw.trailing()
-    return _assemble(_write_sps(mbs_w, mbs_h), _write_pps(),
-                     bw.bytes())
+    return _assemble(_write_sps(mbs_w, mbs_h, poc_type=poc_type),
+                     _write_pps(), bw.bytes())
 
 
 def _flat_mb_syms(offsets, qp):

@@ -2737,6 +2737,146 @@ _MEDIA_H264_SQL = """
 """
 
 
+def _synth_h264_b_gop_udf():
+    """Per-doc B-frame avc1 MP4 (r8): a 3-frame poc_type-0 GOP —
+    flat-MB IDR (POC 0, values v0), an intra-in-P reference frame
+    (POC 4, Intra_16x16 DC macroblocks landing values v1 through the
+    same exact (10*c+32)>>6 dequant chain) and a non-reference B
+    frame (POC 2) whose 16x16 MBs pick B_L0 / B_L1 / B_Bi by
+    position — stored in DECODING order [I,P,B] with a version-1
+    ctts box carrying the composition offsets. Zero-MV motion
+    compensation makes every B pixel closed-form: v0 (L0), v1 (L1)
+    or the default bipred average (v0+v1+1)>>1, so a DuckDB oracle
+    predicts all three frames' ahashes analytically. Entropy
+    alternates by doc (even CAVLC, odd CABAC) so ONE query drives
+    BOTH B-slice entropy decoders plus the two-list DPB, the POC
+    output reordering and the ctts presentation timeline; the pixel
+    formula is entropy-coder-independent."""
+    from .operators import media_codecs as mc
+    from .operators import h264 as hh
+
+    @pandas_udf("binary")
+    def to_avc1(ids: pd.Series) -> pd.Series:
+        def flat_offsets(v):
+            off = np.zeros_like(v)
+            for my in range(v.shape[0]):
+                for mx in range(v.shape[1]):
+                    if mx == 0 and my == 0:
+                        pred = 128
+                    elif my == 0:
+                        pred = v[my, mx - 1]
+                    elif mx == 0:
+                        pred = v[my - 1, mx]
+                    else:
+                        pred = (v[my, mx - 1] + v[my - 1, mx] + 1) >> 1
+                    off[my, mx] = v[my, mx] - pred
+            return off
+
+        def dc_level(o):
+            if o == 0:
+                return 0
+            c = -(-(64 * o - 32) // 10)          # ceil division
+            assert (10 * c + 32) >> 6 == o
+            return c
+
+        def one(d):
+            ent = "cabac" if d % 2 else "cavlc"
+            mxg, myg = np.meshgrid(np.arange(4), np.arange(2))
+            v0 = 20 + (d * 7 + mxg * 13 + myg * 29) % 200
+            v1 = 20 + (d * 11 + mxg * 17 + myg * 23) % 200
+            idr = hh.h264_encode_flat_mbs(flat_offsets(v0), qp=36,
+                                          entropy=ent, poc_lsb=0)
+            p_off = flat_offsets(v1)
+            p_specs = [("i16dc", dc_level(int(p_off[my, mx])))
+                       for my in range(2) for mx in range(4)]
+            p = hh.h264_encode_p_frame(p_specs, 4, 2, qp=36,
+                                       frame_num=1, poc_lsb=4,
+                                       entropy=ent)
+            b_specs = []
+            for my in range(2):
+                for mx in range(4):
+                    k = (d + mx + my * 4) % 3
+                    b_specs.append(("l0", 0, 0) if k == 0 else
+                                   ("l1", 0, 0) if k == 1 else
+                                   ("bi", 0, 0, 0, 0))
+            b = hh.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=2,
+                                       qp=36, frame_num=2,
+                                       entropy=ent)
+            cfg = mc._box(b"avcC", hh.h264_avcc_config(idr))
+            samples = [hh.h264_to_avcc_sample(s)
+                       for s in (idr, p, b)]
+            return mc.mp4_mux(samples, frame_ms=500, fourcc=b"avc1",
+                              width=64, height=32, config=cfg,
+                              ctts_offsets=[0, 500, -500])
+
+        return ids.map(one)
+
+    return to_avc1
+
+
+def q_media_h264_b_stats(spark, sf_dir):
+    """B-frame H.264 decode value-checked end to end (r8): ctts
+    composition reordering, the two-reference DPB, B_L0/B_L1/B_Bi
+    motion compensation with the default bipred average, under BOTH
+    entropy coders (CAVLC even docs, CABAC odd docs) — against a
+    pure-SQL oracle that predicts each presentation frame's pixels
+    from the flat-macroblock construction."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_h264_b_gop_udf()(F.col("doc_id"))
+                      .alias("payload"))
+    st = video_frame_stats(vid, every_ms=500)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long").alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
+# presentation frames fi 0/1/2 = IDR (v0) / B / P-ref (v1); B MB
+# (mx,my) picks v0, v1 or the exact average by (doc+mx+my*4) % 3;
+# same 64x32 flat-MB ahash reduction as _MEDIA_H264_SQL
+_MEDIA_H264_B_SQL = """
+    WITH mb AS (
+      SELECT d.doc_id, f.fi, mx.mx, my.my,
+             20 + (d.doc_id*7 + mx.mx*13 + my.my*29) % 200 AS v0,
+             20 + (d.doc_id*11 + mx.mx*17 + my.my*23) % 200 AS v1
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS fi) f
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS mx) mx
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS my) my
+    ),
+    px AS (
+      SELECT doc_id, fi, mx, my,
+             CASE WHEN fi = 0 THEN v0
+                  WHEN fi = 2 THEN v1
+                  ELSE CASE (doc_id + mx + my*4) % 3
+                       WHEN 0 THEN v0
+                       WHEN 1 THEN v1
+                       ELSE (v0 + v1 + 1) // 2 END
+             END AS v
+      FROM mb
+    ),
+    tot AS (SELECT doc_id, fi, sum(v) AS s FROM px GROUP BY 1, 2),
+    cell AS (
+      SELECT p.doc_id, p.fi, i.i * 8 + j.j AS bit, p.v
+      FROM px p
+      JOIN (SELECT unnest(generate_series(0, 7)) AS i) i ON i.i // 4 = p.my
+      JOIN (SELECT unnest(generate_series(0, 7)) AS j) j ON j.j // 2 = p.mx
+    ),
+    ah AS (SELECT c.doc_id, c.fi,
+                  sum(CASE WHEN c.v * 8 > t.s
+                           THEN (1::HUGEINT << CAST(c.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM cell c JOIN tot t USING (doc_id, fi) GROUP BY 1, 2)
+    SELECT doc_id, CAST(fi AS BIGINT) AS frame_index,
+           CAST(fi * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM ah
+"""
+
+
 QUERIES.update({
     "media_audio_stats": q_media_audio_stats,
     "media_image_stats": q_media_image_stats,
@@ -2750,6 +2890,7 @@ QUERIES.update({
     "media_h264_stats": q_media_h264_stats,
     "media_h264_cabac_stats": q_media_h264_cabac_stats,
     "media_h264_pcm_stats": q_media_h264_pcm_stats,
+    "media_h264_b_stats": q_media_h264_b_stats,
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
 })
 ORACLES.update({
@@ -2765,6 +2906,7 @@ ORACLES.update({
     "media_h264_stats": _MEDIA_H264_SQL,  # exact flat-MB H.264 family
     "media_h264_cabac_stats": _MEDIA_H264_SQL,  # same pixels, CABAC
     "media_h264_pcm_stats": _MEDIA_H264_PCM_SQL,  # lossless I_PCM
+    "media_h264_b_stats": _MEDIA_H264_B_SQL,  # exact I/P/B GOP family
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
 })
 
@@ -3055,8 +3197,15 @@ _EXTRA_NAMES = [
     # banded-join plan — only the fingerprint width/band size differ
     "simhash128_hamming_pairs",
     # r8: lossless I_PCM H.264 family, EXTRA for the same reason —
-    # media_h264_stats/_cabac_stats hold the in-window H.264 slots
+    # the in-window H.264 slots go to the round's NEW entropy/B work
     "media_h264_pcm_stats",
+    # r8 third rotation: media_h264_b_stats (NEW — B slices under
+    # both entropy coders, ctts reordering, two-list DPB) moves IN
+    # for first driver evidence; media_h264_stats (driver-green r7,
+    # and its CAVLC intra decode chain is a strict subset of what
+    # media_h264_b_stats and media_h264_cabac_stats exercise
+    # in-window) takes its EXTRA slot:
+    "media_h264_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
