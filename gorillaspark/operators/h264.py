@@ -20,14 +20,15 @@ module h264_cabac.py; this module's encoder stays CAVLC and exposes
 the entropy-independent plan/emit split (_plan_mb_i16/_plan_mb_i4 +
 _emit_mb_cavlc) both entropy writers serialize from.
 
-B slices (r8): the 16x16 subset — B_L0_16x16 / B_L1_16x16 /
+B slices (r8): the 16x16 subset — B_Skip / B_Direct_16x16 (SPATIAL
+direct derivation, 8.4.1.2.2) / B_L0_16x16 / B_L1_16x16 /
 B_Bi_16x16 (default average) / intra-in-B over a two-list DPB with
 poc_type-0 output reordering (h264_encode_b_frame + the GOP
-decoder), under both entropy coders; B_Direct/B_Skip (direct-mode
-prediction) and sub-16x16 B partitions stay rejected loudly.
+decoder), under both entropy coders; temporal direct and sub-16x16
+B partitions stay rejected loudly.
 
-Out of scope, rejected loudly (NotImplementedError): direct-mode
-B prediction, multiple slice groups, fields/MBAFF, 8x8
+Out of scope, rejected loudly (NotImplementedError): temporal
+direct prediction, multiple slice groups, fields/MBAFF, 8x8
 transform (High profile), monochrome / 4:2:2 / 4:4:4, scaling
 matrices, and in-loop deblocking — the encoder below always signals
 ``disable_deblocking_filter_idc = 1`` and the decoder refuses
@@ -1055,8 +1056,11 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
         if pps["bottom_field_poc"]:
             br.se()
     if st5 == 1:
-        br.flag()                             # direct_spatial_mv_pred
-        # (value irrelevant: B_Direct/B_Skip macroblocks are rejected)
+        if not br.flag():                     # direct_spatial_mv_pred
+            raise NotImplementedError(
+                "temporal direct prediction unsupported (B_Skip/"
+                "B_Direct decode implements the spatial derivation "
+                "only — streams must set direct_spatial_mv_pred_flag)")
     if st5 in (0, 1):
         if br.flag():                         # num_ref_idx_override
             if br.ue() != 0 or (st5 == 1 and br.ue() != 0):
@@ -1234,7 +1238,9 @@ def h264_decode_gop_planes(payload: bytes):
         frames.append((cur_key, cur[:3]))
         if cur_is_ref:  # non-reference frames never enter the DPB
             ref = cur[:3]
-            refs.append((cur_key[1], cur[:3]))
+            # keep the frame's L0 motion: spatial-direct B MBs need
+            # the colocated motion of their L1 reference (8.4.1.2.2)
+            refs.append((cur_key[1], cur[:3], dict(cur[4]["l0"])))
             del refs[:-16]
         cur = None
 
@@ -1261,7 +1267,7 @@ def h264_decode_gop_planes(payload: bytes):
         mv_map = mvs["l0"]
         if sh["slice_type"] == 0 and ref is None:
             raise ValueError("P slice without a reference frame")
-        ref0 = ref1 = None
+        ref0 = ref1 = col_mvs = None
         if sh["slice_type"] == 1:    # B: nearest refs by output order
             below = [r for r in refs if r[0] < cur_key[1]]
             above = [r for r in refs if r[0] > cur_key[1]]
@@ -1269,7 +1275,8 @@ def h264_decode_gop_planes(payload: bytes):
                 raise ValueError(
                     "B slice lacks a past or future reference frame")
             ref0 = max(below, key=lambda r: r[0])[1]
-            ref1 = min(above, key=lambda r: r[0])[1]
+            fut = min(above, key=lambda r: r[0])
+            ref1, col_mvs = fut[1], fut[2]
         qp = sh["qp"]
         addr = sh["first_mb"]
 
@@ -1295,8 +1302,8 @@ def h264_decode_gop_planes(payload: bytes):
                     mv_map[step(addr + k)] = None    # intra
             elif sh["slice_type"] == 1:              # B slice, CABAC
                 n = h264_cabac.decode_bslice_cabac(
-                    br, qp, pps, ref0, ref1, Y, Cb, Cr, states, mvs,
-                    mbs_w, n_mbs, addr, step)
+                    br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
+                    states, mvs, mbs_w, n_mbs, addr, step)
             else:                                    # P slice, CABAC
                 n = h264_cabac.decode_pslice_cabac(
                     br, qp, pps, ref, Y, Cb, Cr, states, mv_map,
@@ -1315,15 +1322,19 @@ def h264_decode_gop_planes(payload: bytes):
                     break
         elif sh["slice_type"] == 1:                  # B slice, CAVLC
             while True:
-                if br.ue() != 0:                     # mb_skip_run
-                    raise NotImplementedError(
-                        "B_Skip macroblocks (direct prediction) "
-                        "unsupported")
+                skip_run = br.ue()
+                for _ in range(skip_run):            # B_Skip: direct
+                    mbx, mby = step(addr)
+                    _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr,
+                                      states, mvs, mbx, mby, mbs_w)
+                    n_decoded += 1
+                    addr += 1
                 if not br.more_rbsp_data():
                     break
                 mbx, mby = step(addr)
-                qp = _decode_mb_b(br, qp, pps, ref0, ref1, Y, Cb, Cr,
-                                  states, mvs, mbx, mby, mbs_w)
+                qp = _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs,
+                                  Y, Cb, Cr, states, mvs, mbx, mby,
+                                  mbs_w)
                 n_decoded += 1
                 addr += 1
                 if not br.more_rbsp_data():
@@ -1546,11 +1557,68 @@ def _mv_pred_skip(mv_map, mbx, mby, mbs_w):
     return _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
 
 
+def _direct_spatial_mv(mvs, col_mv, mbx, mby, mbs_w):
+    """Spatial direct 16x16 MV derivation (8.4.1.2.2; one reference
+    per list, MB-uniform colocated motion). Returns (use_l0, use_l1,
+    mv_l0, mv_l1). ``col_mv`` is the colocated MB's L0 motion in the
+    L1 reference: None for intra, (mvx, mvy) for a ref-0 inter MB.
+
+    With one reference picture per list, refIdxLX = MinPositive over
+    the A/B/C neighbours reduces to: 0 when any neighbour codes list
+    X, else -1 (list unused). When both come out -1 the MB
+    bi-predicts with zero MVs (directZeroPredictionFlag). colZeroFlag
+    (the L1 reference is short-term — always here — its colocated MB
+    is inter with refIdx 0 and both |mvCol| components <= 1 in
+    quarter-pel units) zeroes the per-list MV; otherwise the standard
+    16x16 median predictor (8.4.1.3) supplies it. MB-uniform
+    colocated motion makes the four direct_8x8_inference quadrants
+    identical, so the whole-MB treatment is exact for every stream
+    this codec can produce (sub-16x16 reference motion is rejected
+    at parse time)."""
+    use_l0 = any(v not in (None, "intra") for v in
+                 _mv_neighbors(mvs["l0"], mbx, mby, mbs_w))
+    use_l1 = any(v not in (None, "intra") for v in
+                 _mv_neighbors(mvs["l1"], mbx, mby, mbs_w))
+    if not use_l0 and not use_l1:
+        return True, True, (0, 0), (0, 0)
+    col_zero = (col_mv is not None and abs(col_mv[0]) <= 1
+                and abs(col_mv[1]) <= 1)
+    mv_l0 = mv_l1 = None
+    if use_l0:
+        mv_l0 = ((0, 0) if col_zero else
+                 _mv_pred_16x16(mvs["l0"], mbx, mby, mbs_w))
+    if use_l1:
+        mv_l1 = ((0, 0) if col_zero else
+                 _mv_pred_16x16(mvs["l1"], mbx, mby, mbs_w))
+    return use_l0, use_l1, mv_l0, mv_l1
+
+
 def _mc_predict_mb(ref, mbx, mby, mvx, mvy):
     predY = _mc_luma(ref[0], mbx * 16, mby * 16, mvx, mvy, 16)
     predCb = _mc_chroma(ref[1], mbx * 8, mby * 8, mvx, mvy, 8)
     predCr = _mc_chroma(ref[2], mbx * 8, mby * 8, mvx, mvy, 8)
     return predY, predCb, predCr
+
+
+def _direct_predict_mb(mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w):
+    """Derive the spatial-direct motion for MB (mbx, mby), update the
+    per-list MV maps and return the (predY, predCb, predCr) 16x16
+    prediction — shared by B_Skip and B_Direct_16x16 under both
+    entropy coders."""
+    col_mv = col_mvs.get((mbx, mby)) if col_mvs else None
+    use_l0, use_l1, mv_l0, mv_l1 = _direct_spatial_mv(
+        mvs, col_mv, mbx, mby, mbs_w)
+    mvs["l0"][(mbx, mby)] = mv_l0 if use_l0 else None
+    mvs["l1"][(mbx, mby)] = mv_l1 if use_l1 else None
+    preds = []
+    if use_l0:
+        preds.append(_mc_predict_mb(ref0, mbx, mby, *mv_l0))
+    if use_l1:
+        preds.append(_mc_predict_mb(ref1, mbx, mby, *mv_l1))
+    if len(preds) == 2:              # default (non-weighted) average
+        return tuple((a + b + 1) >> 1
+                     for a, b in zip(preds[0], preds[1]))
+    return preds[0]
 
 
 def _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map, mbx, mby,
@@ -1615,15 +1683,24 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
     return qp
 
 
-def _decode_mb_b(br, qp, pps, ref0, ref1, Y, Cb, Cr, states, mvs,
-                 mbx, mby, mbs_w):
-    """B-slice macroblock (r8): B_L0_16x16 / B_L1_16x16 /
-    B_Bi_16x16 (default average) / intra. Direct modes and
-    sub-16x16 partitions are rejected loudly."""
+def _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr, states, mvs,
+                      mbx, mby, mbs_w):
+    """B_Skip macroblock: spatial-direct 16x16 prediction, no
+    residual (8.4.1.2.2)."""
+    predY, predCb, predCr = _direct_predict_mb(mvs, col_mvs, ref0,
+                                               ref1, mbx, mby, mbs_w)
+    Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = predY
+    Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCb
+    Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCr
+    states[(mbx, mby)] = _MBState()
+
+
+def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
+                 states, mvs, mbx, mby, mbs_w):
+    """B-slice macroblock (r8): B_Direct_16x16 (spatial direct) /
+    B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (default average) / intra.
+    Sub-16x16 partitions are rejected loudly."""
     mb_type = br.ue()
-    if mb_type == 0:
-        raise NotImplementedError(
-            "B_Direct_16x16 macroblocks unsupported")
     if mb_type >= 23:                # intra macroblock in a B slice
         qp = _decode_mb_intra(br, mb_type - 23, qp, pps, Y, Cb, Cr,
                               states, mbx, mby, mbs_w)
@@ -1634,26 +1711,30 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, Y, Cb, Cr, states, mvs,
         raise NotImplementedError(
             "B macroblock partitions beyond 16x16 unsupported "
             f"(mb_type {mb_type})")
-    use_l0 = mb_type in (1, 3)
-    use_l1 = mb_type in (2, 3)
-    preds = []
-    for lst, use, refp in (("l0", use_l0, ref0), ("l1", use_l1,
-                                                  ref1)):
-        if not use:
-            mvs[lst][(mbx, mby)] = None
-            continue
-        mvpx, mvpy = _mv_pred_16x16(mvs[lst], mbx, mby, mbs_w)
-        mvx = mvpx + br.se()
-        mvy = mvpy + br.se()
-        if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
-            raise ValueError("implausible motion vector")
-        mvs[lst][(mbx, mby)] = (mvx, mvy)
-        preds.append(_mc_predict_mb(refp, mbx, mby, mvx, mvy))
-    if len(preds) == 2:              # default (non-weighted) average
-        predY, predCb, predCr = (
-            (a + b + 1) >> 1 for a, b in zip(preds[0], preds[1]))
+    if mb_type == 0:                 # B_Direct_16x16: derived motion
+        predY, predCb, predCr = _direct_predict_mb(
+            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w)
     else:
-        predY, predCb, predCr = preds[0]
+        use_l0 = mb_type in (1, 3)
+        use_l1 = mb_type in (2, 3)
+        preds = []
+        for lst, use, refp in (("l0", use_l0, ref0), ("l1", use_l1,
+                                                      ref1)):
+            if not use:
+                mvs[lst][(mbx, mby)] = None
+                continue
+            mvpx, mvpy = _mv_pred_16x16(mvs[lst], mbx, mby, mbs_w)
+            mvx = mvpx + br.se()
+            mvy = mvpy + br.se()
+            if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+                raise ValueError("implausible motion vector")
+            mvs[lst][(mbx, mby)] = (mvx, mvy)
+            preds.append(_mc_predict_mb(refp, mbx, mby, mvx, mvy))
+        if len(preds) == 2:          # default (non-weighted) average
+            predY, predCb, predCr = (
+                (a + b + 1) >> 1 for a, b in zip(preds[0], preds[1]))
+        else:
+            predY, predCb, predCr = preds[0]
     st = _MBState()
     cbp_code = br.ue()
     if cbp_code > 47:
@@ -2616,15 +2697,19 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
 def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         poc_lsb: int, qp: int = 30,
                         frame_num: int = 1,
-                        entropy: str = "cavlc") -> bytes:
+                        entropy: str = "cavlc",
+                        col_mvs: dict | None = None) -> bytes:
     """Encode ONE B frame as an Annex-B non-reference NAL (CAVLC,
     single slice) for a poc_type-0 stream (build the IDR with
     ``h264_encode(..., poc_lsb=...)`` and reference P frames with
     ``h264_encode_p_frame(..., poc_lsb=...)``; decoding order is NAL
     order, output order is POC order).
 
-    ``mb_specs`` is raster-order, one entry per MB — no skips (B_Skip
-    uses direct prediction, which is out of scope):
+    ``mb_specs`` is raster-order, one entry per MB:
+      * ``None``                    — B_Skip (spatial direct, no
+        residual);
+      * ``('direct'[, lv])``        — B_Direct_16x16 (spatial direct
+        with an optional luma residual);
       * ``('l0', mvx, mvy[, lv])``  — B_L0_16x16 from the nearest
         reference BEFORE this frame in output order;
       * ``('l1', mvx, mvy[, lv])``  — B_L1_16x16 from the nearest
@@ -2634,7 +2719,12 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
       * ``('i16dc', c)``            — Intra_16x16 DC, one luma level.
     ``lv`` is a (16, 16) scan-order luma level array as in the P
     encoder. MV prediction replicates the decoder per reference list
-    (median over neighbours that use the same list).
+    (median over neighbours that use the same list). ``col_mvs`` is
+    the L1 reference's per-MB L0 motion ((mbx, mby) -> (mvx, mvy) or
+    None for intra; default all-intra) — the encoder replicates the
+    decoder's spatial-direct derivation (8.4.1.2.2) with it, so
+    passing motion that disagrees with the actual reference frame
+    shows up as a hard pixel mismatch in tests, never silently.
 
     ``entropy='cabac'`` (r8) serializes the same mb_specs with
     h264_cabac's B writer (the frame must belong to a poc_type-0
@@ -2643,7 +2733,7 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         from . import h264_cabac
         return h264_cabac.encode_b_frame_cabac(mb_specs, mbs_w,
                                                mbs_h, poc_lsb, qp,
-                                               frame_num)
+                                               frame_num, col_mvs)
     if entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
@@ -2668,13 +2758,25 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         bw.se(mvy - mvpy)
         mvs[lst][(mbx, mby)] = (mvx, mvy)
 
+    def derive_direct(mbx, mby):
+        """Replicate the decoder's spatial-direct derivation and
+        record the derived MVs in the per-list maps."""
+        col_mv = col_mvs.get((mbx, mby)) if col_mvs else None
+        use_l0, use_l1, mv_l0, mv_l1 = _direct_spatial_mv(
+            mvs, col_mv, mbx, mby, mbs_w)
+        mvs["l0"][(mbx, mby)] = mv_l0 if use_l0 else None
+        mvs["l1"][(mbx, mby)] = mv_l1 if use_l1 else None
+
+    skip_run = 0
     for addr, spec in enumerate(mb_specs):
         mbx, mby = addr % mbs_w, addr // mbs_w
-        if spec is None:
-            raise ValueError(
-                "B_Skip/B_Direct macroblocks unsupported — every B "
-                "mb_spec must be explicit")
-        bw.ue(0)                             # mb_skip_run
+        if spec is None:                     # B_Skip: spatial direct
+            derive_direct(mbx, mby)
+            states[(mbx, mby)] = _MBState()
+            skip_run += 1
+            continue
+        bw.ue(skip_run)                      # mb_skip_run
+        skip_run = 0
         if spec[0] == "i16dc":
             st = _MBState()
             st.intra16 = True
@@ -2690,7 +2792,11 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
             mvs["l1"][(mbx, mby)] = None
             continue
         kind = spec[0]
-        if kind == "l0":
+        if kind == "direct":                 # B_Direct_16x16
+            bw.ue(0)
+            levels = spec[1] if len(spec) > 1 else None
+            derive_direct(mbx, mby)
+        elif kind == "l0":
             bw.ue(1)                         # B_L0_16x16
             levels = spec[3] if len(spec) > 3 else None
             code_mvd("l0", mbx, mby, int(spec[1]), int(spec[2]))
@@ -2726,6 +2832,8 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                 _encode_residual(bw, levels[blk], nc, 16)
                 st.nnz_l[blk] = np.count_nonzero(levels[blk])
         states[(mbx, mby)] = st
+    if skip_run:
+        bw.ue(skip_run)
     bw.trailing()
     return (b"\x00\x00\x00\x01" + bytes([0x01])   # ref_idc 0, type 1
             + _escape(bw.bytes()))

@@ -19,9 +19,10 @@ the inter MC+residual chain), so the analytic flat-macroblock
 oracle family and the CAVLC/CABAC pixel-parity tests gate it end to
 end. P coverage matches the CAVLC subset: P_Skip / P_L0_16x16 /
 intra-in-P, one reference. B coverage (r8) matches the CAVLC B
-subset: B_L0/B_L1/B_Bi 16x16 + intra-in-B over two lists
+subset: B_Skip / B_Direct_16x16 (spatial direct, shared derivation
+in h264.py) / B_L0/B_L1/B_Bi 16x16 + intra-in-B over two lists
 (Table 9-37's truncated mb_type tree, per-list mvd contexts);
-B_Skip/B_Direct and sub-16x16 partitions reject loudly.
+sub-16x16 partitions reject loudly.
 
 Honesty contract — a deviation in the spec's DATA, not its STRUCTURE
 (this sandbox has no network, no H.264 binaries and no conformance
@@ -340,7 +341,8 @@ class _CabacDec:
 
 class _Rec:
     __slots__ = ("nxn", "cm", "cbp_l", "cbp_c", "qpd", "dcY", "acY",
-                 "dcC", "acC", "skip", "intra", "mvd", "mvd1")
+                 "dcC", "acC", "skip", "intra", "mvd", "mvd1",
+                 "direct")
 
     def __init__(self):
         self.nxn = False
@@ -356,6 +358,7 @@ class _Rec:
         self.intra = True            # inter MBs set False
         self.mvd = (0, 0)            # coded |mvd_l0| components
         self.mvd1 = (0, 0)           # coded |mvd_l1| components (B)
+        self.direct = False          # B_Skip / B_Direct_16x16
 
 
 def _nb(recs, mbx, mby, dx, dy, mbs_w):
@@ -488,12 +491,11 @@ def _skip_inc(recs, mbx, mby, mbs_w) -> int:
 
 def _mbtype_b_inc(recs, mbx, mby, mbs_w) -> int:
     # §9.3.3.1.1.3: condTerm = neighbour available and not
-    # B_Skip/B_Direct_16x16; the supported subset never codes those,
-    # so any recorded non-skip neighbour counts
+    # B_Skip/B_Direct_16x16
     inc = 0
     for dx, dy in ((-1, 0), (0, -1)):
         r = _nb(recs, mbx, mby, dx, dy, mbs_w)
-        if r is not None and not r.skip:
+        if r is not None and not r.skip and not r.direct:
             inc += 1
     return inc
 
@@ -726,6 +728,7 @@ class CabacSliceWriter:
         self.recs: dict = {}
         self.mv_map: dict = {}       # P/B slices: encoder's L0 MVs
         self.mv_map1: dict = {}      # B slices: encoder's L1 MVs
+        self.col_mvs = None          # B: L1 ref's colocated motion
         self.prev_qpd = 0
         self.done = False
 
@@ -974,24 +977,52 @@ class CabacSliceWriter:
             cur.mvd1 = (abs(dx), abs(dy))
         mmap[(mbx, mby)] = (mvx, mvy)
 
+    def _derive_direct_b(self, mbx: int, mby: int):
+        """Replicate the decoder's spatial-direct derivation
+        (h264._direct_spatial_mv) and record the derived MVs."""
+        from .h264 import _direct_spatial_mv
+        mvs = {"l0": self.mv_map, "l1": self.mv_map1}
+        col_mv = (self.col_mvs.get((mbx, mby)) if self.col_mvs
+                  else None)
+        use_l0, use_l1, mv_l0, mv_l1 = _direct_spatial_mv(
+            mvs, col_mv, mbx, mby, self.mbs_w)
+        self.mv_map[(mbx, mby)] = mv_l0 if use_l0 else None
+        self.mv_map1[(mbx, mby)] = mv_l1 if use_l1 else None
+
     def emit_b(self, spec, mbx: int, mby: int):
         """One B-slice MB in h264_encode_b_frame's mb_spec format:
+        None (B_Skip), ('direct'[, levels]) (B_Direct_16x16),
         ('l0'|'l1', mvx, mvy[, levels]), ('bi', mvx0, mvy0, mvx1,
-        mvy1[, levels]) or ('i16dc', c). B_Skip/B_Direct (None) are
-        rejected, matching the CAVLC B encoder. mb_type prefix bins
-        follow Table 9-37's truncated tree for the supported subset
-        ('100' L0, '101' L1, '110000' Bi, '111101' intra)."""
+        mvy1[, levels]) or ('i16dc', c). mb_type prefix bins follow
+        Table 9-37's truncated tree for the supported subset ('0'
+        Direct, '100' L0, '101' L1, '110000' Bi, '111101' intra)."""
         if self.done:
             raise ValueError("slice already terminated")
-        if spec is None:
-            raise ValueError(
-                "B_Skip/B_Direct macroblocks unsupported — every B "
-                "mb_spec must be explicit")
         enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
                                  self.mbs_w)
-        enc.bit(ctx, _SKIP_B + _skip_inc(recs, mbx, mby, mbs_w), 0)
+        skip_ctx = _SKIP_B + _skip_inc(recs, mbx, mby, mbs_w)
+        if spec is None:             # B_Skip: spatial direct
+            enc.bit(ctx, skip_ctx, 1)
+            self._derive_direct_b(mbx, mby)
+            cur = _Rec()
+            cur.skip = True
+            cur.intra = False
+            cur.direct = True
+            self.prev_qpd = 0        # skipped MB: delta inferred 0
+            recs[(mbx, mby)] = cur
+            return
+        enc.bit(ctx, skip_ctx, 0)
         cur = _Rec()
         binc = _mbtype_b_inc(recs, mbx, mby, mbs_w)
+        if spec[0] == "direct":                  # B_Direct_16x16: '0'
+            enc.bit(ctx, _MB_TYPE_B + binc, 0)
+            cur.intra = False
+            cur.direct = True
+            self._derive_direct_b(mbx, mby)
+            levels = spec[1] if len(spec) > 1 else None
+            self._emit_inter_tail(levels, mbx, mby, cur)
+            recs[(mbx, mby)] = cur
+            return
         enc.bit(ctx, _MB_TYPE_B + binc, 1)       # not B_Direct_16x16
         if spec[0] == "i16dc":                   # '111101' + suffix
             enc.bit(ctx, _MB_TYPE_B + 3, 1)
@@ -1092,12 +1123,14 @@ def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
 
 def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
                          poc_lsb: int, qp: int = 30,
-                         frame_num: int = 1) -> bytes:
+                         frame_num: int = 1,
+                         col_mvs: dict | None = None) -> bytes:
     """CABAC twin of h264.h264_encode_b_frame: ONE non-reference B
     frame as an Annex-B NAL for a poc_type-0 CABAC stream (IDR via
     h264_encode(..., entropy='cabac', poc_lsb=...), reference P
     frames via encode_p_frame_cabac(..., poc_lsb=...)). Same mb_spec
-    format as the CAVLC B encoder."""
+    format (incl. B_Skip/B_Direct) and ``col_mvs`` contract as the
+    CAVLC B encoder."""
     from .h264 import _escape
     bw = _BitW()
     bw.ue(0)                                 # first_mb_in_slice
@@ -1114,6 +1147,7 @@ def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.se(qp - 26)                           # slice_qp_delta
     bw.ue(1)                                 # disable_deblocking
     wr = CabacSliceWriter(mbs_w)
+    wr.col_mvs = col_mvs
     n = len(mb_specs)
     for addr, spec in enumerate(mb_specs):
         wr.emit_b(spec, addr % mbs_w, addr // mbs_w)
@@ -1419,14 +1453,17 @@ def _dec_inter_tail(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y,
 
 
 def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
-                        Y, Cb, Cr, states: dict, mvs: dict,
+                        col_mvs, Y, Cb, Cr, states: dict, mvs: dict,
                         mbs_w: int, n_mbs: int, addr: int,
                         step) -> int:
     """Decode one CABAC B slice starting at macroblock ``addr``;
     returns the number of MBs decoded. Same gate/contract as
     :func:`decode_islice_cabac`; supports the CAVLC B subset
-    (B_L0/B_L1/B_Bi 16x16 + intra-in-B, one reference per list;
-    B_Skip/B_Direct and sub-16x16 partitions reject loudly)."""
+    (B_Skip/B_Direct_16x16 spatial direct, B_L0/B_L1/B_Bi 16x16 +
+    intra-in-B, one reference per list; sub-16x16 partitions reject
+    loudly). ``col_mvs`` is the L1 reference's per-MB L0 motion for
+    the spatial-direct derivation."""
+    from .h264 import _decode_mb_b_skip
     while br.pos % 8:
         if not br.u(1):
             raise ValueError("cabac_alignment_one_bit is 0")
@@ -1438,11 +1475,18 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
     while True:
         mbx, mby = step(addr + n)
         if dec.bit(ctx, _SKIP_B + _skip_inc(recs, mbx, mby, mbs_w)):
-            raise NotImplementedError(
-                "B_Skip macroblocks (direct prediction) unsupported")
-        qp, prev_qpd = _decode_mb_b_cabac(
-            dec, ctx, recs, qp, prev_qpd, pps, ref0, ref1, Y, Cb, Cr,
-            states, mvs, mbx, mby, mbs_w)
+            _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr, states,
+                              mvs, mbx, mby, mbs_w)
+            cur = _Rec()
+            cur.skip = True
+            cur.intra = False
+            cur.direct = True
+            recs[(mbx, mby)] = cur
+            prev_qpd = 0
+        else:
+            qp, prev_qpd = _decode_mb_b_cabac(
+                dec, ctx, recs, qp, prev_qpd, pps, ref0, ref1,
+                col_mvs, Y, Cb, Cr, states, mvs, mbx, mby, mbs_w)
         n += 1
         if dec.terminate():          # end_of_slice_flag
             break
@@ -1452,15 +1496,25 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
 
 
 def _decode_mb_b_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref0,
-                       ref1, Y, Cb, Cr, states, mvs, mbx, mby,
-                       mbs_w):
-    from .h264 import _mc_predict_mb, _mv_pred_16x16
+                       ref1, col_mvs, Y, Cb, Cr, states, mvs, mbx,
+                       mby, mbs_w):
+    from .h264 import (_direct_predict_mb, _mc_predict_mb,
+                       _mv_pred_16x16)
     cur = _Rec()
     st = _MBState()
     binc = _mbtype_b_inc(recs, mbx, mby, mbs_w)
-    if not dec.bit(ctx, _MB_TYPE_B + binc):
-        raise NotImplementedError(
-            "B_Direct_16x16 macroblocks unsupported")
+    if not dec.bit(ctx, _MB_TYPE_B + binc):  # B_Direct_16x16: '0'
+        cur.intra = False
+        cur.direct = True
+        predY, predCb, predCr = _direct_predict_mb(
+            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w)
+        qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
+                                       prev_qpd, pps, Y, Cb, Cr,
+                                       predY, predCb, predCr, mbx,
+                                       mby, mbs_w)
+        states[(mbx, mby)] = st
+        recs[(mbx, mby)] = cur
+        return qp, prev_qpd
     if dec.bit(ctx, _MB_TYPE_B + 3):
         if dec.bit(ctx, _MB_TYPE_B + 4):         # '111...'
             if not dec.bit(ctx, _MB_TYPE_B + 5):

@@ -589,27 +589,92 @@ def test_b_frame_without_future_reference_rejected():
         h.h264_decode_gop_planes(idr + b)
 
 
-def test_b_skip_and_weighted_bipred_rejected():
+def test_b_skip_direct_decode_and_temporal_direct_rejected():
+    """r8: B_Skip / B_Direct_16x16 decode via the SPATIAL direct
+    derivation — a whole-frame skip run with no inter neighbours is
+    the zero-MV bipred average of the two references — while
+    temporal direct (direct_spatial_mv_pred_flag = 0) rejects
+    loudly."""
     y = np.full((16, 16), 80, np.uint8)
     idr = h.h264_encode(y, qp=30, poc_lsb=0)
-    p = h.h264_encode_p_frame([None], 1, 1, frame_num=1, poc_lsb=4)
-    # hand-build a B slice whose first symbol is mb_skip_run = 1
-    bw = h._BitW()
-    for v in (0, 1, 0):
-        bw.ue(v)                      # first_mb, slice_type B, pps
-    bw.u(2, 4)                        # frame_num
-    bw.u(2, 6)                        # poc_lsb
-    bw.u(1, 1)                        # direct_spatial
-    bw.u(0, 1)                        # num_ref_override
-    bw.u(0, 1)                        # ref_list_mod_l0
-    bw.u(0, 1)                        # ref_list_mod_l1
-    bw.se(0)                          # qp delta
-    bw.ue(1)                          # disable_deblocking
-    bw.ue(1)                          # mb_skip_run = 1 (B_Skip)
-    bw.trailing()
-    bskip = b"\x00\x00\x00\x01\x01" + h._escape(bw.bytes())
-    with pytest.raises(NotImplementedError, match="B_Skip"):
-        h.h264_decode_gop_planes(idr + p + bskip)
+    p = h.h264_encode_p_frame([("i16dc", 9)], 1, 1, frame_num=1,
+                              poc_lsb=4)
+
+    def b_slice(spatial):
+        bw = h._BitW()
+        for v in (0, 1, 0):
+            bw.ue(v)                  # first_mb, slice_type B, pps
+        bw.u(2, 4)                    # frame_num
+        bw.u(2, 6)                    # poc_lsb
+        bw.u(1 if spatial else 0, 1)  # direct_spatial_mv_pred
+        bw.u(0, 1)                    # num_ref_override
+        bw.u(0, 1)                    # ref_list_mod_l0
+        bw.u(0, 1)                    # ref_list_mod_l1
+        bw.se(0)                      # qp delta
+        bw.ue(1)                      # disable_deblocking
+        bw.ue(1)                      # mb_skip_run = 1 (B_Skip)
+        bw.trailing()
+        return b"\x00\x00\x00\x01\x01" + h._escape(bw.bytes())
+
+    frames, _ = h.h264_decode_gop_planes(idr + p + b_slice(True))
+    assert len(frames) == 3
+    Yi, Yb, Yp = frames[0][0], frames[1][0], frames[2][0]
+    np.testing.assert_array_equal(Yb, (Yi + Yp + 1) >> 1)
+    with pytest.raises(NotImplementedError, match="temporal direct"):
+        h.h264_decode_gop_planes(idr + p + b_slice(False))
+
+
+def test_b_direct_spatial_derivation_branches():
+    """The spatial-direct branches (8.4.1.2.2): colZeroFlag zeroing,
+    the median-predictor path past a large colocated MV, per-list
+    use flags from neighbour refIdx, and the encoder's col_mvs
+    replica — pinned against hand-derived expectations under BOTH
+    entropy coders."""
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    p_specs = [(1, 1), (8, 4), None, None,
+               None, ("i16dc", 9), None, None]
+    # encoder-side replica of the P frame's motion (P_Skip MVs come
+    # from the skip predictor, intra records None)
+    mv_map = {(0, 0): (1, 1), (1, 0): (8, 4)}
+    for addr in (2, 3, 4):
+        mbx, mby = addr % 4, addr // 4
+        mv_map[(mbx, mby)] = h._mv_pred_skip(mv_map, mbx, mby, 4)
+    mv_map[(1, 1)] = None
+    for addr in (6, 7):
+        mbx, mby = addr % 4, addr // 4
+        mv_map[(mbx, mby)] = h._mv_pred_skip(mv_map, mbx, mby, 4)
+    lv = np.zeros((16, 16), dtype=np.int64)
+    lv[0, 0] = 6
+    b_specs = [None,                  # no inter nbrs: zero-MV bipred
+               ("l0", 4, 0),          # explicit L0
+               ("direct", lv),        # direct + residual (colZero)
+               None,                  # B_Skip next to a direct MB
+               ("l1", 0, 4),
+               None, ("direct",), None]
+    out = {}
+    for ent in ("cavlc", "cabac"):
+        idr = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                            entropy=ent)
+        p = h.h264_encode_p_frame(p_specs, 4, 2, qp=30, frame_num=1,
+                                  poc_lsb=4, entropy=ent)
+        b = h.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=2, qp=28,
+                                  frame_num=2, entropy=ent,
+                                  col_mvs=mv_map)
+        frames, _ = h.h264_decode_gop_planes(idr + p + b)
+        assert len(frames) == 3
+        out[ent] = frames
+        Yi, Yb = frames[0][0], frames[1][0]
+        # MB0: both lists come out refIdx -1 -> zero-MV bipred
+        Yp = frames[2][0]
+        np.testing.assert_array_equal(
+            Yb[:16, :16], (Yi[:16, :16] + Yp[:16, :16] + 1) >> 1)
+        # MB3 (B_Skip): L0-only via neighbour A, colZero -> zero MV,
+        # an exact copy of the IDR macroblock
+        np.testing.assert_array_equal(Yb[:16, 48:], Yi[:16, 48:])
+    for k in range(3):
+        for pa, pb in zip(out["cavlc"][k], out["cabac"][k]):
+            np.testing.assert_array_equal(pa, pb, err_msg=str(k))
 
 
 def test_avc1_mp4_with_b_samples_ctts_presentation_order():

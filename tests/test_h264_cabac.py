@@ -276,9 +276,10 @@ def _cabac_b_gop_prefix():
     return idr + p
 
 
-def test_cabac_b_skip_rejected_loudly():
-    """mb_skip_flag = 1 in a CABAC B slice (B_Skip, direct-mode
-    prediction) must reject loudly, mirroring the CAVLC contract."""
+def test_cabac_b_skip_decodes_as_spatial_direct():
+    """mb_skip_flag = 1 in a CABAC B slice (r8: B_Skip, spatial
+    direct): a whole-frame skip with no inter neighbours is the
+    zero-MV bipred average of the two references."""
     bw = _cabac_b_header()
     while len(bw.bits) % 8:
         bw.u(1, 1)                   # cabac_alignment_one_bit
@@ -288,15 +289,17 @@ def test_cabac_b_skip_rejected_loudly():
     enc.terminate(1)
     nal = b"\x00\x00\x00\x01\x01" + hh._escape(bw.bytes()
                                                + enc.bytes())
-    with pytest.raises(NotImplementedError, match="B_Skip"):
-        hh.h264_decode_gop_planes(_cabac_b_gop_prefix() + nal)
+    frames, _ = hh.h264_decode_gop_planes(_cabac_b_gop_prefix() + nal)
+    assert len(frames) == 3
+    Yi, Yb, Yp = frames[0][0], frames[1][0], frames[2][0]
+    np.testing.assert_array_equal(Yb, (Yi + Yp + 1) >> 1)
 
 
 def test_cabac_b_partition_mb_types_rejected_loudly():
-    """Unsupported Table 9-37 paths — B_Direct_16x16 ('0') and the
-    16x8 partition region ('110' + non-zero FL3) — reject loudly."""
-    for bins, msg in (((0,), "B_Direct"),
-                      ((1, 1, 0, 0, 0, 1), "partitions"),
+    """Unsupported Table 9-37 paths — the 16x8 partition region
+    ('110' + non-zero FL3) and the '1110'/'11111' families — reject
+    loudly."""
+    for bins, msg in (((1, 1, 0, 0, 0, 1), "partitions"),
                       ((1, 1, 1, 0), "partitions")):
         bw = _cabac_b_header()
         while len(bw.bits) % 8:
@@ -316,7 +319,7 @@ def test_cabac_b_partition_mb_types_rejected_loudly():
             hh.h264_decode_gop_planes(_cabac_b_gop_prefix() + nal)
 
 
-def test_cabac_b_encoder_rejects_skip_spec():
-    with pytest.raises(ValueError, match="B_Skip/B_Direct"):
-        hh.h264_encode_b_frame([None], 1, 1, poc_lsb=2, frame_num=2,
-                               entropy="cabac")
+def test_cabac_b_encoder_rejects_unknown_spec_kind():
+    with pytest.raises(ValueError, match="unknown B mb_spec"):
+        hh.h264_encode_b_frame([("b8x8", 0, 0)], 1, 1, poc_lsb=2,
+                               frame_num=2, entropy="cabac")
