@@ -2738,18 +2738,21 @@ _MEDIA_H264_SQL = """
 
 
 def _synth_h264_b_gop_udf():
-    """Per-doc B-frame avc1 MP4 (r8): a 3-frame poc_type-0 GOP —
+    """Per-doc B-frame avc1 MP4 (r8): a 4-frame poc_type-0 GOP —
     flat-MB IDR (POC 0, values v0), an intra-in-P reference frame
-    (POC 4, Intra_16x16 DC macroblocks landing values v1 through the
-    same exact (10*c+32)>>6 dequant chain) and a non-reference B
-    frame (POC 2) whose 16x16 MBs pick B_L0 / B_L1 / B_Bi by
-    position — stored in DECODING order [I,P,B] with a version-1
-    ctts box carrying the composition offsets. Zero-MV motion
-    compensation makes every B pixel closed-form: v0 (L0), v1 (L1)
-    or the default bipred average (v0+v1+1)>>1, so a DuckDB oracle
-    predicts all three frames' ahashes analytically. Entropy
+    (POC 8, Intra_16x16 DC macroblocks landing values v1 through the
+    same exact (10*c+32)>>6 dequant chain) and TWO non-reference B
+    frames: POC 2 picks B_L0 / B_L1 / B_Bi per 16x16 MB by position,
+    POC 4 is entirely B_Skip (spatial direct: with an all-intra
+    colocated reference the first MB derives the zero-MV bipred
+    fallback and every later MB medians the zero MVs, so the WHOLE
+    frame is the exact average (v0+v1+1)>>1) — stored in DECODING
+    order [I,P,B,B] with a version-1 ctts box. Zero-MV motion
+    compensation keeps every pixel closed-form, so a DuckDB oracle
+    predicts all four frames' ahashes analytically. Entropy
     alternates by doc (even CAVLC, odd CABAC) so ONE query drives
-    BOTH B-slice entropy decoders plus the two-list DPB, the POC
+    BOTH B-slice entropy decoders — mb_skip_run and the CABAC
+    mb_skip_flag path included — plus the two-list DPB, the POC
     output reordering and the ctts presentation timeline; the pixel
     formula is entropy-coder-independent."""
     from .operators import media_codecs as mc
@@ -2790,7 +2793,7 @@ def _synth_h264_b_gop_udf():
             p_specs = [("i16dc", dc_level(int(p_off[my, mx])))
                        for my in range(2) for mx in range(4)]
             p = hh.h264_encode_p_frame(p_specs, 4, 2, qp=36,
-                                       frame_num=1, poc_lsb=4,
+                                       frame_num=1, poc_lsb=8,
                                        entropy=ent)
             b_specs = []
             for my in range(2):
@@ -2802,12 +2805,19 @@ def _synth_h264_b_gop_udf():
             b = hh.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=2,
                                        qp=36, frame_num=2,
                                        entropy=ent)
+            # all-skip B: spatial direct over the all-intra
+            # colocated P ref -> exact bipred average everywhere
+            b2 = hh.h264_encode_b_frame([None] * 8, 4, 2, poc_lsb=4,
+                                        qp=36, frame_num=3,
+                                        entropy=ent)
             cfg = mc._box(b"avcC", hh.h264_avcc_config(idr))
             samples = [hh.h264_to_avcc_sample(s)
-                       for s in (idr, p, b)]
+                       for s in (idr, p, b, b2)]
+            # decode order [I,P,B,B2] at dts [0,500,1000,1500];
+            # presentation (POC order) [0,1500,500,1000]
             return mc.mp4_mux(samples, frame_ms=500, fourcc=b"avc1",
                               width=64, height=32, config=cfg,
-                              ctts_offsets=[0, 500, -500])
+                              ctts_offsets=[0, 1000, -500, -500])
 
         return ids.map(one)
 
@@ -2817,9 +2827,10 @@ def _synth_h264_b_gop_udf():
 def q_media_h264_b_stats(spark, sf_dir):
     """B-frame H.264 decode value-checked end to end (r8): ctts
     composition reordering, the two-reference DPB, B_L0/B_L1/B_Bi
-    motion compensation with the default bipred average, under BOTH
-    entropy coders (CAVLC even docs, CABAC odd docs) — against a
-    pure-SQL oracle that predicts each presentation frame's pixels
+    motion compensation with the default bipred average, and a
+    fully-B_Skip frame through the spatial-direct derivation, under
+    BOTH entropy coders (CAVLC even docs, CABAC odd docs) — against
+    a pure-SQL oracle that predicts each presentation frame's pixels
     from the flat-macroblock construction."""
     from .operators.multimodal import video_frame_stats
     docs = _docs(spark, sf_dir)
@@ -2832,23 +2843,25 @@ def q_media_h264_b_stats(spark, sf_dir):
                      "frame_ts_ms", "ahash")
 
 
-# presentation frames fi 0/1/2 = IDR (v0) / B / P-ref (v1); B MB
-# (mx,my) picks v0, v1 or the exact average by (doc+mx+my*4) % 3;
-# same 64x32 flat-MB ahash reduction as _MEDIA_H264_SQL
+# presentation frames fi 0/1/2/3 = IDR (v0) / mixed B / all-B_Skip
+# (the exact bipred average everywhere) / P-ref (v1); the mixed-B MB
+# (mx,my) picks v0, v1 or the average by (doc+mx+my*4) % 3; same
+# 64x32 flat-MB ahash reduction as _MEDIA_H264_SQL
 _MEDIA_H264_B_SQL = """
     WITH mb AS (
       SELECT d.doc_id, f.fi, mx.mx, my.my,
              20 + (d.doc_id*7 + mx.mx*13 + my.my*29) % 200 AS v0,
              20 + (d.doc_id*11 + mx.mx*17 + my.my*23) % 200 AS v1
       FROM documents d
-      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS fi) f
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS fi) f
       CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS mx) mx
       CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS my) my
     ),
     px AS (
       SELECT doc_id, fi, mx, my,
              CASE WHEN fi = 0 THEN v0
-                  WHEN fi = 2 THEN v1
+                  WHEN fi = 3 THEN v1
+                  WHEN fi = 2 THEN (v0 + v1 + 1) // 2
                   ELSE CASE (doc_id + mx + my*4) % 3
                        WHEN 0 THEN v0
                        WHEN 1 THEN v1
