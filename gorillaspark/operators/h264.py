@@ -2132,7 +2132,8 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     Annex-B IDR access unit. ``mb_mode``: 'i16' (Intra_16x16 DC
     prediction, full AC residual), 'i4' (Intra_4x4, per-block
     SAD-chosen mode, full residual) or 'pcm' (r8: I_PCM raw
-    macroblocks — LOSSLESS, byte-aligned samples, CAVLC only).
+    macroblocks — LOSSLESS, byte-aligned samples, both coders;
+    under CABAC the engine flushes + restarts per §9.3.1).
     ``entropy``: 'cavlc' (baseline)
     or 'cabac' (h264_cabac's writer — same plans, Main-profile SPS,
     marker SEI; see that module for the interop contract).
@@ -2167,23 +2168,26 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     for mby in range(mbs_h):
         for mbx in range(mbs_w):
             if mb_mode == "pcm":
-                # I_PCM: lossless raw macroblock (CAVLC-only; the
-                # CABAC PCM re-initialization path stays stubbed)
-                if wr is not None:
-                    raise NotImplementedError(
-                        "I_PCM under CABAC unsupported")
-                bw.ue(25)
-                while len(bw.bits) % 8:
-                    bw.u(0, 1)       # pcm_alignment_zero_bit
+                # I_PCM: lossless raw macroblock, both entropy coders
+                # (r8: CABAC flushes + restarts the engine per §9.3.1)
                 x0, y0 = mbx * 16, mby * 16
-                for r in range(16):
-                    for c in range(16):
-                        bw.u(int(y[y0 + r, x0 + c]), 8)
                 cx, cy = mbx * 8, mby * 8
-                for plane in (cbp, crp):
-                    for r in range(8):
-                        for c in range(8):
-                            bw.u(int(plane[cy + r, cx + c]), 8)
+                if wr is not None:
+                    wr.emit_pcm(y[y0:y0 + 16, x0:x0 + 16],
+                                cbp[cy:cy + 8, cx:cx + 8],
+                                crp[cy:cy + 8, cx:cx + 8], mbx, mby)
+                    wr.end_mb(mby * mbs_w + mbx == n_mbs - 1)
+                else:
+                    bw.ue(25)
+                    while len(bw.bits) % 8:
+                        bw.u(0, 1)       # pcm_alignment_zero_bit
+                    for r in range(16):
+                        for c in range(16):
+                            bw.u(int(y[y0 + r, x0 + c]), 8)
+                    for plane in (cbp, crp):
+                        for r in range(8):
+                            for c in range(8):
+                                bw.u(int(plane[cy + r, cx + c]), 8)
                 st = _MBState()
                 st.intra16 = True
                 st.nnz_l[:] = 16

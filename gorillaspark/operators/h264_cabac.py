@@ -22,7 +22,10 @@ intra-in-P, one reference. B coverage (r8) matches the CAVLC B
 subset: B_Skip / B_Direct_16x16 (spatial direct, shared derivation
 in h264.py) / B_L0/B_L1/B_Bi 16x16 + intra-in-B over two lists
 (Table 9-37's truncated mb_type tree, per-list mvd contexts);
-sub-16x16 partitions reject loudly.
+sub-16x16 partitions reject loudly. I slices also carry I_PCM (r8):
+pcm_flag is the terminate bin, the codeword is flushed, the 384 raw
+samples go byte-aligned, and the engine restarts per §9.3.1 with
+context states persisting (I_PCM in P/B slices stays rejected).
 
 Honesty contract — a deviation in the spec's DATA, not its STRUCTURE
 (this sandbox has no network, no H.264 binaries and no conformance
@@ -273,9 +276,15 @@ class _CabacDec:
     __slots__ = ("br", "range", "offset", "phantom")
 
     def __init__(self, br: _Bits):
-        if br.pos % 8:
-            raise ValueError("CABAC decode requires byte alignment")
         self.br = br
+        self.restart()
+
+    def restart(self):
+        """(Re-)initialise the engine (§9.3.1.2) at a byte-aligned
+        position — slice start, and again right after I_PCM samples
+        (§9.3.1: the engine restarts, the context states persist)."""
+        if self.br.pos % 8:
+            raise ValueError("CABAC decode requires byte alignment")
         self.phantom = 0
         self.range = 510
         off = 0
@@ -725,6 +734,7 @@ class CabacSliceWriter:
         self.mbs_w = mbs_w
         self.enc = _CabacEnc()
         self.ctx = _Ctx()
+        self.segments: list[bytes] = []  # flushed codewords + raw PCM
         self.recs: dict = {}
         self.mv_map: dict = {}       # P/B slices: encoder's L0 MVs
         self.mv_map1: dict = {}      # B slices: encoder's L1 MVs
@@ -878,6 +888,38 @@ class CabacSliceWriter:
             enc.bit(ctx, _MB_TYPE_I + inc, 0)
             self._emit_i4_rest(sym, mbx, mby, cur)
         recs[(mbx, mby)] = cur
+
+    def emit_pcm(self, y_mb, cb_mb, cr_mb, mbx: int, mby: int):
+        """One I_PCM macroblock (§7.3.5 + §9.3.1): pcm_flag is the
+        terminate bin after the intra mb_type prefix; the arithmetic
+        codeword is flushed (EncodeFlush — emits the stop bit), the
+        zero padding of the packed codeword doubles as
+        pcm_alignment_zero_bit, the 384 raw 8-bit samples follow
+        byte-aligned, and a FRESH arithmetic engine codes the
+        remaining MBs while the context states persist. The flush
+        leaves the encoder's bit count exactly 7 past the decoder's
+        consumption point (constant by the range-register symmetry),
+        which is how the decode side re-synchronises."""
+        if self.done:
+            raise ValueError("slice already terminated")
+        enc, ctx, recs = self.enc, self.ctx, self.recs
+        inc = _mbtype_inc(recs, mbx, mby, self.mbs_w)
+        enc.bit(ctx, _MB_TYPE_I + inc, 1)    # intra prefix: not I_NxN
+        enc.terminate(1)                     # pcm_flag
+        seg = bytearray(enc.bytes())
+        for row in np.asarray(y_mb, dtype=np.int64):
+            seg.extend(int(v) & 0xFF for v in row)
+        for plane in (cb_mb, cr_mb):
+            for row in np.asarray(plane, dtype=np.int64):
+                seg.extend(int(v) & 0xFF for v in row)
+        self.segments.append(bytes(seg))
+        self.enc = _CabacEnc()               # §9.3.1.2 re-init
+        cur = _Rec()
+        cur.cbp_l, cur.cbp_c = 15, 2         # cbf inferred 1 (§9.3.3.1)
+        cur.dcY, cur.acY = 1, [1] * 16
+        cur.dcC, cur.acC = [1, 1], [[1] * 4, [1] * 4]
+        recs[(mbx, mby)] = cur
+        self.prev_qpd = 0                    # mb_qp_delta absent
 
     # -- P slice (r8) --------------------------------------------------
 
@@ -1085,7 +1127,8 @@ class CabacSliceWriter:
             raise ValueError("slice not terminated")
         while len(bw.bits) % 8:
             bw.u(1, 1)               # cabac_alignment_one_bit
-        return bw.bytes() + self.enc.bytes()
+        return (bw.bytes() + b"".join(self.segments)
+                + self.enc.bytes())
 
 
 def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
@@ -1294,14 +1337,55 @@ def _dec_cbp(dec, ctx, recs, mbx, mby, mbs_w):
     return cbp_luma, cbp_chroma
 
 
+def _dec_mb_pcm_cabac(dec, recs, qp, Y, Cb, Cr, states, mbx, mby):
+    """I_PCM under CABAC: pcm_flag (the terminate bin) was 1. The
+    encoder's EncodeFlush leaves its bit count exactly 7 past the
+    decoder's consumption point (range-register symmetry: both sides
+    renormalise in lockstep, and the flush emits 17 bits net of the
+    deferred-carry pool), the 7th being the stop bit — skip 6, check
+    the stop, consume pcm_alignment_zero_bit to the byte boundary,
+    read the 384 raw samples, then restart the arithmetic engine
+    (§9.3.1.2) with the context states untouched."""
+    br = dec.br
+    for _ in range(6):               # tail of the encoder's flush
+        br.u(1)
+    if not br.u(1):
+        raise ValueError("CABAC I_PCM flush stop bit is 0")
+    while br.pos % 8:
+        if br.u(1):
+            raise ValueError("pcm_alignment_zero_bit is 1")
+    x0, y0 = mbx * 16, mby * 16
+    for r in range(16):
+        for c in range(16):
+            Y[y0 + r, x0 + c] = br.u(8)
+    cx, cy = mbx * 8, mby * 8
+    for plane in (Cb, Cr):
+        for r in range(8):
+            for c in range(8):
+                plane[cy + r, cx + c] = br.u(8)
+    dec.restart()
+    cur = _Rec()
+    cur.cbp_l, cur.cbp_c = 15, 2     # cbf inferred 1 (§9.3.3.1)
+    cur.dcY, cur.acY = 1, [1] * 16
+    cur.dcC, cur.acC = [1, 1], [[1] * 4, [1] * 4]
+    recs[(mbx, mby)] = cur
+    st = _MBState()
+    st.intra16 = True
+    st.nnz_l[:] = 16
+    st.nnz_c[:] = 16
+    states[(mbx, mby)] = st
+    return qp, 0                     # mb_qp_delta absent
+
+
 def _decode_mb_cabac(dec, ctx, recs, qp, prev_qpd, pps, Y, Cb, Cr,
                      states, mbx, mby, mbs_w):
     cur = _Rec()
     st = _MBState()
     inc = _mbtype_inc(recs, mbx, mby, mbs_w)
     if dec.bit(ctx, _MB_TYPE_I + inc):
-        if dec.terminate():
-            raise NotImplementedError("I_PCM macroblocks unsupported")
+        if dec.terminate():          # pcm_flag
+            return _dec_mb_pcm_cabac(dec, recs, qp, Y, Cb, Cr,
+                                     states, mbx, mby)
         cbp_luma, cbp_chroma, pred = _dec_i16_suffix(dec, ctx,
                                                      _MB_TYPE_I + 3)
         qp, prev_qpd = _dec_i16_body(dec, ctx, recs, cur, st, qp,
@@ -1370,7 +1454,7 @@ def _decode_mb_p_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb,
         if dec.bit(ctx, _MB_TYPE_PI):
             if dec.terminate():
                 raise NotImplementedError(
-                    "I_PCM macroblocks unsupported")
+                    "I_PCM in P slices unsupported")
             cbp_l, cbp_c, pred = _dec_i16_suffix(dec, ctx,
                                                  _MB_TYPE_PI + 1)
             qp, prev_qpd = _dec_i16_body(dec, ctx, recs, cur, st, qp,
@@ -1535,7 +1619,7 @@ def _decode_mb_b_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref0,
             if dec.bit(ctx, _MB_TYPE_BI):
                 if dec.terminate():
                     raise NotImplementedError(
-                        "I_PCM macroblocks unsupported")
+                        "I_PCM in B slices unsupported")
                 cbp_l, cbp_c, pred = _dec_i16_suffix(
                     dec, ctx, _MB_TYPE_BI + 1)
                 qp, prev_qpd = _dec_i16_body(dec, ctx, recs, cur, st,

@@ -2584,7 +2584,10 @@ def _synth_h264_pcm_udf():
     byte-aligned samples, so the decode is LOSSLESS — the grey
     16x16 pixel field v = (doc*7 + x*3 + y*5) % 256 comes back
     bit-exactly (the H.264 analogue of the PNG/BMP lossless
-    families, with neutral chroma so RGB equals the luma plane)."""
+    families, with neutral chroma so RGB equals the luma plane).
+    Entropy alternates by doc parity (even CAVLC, odd CABAC —
+    §9.3.1 pcm_flag + engine restart), exercising BOTH coders'
+    I_PCM paths against the same entropy-independent oracle."""
     from .operators import h264 as hh
 
     @pandas_udf("binary")
@@ -2592,7 +2595,9 @@ def _synth_h264_pcm_udf():
         def one(d):
             xg, yg = np.meshgrid(np.arange(16), np.arange(16))
             v = ((d * 7 + xg * 3 + yg * 5) % 256).astype(np.uint8)
-            return hh.h264_encode(v, mb_mode="pcm")
+            return hh.h264_encode(
+                v, mb_mode="pcm",
+                entropy="cabac" if d % 2 else "cavlc")
 
         return ids.map(one)
 

@@ -729,6 +729,10 @@ def test_ipcm_lossless_roundtrip():
     rgb = h.h264_decode(g)
     assert np.array_equal(rgb[:, :, 0], y)
     assert np.array_equal(rgb[:, :, 1], y)
-    # PCM under CABAC stays a loud stub
-    with pytest.raises(NotImplementedError, match="I_PCM"):
-        h.h264_encode(y, mb_mode="pcm", entropy="cabac")
+    # PCM under CABAC (r8): same planes, same lossless decode
+    gc = h.h264_encode(y, cb=cb, cr=cr, mb_mode="pcm",
+                       entropy="cabac")
+    Yc, Cbc, Crc, _ = h.h264_decode_planes(gc)
+    assert np.array_equal(Yc, y.astype(np.int64))
+    assert np.array_equal(Cbc, cb.astype(np.int64))
+    assert np.array_equal(Crc, cr.astype(np.int64))

@@ -323,3 +323,56 @@ def test_cabac_b_encoder_rejects_unknown_spec_kind():
     with pytest.raises(ValueError, match="unknown B mb_spec"):
         hh.h264_encode_b_frame([("b8x8", 0, 0)], 1, 1, poc_lsb=2,
                                frame_num=2, entropy="cabac")
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (32, 48), (64, 64)])
+def test_cabac_pcm_lossless_and_matches_cavlc(shape):
+    # I_PCM under CABAC (§9.3.1): pcm_flag terminate bin, codeword
+    # flush, byte-aligned raw samples, engine restart — the decode is
+    # LOSSLESS and byte-identical to the CAVLC I_PCM decode
+    h, w = shape
+    rng = np.random.default_rng(h * 100 + w)
+    y, cb, cr = _rand_planes(rng, h, w)
+    cavlc = hh.h264_encode(y, cb=cb, cr=cr, mb_mode="pcm")
+    cabac = hh.h264_encode(y, cb=cb, cr=cr, mb_mode="pcm",
+                           entropy="cabac")
+    a = hh.h264_decode(cavlc)
+    b = hh.h264_decode(cabac)
+    np.testing.assert_array_equal(a, b)
+    Y, Cb, Cr, _ = hh.h264_decode_planes(cabac)
+    np.testing.assert_array_equal(Y, y)
+    np.testing.assert_array_equal(Cb, cb)
+    np.testing.assert_array_equal(Cr, cr)
+
+
+def test_cabac_pcm_flush_resync_is_exact_per_macroblock():
+    # many consecutive per-MB engine restarts: any drift in the
+    # 7-bit flush re-sync constant would corrupt the NEXT MB, so a
+    # long multi-row frame pins the handshake
+    rng = np.random.default_rng(99)
+    y, cb, cr = _rand_planes(rng, 80, 96)   # 30 macroblocks
+    cabac = hh.h264_encode(y, cb=cb, cr=cr, mb_mode="pcm",
+                           entropy="cabac")
+    Y, Cb, Cr, _ = hh.h264_decode_planes(cabac)
+    np.testing.assert_array_equal(Y, y)
+    np.testing.assert_array_equal(Cb, cb)
+    np.testing.assert_array_equal(Cr, cr)
+
+
+def test_cabac_pcm_corrupt_stop_bit_raises():
+    # zeroing the flush stop bit must be a loud ValueError, not a
+    # silent misdecode of the raw samples
+    rng = np.random.default_rng(3)
+    y, cb, cr = _rand_planes(rng, 16, 16)
+    good = hh.h264_encode(y, cb=cb, cr=cr, mb_mode="pcm",
+                          entropy="cabac")
+    Y, _, _, _ = hh.h264_decode_planes(good)
+    np.testing.assert_array_equal(Y, y)
+    sample_at = good.find(bytes(y[0, :8]))
+    assert sample_at > 0            # raw luma row is in the stream
+    bad = bytearray(good)
+    # the stop bit is the last '1' before the byte-aligned samples;
+    # clear the whole preceding byte to guarantee we hit it
+    bad[sample_at - 1] = 0
+    with pytest.raises(ValueError):
+        hh.h264_decode_planes(bytes(bad))
