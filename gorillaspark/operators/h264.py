@@ -1428,18 +1428,20 @@ _CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
 
 
 def _mc_luma(refY: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
-             size: int = 16) -> np.ndarray:
+             size=16) -> np.ndarray:
     """Quarter-pel luma motion compensation (8.4.2.2.1): 6-tap
     (1,-5,20,20,-5,1) half-pel filtering, bilinear quarter-pel
-    averaging, edge samples clamped (unrestricted MV padding)."""
+    averaging, edge samples clamped (unrestricted MV padding).
+    ``size`` is the square side or an (h, w) partition shape."""
+    sh, sw = (size, size) if isinstance(size, int) else size
     H, W = refY.shape
     ix, fx = x0 + (mvx >> 2), mvx & 3
     iy, fy = y0 + (mvy >> 2), mvy & 3
-    ys = np.clip(np.arange(iy - 2, iy + size + 3), 0, H - 1)
-    xs = np.clip(np.arange(ix - 2, ix + size + 3), 0, W - 1)
-    w = refY[np.ix_(ys, xs)]                       # (size+5, size+5)
+    ys = np.clip(np.arange(iy - 2, iy + sh + 3), 0, H - 1)
+    xs = np.clip(np.arange(ix - 2, ix + sw + 3), 0, W - 1)
+    w = refY[np.ix_(ys, xs)]                       # (sh+5, sw+5)
     if fx == 0 and fy == 0:
-        return w[2:2 + size, 2:2 + size]
+        return w[2:2 + sh, 2:2 + sw]
 
     def tap6(a, axis):
         sl = [slice(None)] * a.ndim
@@ -1451,17 +1453,17 @@ def _mc_luma(refY: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
         return (part(0) - 5 * part(1) + 20 * part(2) + 20 * part(3)
                 - 5 * part(4) + part(5))
 
-    G = w[2:2 + size, 2:2 + size]
-    Hr = w[2:2 + size, 3:3 + size]                 # right integer
-    Md = w[3:3 + size, 2:2 + size]                 # below integer
-    b1 = tap6(w, 1)                                # (size+5, size)
+    G = w[2:2 + sh, 2:2 + sw]
+    Hr = w[2:2 + sh, 3:3 + sw]                     # right integer
+    Md = w[3:3 + sh, 2:2 + sw]                     # below integer
+    b1 = tap6(w, 1)                                # (sh+5, sw)
     b_full = np.clip((b1 + 16) >> 5, 0, 255)
-    b = b_full[2:2 + size]
-    s_ = b_full[3:3 + size]
-    h1 = tap6(w, 0)                                # (size, size+5)
+    b = b_full[2:2 + sh]
+    s_ = b_full[3:3 + sh]
+    h1 = tap6(w, 0)                                # (sh, sw+5)
     h_full = np.clip((h1 + 16) >> 5, 0, 255)
-    hh = h_full[:, 2:2 + size]
-    m = h_full[:, 3:3 + size]
+    hh = h_full[:, 2:2 + sw]
+    m = h_full[:, 3:3 + sw]
     j = np.clip((tap6(b1, 0) + 512) >> 10, 0, 255)  # (size, size)
 
     table = {
@@ -1485,46 +1487,100 @@ def _mc_luma(refY: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
 
 
 def _mc_chroma(refC: np.ndarray, cx0: int, cy0: int, mvx: int,
-               mvy: int, size: int = 8) -> np.ndarray:
+               mvy: int, size=8) -> np.ndarray:
     """Eighth-pel chroma bilinear interpolation (8.4.2.2.2); the
     luma MV applies directly (chroma plane is half-resolution, so
-    quarter-pel luma units are eighth-pel chroma units)."""
+    quarter-pel luma units are eighth-pel chroma units). ``size`` is
+    the square side or an (h, w) chroma partition shape."""
+    sh, sw = (size, size) if isinstance(size, int) else size
     H, W = refC.shape
     ix, fx = cx0 + (mvx >> 3), mvx & 7
     iy, fy = cy0 + (mvy >> 3), mvy & 7
-    ys = np.clip(np.arange(iy, iy + size + 1), 0, H - 1)
-    xs = np.clip(np.arange(ix, ix + size + 1), 0, W - 1)
-    w = refC[np.ix_(ys, xs)]                       # (size+1, size+1)
-    A = w[:size, :size]
-    B = w[:size, 1:]
-    C = w[1:, :size]
+    ys = np.clip(np.arange(iy, iy + sh + 1), 0, H - 1)
+    xs = np.clip(np.arange(ix, ix + sw + 1), 0, W - 1)
+    w = refC[np.ix_(ys, xs)]                       # (sh+1, sw+1)
+    A = w[:sh, :sw]
+    B = w[:sh, 1:]
+    C = w[1:, :sw]
     D = w[1:, 1:]
     return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
             + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
 
 
-def _mv_neighbors(mv_map, mbx, mby, mbs_w):
-    """(A, B, C) 16x16 neighbour MVs: None = unavailable, (x, y) =
-    inter MV, 'intra' = available intra MB (ref −1, mv 0)."""
-    def get(x, y):
-        if x < 0 or y < 0 or x >= mbs_w:
-            return None
-        if (x, y) not in mv_map:
-            return None
-        v = mv_map[(x, y)]
-        return "intra" if v is None else v
+class _PartMvs:
+    """Per-4x4-block motion field of one PARTITIONED inter MB (one
+    reference list). Cells fill as partitions decode, so a later
+    partition of the same MB sees its earlier siblings as neighbours
+    (8.4.1.3.2 decode-order availability) while unfilled cells read
+    as unavailable."""
 
-    a = get(mbx - 1, mby)
-    b = get(mbx, mby - 1)
-    c = get(mbx + 1, mby - 1)
+    __slots__ = ("mv",)
+
+    def __init__(self):
+        self.mv = [[None] * 4 for _ in range(4)]
+
+    def fill(self, i0: int, j0: int, w4: int, h4: int, mv):
+        for j in range(j0, j0 + h4):
+            for i in range(i0, i0 + w4):
+                self.mv[j][i] = mv
+
+    def at(self, i: int, j: int):
+        return self.mv[j][i]
+
+    def __eq__(self, other):                  # mv_map equality in tests
+        return isinstance(other, _PartMvs) and self.mv == other.mv
+
+    def __hash__(self):
+        return hash(tuple(map(tuple, self.mv)))
+
+
+def _blk_mv(mv_map, bx, by, mbs_w):
+    """MV of the 4x4 luma block (bx, by) in global block units:
+    None = unavailable (outside / not yet decoded), 'intra' =
+    available intra MB, (x, y) = inter MV. mv_map stays keyed by MB
+    with values None (intra) | (x, y) (uniform 16x16) | _PartMvs."""
+    if bx < 0 or by < 0 or bx >= mbs_w * 4:
+        return None
+    v = mv_map.get((bx >> 2, by >> 2), _blk_mv)   # sentinel: absent
+    if v is _blk_mv:
+        return None
+    if v is None:
+        return "intra"
+    if isinstance(v, _PartMvs):
+        return v.at(bx & 3, by & 3)
+    return v
+
+
+def _part_neighbors(mv_map, bx0, by0, w4, mbs_w):
+    """(A, B, C) neighbour MVs of the partition whose top-left 4x4
+    block is (bx0, by0) and width is ``w4`` blocks (8.4.1.3.2): A
+    left, B above, C above-right with the D (above-left) fallback.
+    None = unavailable, 'intra' = available intra, (x, y) = MV."""
+    a = _blk_mv(mv_map, bx0 - 1, by0, mbs_w)
+    b = _blk_mv(mv_map, bx0, by0 - 1, mbs_w)
+    c = _blk_mv(mv_map, bx0 + w4, by0 - 1, mbs_w)
     if c is None:
-        c = get(mbx - 1, mby - 1)                  # D fallback
+        c = _blk_mv(mv_map, bx0 - 1, by0 - 1, mbs_w)   # D fallback
     return a, b, c
 
 
-def _mv_pred_16x16(mv_map, mbx, mby, mbs_w):
-    """Median MV predictor for a 16x16 partition (8.4.1.3)."""
-    a, b, c = _mv_neighbors(mv_map, mbx, mby, mbs_w)
+def _mv_neighbors(mv_map, mbx, mby, mbs_w):
+    """(A, B, C) neighbour MVs of the MB's 16x16 partition."""
+    return _part_neighbors(mv_map, mbx * 4, mby * 4, 4, mbs_w)
+
+
+def _mv_pred_part(mv_map, bx0, by0, w4, mbs_w, rule=None):
+    """MV predictor for the partition at block (bx0, by0), width
+    ``w4`` (8.4.1.3). ``rule`` carries the 16x8/8x16 directional
+    shortcut ('A'/'B'/'C' = use that neighbour when it codes the
+    same reference — always refIdx 0 here); None = pure median
+    (8.4.1.3.1 incl. its A-only and exactly-one-inter early
+    exits)."""
+    a, b, c = _part_neighbors(mv_map, bx0, by0, w4, mbs_w)
+    if rule is not None:
+        n = {"A": a, "B": b, "C": c}[rule]
+        if n not in (None, "intra"):
+            return n
     if b is None and c is None:
         if a is None or a == "intra":
             return 0, 0
@@ -1538,59 +1594,83 @@ def _mv_pred_16x16(mv_map, mbx, mby, mbs_w):
     return xs[1], ys[1]
 
 
-def _mv_pred_skip(mv_map, mbx, mby, mbs_w):
-    """P_Skip MV (8.4.1.1): zero when a 16x16 neighbour is missing or
-    is a zero-MV ref-0 block, else the median predictor."""
-    def get(x, y):
-        if x < 0 or y < 0 or x >= mbs_w:
-            return None
-        return mv_map.get((x, y), None) if (x, y) in mv_map else None
+def _mv_pred_16x16(mv_map, mbx, mby, mbs_w):
+    """Median MV predictor for a 16x16 partition (8.4.1.3)."""
+    return _mv_pred_part(mv_map, mbx * 4, mby * 4, 4, mbs_w)
 
-    a = get(mbx - 1, mby)
-    b = get(mbx, mby - 1)
-    a_avail = mbx > 0 and (mbx - 1, mby) in mv_map
-    b_avail = mby > 0 and (mbx, mby - 1) in mv_map
-    if not a_avail or not b_avail:
-        return 0, 0
-    if a == (0, 0) or b == (0, 0):
+
+def _mv_pred_skip(mv_map, mbx, mby, mbs_w):
+    """P_Skip MV (8.4.1.1): zero when the A/B neighbour block is
+    missing or is a zero-MV ref-0 block, else the median predictor
+    (an intra neighbour is AVAILABLE with refIdx -1, so it falls
+    through to the median)."""
+    a = _blk_mv(mv_map, mbx * 4 - 1, mby * 4, mbs_w)
+    b = _blk_mv(mv_map, mbx * 4, mby * 4 - 1, mbs_w)
+    if a is None or b is None or a == (0, 0) or b == (0, 0):
         return 0, 0
     return _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
 
 
+def _col_corner_mvs(col_mv):
+    """Per-8x8-quadrant colocated corner MVs (direct_8x8_inference:
+    each quadrant reads its outer-corner 4x4 block of the colocated
+    MB): a row-major 2x2 grid of None (intra col MB) or (x, y)."""
+    if isinstance(col_mv, _PartMvs):
+        return [[col_mv.at(3 * qx, 3 * qy) for qx in (0, 1)]
+                for qy in (0, 1)]
+    return [[col_mv, col_mv], [col_mv, col_mv]]
+
+
+def _mv_entry_from_grid(q):
+    """mv_map entry for a per-quadrant MV grid: the plain tuple when
+    uniform (the common case), else a _PartMvs field."""
+    if q[0][0] == q[0][1] == q[1][0] == q[1][1]:
+        return q[0][0]
+    pm = _PartMvs()
+    for qy in (0, 1):
+        for qx in (0, 1):
+            pm.fill(qx * 2, qy * 2, 2, 2, q[qy][qx])
+    return pm
+
+
 def _direct_spatial_mv(mvs, col_mv, mbx, mby, mbs_w):
-    """Spatial direct 16x16 MV derivation (8.4.1.2.2; one reference
-    per list, MB-uniform colocated motion). Returns (use_l0, use_l1,
-    mv_l0, mv_l1). ``col_mv`` is the colocated MB's L0 motion in the
-    L1 reference: None for intra, (mvx, mvy) for a ref-0 inter MB.
+    """Spatial direct MV derivation (8.4.1.2.2; one reference per
+    list). Returns (use_l0, use_l1, q_l0, q_l1) where q_lX is a
+    row-major 2x2 per-8x8-quadrant MV grid (None when the list is
+    unused). ``col_mv`` is the colocated MB's L0 motion in the L1
+    reference: None for intra, (mvx, mvy) for a uniform ref-0 inter
+    MB, or a _PartMvs field when the colocated MB was partitioned
+    (r8) — the four direct_8x8_inference quadrants then evaluate
+    colZeroFlag against their own colocated corner block.
 
     With one reference picture per list, refIdxLX = MinPositive over
     the A/B/C neighbours reduces to: 0 when any neighbour codes list
     X, else -1 (list unused). When both come out -1 the MB
     bi-predicts with zero MVs (directZeroPredictionFlag). colZeroFlag
-    (the L1 reference is short-term — always here — its colocated MB
-    is inter with refIdx 0 and both |mvCol| components <= 1 in
-    quarter-pel units) zeroes the per-list MV; otherwise the standard
-    16x16 median predictor (8.4.1.3) supplies it. MB-uniform
-    colocated motion makes the four direct_8x8_inference quadrants
-    identical, so the whole-MB treatment is exact for every stream
-    this codec can produce (sub-16x16 reference motion is rejected
-    at parse time)."""
+    (the L1 reference is short-term — always here — the colocated
+    block is inter with refIdx 0 and both |mvCol| components <= 1 in
+    quarter-pel units) zeroes the quadrant's MV; otherwise the
+    standard 16x16 median predictor (8.4.1.3) supplies it."""
     use_l0 = any(v not in (None, "intra") for v in
                  _mv_neighbors(mvs["l0"], mbx, mby, mbs_w))
     use_l1 = any(v not in (None, "intra") for v in
                  _mv_neighbors(mvs["l1"], mbx, mby, mbs_w))
+    zero = [[(0, 0), (0, 0)], [(0, 0), (0, 0)]]
     if not use_l0 and not use_l1:
-        return True, True, (0, 0), (0, 0)
-    col_zero = (col_mv is not None and abs(col_mv[0]) <= 1
-                and abs(col_mv[1]) <= 1)
-    mv_l0 = mv_l1 = None
+        return True, True, zero, [row[:] for row in zero]
+    corners = _col_corner_mvs(col_mv)
+
+    def grid(med):
+        return [[(0, 0) if (c is not None and abs(c[0]) <= 1
+                            and abs(c[1]) <= 1) else med
+                 for c in row] for row in corners]
+
+    q_l0 = q_l1 = None
     if use_l0:
-        mv_l0 = ((0, 0) if col_zero else
-                 _mv_pred_16x16(mvs["l0"], mbx, mby, mbs_w))
+        q_l0 = grid(_mv_pred_16x16(mvs["l0"], mbx, mby, mbs_w))
     if use_l1:
-        mv_l1 = ((0, 0) if col_zero else
-                 _mv_pred_16x16(mvs["l1"], mbx, mby, mbs_w))
-    return use_l0, use_l1, mv_l0, mv_l1
+        q_l1 = grid(_mv_pred_16x16(mvs["l1"], mbx, mby, mbs_w))
+    return use_l0, use_l1, q_l0, q_l1
 
 
 def _mc_predict_mb(ref, mbx, mby, mvx, mvy):
@@ -1600,25 +1680,121 @@ def _mc_predict_mb(ref, mbx, mby, mvx, mvy):
     return predY, predCb, predCr
 
 
+# P macroblock partition geometry (Table 7-13): mb_type 1 = two
+# 16x8 rows, 2 = two 8x16 columns, each with its 8.4.1.3 directional
+# MV-predictor rule; 3/4 = P_8x8 (ref0 variant identical with one
+# reference) whose per-quadrant sub_mb_type (Table 7-17) picks the
+# sub-partition split (median prediction only)
+_P_MB_PARTS = {1: (((0, 0, 16, 8), "B"), ((0, 8, 16, 8), "A")),
+               2: (((0, 0, 8, 16), "A"), ((8, 0, 8, 16), "C"))}
+_P_SUB_PARTS = (
+    ((0, 0, 8, 8),),                                    # P_L0_8x8
+    ((0, 0, 8, 4), (0, 4, 8, 4)),                       # P_L0_8x4
+    ((0, 0, 4, 8), (4, 0, 4, 8)),                       # P_L0_4x8
+    ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4),
+     (4, 4, 4, 4)),                                     # P_L0_4x4
+)
+
+
+def _p_partitions(mb_type: int, sub_types=None):
+    """Yield (ox, oy, w, h, rule) luma partitions of one P MB in
+    decode order. ``sub_types`` is the four sub_mb_type values for
+    mb_type 3/4 (quadrants in raster order)."""
+    if mb_type in (1, 2):
+        for geom, rule in _P_MB_PARTS[mb_type]:
+            yield (*geom, rule)
+        return
+    for q, stype in enumerate(sub_types):
+        qx, qy = (q & 1) * 8, (q >> 1) * 8
+        for dx, dy, w, h in _P_SUB_PARTS[stype]:
+            yield qx + dx, qy + dy, w, h, None
+
+
+def _part_predict(ref, pm, predY, predCb, predCr, mbx, mby, ox, oy,
+                  w, h, mvx, mvy):
+    """Motion-compensate ONE partition of an inter MB into the
+    assembled prediction planes and record its MVs in the per-4x4
+    field."""
+    pm.fill(ox // 4, oy // 4, w // 4, h // 4, (mvx, mvy))
+    predY[oy:oy + h, ox:ox + w] = _mc_luma(
+        ref[0], mbx * 16 + ox, mby * 16 + oy, mvx, mvy, (h, w))
+    cx, cy, cw, ch = ox // 2, oy // 2, w // 2, h // 2
+    predCb[cy:cy + ch, cx:cx + cw] = _mc_chroma(
+        ref[1], mbx * 8 + cx, mby * 8 + cy, mvx, mvy, (ch, cw))
+    predCr[cy:cy + ch, cx:cx + cw] = _mc_chroma(
+        ref[2], mbx * 8 + cx, mby * 8 + cy, mvx, mvy, (ch, cw))
+
+
+def _record_direct(mvs, col_mvs, mbx, mby, mbs_w):
+    """Derive the spatial-direct motion for MB (mbx, mby) and record
+    it in the per-list MV maps; returns (use_l0, use_l1, q_l0, q_l1)
+    — shared by the decoders and both encoders (which replicate the
+    decoder's derivation to keep divergence loud)."""
+    col_mv = col_mvs.get((mbx, mby)) if col_mvs else None
+    use_l0, use_l1, q_l0, q_l1 = _direct_spatial_mv(
+        mvs, col_mv, mbx, mby, mbs_w)
+    mvs["l0"][(mbx, mby)] = (_mv_entry_from_grid(q_l0) if use_l0
+                             else None)
+    mvs["l1"][(mbx, mby)] = (_mv_entry_from_grid(q_l1) if use_l1
+                             else None)
+    return use_l0, use_l1, q_l0, q_l1
+
+
+def _mc_predict_quad(ref, mbx, mby, qx, qy, mvx, mvy):
+    """8x8-quadrant motion compensation (luma 8x8 + chroma 4x4)."""
+    y = _mc_luma(ref[0], mbx * 16 + qx * 8, mby * 16 + qy * 8,
+                 mvx, mvy, 8)
+    cb = _mc_chroma(ref[1], mbx * 8 + qx * 4, mby * 8 + qy * 4,
+                    mvx, mvy, 4)
+    cr = _mc_chroma(ref[2], mbx * 8 + qx * 4, mby * 8 + qy * 4,
+                    mvx, mvy, 4)
+    return y, cb, cr
+
+
 def _direct_predict_mb(mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w):
     """Derive the spatial-direct motion for MB (mbx, mby), update the
     per-list MV maps and return the (predY, predCb, predCr) 16x16
     prediction — shared by B_Skip and B_Direct_16x16 under both
-    entropy coders."""
-    col_mv = col_mvs.get((mbx, mby)) if col_mvs else None
-    use_l0, use_l1, mv_l0, mv_l1 = _direct_spatial_mv(
-        mvs, col_mv, mbx, mby, mbs_w)
-    mvs["l0"][(mbx, mby)] = mv_l0 if use_l0 else None
-    mvs["l1"][(mbx, mby)] = mv_l1 if use_l1 else None
-    preds = []
-    if use_l0:
-        preds.append(_mc_predict_mb(ref0, mbx, mby, *mv_l0))
-    if use_l1:
-        preds.append(_mc_predict_mb(ref1, mbx, mby, *mv_l1))
-    if len(preds) == 2:              # default (non-weighted) average
-        return tuple((a + b + 1) >> 1
-                     for a, b in zip(preds[0], preds[1]))
-    return preds[0]
+    entropy coders. Uniform quadrant grids (the common case) take
+    the whole-MB MC fast path; a partitioned colocated MB yields
+    per-quadrant motion compensation."""
+    use_l0, use_l1, q_l0, q_l1 = _record_direct(mvs, col_mvs, mbx,
+                                                mby, mbs_w)
+    uni_l0 = q_l0 is None or isinstance(
+        mvs["l0"].get((mbx, mby)), tuple)
+    uni_l1 = q_l1 is None or isinstance(
+        mvs["l1"].get((mbx, mby)), tuple)
+    if uni_l0 and uni_l1:            # whole-MB fast path
+        preds = []
+        if use_l0:
+            preds.append(_mc_predict_mb(ref0, mbx, mby, *q_l0[0][0]))
+        if use_l1:
+            preds.append(_mc_predict_mb(ref1, mbx, mby, *q_l1[0][0]))
+        if len(preds) == 2:          # default (non-weighted) average
+            return tuple((a + b + 1) >> 1
+                         for a, b in zip(preds[0], preds[1]))
+        return preds[0]
+    predY = np.empty((16, 16), dtype=np.int64)
+    predCb = np.empty((8, 8), dtype=np.int64)
+    predCr = np.empty((8, 8), dtype=np.int64)
+    for qy in (0, 1):
+        for qx in (0, 1):
+            preds = []
+            if use_l0:
+                preds.append(_mc_predict_quad(ref0, mbx, mby, qx, qy,
+                                              *q_l0[qy][qx]))
+            if use_l1:
+                preds.append(_mc_predict_quad(ref1, mbx, mby, qx, qy,
+                                              *q_l1[qy][qx]))
+            if len(preds) == 2:
+                y, cb, cr = ((a + b + 1) >> 1
+                             for a, b in zip(preds[0], preds[1]))
+            else:
+                y, cb, cr = preds[0]
+            predY[qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8] = y
+            predCb[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = cb
+            predCr[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = cr
+    return predY, predCb, predCr
 
 
 def _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map, mbx, mby,
@@ -1632,25 +1808,11 @@ def _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map, mbx, mby,
     mv_map[(mbx, mby)] = (mvx, mvy)
 
 
-def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
-                 mby, mbs_w):
-    mb_type = br.ue()
-    if mb_type >= 5:                 # intra macroblock in a P slice
-        qp = _decode_mb_intra(br, mb_type - 5, qp, pps, Y, Cb, Cr,
-                              states, mbx, mby, mbs_w)
-        mv_map[(mbx, mby)] = None
-        return qp
-    if mb_type != 0:
-        raise NotImplementedError(
-            "P macroblock partitions 16x8/8x16/8x8 unsupported "
-            f"(mb_type {mb_type})")
-    mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
-    mvx = mvpx + br.se()
-    mvy = mvpy + br.se()
-    if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
-        raise ValueError("implausible motion vector")
-    st = _MBState()
-    predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx, mvy)
+def _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
+                      predCb, predCr, mbx, mby, mbs_w):
+    """CBP + mb_qp_delta + residual + reconstruction of an inter MB
+    over its assembled prediction planes (CAVLC) — shared by the P
+    and B macroblock decoders."""
     cbp_code = br.ue()
     if cbp_code > 47:
         raise ValueError("invalid coded_block_pattern")
@@ -1678,8 +1840,53 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
                                        cbp_chroma, st)
     _recon_chroma_from_pred(Cb, Cr, predCb, predCr, mbx, mby, cdc,
                             cac, qp, pps)
+    return qp
+
+
+def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
+                 mby, mbs_w):
+    mb_type = br.ue()
+    if mb_type >= 5:                 # intra macroblock in a P slice
+        qp = _decode_mb_intra(br, mb_type - 5, qp, pps, Y, Cb, Cr,
+                              states, mbx, mby, mbs_w)
+        mv_map[(mbx, mby)] = None
+        return qp
+    st = _MBState()
+    if mb_type == 0:                 # P_L0_16x16
+        mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
+        mvx = mvpx + br.se()
+        mvy = mvpy + br.se()
+        if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+            raise ValueError("implausible motion vector")
+        predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx,
+                                               mvy)
+        mv_entry = (mvx, mvy)
+    else:                            # r8: 16x8 / 8x16 / P_8x8(ref0)
+        sub_types = None
+        if mb_type >= 3:             # all four sub_mb_types first
+            sub_types = [br.ue() for _ in range(4)]
+            if any(t > 3 for t in sub_types):
+                raise ValueError("invalid P sub_mb_type")
+        pm = _PartMvs()
+        mv_map[(mbx, mby)] = pm      # earlier partitions neighbour
+        predY = np.empty((16, 16), dtype=np.int64)
+        predCb = np.empty((8, 8), dtype=np.int64)
+        predCr = np.empty((8, 8), dtype=np.int64)
+        for ox, oy, w, h, rule in _p_partitions(mb_type, sub_types):
+            mvp = _mv_pred_part(mv_map, mbx * 4 + ox // 4,
+                                mby * 4 + oy // 4, w // 4, mbs_w,
+                                rule)
+            mvx = mvp[0] + br.se()
+            mvy = mvp[1] + br.se()
+            if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+                raise ValueError("implausible motion vector")
+            _part_predict(ref, pm, predY, predCb, predCr, mbx, mby,
+                          ox, oy, w, h, mvx, mvy)
+        mv_entry = pm
+    qp = _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
+                           predCb, predCr, mbx, mby, mbs_w)
     states[(mbx, mby)] = st
-    mv_map[(mbx, mby)] = (mvx, mvy)
+    mv_map[(mbx, mby)] = mv_entry
     return qp
 
 
@@ -1736,33 +1943,8 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
         else:
             predY, predCb, predCr = preds[0]
     st = _MBState()
-    cbp_code = br.ue()
-    if cbp_code > 47:
-        raise ValueError("invalid coded_block_pattern")
-    cbp = _CBP_INTER[cbp_code]
-    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-    if cbp:
-        qp = _apply_qp_delta(br, qp)
-    recon = predY.copy()
-    if cbp_luma:
-        for blk in range(16):
-            if not (cbp_luma >> (blk // 4)) & 1:
-                continue
-            nc = _luma_nc(states, mbx, mby, mbs_w, blk)
-            coeffs = _decode_residual(br, nc, 16)
-            st.nnz_l[blk] = np.count_nonzero(coeffs)
-            d = np.zeros(16, dtype=np.int64)
-            d[_ZZ4] = coeffs
-            dq = _dequant_ac(d.reshape(4, 4), qp)
-            r = (_inv_transform_4x4(dq) + 32) >> 6
-            bx, by = _BLK_POS[blk]
-            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = _clip255(
-                predY[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + r)
-    Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = recon
-    cdc, cac = _decode_chroma_residual(br, states, mbx, mby, mbs_w,
-                                       cbp_chroma, st)
-    _recon_chroma_from_pred(Cb, Cr, predCb, predCr, mbx, mby, cdc,
-                            cac, qp, pps)
+    qp = _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
+                           predCb, predCr, mbx, mby, mbs_w)
     states[(mbx, mby)] = st
     return qp
 
@@ -2607,7 +2789,14 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
       * ``(mvx, mvy)``      — P_L0_16x16, quarter-pel MV, no residual;
       * ``(mvx, mvy, lv)``  — P_L0_16x16 with a luma residual: ``lv``
         is a (16, 16) int array of per-4x4 CAVLC scan-order
-        coefficient LEVELS (inter blocks carry all 16 positions).
+        coefficient LEVELS (inter blocks carry all 16 positions);
+      * ``('p16x8', mv0, mv1[, lv])`` — P_L0_L0_16x8 (r8): top and
+        bottom 16x8 partition MVs as (mvx, mvy) pairs;
+      * ``('p8x16', mv0, mv1[, lv])`` — P_L0_L0_8x16: left and right;
+      * ``('p8x8', subs[, lv])``      — P_8x8: ``subs`` is four
+        quadrant entries in raster order, each ``('8x8', mv)``,
+        ``('8x4', mv_top, mv_bot)``, ``('4x8', mv_l, mv_r)`` or
+        ``('4x4', mv0, mv1, mv2, mv3)`` (Table 7-17 sub_mb_types).
 
     The encoder replicates the decoder's MV prediction (median /
     skip rules) to derive mvd, and the CAVLC nC neighbour contexts
@@ -2665,12 +2854,48 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
             states[(mbx, mby)] = st
             mv_map[(mbx, mby)] = None
             continue
-        mvx, mvy = spec[0], spec[1]
-        levels = spec[2] if len(spec) > 2 else None
-        mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
-        bw.ue(0)                             # mb_type P_L0_16x16
-        bw.se(mvx - mvpx)
-        bw.se(mvy - mvpy)
+        if isinstance(spec[0], str):         # r8: partitioned inter MB
+            kind = spec[0]
+            mb_type = {"p16x8": 1, "p8x16": 2, "p8x8": 3}.get(kind)
+            if mb_type is None:
+                raise ValueError(f"unknown P mb_spec kind {kind!r}")
+            bw.ue(mb_type)
+            sub_types = None
+            if kind == "p8x8":
+                subs = spec[1]
+                if len(subs) != 4:
+                    raise ValueError("p8x8 needs 4 quadrant specs")
+                names = {"8x8": 0, "8x4": 1, "4x8": 2, "4x4": 3}
+                sub_types = [names[s[0]] for s in subs]
+                mv_seq = [mv for s in subs for mv in s[1:]]
+                for t in sub_types:
+                    bw.ue(t)                 # sub_mb_type (7.3.5.2)
+                levels = spec[2] if len(spec) > 2 else None
+            else:
+                mv_seq = [spec[1], spec[2]]
+                levels = spec[3] if len(spec) > 3 else None
+            pm = _PartMvs()
+            mv_map[(mbx, mby)] = pm          # partitions see siblings
+            parts = list(_p_partitions(mb_type, sub_types))
+            if len(parts) != len(mv_seq):
+                raise ValueError("sub-partition MV count mismatch")
+            for (ox, oy, w, h, rule), mv in zip(parts, mv_seq):
+                mvp = _mv_pred_part(mv_map, mbx * 4 + ox // 4,
+                                    mby * 4 + oy // 4, w // 4,
+                                    mbs_w, rule)
+                bw.se(int(mv[0]) - mvp[0])
+                bw.se(int(mv[1]) - mvp[1])
+                pm.fill(ox // 4, oy // 4, w // 4, h // 4,
+                        (int(mv[0]), int(mv[1])))
+            mv_entry = pm
+        else:
+            mvx, mvy = spec[0], spec[1]
+            levels = spec[2] if len(spec) > 2 else None
+            mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
+            bw.ue(0)                         # mb_type P_L0_16x16
+            bw.se(mvx - mvpx)
+            bw.se(mvy - mvpy)
+            mv_entry = (mvx, mvy)
         st = _MBState()
         if levels is None:
             bw.ue(_CBP_INTER_INV[0])
@@ -2690,7 +2915,7 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                 _encode_residual(bw, levels[blk], nc, 16)
                 st.nnz_l[blk] = np.count_nonzero(levels[blk])
         states[(mbx, mby)] = st
-        mv_map[(mbx, mby)] = (mvx, mvy)
+        mv_map[(mbx, mby)] = mv_entry
     if skip_run:
         bw.ue(skip_run)
     bw.trailing()
@@ -2765,11 +2990,7 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     def derive_direct(mbx, mby):
         """Replicate the decoder's spatial-direct derivation and
         record the derived MVs in the per-list maps."""
-        col_mv = col_mvs.get((mbx, mby)) if col_mvs else None
-        use_l0, use_l1, mv_l0, mv_l1 = _direct_spatial_mv(
-            mvs, col_mv, mbx, mby, mbs_w)
-        mvs["l0"][(mbx, mby)] = mv_l0 if use_l0 else None
-        mvs["l1"][(mbx, mby)] = mv_l1 if use_l1 else None
+        _record_direct(mvs, col_mvs, mbx, mby, mbs_w)
 
     skip_run = 0
     for addr, spec in enumerate(mb_specs):

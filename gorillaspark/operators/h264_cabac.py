@@ -1021,15 +1021,10 @@ class CabacSliceWriter:
 
     def _derive_direct_b(self, mbx: int, mby: int):
         """Replicate the decoder's spatial-direct derivation
-        (h264._direct_spatial_mv) and record the derived MVs."""
-        from .h264 import _direct_spatial_mv
+        (h264._record_direct) and record the derived MVs."""
+        from .h264 import _record_direct
         mvs = {"l0": self.mv_map, "l1": self.mv_map1}
-        col_mv = (self.col_mvs.get((mbx, mby)) if self.col_mvs
-                  else None)
-        use_l0, use_l1, mv_l0, mv_l1 = _direct_spatial_mv(
-            mvs, col_mv, mbx, mby, self.mbs_w)
-        self.mv_map[(mbx, mby)] = mv_l0 if use_l0 else None
-        self.mv_map1[(mbx, mby)] = mv_l1 if use_l1 else None
+        _record_direct(mvs, self.col_mvs, mbx, mby, self.mbs_w)
 
     def emit_b(self, spec, mbx: int, mby: int):
         """One B-slice MB in h264_encode_b_frame's mb_spec format:

@@ -736,3 +736,161 @@ def test_ipcm_lossless_roundtrip():
     assert np.array_equal(Yc, y.astype(np.int64))
     assert np.array_equal(Cbc, cb.astype(np.int64))
     assert np.array_equal(Crc, cr.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# r8: P macroblock partitions (16x8 / 8x16 / P_8x8 sub-partitions)
+# ---------------------------------------------------------------------------
+
+
+def _shift_oracle(Y0, mv):
+    """Integer-pel MC = clamped whole-plane shift."""
+    ys = np.clip(np.arange(Y0.shape[0]) + (mv[1] // 4), 0,
+                 Y0.shape[0] - 1)
+    xs = np.clip(np.arange(Y0.shape[1]) + (mv[0] // 4), 0,
+                 Y0.shape[1] - 1)
+    return Y0[np.ix_(ys, xs)]
+
+
+def test_p_partitions_16x8_8x16_integer_mv_oracle():
+    """Each 16x8/8x16 partition lands its OWN integer MV: decoded
+    pixels equal the per-partition clamped-shift oracle, so a
+    partition-geometry or MV-sequencing desync is a hard mismatch."""
+    rng = np.random.default_rng(31)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, mb_mode="i4")
+    Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+    specs = [("p16x8", (8, 0), (-8, 4)),
+             ("p8x16", (4, 8), (0, -12)),
+             ("p16x8", (0, 0), (16, 16)),
+             ("p8x16", (-4, -4), (12, 0)),
+             None,
+             ("p16x8", (4, 4), (4, 4)),      # uniform split
+             (8, 8),                          # plain 16x16 after parts
+             ("p8x16", (0, 4), (4, 0))]
+    p = h.h264_encode_p_frame(specs, 4, 2, qp=30)
+    Y1 = h.h264_decode_gop_planes(idr + p)[0][1][0]
+    geom = {"p16x8": (((0, 0, 16, 8), (0, 8, 16, 8))),
+            "p8x16": (((0, 0, 8, 16), (8, 0, 8, 16)))}
+    for addr, spec in enumerate(specs):
+        mbx, mby = addr % 4, addr // 4
+        if spec is None or not isinstance(spec[0], str):
+            continue
+        for (ox, oy, w, hh), mv in zip(geom[spec[0]], spec[1:3]):
+            x0, y0 = mbx * 16 + ox, mby * 16 + oy
+            want = _shift_oracle(Y0, mv)[y0:y0 + hh, x0:x0 + w]
+            got = Y1[y0:y0 + hh, x0:x0 + w]
+            assert np.array_equal(got, want), (addr, spec[0], ox, oy)
+    # the plain 16x16 MB after partitioned neighbours still lands
+    want = _shift_oracle(Y0, (8, 8))[16:32, 32:48]
+    assert np.array_equal(Y1[16:32, 32:48], want)
+
+
+def test_p_partitions_8x8_sub_shapes_and_quarter_pel():
+    """P_8x8 with all four sub_mb_type shapes in one MB row, integer
+    and quarter-pel MVs, checked against the independent scalar
+    interpolator per sub-partition."""
+    rng = np.random.default_rng(32)
+    y = rng.integers(0, 256, (16, 64), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, mb_mode="i4")
+    Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+    specs = [
+        ("p8x8", [("8x8", (5, 7)), ("8x4", (8, 0), (0, 8)),
+                  ("4x8", (-3, 2), (2, -3)),
+                  ("4x4", (1, 1), (2, 2), (3, 3), (4, 4))]),
+        ("p8x8", [("8x8", (0, 0)), ("8x8", (4, 4)),
+                  ("8x8", (-4, 8)), ("8x8", (13, -5))]),
+        None, None]
+    p = h.h264_encode_p_frame(specs, 4, 1, qp=30)
+    Y1 = h.h264_decode_gop_planes(idr + p)[0][1][0]
+    subgeo = {"8x8": ((0, 0, 8, 8),),
+              "8x4": ((0, 0, 8, 4), (0, 4, 8, 4)),
+              "4x8": ((0, 0, 4, 8), (4, 0, 4, 8)),
+              "4x4": ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4),
+                      (4, 4, 4, 4))}
+    for addr, spec in enumerate(specs):
+        if spec is None:
+            continue
+        mbx = addr % 4
+        for q, sub in enumerate(spec[1]):
+            qx, qy = (q & 1) * 8, (q >> 1) * 8
+            for (dx, dy, w, hh), mv in zip(subgeo[sub[0]], sub[1:]):
+                x0, y0 = mbx * 16 + qx + dx, qy + dy
+                want = _ref_mc_luma(Y0, x0, y0, mv[0], mv[1],
+                                    max(w, hh))[:hh, :w]
+                got = Y1[y0:y0 + hh, x0:x0 + w]
+                assert np.array_equal(got, want), (addr, q, sub[0])
+
+
+def test_p_partition_residual_and_skip_after_partition():
+    """A residual rides on a partitioned MB exactly as on a 16x16
+    one, and a P_Skip AFTER a partitioned MB reads the 4x4-granular
+    skip predictor (the left MB's top-right block)."""
+    rng = np.random.default_rng(33)
+    y = rng.integers(0, 256, (16, 48), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=28, mb_mode="i4")
+    Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+    lv = np.zeros((16, 16), dtype=np.int64)
+    lv[0, 0], lv[9, 2] = 4, -2
+    specs = [("p16x8", (4, 0), (-8, 8), lv), None, None]
+    p = h.h264_encode_p_frame(specs, 3, 1, qp=28)
+    Y1 = h.h264_decode_gop_planes(idr + p)[0][1][0]
+    # residual on blocks 0 (top partition) and 9 (bottom partition)
+    for blk, mv in ((0, (4, 0)), (9, (-8, 8))):
+        d = np.zeros(16, dtype=np.int64)
+        d[h._ZZ4] = lv[blk]
+        r = (h._inv_transform_4x4(
+            h._dequant_ac(d.reshape(4, 4), 28)) + 32) >> 6
+        bx, by = h._BLK_POS[blk]
+        base = _shift_oracle(Y0, mv)[by * 4:by * 4 + 4,
+                                     bx * 4:bx * 4 + 4]
+        want = np.clip(base + r, 0, 255)
+        assert np.array_equal(
+            Y1[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], want), blk
+    # skip MB 1: predictor reads block-granular A = MB0's TOP-right
+    # block (MV (4,0), nonzero) and B unavailable -> zero MV
+    assert np.array_equal(Y1[:, 16:32], Y0[:, 16:32])
+
+
+def test_mv_pred_part_directional_rules():
+    """§8.4.1.3 directional predictor rules at 4x4 granularity,
+    checked against hand-derived expectations."""
+    pm_left = h._PartMvs()
+    pm_left.fill(0, 0, 4, 2, (10, 0))   # top 16x8 of the left MB
+    pm_left.fill(0, 2, 4, 2, (20, 0))   # bottom 16x8
+    mv_map = {(0, 0): pm_left, (1, 0): None}   # right MB intra so far
+    # 16x8 top partition of MB (1,0): B unavailable (row 0) -> falls
+    # to median; A = left MB block (3,0) = (10,0), B/C None -> mvp=A
+    assert h._mv_pred_part(mv_map, 4, 0, 4, 4, "B") == (10, 0)
+    # 16x8 bottom partition: rule A, A = left MB block (3,2) = (20,0)
+    assert h._mv_pred_part(mv_map, 4, 2, 4, 4, "A") == (20, 0)
+    # 8x16 left partition of the MB BELOW the left MB: rule A with A
+    # unavailable (frame edge) -> median; B = (20,0) above, C = (20,0)
+    mv_map2 = {(0, 0): pm_left}
+    assert h._mv_pred_part(mv_map2, 0, 4, 2, 4, "A") == (20, 0)
+    # median mixes blocks of a partitioned neighbour correctly
+    mv_map3 = {(0, 0): pm_left, (1, 0): (6, 6)}
+    # MB (0,1) 16x16: A None, B = left MB block (0,3)=(20,0),
+    # C(D fallback domain): C = block (4,3) = right MB (6,6)
+    a, b, c = h._mv_neighbors(mv_map3, 0, 1, 4)
+    assert (a, b, c) == (None, (20, 0), (6, 6))
+    xs = sorted(v[0] for v in ((0, 0), (20, 0), (6, 6)))
+    ys = sorted(v[1] for v in ((0, 0), (20, 0), (6, 6)))
+    assert h._mv_pred_16x16(mv_map3, 0, 1, 4) == (xs[1], ys[1])
+
+
+def test_direct_spatial_per_quadrant_col_zero():
+    """A partitioned colocated MB drives PER-QUADRANT colZeroFlag in
+    the spatial-direct derivation (direct_8x8_inference corners)."""
+    col = h._PartMvs()
+    col.fill(0, 0, 2, 2, (0, 0))        # quadrant 0: colZero
+    col.fill(2, 0, 2, 2, (40, 0))       # quadrant 1: moving
+    col.fill(0, 2, 2, 2, (1, -1))       # quadrant 2: colZero (<=1)
+    col.fill(2, 2, 2, 2, (0, 8))        # quadrant 3: moving
+    mvs = {"l0": {(0, 0): (12, 4)}, "l1": {(0, 0): (-4, 0)}}
+    use0, use1, q0, q1 = h._direct_spatial_mv(mvs, col, 1, 0, 4)
+    assert use0 and use1
+    med0 = h._mv_pred_16x16(mvs["l0"], 1, 0, 4)
+    med1 = h._mv_pred_16x16(mvs["l1"], 1, 0, 4)
+    assert q0 == [[(0, 0), med0], [(0, 0), med0]]
+    assert q1 == [[(0, 0), med1], [(0, 0), med1]]
