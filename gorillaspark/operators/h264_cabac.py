@@ -142,7 +142,9 @@ _ABS = 227          # + cat offset + level ctx inc
 # (16), 3 chroma DC (4), 4 chroma AC (15)
 _SIG_CAT = [0, 15, 29, 44, 47]
 _ABS_CAT = [0, 10, 20, 30, 39]
-N_CTX = 276
+_MB_TYPE_P2 = 276   # P prefix bin2 after b1==1 (spec ctxIdx 17)
+_SUB_MB_P = 277     # P sub_mb_type bins (spec ctxIdx 21..23)
+N_CTX = 280
 
 # the allocation blocks must not overlap
 _blocks = [(_MB_TYPE_I, 8), (_SKIP_P, 3), (_MB_TYPE_P, 3),
@@ -151,7 +153,7 @@ _blocks = [(_MB_TYPE_I, 8), (_SKIP_P, 3), (_MB_TYPE_P, 3),
            (_QP_DELTA, 4), (_CHROMA_MODE, 4),
            (_PREV_I4, 1), (_REM_I4, 1), (_CBP_LUMA, 4),
            (_CBP_CHROMA, 8), (_CBF, 20), (_SIG, 61), (_LAST, 61),
-           (_ABS, 49)]
+           (_ABS, 49), (_MB_TYPE_P2, 1), (_SUB_MB_P, 3)]
 _used = set()
 for _b, _n in _blocks:
     _rng = set(range(_b, _b + _n))
@@ -350,8 +352,7 @@ class _CabacDec:
 
 class _Rec:
     __slots__ = ("nxn", "cm", "cbp_l", "cbp_c", "qpd", "dcY", "acY",
-                 "dcC", "acC", "skip", "intra", "mvd", "mvd1",
-                 "direct")
+                 "dcC", "acC", "skip", "intra", "direct")
 
     def __init__(self):
         self.nxn = False
@@ -365,8 +366,6 @@ class _Rec:
         self.acC = [[0] * 4, [0] * 4]
         self.skip = False            # P slices: mb_skip_flag
         self.intra = True            # inter MBs set False
-        self.mvd = (0, 0)            # coded |mvd_l0| components
-        self.mvd1 = (0, 0)           # coded |mvd_l1| components (B)
         self.direct = False          # B_Skip / B_Direct_16x16
 
 
@@ -509,24 +508,34 @@ def _mbtype_b_inc(recs, mbx, mby, mbs_w) -> int:
     return inc
 
 
-def _mvd_ctx0(recs, mbx, mby, mbs_w, comp: int, lst: int = 0) -> int:
-    e = 0
-    for dx, dy in ((-1, 0), (0, -1)):
-        r = _nb(recs, mbx, mby, dx, dy, mbs_w)
-        if r is not None:
-            e += (r.mvd if lst == 0 else r.mvd1)[comp]
+def _mvd_ctx0(mvd_f, bx0, by0, comp: int) -> int:
+    """§9.3.3.1.1.7 at the spec's partition granularity: the bin0
+    context increment sums the |mvd| components of the 4x4 blocks
+    left of and above the partition's top-left block. ``mvd_f`` is
+    the per-list field {(bx, by): (|dx|, |dy|)} — absent blocks
+    (unavailable / intra / skip / direct) contribute 0."""
+    e = (mvd_f.get((bx0 - 1, by0), (0, 0))[comp]
+         + mvd_f.get((bx0, by0 - 1), (0, 0))[comp])
     base = _MVD_X if comp == 0 else _MVD_Y
     return base + (0 if e < 3 else (1 if e <= 32 else 2))
 
 
-def _code_mvd(x, ctx, recs, mbx, mby, mbs_w, comp: int, v=None,
-              lst: int = 0):
+def _fill_mvd(mvd_f, bx0, by0, w4: int, h4: int, dx: int, dy: int):
+    """Record one partition's |mvd| components for its 4x4 blocks."""
+    v = (abs(dx), abs(dy))
+    for j in range(by0, by0 + h4):
+        for i in range(bx0, bx0 + w4):
+            mvd_f[(i, j)] = v
+
+
+def _code_mvd(x, ctx, mvd_f, bx0, by0, comp: int, v=None):
     """One mvd_lX component: UEG3 binarization (TU prefix, uCoff 9,
     same-list neighbour-|mvd| bin0 context) + EG3 bypass suffix +
     bypass sign. Encode when ``v`` given, else decode and return the
-    value."""
+    value. ``(bx0, by0)`` is the partition's top-left 4x4 block in
+    global block units."""
     base = _MVD_X if comp == 0 else _MVD_Y
-    b0 = _mvd_ctx0(recs, mbx, mby, mbs_w, comp, lst)
+    b0 = _mvd_ctx0(mvd_f, bx0, by0, comp)
 
     def bctx(i):
         return b0 if i == 0 else base + 3 + min(i - 1, 3)
@@ -570,6 +579,24 @@ def _code_mvd(x, ctx, recs, mbx, mby, mbs_w, comp: int, v=None,
     if a:
         x.bypass(1 if v < 0 else 0)
     return v
+
+
+def _code_sub_mb_p(x, ctx, t=None):
+    """P sub_mb_type (Table 9-38 tree over _SUB_MB_P): P_L0_8x8 '1',
+    P_L0_8x4 '00', P_L0_4x8 '011', P_L0_4x4 '010'. Encode when ``t``
+    given, else decode and return the value."""
+    if t is None:                    # decode
+        if x.bit(ctx, _SUB_MB_P):
+            return 0
+        if not x.bit(ctx, _SUB_MB_P + 1):
+            return 1
+        return 2 if x.bit(ctx, _SUB_MB_P + 2) else 3
+    x.bit(ctx, _SUB_MB_P, 1 if t == 0 else 0)
+    if t:
+        x.bit(ctx, _SUB_MB_P + 1, 0 if t == 1 else 1)
+        if t > 1:
+            x.bit(ctx, _SUB_MB_P + 2, 1 if t == 2 else 0)
+    return t
 
 
 def _i16dc_sym(c: int) -> dict:
@@ -738,6 +765,7 @@ class CabacSliceWriter:
         self.recs: dict = {}
         self.mv_map: dict = {}       # P/B slices: encoder's L0 MVs
         self.mv_map1: dict = {}      # B slices: encoder's L1 MVs
+        self.mvd_f = ({}, {})        # per-list |mvd| 4x4 fields
         self.col_mvs = None          # B: L1 ref's colocated motion
         self.prev_qpd = 0
         self.done = False
@@ -925,7 +953,8 @@ class CabacSliceWriter:
 
     def emit_p(self, spec, mbx: int, mby: int):
         """One P-slice MB in h264_encode_p_frame's mb_spec format:
-        None (P_Skip), (mvx, mvy[, levels]) (P_L0_16x16), or
+        None (P_Skip), (mvx, mvy[, levels]) (P_L0_16x16),
+        ('p16x8'/'p8x16'/'p8x8', ...) (r8 partitioned inter MBs), or
         ('i16dc', c) (Intra_16x16 DC inside the P slice)."""
         if self.done:
             raise ValueError("slice already terminated")
@@ -954,6 +983,12 @@ class CabacSliceWriter:
             self.mv_map[(mbx, mby)] = None
             recs[(mbx, mby)] = cur
             return
+        if isinstance(spec[0], str):             # partitioned inter
+            levels = self._emit_p_partitions(spec, mbx, mby)
+            cur.intra = False
+            self._emit_inter_tail(levels, mbx, mby, cur)
+            recs[(mbx, mby)] = cur
+            return
         mvx, mvy = int(spec[0]), int(spec[1])
         levels = spec[2] if len(spec) > 2 else None
         enc.bit(ctx, _MB_TYPE_P, 0)              # P_L0_16x16: 000
@@ -961,13 +996,65 @@ class CabacSliceWriter:
         enc.bit(ctx, _MB_TYPE_P + 2, 0)
         mvpx, mvpy = _mv_pred_16x16(self.mv_map, mbx, mby, mbs_w)
         dx, dy = mvx - mvpx, mvy - mvpy
-        _code_mvd(enc, ctx, recs, mbx, mby, mbs_w, 0, v=dx)
-        _code_mvd(enc, ctx, recs, mbx, mby, mbs_w, 1, v=dy)
+        mvd_f = self.mvd_f[0]
+        _code_mvd(enc, ctx, mvd_f, mbx * 4, mby * 4, 0, v=dx)
+        _code_mvd(enc, ctx, mvd_f, mbx * 4, mby * 4, 1, v=dy)
+        _fill_mvd(mvd_f, mbx * 4, mby * 4, 4, 4, dx, dy)
         cur.intra = False
-        cur.mvd = (abs(dx), abs(dy))
         self._emit_inter_tail(levels, mbx, mby, cur)
         self.mv_map[(mbx, mby)] = (mvx, mvy)
         recs[(mbx, mby)] = cur
+
+    def _emit_p_partitions(self, spec, mbx: int, mby: int):
+        """mb_type bins, sub_mb_types and per-partition mvds of a
+        partitioned P MB ('p16x8'/'p8x16'/'p8x16'); returns the
+        optional residual levels for the shared inter tail ('p16x8' /
+        'p8x16' / 'p8x8' mb_spec kinds). The
+        mb_type prefix tree matches Table 9-37 (bin2 context 16 after
+        b1=0, 17 after b1=1 — our _MB_TYPE_P2); sub_mb_type uses the
+        Table 9-38 tree over _SUB_MB_P."""
+        from .h264 import (_PartMvs, _mv_pred_part, _p_partitions)
+        enc, ctx, mbs_w = self.enc, self.ctx, self.mbs_w
+        kind = spec[0]
+        mb_type = {"p16x8": 1, "p8x16": 2, "p8x8": 3}.get(kind)
+        if mb_type is None:
+            raise ValueError(f"unknown P mb_spec kind {kind!r}")
+        enc.bit(ctx, _MB_TYPE_P, 0)
+        sub_types = None
+        if kind == "p8x8":
+            enc.bit(ctx, _MB_TYPE_P + 1, 0)
+            enc.bit(ctx, _MB_TYPE_P + 2, 1)
+            subs = spec[1]
+            if len(subs) != 4:
+                raise ValueError("p8x8 needs 4 quadrant specs")
+            names = {"8x8": 0, "8x4": 1, "4x8": 2, "4x4": 3}
+            sub_types = [names[s[0]] for s in subs]
+            mv_seq = [mv for s in subs for mv in s[1:]]
+            for t in sub_types:
+                _code_sub_mb_p(enc, ctx, t)
+            levels = spec[2] if len(spec) > 2 else None
+        else:
+            enc.bit(ctx, _MB_TYPE_P + 1, 1)
+            enc.bit(ctx, _MB_TYPE_P2, 1 if kind == "p16x8" else 0)
+            mv_seq = [spec[1], spec[2]]
+            levels = spec[3] if len(spec) > 3 else None
+        pm = _PartMvs()
+        self.mv_map[(mbx, mby)] = pm
+        parts = list(_p_partitions(mb_type, sub_types))
+        if len(parts) != len(mv_seq):
+            raise ValueError("sub-partition MV count mismatch")
+        mvd_f = self.mvd_f[0]
+        for (ox, oy, w, h, rule), mv in zip(parts, mv_seq):
+            bx0, by0 = mbx * 4 + ox // 4, mby * 4 + oy // 4
+            mvp = _mv_pred_part(self.mv_map, bx0, by0, w // 4,
+                                mbs_w, rule)
+            dx, dy = int(mv[0]) - mvp[0], int(mv[1]) - mvp[1]
+            _code_mvd(enc, ctx, mvd_f, bx0, by0, 0, v=dx)
+            _code_mvd(enc, ctx, mvd_f, bx0, by0, 1, v=dy)
+            _fill_mvd(mvd_f, bx0, by0, w // 4, h // 4, dx, dy)
+            pm.fill(ox // 4, oy // 4, w // 4, h // 4,
+                    (int(mv[0]), int(mv[1])))
+        return levels
 
     def _emit_inter_tail(self, levels, mbx: int, mby: int, cur):
         """CBP + mb_qp_delta + luma cat-2 residual of a 16x16 inter
@@ -1009,14 +1096,12 @@ class CabacSliceWriter:
         mmap = self.mv_map if lst == 0 else self.mv_map1
         mvpx, mvpy = _mv_pred_16x16(mmap, mbx, mby, self.mbs_w)
         dx, dy = mvx - mvpx, mvy - mvpy
-        _code_mvd(self.enc, self.ctx, self.recs, mbx, mby,
-                  self.mbs_w, 0, v=dx, lst=lst)
-        _code_mvd(self.enc, self.ctx, self.recs, mbx, mby,
-                  self.mbs_w, 1, v=dy, lst=lst)
-        if lst == 0:
-            cur.mvd = (abs(dx), abs(dy))
-        else:
-            cur.mvd1 = (abs(dx), abs(dy))
+        mvd_f = self.mvd_f[lst]
+        _code_mvd(self.enc, self.ctx, mvd_f, mbx * 4, mby * 4, 0,
+                  v=dx)
+        _code_mvd(self.enc, self.ctx, mvd_f, mbx * 4, mby * 4, 1,
+                  v=dy)
+        _fill_mvd(mvd_f, mbx * 4, mby * 4, 4, 4, dx, dy)
         mmap[(mbx, mby)] = (mvx, mvy)
 
     def _derive_direct_b(self, mbx: int, mby: int):
@@ -1407,7 +1492,8 @@ def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
     """Decode one CABAC P slice starting at macroblock ``addr``;
     returns the number of MBs decoded. Same gate/contract as
     :func:`decode_islice_cabac`; supports the CAVLC P subset
-    (P_Skip / P_L0_16x16 / Intra_16x16-in-P, one reference)."""
+    (P_Skip / P_L0_16x16 / 16x8 / 8x16 / P_8x8 sub-partitions /
+    Intra_16x16-in-P, one reference)."""
     from .h264 import _decode_mb_p_skip
     while br.pos % 8:
         if not br.u(1):
@@ -1415,6 +1501,7 @@ def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
     dec = _CabacDec(br)
     ctx = _Ctx()
     recs: dict = {}
+    mvd_f: dict = {}                 # |mvd| per 4x4 block (L0)
     prev_qpd = 0
     n = 0
     while True:
@@ -1429,8 +1516,8 @@ def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
             prev_qpd = 0
         else:
             qp, prev_qpd = _decode_mb_p_cabac(
-                dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb, Cr,
-                states, mv_map, mbx, mby, mbs_w)
+                dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref, Y, Cb,
+                Cr, states, mv_map, mbx, mby, mbs_w)
         n += 1
         if dec.terminate():          # end_of_slice_flag
             break
@@ -1439,9 +1526,10 @@ def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
     return n
 
 
-def _decode_mb_p_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb,
-                       Cr, states, mv_map, mbx, mby, mbs_w):
-    from .h264 import _mc_predict_mb, _mv_pred_16x16
+def _decode_mb_p_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref,
+                       Y, Cb, Cr, states, mv_map, mbx, mby, mbs_w):
+    from .h264 import (_PartMvs, _mc_predict_mb, _mv_pred_16x16,
+                       _mv_pred_part, _p_partitions, _part_predict)
     cur = _Rec()
     st = _MBState()
     if dec.bit(ctx, _MB_TYPE_P):     # intra macroblock in the P slice
@@ -1463,26 +1551,56 @@ def _decode_mb_p_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref, Y, Cb,
         states[(mbx, mby)] = st
         recs[(mbx, mby)] = cur
         return qp, prev_qpd
-    # inter: only P_L0_16x16 ("000") in the supported subset
-    if dec.bit(ctx, _MB_TYPE_P + 1) or dec.bit(ctx, _MB_TYPE_P + 2):
-        raise NotImplementedError(
-            "P macroblock partitions 16x8/8x16/8x8 unsupported")
     if ref is None:
         raise ValueError("P macroblock without a reference frame")
-    mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
-    dx = _code_mvd(dec, ctx, recs, mbx, mby, mbs_w, 0)
-    dy = _code_mvd(dec, ctx, recs, mbx, mby, mbs_w, 1)
-    mvx, mvy = mvpx + dx, mvpy + dy
-    if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
-        raise ValueError("implausible motion vector")
+    # inter mb_type prefix tree (Table 9-37): 000 = 16x16,
+    # 011 = 16x8, 010 = 8x16, 001 = P_8x8 — bin2 context splits on
+    # bin1 (spec ctxIdx 16 vs 17, our _MB_TYPE_P+2 vs _MB_TYPE_P2)
+    if dec.bit(ctx, _MB_TYPE_P + 1):
+        mb_type = 1 if dec.bit(ctx, _MB_TYPE_P2) else 2
+    elif dec.bit(ctx, _MB_TYPE_P + 2):
+        mb_type = 3
+    else:
+        mb_type = 0
     cur.intra = False
-    cur.mvd = (abs(dx), abs(dy))
-    predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx, mvy)
+    if mb_type == 0:                 # P_L0_16x16
+        mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
+        dx = _code_mvd(dec, ctx, mvd_f, mbx * 4, mby * 4, 0)
+        dy = _code_mvd(dec, ctx, mvd_f, mbx * 4, mby * 4, 1)
+        _fill_mvd(mvd_f, mbx * 4, mby * 4, 4, 4, dx, dy)
+        mvx, mvy = mvpx + dx, mvpy + dy
+        if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+            raise ValueError("implausible motion vector")
+        predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx,
+                                               mvy)
+        mv_entry = (mvx, mvy)
+    else:                            # r8: partitioned inter MB
+        sub_types = None
+        if mb_type == 3:
+            sub_types = [_code_sub_mb_p(dec, ctx) for _ in range(4)]
+        pm = _PartMvs()
+        mv_map[(mbx, mby)] = pm
+        predY = np.empty((16, 16), dtype=np.int64)
+        predCb = np.empty((8, 8), dtype=np.int64)
+        predCr = np.empty((8, 8), dtype=np.int64)
+        for ox, oy, w, h, rule in _p_partitions(mb_type, sub_types):
+            bx0, by0 = mbx * 4 + ox // 4, mby * 4 + oy // 4
+            mvp = _mv_pred_part(mv_map, bx0, by0, w // 4, mbs_w,
+                                rule)
+            dx = _code_mvd(dec, ctx, mvd_f, bx0, by0, 0)
+            dy = _code_mvd(dec, ctx, mvd_f, bx0, by0, 1)
+            _fill_mvd(mvd_f, bx0, by0, w // 4, h // 4, dx, dy)
+            mvx, mvy = mvp[0] + dx, mvp[1] + dy
+            if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+                raise ValueError("implausible motion vector")
+            _part_predict(ref, pm, predY, predCb, predCr, mbx, mby,
+                          ox, oy, w, h, mvx, mvy)
+        mv_entry = pm
     qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
                                    prev_qpd, pps, Y, Cb, Cr, predY,
                                    predCb, predCr, mbx, mby, mbs_w)
     states[(mbx, mby)] = st
-    mv_map[(mbx, mby)] = (mvx, mvy)
+    mv_map[(mbx, mby)] = mv_entry
     recs[(mbx, mby)] = cur
     return qp, prev_qpd
 
@@ -1549,6 +1667,7 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
     dec = _CabacDec(br)
     ctx = _Ctx()
     recs: dict = {}
+    mvd_f = ({}, {})                 # per-list |mvd| 4x4 fields
     prev_qpd = 0
     n = 0
     while True:
@@ -1564,7 +1683,7 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
             prev_qpd = 0
         else:
             qp, prev_qpd = _decode_mb_b_cabac(
-                dec, ctx, recs, qp, prev_qpd, pps, ref0, ref1,
+                dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref0, ref1,
                 col_mvs, Y, Cb, Cr, states, mvs, mbx, mby, mbs_w)
         n += 1
         if dec.terminate():          # end_of_slice_flag
@@ -1574,9 +1693,9 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
     return n
 
 
-def _decode_mb_b_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref0,
-                       ref1, col_mvs, Y, Cb, Cr, states, mvs, mbx,
-                       mby, mbs_w):
+def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
+                       ref0, ref1, col_mvs, Y, Cb, Cr, states, mvs,
+                       mbx, mby, mbs_w):
     from .h264 import (_direct_predict_mb, _mc_predict_mb,
                        _mv_pred_16x16)
     cur = _Rec()
@@ -1651,15 +1770,12 @@ def _decode_mb_b_cabac(dec, ctx, recs, qp, prev_qpd, pps, ref0,
         if refp is None:
             raise ValueError("B macroblock without a reference frame")
         mvpx, mvpy = _mv_pred_16x16(mmap, mbx, mby, mbs_w)
-        dx = _code_mvd(dec, ctx, recs, mbx, mby, mbs_w, 0, lst=lst)
-        dy = _code_mvd(dec, ctx, recs, mbx, mby, mbs_w, 1, lst=lst)
+        dx = _code_mvd(dec, ctx, mvd_f[lst], mbx * 4, mby * 4, 0)
+        dy = _code_mvd(dec, ctx, mvd_f[lst], mbx * 4, mby * 4, 1)
+        _fill_mvd(mvd_f[lst], mbx * 4, mby * 4, 4, 4, dx, dy)
         mvx, mvy = mvpx + dx, mvpy + dy
         if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
             raise ValueError("implausible motion vector")
-        if lst == 0:
-            cur.mvd = (abs(dx), abs(dy))
-        else:
-            cur.mvd1 = (abs(dx), abs(dy))
         mmap[(mbx, mby)] = (mvx, mvy)
         preds.append(_mc_predict_mb(refp, mbx, mby, mvx, mvy))
     if len(preds) == 2:              # default (non-weighted) average

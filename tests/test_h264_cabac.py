@@ -376,3 +376,82 @@ def test_cabac_pcm_corrupt_stop_bit_raises():
     bad[sample_at - 1] = 0
     with pytest.raises(ValueError):
         hh.h264_decode_planes(bytes(bad))
+
+
+def test_cabac_p_partitions_match_cavlc_and_oracle():
+    """P macroblock partitions under CABAC (r8): the same partitioned
+    mb_specs serialize through the Table 9-37 prefix tree +
+    Table 9-38 sub_mb_types + partition-granular mvd contexts, and
+    decode byte-identically to the CAVLC pixels; integer-MV
+    partitions also match the clamped-shift oracle directly."""
+    rng = np.random.default_rng(41)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    lv = np.zeros((16, 16), dtype=np.int64)
+    lv[1, 0], lv[14, 2] = 5, -3
+    specs = [("p16x8", (8, 0), (-8, 4), lv),
+             ("p8x16", (4, 8), (0, -12)),
+             ("p8x8", [("8x8", (5, 7)), ("8x4", (8, 0), (0, 8)),
+                       ("4x8", (-3, 2), (2, -3)),
+                       ("4x4", (1, 1), (2, 2), (3, 3), (4, 4))]),
+             None,
+             (8, 8),
+             ("p16x8", (0, 0), (16, 16)),
+             ("p8x8", [("8x8", (0, 0))] * 4),
+             ("p8x16", (-4, -4), (12, 0))]
+    streams = {}
+    for entropy in ("cavlc", "cabac"):
+        gop = hh.h264_encode(y, qp=24, mb_mode="i4", entropy=entropy)
+        gop += hh.h264_encode_p_frame(specs, 4, 2, qp=28,
+                                      frame_num=1, entropy=entropy)
+        streams[entropy] = gop
+    fa, _ = hh.h264_decode_gop_planes(streams["cavlc"])
+    fb, _ = hh.h264_decode_gop_planes(streams["cabac"])
+    assert len(fa) == len(fb) == 2
+    for pa, pb in zip(fa, fb):
+        for plane_a, plane_b in zip(pa, pb):
+            np.testing.assert_array_equal(plane_a, plane_b)
+    # integer-MV spot check: MB5 top 16x8 is the unmoved reference,
+    # bottom 16x8 shifts by (4, 4) integer pels
+    Y0, Y1 = fa[0][0], fb[1][0]
+    np.testing.assert_array_equal(Y1[16:24, 16:32], Y0[16:24, 16:32])
+    ys = np.clip(np.arange(24, 32) + 4, 0, 31)
+    xs = np.clip(np.arange(16, 32) + 4, 0, 63)
+    np.testing.assert_array_equal(Y1[24:32, 16:32],
+                                  Y0[np.ix_(ys, xs)])
+
+
+def test_cabac_b_direct_after_partitioned_p_matches_cavlc():
+    """A B frame whose spatial-direct derivation sees a PARTITIONED
+    colocated P MB (per-quadrant colZeroFlag) decodes identically
+    under both entropy coders, and the encoder-replicated derivation
+    agrees with the decoder (any drift desyncs CABAC loudly)."""
+    rng = np.random.default_rng(42)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    # colocated P: each MB mixes a still and a moving partition
+    p_specs = [("p16x8", (0, 0), (24, 8))] * 8
+    col = {}
+    for addr in range(8):
+        pm = hh._PartMvs()
+        pm.fill(0, 0, 4, 2, (0, 0))
+        pm.fill(0, 2, 4, 2, (24, 8))
+        col[(addr % 4, addr // 4)] = pm
+    b_specs = [None, ("direct",), ("l0", 4, 0), None,
+               ("bi", 0, 4, 4, 0), None, ("direct",), None]
+    streams = {}
+    for entropy in ("cavlc", "cabac"):
+        gop = hh.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                             entropy=entropy)
+        gop += hh.h264_encode_p_frame(p_specs, 4, 2, qp=28,
+                                      frame_num=1, poc_lsb=4,
+                                      entropy=entropy)
+        gop += hh.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=2,
+                                      qp=28, frame_num=2,
+                                      entropy=entropy, col_mvs=col)
+        streams[entropy] = gop
+    fa, _ = hh.h264_decode_gop_planes(streams["cavlc"])
+    fb, _ = hh.h264_decode_gop_planes(streams["cabac"])
+    assert len(fa) == len(fb) == 3     # output order: I, B, P
+    for k, (pa, pb) in enumerate(zip(fa, fb)):
+        for plane_a, plane_b in zip(pa, pb):
+            np.testing.assert_array_equal(plane_a, plane_b,
+                                          err_msg=str(k))
