@@ -20,15 +20,17 @@ module h264_cabac.py; this module's encoder stays CAVLC and exposes
 the entropy-independent plan/emit split (_plan_mb_i16/_plan_mb_i4 +
 _emit_mb_cavlc) both entropy writers serialize from.
 
-B slices (r8): the 16x16 subset — B_Skip / B_Direct_16x16 (SPATIAL
-direct derivation, 8.4.1.2.2) / B_L0_16x16 / B_L1_16x16 /
+B slices (r8): the 16x16 subset — B_Skip / B_Direct_16x16 (spatial
+derivation 8.4.1.2.2 AND temporal 8.4.1.2.3, per the slice header's
+direct_spatial_mv_pred_flag) / B_L0_16x16 / B_L1_16x16 /
 B_Bi_16x16 (default average) / intra-in-B over a two-list DPB with
 poc_type-0 output reordering (h264_encode_b_frame + the GOP
-decoder), under both entropy coders; temporal direct and sub-16x16
-B partitions stay rejected loudly.
+decoder), under both entropy coders; sub-16x16 B partitions stay
+rejected loudly. P slices carry the full partition set (16x16,
+16x8, 8x16, P_8x8 with 8x8/8x4/4x8/4x4 sub-partitions) with
+4x4-block-granular MV prediction (8.4.1.3).
 
-Out of scope, rejected loudly (NotImplementedError): temporal
-direct prediction, multiple slice groups, fields/MBAFF, 8x8
+Out of scope, rejected loudly (NotImplementedError): multiple slice groups, fields/MBAFF, 8x8
 transform (High profile), monochrome / 4:2:2 / 4:4:4, scaling
 matrices, and in-loop deblocking — the encoder below always signals
 ``disable_deblocking_filter_idc = 1`` and the decoder refuses
@@ -1055,12 +1057,9 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
         poc_lsb = br.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
             br.se()
+    direct_spatial = True
     if st5 == 1:
-        if not br.flag():                     # direct_spatial_mv_pred
-            raise NotImplementedError(
-                "temporal direct prediction unsupported (B_Skip/"
-                "B_Direct decode implements the spatial derivation "
-                "only — streams must set direct_spatial_mv_pred_flag)")
+        direct_spatial = bool(br.flag())      # direct_spatial_mv_pred
     if st5 in (0, 1):
         if br.flag():                         # num_ref_idx_override
             if br.ue() != 0 or (st5 == 1 and br.ue() != 0):
@@ -1103,7 +1102,7 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
             "deblocking_filter_control_present_flag); decoder only "
             "supports streams that disable the loop filter")
     return {"first_mb": first_mb, "qp": qp, "slice_type": st5,
-            "poc_lsb": poc_lsb}
+            "poc_lsb": poc_lsb, "direct_spatial": direct_spatial}
 
 
 # ---------------------------------------------------------------------------
@@ -1267,16 +1266,19 @@ def h264_decode_gop_planes(payload: bytes):
         mv_map = mvs["l0"]
         if sh["slice_type"] == 0 and ref is None:
             raise ValueError("P slice without a reference frame")
-        ref0 = ref1 = col_mvs = None
+        ref0 = ref1 = col_mvs = temporal = None
         if sh["slice_type"] == 1:    # B: nearest refs by output order
             below = [r for r in refs if r[0] < cur_key[1]]
             above = [r for r in refs if r[0] > cur_key[1]]
             if not below or not above:
                 raise ValueError(
                     "B slice lacks a past or future reference frame")
-            ref0 = max(below, key=lambda r: r[0])[1]
+            past = max(below, key=lambda r: r[0])
             fut = min(above, key=lambda r: r[0])
+            ref0 = past[1]
             ref1, col_mvs = fut[1], fut[2]
+            if not sh["direct_spatial"]:     # temporal direct (r8)
+                temporal = (cur_key[1] - past[0], fut[0] - past[0])
         qp = sh["qp"]
         addr = sh["first_mb"]
 
@@ -1303,7 +1305,7 @@ def h264_decode_gop_planes(payload: bytes):
             elif sh["slice_type"] == 1:              # B slice, CABAC
                 n = h264_cabac.decode_bslice_cabac(
                     br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
-                    states, mvs, mbs_w, n_mbs, addr, step)
+                    states, mvs, mbs_w, n_mbs, addr, step, temporal)
             else:                                    # P slice, CABAC
                 n = h264_cabac.decode_pslice_cabac(
                     br, qp, pps, ref, Y, Cb, Cr, states, mv_map,
@@ -1326,7 +1328,8 @@ def h264_decode_gop_planes(payload: bytes):
                 for _ in range(skip_run):            # B_Skip: direct
                     mbx, mby = step(addr)
                     _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr,
-                                      states, mvs, mbx, mby, mbs_w)
+                                      states, mvs, mbx, mby, mbs_w,
+                                      temporal)
                     n_decoded += 1
                     addr += 1
                 if not br.more_rbsp_data():
@@ -1334,7 +1337,7 @@ def h264_decode_gop_planes(payload: bytes):
                 mbx, mby = step(addr)
                 qp = _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs,
                                   Y, Cb, Cr, states, mvs, mbx, mby,
-                                  mbs_w)
+                                  mbs_w, temporal)
                 n_decoded += 1
                 addr += 1
                 if not br.more_rbsp_data():
@@ -1725,14 +1728,53 @@ def _part_predict(ref, pm, predY, predCb, predCr, mbx, mby, ox, oy,
         ref[2], mbx * 8 + cx, mby * 8 + cy, mvx, mvy, (ch, cw))
 
 
-def _record_direct(mvs, col_mvs, mbx, mby, mbs_w):
-    """Derive the spatial-direct motion for MB (mbx, mby) and record
-    it in the per-list MV maps; returns (use_l0, use_l1, q_l0, q_l1)
-    — shared by the decoders and both encoders (which replicate the
-    decoder's derivation to keep divergence loud)."""
+def _idiv(a: int, b: int) -> int:
+    """Spec integer division: truncation toward zero (5.x '/')."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _direct_temporal_mv(col_mv, tb: int, td: int):
+    """Temporal direct MV derivation (8.4.1.2.3; one reference per
+    list, direct_8x8_inference corners): both lists always predict;
+    each quadrant scales its colocated corner MV by the POC-distance
+    ratio — mvL0 = (DistScaleFactor * mvCol + 128) >> 8, mvL1 =
+    mvL0 - mvCol. ``tb`` = POC(cur) - POC(ref0), ``td`` = POC(ref1 =
+    the colocated picture) - POC(ref0); an intra colocated block
+    contributes mvCol = 0."""
+    if td == 0:
+        raise ValueError("temporal direct with zero POC distance")
+    tb = min(max(tb, -128), 127)
+    td = min(max(td, -128), 127)
+    tx = _idiv(16384 + abs(_idiv(td, 2)), td)
+    dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
+    corners = _col_corner_mvs(col_mv)
+    q_l0 = [[None, None], [None, None]]
+    q_l1 = [[None, None], [None, None]]
+    for qy in (0, 1):
+        for qx in (0, 1):
+            c = corners[qy][qx]
+            cx, cy = c if c is not None else (0, 0)
+            m0 = ((dsf * cx + 128) >> 8, (dsf * cy + 128) >> 8)
+            q_l0[qy][qx] = m0
+            q_l1[qy][qx] = (m0[0] - cx, m0[1] - cy)
+    return True, True, q_l0, q_l1
+
+
+def _record_direct(mvs, col_mvs, mbx, mby, mbs_w, temporal=None):
+    """Derive the direct-mode motion for MB (mbx, mby) — spatial
+    (8.4.1.2.2) when ``temporal`` is None, else temporal (8.4.1.2.3)
+    with ``temporal = (tb, td)`` POC distances — and record it in the
+    per-list MV maps; returns (use_l0, use_l1, q_l0, q_l1). Shared by
+    the decoders and both encoders (which replicate the decoder's
+    derivation to keep divergence loud)."""
     col_mv = col_mvs.get((mbx, mby)) if col_mvs else None
-    use_l0, use_l1, q_l0, q_l1 = _direct_spatial_mv(
-        mvs, col_mv, mbx, mby, mbs_w)
+    if temporal is not None:
+        use_l0, use_l1, q_l0, q_l1 = _direct_temporal_mv(
+            col_mv, temporal[0], temporal[1])
+    else:
+        use_l0, use_l1, q_l0, q_l1 = _direct_spatial_mv(
+            mvs, col_mv, mbx, mby, mbs_w)
     mvs["l0"][(mbx, mby)] = (_mv_entry_from_grid(q_l0) if use_l0
                              else None)
     mvs["l1"][(mbx, mby)] = (_mv_entry_from_grid(q_l1) if use_l1
@@ -1751,15 +1793,17 @@ def _mc_predict_quad(ref, mbx, mby, qx, qy, mvx, mvy):
     return y, cb, cr
 
 
-def _direct_predict_mb(mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w):
-    """Derive the spatial-direct motion for MB (mbx, mby), update the
-    per-list MV maps and return the (predY, predCb, predCr) 16x16
-    prediction — shared by B_Skip and B_Direct_16x16 under both
-    entropy coders. Uniform quadrant grids (the common case) take
-    the whole-MB MC fast path; a partitioned colocated MB yields
-    per-quadrant motion compensation."""
+def _direct_predict_mb(mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w,
+                       temporal=None):
+    """Derive the direct-mode motion for MB (mbx, mby) — spatial, or
+    temporal when ``temporal = (tb, td)`` — update the per-list MV
+    maps and return the (predY, predCb, predCr) 16x16 prediction —
+    shared by B_Skip and B_Direct_16x16 under both entropy coders.
+    Uniform quadrant grids (the common case) take the whole-MB MC
+    fast path; a partitioned colocated MB yields per-quadrant motion
+    compensation."""
     use_l0, use_l1, q_l0, q_l1 = _record_direct(mvs, col_mvs, mbx,
-                                                mby, mbs_w)
+                                                mby, mbs_w, temporal)
     uni_l0 = q_l0 is None or isinstance(
         mvs["l0"].get((mbx, mby)), tuple)
     uni_l1 = q_l1 is None or isinstance(
@@ -1891,11 +1935,12 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
 
 
 def _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr, states, mvs,
-                      mbx, mby, mbs_w):
-    """B_Skip macroblock: spatial-direct 16x16 prediction, no
-    residual (8.4.1.2.2)."""
+                      mbx, mby, mbs_w, temporal=None):
+    """B_Skip macroblock: direct 16x16 prediction, no residual
+    (spatial 8.4.1.2.2 or temporal 8.4.1.2.3)."""
     predY, predCb, predCr = _direct_predict_mb(mvs, col_mvs, ref0,
-                                               ref1, mbx, mby, mbs_w)
+                                               ref1, mbx, mby, mbs_w,
+                                               temporal)
     Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = predY
     Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCb
     Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCr
@@ -1903,10 +1948,10 @@ def _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr, states, mvs,
 
 
 def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
-                 states, mvs, mbx, mby, mbs_w):
-    """B-slice macroblock (r8): B_Direct_16x16 (spatial direct) /
-    B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (default average) / intra.
-    Sub-16x16 partitions are rejected loudly."""
+                 states, mvs, mbx, mby, mbs_w, temporal=None):
+    """B-slice macroblock (r8): B_Direct_16x16 (spatial or temporal
+    direct) / B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (default average)
+    / intra. Sub-16x16 partitions are rejected loudly."""
     mb_type = br.ue()
     if mb_type >= 23:                # intra macroblock in a B slice
         qp = _decode_mb_intra(br, mb_type - 23, qp, pps, Y, Cb, Cr,
@@ -1920,7 +1965,7 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
             f"(mb_type {mb_type})")
     if mb_type == 0:                 # B_Direct_16x16: derived motion
         predY, predCb, predCr = _direct_predict_mb(
-            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w)
+            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w, temporal)
     else:
         use_l0 = mb_type in (1, 3)
         use_l1 = mb_type in (2, 3)
@@ -2927,7 +2972,8 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         poc_lsb: int, qp: int = 30,
                         frame_num: int = 1,
                         entropy: str = "cavlc",
-                        col_mvs: dict | None = None) -> bytes:
+                        col_mvs: dict | None = None,
+                        temporal: tuple | None = None) -> bytes:
     """Encode ONE B frame as an Annex-B non-reference NAL (CAVLC,
     single slice) for a poc_type-0 stream (build the IDR with
     ``h264_encode(..., poc_lsb=...)`` and reference P frames with
@@ -2955,6 +3001,12 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     passing motion that disagrees with the actual reference frame
     shows up as a hard pixel mismatch in tests, never silently.
 
+    ``temporal=(tb, td)`` (r8) switches the direct mode to TEMPORAL
+    (direct_spatial_mv_pred_flag = 0): ``tb`` = POC(this B) -
+    POC(ref0), ``td`` = POC(ref1) - POC(ref0) — the same distances
+    the decoder derives from the GOP's poc_lsb values, replicated
+    here so a mismatch is a hard pixel failure in tests.
+
     ``entropy='cabac'`` (r8) serializes the same mb_specs with
     h264_cabac's B writer (the frame must belong to a poc_type-0
     GOP encoded end-to-end with entropy='cabac')."""
@@ -2962,7 +3014,8 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         from . import h264_cabac
         return h264_cabac.encode_b_frame_cabac(mb_specs, mbs_w,
                                                mbs_h, poc_lsb, qp,
-                                               frame_num, col_mvs)
+                                               frame_num, col_mvs,
+                                               temporal)
     if entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
@@ -2971,7 +3024,7 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.ue(0)                                 # pps_id
     bw.u(frame_num & 15, 4)                  # frame_num
     bw.u(poc_lsb & 63, 6)                    # pic_order_cnt_lsb
-    bw.u(1, 1)                               # direct_spatial_mv_pred
+    bw.u(0 if temporal else 1, 1)            # direct_spatial_mv_pred
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_mod_l0
     bw.u(0, 1)                               # ref_pic_list_mod_l1
@@ -2988,9 +3041,9 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         mvs[lst][(mbx, mby)] = (mvx, mvy)
 
     def derive_direct(mbx, mby):
-        """Replicate the decoder's spatial-direct derivation and
-        record the derived MVs in the per-list maps."""
-        _record_direct(mvs, col_mvs, mbx, mby, mbs_w)
+        """Replicate the decoder's direct derivation (spatial or
+        temporal) and record the derived MVs in the per-list maps."""
+        _record_direct(mvs, col_mvs, mbx, mby, mbs_w, temporal)
 
     skip_run = 0
     for addr, spec in enumerate(mb_specs):

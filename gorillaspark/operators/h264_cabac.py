@@ -767,6 +767,7 @@ class CabacSliceWriter:
         self.mv_map1: dict = {}      # B slices: encoder's L1 MVs
         self.mvd_f = ({}, {})        # per-list |mvd| 4x4 fields
         self.col_mvs = None          # B: L1 ref's colocated motion
+        self.direct_temporal = None  # B: (tb, td) for temporal direct
         self.prev_qpd = 0
         self.done = False
 
@@ -1105,11 +1106,12 @@ class CabacSliceWriter:
         mmap[(mbx, mby)] = (mvx, mvy)
 
     def _derive_direct_b(self, mbx: int, mby: int):
-        """Replicate the decoder's spatial-direct derivation
-        (h264._record_direct) and record the derived MVs."""
+        """Replicate the decoder's direct derivation (spatial or
+        temporal — h264._record_direct) and record the derived MVs."""
         from .h264 import _record_direct
         mvs = {"l0": self.mv_map, "l1": self.mv_map1}
-        _record_direct(mvs, self.col_mvs, mbx, mby, self.mbs_w)
+        _record_direct(mvs, self.col_mvs, mbx, mby, self.mbs_w,
+                       self.direct_temporal)
 
     def emit_b(self, spec, mbx: int, mby: int):
         """One B-slice MB in h264_encode_b_frame's mb_spec format:
@@ -1247,13 +1249,14 @@ def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
 def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
                          poc_lsb: int, qp: int = 30,
                          frame_num: int = 1,
-                         col_mvs: dict | None = None) -> bytes:
+                         col_mvs: dict | None = None,
+                         temporal: tuple | None = None) -> bytes:
     """CABAC twin of h264.h264_encode_b_frame: ONE non-reference B
     frame as an Annex-B NAL for a poc_type-0 CABAC stream (IDR via
     h264_encode(..., entropy='cabac', poc_lsb=...), reference P
     frames via encode_p_frame_cabac(..., poc_lsb=...)). Same mb_spec
-    format (incl. B_Skip/B_Direct) and ``col_mvs`` contract as the
-    CAVLC B encoder."""
+    format (incl. B_Skip/B_Direct) and ``col_mvs`` / ``temporal``
+    contracts as the CAVLC B encoder."""
     from .h264 import _escape
     bw = _BitW()
     bw.ue(0)                                 # first_mb_in_slice
@@ -1261,7 +1264,7 @@ def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.ue(0)                                 # pps_id
     bw.u(frame_num & 15, 4)                  # frame_num
     bw.u(poc_lsb & 63, 6)                    # pic_order_cnt_lsb
-    bw.u(1, 1)                               # direct_spatial_mv_pred
+    bw.u(0 if temporal else 1, 1)            # direct_spatial_mv_pred
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_mod_l0
     bw.u(0, 1)                               # ref_pic_list_mod_l1
@@ -1271,6 +1274,7 @@ def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.ue(1)                                 # disable_deblocking
     wr = CabacSliceWriter(mbs_w)
     wr.col_mvs = col_mvs
+    wr.direct_temporal = temporal
     n = len(mb_specs)
     for addr, spec in enumerate(mb_specs):
         wr.emit_b(spec, addr % mbs_w, addr // mbs_w)
@@ -1652,7 +1656,7 @@ def _dec_inter_tail(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y,
 def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
                         col_mvs, Y, Cb, Cr, states: dict, mvs: dict,
                         mbs_w: int, n_mbs: int, addr: int,
-                        step) -> int:
+                        step, temporal=None) -> int:
     """Decode one CABAC B slice starting at macroblock ``addr``;
     returns the number of MBs decoded. Same gate/contract as
     :func:`decode_islice_cabac`; supports the CAVLC B subset
@@ -1674,7 +1678,7 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
         mbx, mby = step(addr + n)
         if dec.bit(ctx, _SKIP_B + _skip_inc(recs, mbx, mby, mbs_w)):
             _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr, states,
-                              mvs, mbx, mby, mbs_w)
+                              mvs, mbx, mby, mbs_w, temporal)
             cur = _Rec()
             cur.skip = True
             cur.intra = False
@@ -1684,7 +1688,8 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
         else:
             qp, prev_qpd = _decode_mb_b_cabac(
                 dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref0, ref1,
-                col_mvs, Y, Cb, Cr, states, mvs, mbx, mby, mbs_w)
+                col_mvs, Y, Cb, Cr, states, mvs, mbx, mby, mbs_w,
+                temporal)
         n += 1
         if dec.terminate():          # end_of_slice_flag
             break
@@ -1695,7 +1700,7 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
 
 def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
                        ref0, ref1, col_mvs, Y, Cb, Cr, states, mvs,
-                       mbx, mby, mbs_w):
+                       mbx, mby, mbs_w, temporal=None):
     from .h264 import (_direct_predict_mb, _mc_predict_mb,
                        _mv_pred_16x16)
     cur = _Rec()
@@ -1705,7 +1710,7 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
         cur.intra = False
         cur.direct = True
         predY, predCb, predCr = _direct_predict_mb(
-            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w)
+            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w, temporal)
         qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
                                        prev_qpd, pps, Y, Cb, Cr,
                                        predY, predCb, predCr, mbx,

@@ -589,12 +589,13 @@ def test_b_frame_without_future_reference_rejected():
         h.h264_decode_gop_planes(idr + b)
 
 
-def test_b_skip_direct_decode_and_temporal_direct_rejected():
+def test_b_skip_direct_decode_spatial_and_temporal():
     """r8: B_Skip / B_Direct_16x16 decode via the SPATIAL direct
     derivation — a whole-frame skip run with no inter neighbours is
-    the zero-MV bipred average of the two references — while
-    temporal direct (direct_spatial_mv_pred_flag = 0) rejects
-    loudly."""
+    the zero-MV bipred average of the two references — and under
+    TEMPORAL direct (direct_spatial_mv_pred_flag = 0) an intra
+    colocated MB contributes mvCol = 0, giving the same zero-MV
+    bipred average."""
     y = np.full((16, 16), 80, np.uint8)
     idr = h.h264_encode(y, qp=30, poc_lsb=0)
     p = h.h264_encode_p_frame([("i16dc", 9)], 1, 1, frame_num=1,
@@ -620,8 +621,8 @@ def test_b_skip_direct_decode_and_temporal_direct_rejected():
     assert len(frames) == 3
     Yi, Yb, Yp = frames[0][0], frames[1][0], frames[2][0]
     np.testing.assert_array_equal(Yb, (Yi + Yp + 1) >> 1)
-    with pytest.raises(NotImplementedError, match="temporal direct"):
-        h.h264_decode_gop_planes(idr + p + b_slice(False))
+    frames_t, _ = h.h264_decode_gop_planes(idr + p + b_slice(False))
+    np.testing.assert_array_equal(frames_t[1][0], Yb)
 
 
 def test_b_direct_spatial_derivation_branches():
@@ -894,3 +895,56 @@ def test_direct_spatial_per_quadrant_col_zero():
     med1 = h._mv_pred_16x16(mvs["l1"], 1, 0, 4)
     assert q0 == [[(0, 0), med0], [(0, 0), med0]]
     assert q1 == [[(0, 0), med1], [(0, 0), med1]]
+
+
+def test_temporal_direct_scales_colocated_motion():
+    """Temporal direct (8.4.1.2.3, r8): with POC distances tb=2,
+    td=4 the DistScaleFactor is exactly 128, so mvL0 is half the
+    colocated MV (rounded) and mvL1 = mvL0 - mvCol — checked against
+    the independent interpolator on both references, under both
+    entropy coders."""
+    rng = np.random.default_rng(55)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    col_mv = (16, 8)                  # colocated P motion, qpel
+    # hand-derived: tx=(16384+2)//4=4096, dsf=(2*4096+32)>>6=128,
+    # mvL0=((128*16+128)>>8, (128*8+128)>>8)=(8,4), mvL1=(-8,-4)
+    mv_l0, mv_l1 = (8, 4), (-8, -4)
+    col = {(x, yy): col_mv for x in range(4) for yy in range(2)}
+    for entropy in ("cavlc", "cabac"):
+        gop = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                            entropy=entropy)
+        gop += h.h264_encode_p_frame([col_mv] * 8, 4, 2, qp=28,
+                                     frame_num=1, poc_lsb=4,
+                                     entropy=entropy)
+        gop += h.h264_encode_b_frame([None, ("direct",)] + [None] * 6,
+                                     4, 2, poc_lsb=2, qp=28,
+                                     frame_num=2, entropy=entropy,
+                                     col_mvs=col, temporal=(2, 4))
+        frames, _ = h.h264_decode_gop_planes(gop)
+        assert len(frames) == 3       # output order: I, B, P
+        Yi, Yb, Yp = frames[0][0], frames[1][0], frames[2][0]
+        for mbx in range(4):
+            for mby in range(2):
+                p0 = _ref_mc_luma(Yi, mbx * 16, mby * 16, *mv_l0, 16)
+                p1 = _ref_mc_luma(Yp, mbx * 16, mby * 16, *mv_l1, 16)
+                want = (p0 + p1 + 1) >> 1
+                got = Yb[mby * 16:mby * 16 + 16,
+                         mbx * 16:mbx * 16 + 16]
+                assert np.array_equal(got, want), (entropy, mbx, mby)
+
+
+def test_temporal_direct_per_quadrant_partitioned_col():
+    """A PARTITIONED colocated MB scales each direct_8x8_inference
+    quadrant by its own corner MV under temporal direct."""
+    col = h._PartMvs()
+    col.fill(0, 0, 2, 2, (16, 8))
+    col.fill(2, 0, 2, 2, (0, 0))
+    col.fill(0, 2, 2, 2, (-16, 0))
+    col.fill(2, 2, 2, 2, (32, -8))
+    use0, use1, q0, q1 = h._direct_temporal_mv(col, 2, 4)
+    assert use0 and use1
+    assert q0 == [[(8, 4), (0, 0)], [(-8, 0), (16, -4)]]
+    assert q1 == [[(-8, -4), (0, 0)], [(8, 0), (-16, 4)]]
+    # intra colocated MB -> zero both lists
+    _, _, z0, z1 = h._direct_temporal_mv(None, 2, 4)
+    assert z0 == [[(0, 0)] * 2] * 2 and z1 == [[(0, 0)] * 2] * 2
