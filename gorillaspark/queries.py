@@ -2829,6 +2829,111 @@ def _synth_h264_b_gop_udf():
     return to_avc1
 
 
+def _synth_h264_part_gop_udf():
+    """Per-doc partitioned-P avc1 MP4 (r8): a 3-frame poc_type-0 GOP
+    — flat-MB IDR (POC 0, values v0), a P frame (POC 4) in which
+    EVERY macroblock is partitioned (cycling p16x8 / p8x16 / p8x8 by
+    (doc+mx+3*my) % 3) with MB-grid-aligned integer MVs (0 or -64
+    quarter-pel = one whole MB left/up, clamped at the frame edge),
+    and an all-B_Skip frame (POC 2) under TEMPORAL direct
+    (tb=2, td=4 -> DistScaleFactor 128, so each quadrant's mvL0 is
+    half its colocated partition MV = an 8-px shift and mvL1 the
+    opposite half) — stored in decoding order [I,P,B] with a ctts
+    box. Flat 16x16 source MBs + cell-aligned shifts keep every
+    pixel closed-form, so a DuckDB oracle predicts all three frames'
+    ahashes analytically; entropy alternates by doc parity, driving
+    BOTH coders' partition parse paths (Table 9-37 prefix tree,
+    sub_mb_types, partition-granular mvd contexts) and the temporal
+    direct derivation end to end."""
+    from .operators import media_codecs as mc
+    from .operators import h264 as hh
+
+    @pandas_udf("binary")
+    def to_avc1(ids: pd.Series) -> pd.Series:
+        def flat_offsets(v):
+            off = np.zeros_like(v)
+            for my in range(v.shape[0]):
+                for mx in range(v.shape[1]):
+                    if mx == 0 and my == 0:
+                        pred = 128
+                    elif my == 0:
+                        pred = v[my, mx - 1]
+                    elif mx == 0:
+                        pred = v[my - 1, mx]
+                    else:
+                        pred = (v[my, mx - 1] + v[my - 1, mx] + 1) >> 1
+                    off[my, mx] = v[my, mx] - pred
+            return off
+
+        def one(d):
+            ent = "cabac" if d % 2 else "cavlc"
+            mxg, myg = np.meshgrid(np.arange(4), np.arange(2))
+            v0 = 20 + (d * 7 + mxg * 13 + myg * 29) % 200
+            idr = hh.h264_encode_flat_mbs(flat_offsets(v0), qp=36,
+                                          entropy=ent, poc_lsb=0)
+            p_specs, col = [], {}
+            for my in range(2):
+                for mx in range(4):
+                    k = (d + mx + 3 * my) % 3
+                    pm = hh._PartMvs()
+                    if k == 0:       # 16x8: bottom copies the MB left
+                        p_specs.append(("p16x8", (0, 0), (-64, 0)))
+                        pm.fill(0, 0, 4, 2, (0, 0))
+                        pm.fill(0, 2, 4, 2, (-64, 0))
+                    elif k == 1:     # 8x16: right copies the MB above
+                        p_specs.append(("p8x16", (0, 0), (0, -64)))
+                        pm.fill(0, 0, 2, 4, (0, 0))
+                        pm.fill(2, 0, 2, 4, (0, -64))
+                    else:            # p8x8: quadrants left/up/both
+                        p_specs.append(
+                            ("p8x8", [("8x8", (0, 0)),
+                                      ("8x8", (-64, 0)),
+                                      ("8x8", (0, -64)),
+                                      ("8x8", (-64, -64))]))
+                        pm.fill(0, 0, 2, 2, (0, 0))
+                        pm.fill(2, 0, 2, 2, (-64, 0))
+                        pm.fill(0, 2, 2, 2, (0, -64))
+                        pm.fill(2, 2, 2, 2, (-64, -64))
+                    col[(mx, my)] = pm
+            p = hh.h264_encode_p_frame(p_specs, 4, 2, qp=36,
+                                       frame_num=1, poc_lsb=4,
+                                       entropy=ent)
+            b = hh.h264_encode_b_frame([None] * 8, 4, 2, poc_lsb=2,
+                                       qp=36, frame_num=2,
+                                       entropy=ent, col_mvs=col,
+                                       temporal=(2, 4))
+            cfg = mc._box(b"avcC", hh.h264_avcc_config(idr))
+            samples = [hh.h264_to_avcc_sample(s) for s in (idr, p, b)]
+            # decode order [I,P,B] at dts [0,500,1000]; presentation
+            # (POC order) [0,1000,500]
+            return mc.mp4_mux(samples, frame_ms=500, fourcc=b"avc1",
+                              width=64, height=32, config=cfg,
+                              ctts_offsets=[0, 500, -500])
+
+        return ids.map(one)
+
+    return to_avc1
+
+
+def q_media_h264_part_stats(spark, sf_dir):
+    """Partitioned-P + temporal-direct H.264 decode value-checked end
+    to end (r8): every macroblock of the P frame is partitioned
+    (16x8 / 8x16 / P_8x8), the B frame derives its motion from the
+    partitioned colocated MBs through the temporal scaling, under
+    BOTH entropy coders (CAVLC even docs, CABAC odd docs) — against
+    a pure-SQL oracle that predicts each presentation frame's pixels
+    from the cell-aligned shift construction."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_h264_part_gop_udf()(F.col("doc_id"))
+                      .alias("payload"))
+    st = video_frame_stats(vid, every_ms=500)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long").alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
 def q_media_h264_b_stats(spark, sf_dir):
     """B-frame H.264 decode value-checked end to end (r8): ctts
     composition reordering, the two-reference DPB, B_L0/B_L1/B_Bi
@@ -2846,6 +2951,75 @@ def q_media_h264_b_stats(spark, sf_dir):
     return st.select(F.col("media_id").alias("doc_id"),
                      F.col("frame_index").cast("long").alias("frame_index"),
                      "frame_ts_ms", "ahash")
+
+
+# presentation frames fi 0/1/2 = IDR (v0) / temporal-direct B / the
+# partitioned P. Per 8x8-ahash cell (i, j): mx=j//2, my=i//4 pick the
+# MB, qx=j%2 / hy=(i%4)//2 the partition sub-position; the partition
+# kind k=(doc+mx+3*my)%3 gives the moving half's -64-qpel component
+# indicators colx/coly (one whole MB left/up). P cell = v0 at the
+# clamped source MB. B cell = bipred average of the IDR shifted by
+# mvL0 = -8 px * (colx, coly) (DistScaleFactor 128 halves the
+# colocated MV) and the P frame shifted by mvL1 = +8 px — both
+# shifts cell-aligned (1 cell in x, 2 in y). Same cross-multiplied
+# ahash reduction as _MEDIA_H264_B_SQL (v*64 > frame sum).
+_MEDIA_H264_PART_SQL = """
+    WITH cells AS (
+      SELECT d.doc_id, i.i, j.j,
+             j.j // 2 AS mx, i.i // 4 AS my,
+             j.j % 2 AS qx, (i.i % 4) // 2 AS hy
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+    ),
+    pc AS (
+      SELECT doc_id, i, j, mx, my,
+             CASE (doc_id + mx + 3*my) % 3
+                  WHEN 0 THEN hy WHEN 1 THEN 0 ELSE qx END AS colx,
+             CASE (doc_id + mx + 3*my) % 3
+                  WHEN 0 THEN 0 WHEN 1 THEN qx ELSE hy END AS coly
+      FROM cells
+    ),
+    pcell AS (
+      SELECT doc_id, i, j,
+             20 + (doc_id*7 + GREATEST(mx - colx, 0)*13
+                   + GREATEST(my - coly, 0)*29) % 200 AS v
+      FROM pc
+    ),
+    bcell AS (
+      SELECT a.doc_id, a.i, a.j,
+             (20 + (a.doc_id*7
+                    + (GREATEST(a.j - a.colx, 0) // 2)*13
+                    + (GREATEST(a.i - 2*a.coly, 0) // 4)*29) % 200
+              + pb.v + 1) // 2 AS v
+      FROM pc a
+      JOIN pcell pb
+        ON pb.doc_id = a.doc_id
+       AND pb.i = LEAST(a.i + 2*a.coly, 7)
+       AND pb.j = LEAST(a.j + a.colx, 7)
+    ),
+    px AS (
+      SELECT doc_id, 0 AS fi, i, j,
+             20 + (doc_id*7 + mx*13 + my*29) % 200 AS v FROM cells
+      UNION ALL
+      SELECT doc_id, 1, i, j, v FROM bcell
+      UNION ALL
+      SELECT doc_id, 2, i, j, v FROM pcell
+    ),
+    tot AS (SELECT doc_id, fi, sum(v) AS s FROM px GROUP BY 1, 2),
+    ah AS (SELECT p.doc_id, p.fi,
+                  sum(CASE WHEN p.v * 64 > t.s
+                           THEN (1::HUGEINT
+                                 << CAST(p.i*8 + p.j AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM px p JOIN tot t USING (doc_id, fi) GROUP BY 1, 2)
+    SELECT doc_id, CAST(fi AS BIGINT) AS frame_index,
+           CAST(fi * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM ah
+"""
 
 
 # presentation frames fi 0/1/2/3 = IDR (v0) / mixed B / all-B_Skip
@@ -2909,6 +3083,7 @@ QUERIES.update({
     "media_h264_cabac_stats": q_media_h264_cabac_stats,
     "media_h264_pcm_stats": q_media_h264_pcm_stats,
     "media_h264_b_stats": q_media_h264_b_stats,
+    "media_h264_part_stats": q_media_h264_part_stats,
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
 })
 ORACLES.update({
@@ -2925,6 +3100,8 @@ ORACLES.update({
     "media_h264_cabac_stats": _MEDIA_H264_SQL,  # same pixels, CABAC
     "media_h264_pcm_stats": _MEDIA_H264_PCM_SQL,  # lossless I_PCM
     "media_h264_b_stats": _MEDIA_H264_B_SQL,  # exact I/P/B GOP family
+    "media_h264_part_stats": _MEDIA_H264_PART_SQL,  # partitions +
+    #                          temporal direct (r8), cell-aligned
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
 })
 
@@ -3224,6 +3401,12 @@ _EXTRA_NAMES = [
     # media_h264_b_stats and media_h264_cabac_stats exercise
     # in-window) takes its EXTRA slot:
     "media_h264_stats",
+    # r8 fourth rotation: media_h264_part_stats (NEW — P macroblock
+    # partitions 16x8/8x16/P_8x8 + temporal direct, both coders)
+    # moves IN for first driver evidence; media_h264_cabac_stats
+    # (driver-green r8 windows, and part/b both alternate entropy by
+    # doc parity, keeping the CABAC layer in-window) takes its slot:
+    "media_h264_cabac_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
