@@ -1713,6 +1713,93 @@ def _p_partitions(mb_type: int, sub_types=None):
             yield qx + dx, qy + dy, w, h, None
 
 
+# B macroblock two-partition types (Table 7-14, 4..21): partition
+# shape (the _P_MB_PARTS key: 1 = 16x8, 2 = 8x16) + each partition's
+# prediction mode. B_8x8 (22) stays rejected.
+_B_PART_MODES = {
+    4: (1, "l0", "l0"), 5: (2, "l0", "l0"),
+    6: (1, "l1", "l1"), 7: (2, "l1", "l1"),
+    8: (1, "l0", "l1"), 9: (2, "l0", "l1"),
+    10: (1, "l1", "l0"), 11: (2, "l1", "l0"),
+    12: (1, "l0", "bi"), 13: (2, "l0", "bi"),
+    14: (1, "l1", "bi"), 15: (2, "l1", "bi"),
+    16: (1, "bi", "l0"), 17: (2, "bi", "l0"),
+    18: (1, "bi", "l1"), 19: (2, "bi", "l1"),
+    20: (1, "bi", "bi"), 21: (2, "bi", "bi"),
+}
+_B_PART_TYPE = {(s, m0, m1): t for t, (s, m0, m1)
+                in _B_PART_MODES.items()}
+
+
+def _code_b_partitions(code_mvd, mb_type, mvs, ref0, ref1, mbx, mby,
+                       mbs_w):
+    """Shared body of a two-partition B macroblock (16x8/8x16,
+    mb_types 4..21) for BOTH directions and entropy coders:
+    ``code_mvd(li, idx, bx0, by0, w4, h4, mvp) -> (mvx, mvy)``
+    either decodes an mvd and returns mvp+mvd, or emits target-mvp
+    and returns the target (``idx`` is the partition index). Syntax order follows 7.3.5.1: ALL L0 mvds
+    (partition order) before ALL L1 mvds; a partition that does not
+    use a list records 'intra' cells (available, refIdx -1) in that
+    list's 4x4 field so in-MB neighbours predict per 8.4.1.3.
+    Returns the (predY, predCb, predCr) planes, or None when called
+    without references (encoder side)."""
+    shape, m0, m1 = _B_PART_MODES[mb_type]
+    parts = _P_MB_PARTS[shape]
+    modes = (m0, m1)
+    pms = {"l0": _PartMvs(), "l1": _PartMvs()}
+    mvs["l0"][(mbx, mby)] = pms["l0"]
+    mvs["l1"][(mbx, mby)] = pms["l1"]
+    part_mvs = [[None, None], [None, None]]      # [list][partIdx]
+    for li, lst in enumerate(("l0", "l1")):
+        for idx, ((ox, oy, w, h), rule) in enumerate(parts):
+            if modes[idx] not in (lst, "bi"):
+                pms[lst].fill(ox // 4, oy // 4, w // 4, h // 4,
+                              "intra")
+                continue
+            bx0, by0 = mbx * 4 + ox // 4, mby * 4 + oy // 4
+            mvp = _mv_pred_part(mvs[lst], bx0, by0, w // 4, mbs_w,
+                                rule)
+            mvx, mvy = code_mvd(li, idx, bx0, by0, w // 4, h // 4,
+                                mvp)
+            if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+                raise ValueError("implausible motion vector")
+            pms[lst].fill(ox // 4, oy // 4, w // 4, h // 4,
+                          (mvx, mvy))
+            part_mvs[li][idx] = (mvx, mvy)
+    if ref0 is None and ref1 is None:            # encoder side
+        return None
+    predY = np.empty((16, 16), dtype=np.int64)
+    predCb = np.empty((8, 8), dtype=np.int64)
+    predCr = np.empty((8, 8), dtype=np.int64)
+    for idx, ((ox, oy, w, h), _rule) in enumerate(parts):
+        preds = []
+        for li, refp in ((0, ref0), (1, ref1)):
+            mv = part_mvs[li][idx]
+            if mv is None:
+                continue
+            if refp is None:
+                raise ValueError(
+                    "B macroblock without a reference frame")
+            cx, cy, cw, ch = ox // 2, oy // 2, w // 2, h // 2
+            preds.append((
+                _mc_luma(refp[0], mbx * 16 + ox, mby * 16 + oy,
+                         mv[0], mv[1], (h, w)),
+                _mc_chroma(refp[1], mbx * 8 + cx, mby * 8 + cy,
+                           mv[0], mv[1], (ch, cw)),
+                _mc_chroma(refp[2], mbx * 8 + cx, mby * 8 + cy,
+                           mv[0], mv[1], (ch, cw))))
+        if len(preds) == 2:          # default (non-weighted) average
+            py, pcb, pcr = ((a + b + 1) >> 1
+                            for a, b in zip(preds[0], preds[1]))
+        else:
+            py, pcb, pcr = preds[0]
+        predY[oy:oy + h, ox:ox + w] = py
+        cx, cy, cw, ch = ox // 2, oy // 2, w // 2, h // 2
+        predCb[cy:cy + ch, cx:cx + cw] = pcb
+        predCr[cy:cy + ch, cx:cx + cw] = pcr
+    return predY, predCb, predCr
+
+
 def _part_predict(ref, pm, predY, predCb, predCr, mbx, mby, ox, oy,
                   w, h, mvx, mvy):
     """Motion-compensate ONE partition of an inter MB into the
@@ -1951,7 +2038,8 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
                  states, mvs, mbx, mby, mbs_w, temporal=None):
     """B-slice macroblock (r8): B_Direct_16x16 (spatial or temporal
     direct) / B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (default average)
-    / intra. Sub-16x16 partitions are rejected loudly."""
+    / the 16x8 and 8x16 two-partition types (4..21) / intra. B_8x8
+    sub-partitions are rejected loudly."""
     mb_type = br.ue()
     if mb_type >= 23:                # intra macroblock in a B slice
         qp = _decode_mb_intra(br, mb_type - 23, qp, pps, Y, Cb, Cr,
@@ -1959,11 +2047,16 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
         mvs["l0"][(mbx, mby)] = None
         mvs["l1"][(mbx, mby)] = None
         return qp
-    if mb_type > 3:
+    if mb_type == 22:
         raise NotImplementedError(
-            "B macroblock partitions beyond 16x16 unsupported "
-            f"(mb_type {mb_type})")
-    if mb_type == 0:                 # B_Direct_16x16: derived motion
+            "B_8x8 sub-partitions unsupported (mb_type 22)")
+    if mb_type > 3:                  # r8: 16x8 / 8x16 partitions
+        def read_mvd(li, idx, bx0, by0, w4, h4, mvp):
+            return mvp[0] + br.se(), mvp[1] + br.se()
+
+        predY, predCb, predCr = _code_b_partitions(
+            read_mvd, mb_type, mvs, ref0, ref1, mbx, mby, mbs_w)
+    elif mb_type == 0:               # B_Direct_16x16: derived motion
         predY, predCb, predCr = _direct_predict_mb(
             mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w, temporal)
     else:
@@ -2991,6 +3084,10 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         reference AFTER it;
       * ``('bi', mvx0, mvy0, mvx1, mvy1[, lv])`` — B_Bi_16x16, the
         default (non-weighted) average (p0 + p1 + 1) >> 1;
+      * ``('b16x8', part0, part1[, lv])`` / ``('b8x16', part0,
+        part1[, lv])`` — two-partition B MB (r8, Table 7-14 types
+        4..21): each part is ``('l0', mvx, mvy)``, ``('l1', mvx,
+        mvy)`` or ``('bi', mvx0, mvy0, mvx1, mvy1)``;
       * ``('i16dc', c)``            — Intra_16x16 DC, one luma level.
     ``lv`` is a (16, 16) scan-order luma level array as in the P
     encoder. MV prediction replicates the decoder per reference list
@@ -3089,6 +3186,33 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
             levels = spec[5] if len(spec) > 5 else None
             code_mvd("l0", mbx, mby, int(spec[1]), int(spec[2]))
             code_mvd("l1", mbx, mby, int(spec[3]), int(spec[4]))
+        elif kind in ("b16x8", "b8x16"):     # r8: two-partition B MB
+            shape = 1 if kind == "b16x8" else 2
+            p0, p1 = spec[1], spec[2]
+            levels = spec[3] if len(spec) > 3 else None
+            mb_type = _B_PART_TYPE[(shape, p0[0], p1[0])]
+            bw.ue(mb_type)
+            targets = []                     # [list][partIdx]
+            for part in (p0, p1):
+                if part[0] == "bi":
+                    targets.append(((int(part[1]), int(part[2])),
+                                    (int(part[3]), int(part[4]))))
+                elif part[0] == "l0":
+                    targets.append(((int(part[1]), int(part[2])),
+                                    None))
+                else:
+                    targets.append((None,
+                                    (int(part[1]), int(part[2]))))
+
+            def emit_mvd(li, idx, bx0, by0, w4, h4, mvp,
+                         _t=targets):
+                mv = _t[idx][li]
+                bw.se(mv[0] - mvp[0])
+                bw.se(mv[1] - mvp[1])
+                return mv
+
+            _code_b_partitions(emit_mvd, mb_type, mvs, None, None,
+                               mbx, mby, mbs_w)
         else:
             raise ValueError(f"unknown B mb_spec kind {kind!r}")
         st = _MBState()

@@ -1189,6 +1189,54 @@ class CabacSliceWriter:
                              cur)
             self._code_mvd_b(1, mbx, mby, int(spec[3]), int(spec[4]),
                              cur)
+        elif kind in ("b16x8", "b8x16"):         # r8: two partitions
+            from .h264 import _B_PART_TYPE, _code_b_partitions
+            shape = 1 if kind == "b16x8" else 2
+            p0, p1 = spec[1], spec[2]
+            levels = spec[3] if len(spec) > 3 else None
+            mb_type = _B_PART_TYPE[(shape, p0[0], p1[0])]
+            # '11' + the 4(+1)-bin suffix of Table 9-37: values 3..10
+            # are the FL4 suffix directly, 11 is 14, 12..21 carry a
+            # fifth bin ((mb_type+4) split as bits<<1 | extra)
+            enc.bit(ctx, _MB_TYPE_B + 3, 1)
+            if mb_type <= 10:
+                bits, extra = mb_type - 3, None
+            elif mb_type == 11:
+                bits, extra = 14, None
+            else:
+                v = mb_type + 4
+                bits, extra = v >> 1, v & 1
+            enc.bit(ctx, _MB_TYPE_B + 4, (bits >> 3) & 1)
+            for k in (2, 1, 0):
+                enc.bit(ctx, _MB_TYPE_B + 5, (bits >> k) & 1)
+            if extra is not None:
+                enc.bit(ctx, _MB_TYPE_B + 5, extra)
+            targets = []
+            for part in (p0, p1):
+                if part[0] == "bi":
+                    targets.append(((int(part[1]), int(part[2])),
+                                    (int(part[3]), int(part[4]))))
+                elif part[0] == "l0":
+                    targets.append(((int(part[1]), int(part[2])),
+                                    None))
+                else:
+                    targets.append((None,
+                                    (int(part[1]), int(part[2]))))
+
+            def emit_mvd(li, idx, bx0, by0, w4, h4, mvp,
+                         _t=targets):
+                mv = _t[idx][li]
+                dx, dy = mv[0] - mvp[0], mv[1] - mvp[1]
+                mvd_f = self.mvd_f[li]
+                _code_mvd(enc, ctx, mvd_f, bx0, by0, 0, v=dx)
+                _code_mvd(enc, ctx, mvd_f, bx0, by0, 1, v=dy)
+                _fill_mvd(mvd_f, bx0, by0, w4, h4, dx, dy)
+                return mv
+
+            _code_b_partitions(emit_mvd, mb_type,
+                               {"l0": self.mv_map,
+                                "l1": self.mv_map1},
+                               None, None, mbx, mby, mbs_w)
         else:
             raise ValueError(f"unknown B mb_spec kind {kind!r}")
         self._emit_inter_tail(levels, mbx, mby, cur)
@@ -1718,20 +1766,11 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
         states[(mbx, mby)] = st
         recs[(mbx, mby)] = cur
         return qp, prev_qpd
-    if dec.bit(ctx, _MB_TYPE_B + 3):
-        if dec.bit(ctx, _MB_TYPE_B + 4):         # '111...'
-            if not dec.bit(ctx, _MB_TYPE_B + 5):
-                raise NotImplementedError(       # '1110' family
-                    "B macroblock partitions beyond 16x16 "
-                    "unsupported")
-            if dec.bit(ctx, _MB_TYPE_B + 5):
-                raise NotImplementedError(       # '11111' family
-                    "B macroblock partitions beyond 16x16 "
-                    "unsupported")
-            if not dec.bit(ctx, _MB_TYPE_B + 5):
-                raise NotImplementedError(       # '111100'
-                    "B macroblock partitions beyond 16x16 "
-                    "unsupported")
+    if dec.bit(ctx, _MB_TYPE_B + 3):             # '11' + FL suffix
+        bits = dec.bit(ctx, _MB_TYPE_B + 4)
+        for _ in range(3):
+            bits = (bits << 1) | dec.bit(ctx, _MB_TYPE_B + 5)
+        if bits == 13:
             # '111101': intra macroblock in the B slice
             mvs["l0"][(mbx, mby)] = None
             mvs["l1"][(mbx, mby)] = None
@@ -1753,15 +1792,37 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
             states[(mbx, mby)] = st
             recs[(mbx, mby)] = cur
             return qp, prev_qpd
-        # '110' + 3 fixed-length bins: 000 is B_Bi_16x16
-        v = 0
-        for _ in range(3):
-            v = (v << 1) | dec.bit(ctx, _MB_TYPE_B + 5)
-        if v:
+        if bits == 15:
             raise NotImplementedError(
-                "B macroblock partitions beyond 16x16 unsupported "
-                f"(mb_type {3 + v})")
-        use_l0 = use_l1 = True
+                "B_8x8 sub-partitions unsupported (mb_type 22)")
+        if bits < 8:
+            mb_type = 3 + bits
+        elif bits == 14:
+            mb_type = 11
+        else:                        # 12..21 carry a fifth bin
+            mb_type = ((bits << 1)
+                       | dec.bit(ctx, _MB_TYPE_B + 5)) - 4
+        if mb_type > 3:              # r8: 16x8 / 8x16 partitions
+            from .h264 import _code_b_partitions
+            cur.intra = False
+
+            def read_mvd(li, idx, bx0, by0, w4, h4, mvp):
+                mvd_f_l = mvd_f[li]
+                dx = _code_mvd(dec, ctx, mvd_f_l, bx0, by0, 0)
+                dy = _code_mvd(dec, ctx, mvd_f_l, bx0, by0, 1)
+                _fill_mvd(mvd_f_l, bx0, by0, w4, h4, dx, dy)
+                return mvp[0] + dx, mvp[1] + dy
+
+            predY, predCb, predCr = _code_b_partitions(
+                read_mvd, mb_type, mvs, ref0, ref1, mbx, mby, mbs_w)
+            qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st,
+                                           qp, prev_qpd, pps, Y, Cb,
+                                           Cr, predY, predCb, predCr,
+                                           mbx, mby, mbs_w)
+            states[(mbx, mby)] = st
+            recs[(mbx, mby)] = cur
+            return qp, prev_qpd
+        use_l0 = use_l1 = True       # B_Bi_16x16
     else:                                        # '10x': L0 / L1
         use_l1 = bool(dec.bit(ctx, _MB_TYPE_B + 4))
         use_l0 = not use_l1

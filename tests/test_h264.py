@@ -948,3 +948,54 @@ def test_temporal_direct_per_quadrant_partitioned_col():
     # intra colocated MB -> zero both lists
     _, _, z0, z1 = h._direct_temporal_mv(None, 2, 4)
     assert z0 == [[(0, 0)] * 2] * 2 and z1 == [[(0, 0)] * 2] * 2
+
+
+def test_b_partitions_16x8_8x16_per_list_oracle():
+    """B two-partition macroblocks (Table 7-14 types 4..21, r8):
+    each partition runs its OWN prediction mode (L0 / L1 / Bi) and
+    MV — decoded pixels equal per-partition single-list MC or the
+    bipred average of the independent interpolator, so partition
+    geometry, per-list mvd sequencing (all L0 then all L1) and the
+    'intra'-marked unused-list cells are all pinned."""
+    rng = np.random.default_rng(62)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0)
+    Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+    p_mv = (4, 0)
+    p = h.h264_encode_p_frame([p_mv] * 8, 4, 2, qp=28, frame_num=1,
+                              poc_lsb=8)
+    b_specs = [("b16x8", ("l0", 8, 0), ("l1", -8, 4)),
+               ("b8x16", ("bi", 0, 0, 4, 4), ("l0", 5, 7)),
+               None,
+               ("b16x8", ("bi", 1, 1, 2, 2), ("bi", 3, 3, 4, 4)),
+               ("b8x16", ("l1", 0, -4), ("l1", 4, 0)),
+               ("bi", 0, 4, 4, 0),
+               ("b16x8", ("l0", 0, 0), ("l0", 16, 16)),
+               ("direct",)]
+    b = h.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=4, qp=28,
+                              frame_num=2)
+    frames, _ = h.h264_decode_gop_planes(idr + p + b)
+    assert len(frames) == 3          # output order I, B, P
+    Yb, Yp = frames[1][0], frames[2][0]
+    geom = {"b16x8": ((0, 0, 16, 8), (0, 8, 16, 8)),
+            "b8x16": ((0, 0, 8, 16), (8, 0, 8, 16))}
+    for addr, spec in enumerate(b_specs):
+        if spec is None or spec[0] not in geom:
+            continue
+        mbx, mby = addr % 4, addr // 4
+        for (ox, oy, w, hh_), part in zip(geom[spec[0]], spec[1:3]):
+            x0, y0 = mbx * 16 + ox, mby * 16 + oy
+            if part[0] == "l0":
+                want = _ref_mc_luma(Y0, x0, y0, part[1], part[2],
+                                    max(w, hh_))[:hh_, :w]
+            elif part[0] == "l1":
+                want = _ref_mc_luma(Yp, x0, y0, part[1], part[2],
+                                    max(w, hh_))[:hh_, :w]
+            else:
+                a = _ref_mc_luma(Y0, x0, y0, part[1], part[2],
+                                 max(w, hh_))[:hh_, :w]
+                c = _ref_mc_luma(Yp, x0, y0, part[3], part[4],
+                                 max(w, hh_))[:hh_, :w]
+                want = (a + c + 1) >> 1
+            got = Yb[y0:y0 + hh_, x0:x0 + w]
+            assert np.array_equal(got, want), (addr, spec[0], part[0])

@@ -295,28 +295,27 @@ def test_cabac_b_skip_decodes_as_spatial_direct():
     np.testing.assert_array_equal(Yb, (Yi + Yp + 1) >> 1)
 
 
-def test_cabac_b_partition_mb_types_rejected_loudly():
-    """Unsupported Table 9-37 paths — the 16x8 partition region
-    ('110' + non-zero FL3) and the '1110'/'11111' families — reject
-    loudly."""
-    for bins, msg in (((1, 1, 0, 0, 0, 1), "partitions"),
-                      ((1, 1, 1, 0), "partitions")):
-        bw = _cabac_b_header()
-        while len(bw.bits) % 8:
-            bw.u(1, 1)
-        enc = hc._CabacEnc()
-        ctx = hc._Ctx()
-        enc.bit(ctx, hc._SKIP_B, 0)
-        ctxs = [hc._MB_TYPE_B, hc._MB_TYPE_B + 3, hc._MB_TYPE_B + 4,
-                hc._MB_TYPE_B + 5, hc._MB_TYPE_B + 5,
-                hc._MB_TYPE_B + 5]
-        for i, b in enumerate(bins):
-            enc.bit(ctx, ctxs[i], b)
-        enc.terminate(1)
-        nal = b"\x00\x00\x00\x01\x01" + hh._escape(bw.bytes()
-                                                   + enc.bytes())
-        with pytest.raises(NotImplementedError, match=msg):
-            hh.h264_decode_gop_planes(_cabac_b_gop_prefix() + nal)
+def test_cabac_b_8x8_mb_type_rejected_loudly():
+    """The one Table 9-37 B path still out of scope — B_8x8
+    (bits '111111', mb_type 22) — rejects loudly; the 16x8/8x16
+    partition region decodes (r8, see the partition tests)."""
+    bins = (1, 1, 1, 1, 1, 1)        # '11' + FL4 1111 = B_8x8
+    bw = _cabac_b_header()
+    while len(bw.bits) % 8:
+        bw.u(1, 1)
+    enc = hc._CabacEnc()
+    ctx = hc._Ctx()
+    enc.bit(ctx, hc._SKIP_B, 0)
+    ctxs = [hc._MB_TYPE_B, hc._MB_TYPE_B + 3, hc._MB_TYPE_B + 4,
+            hc._MB_TYPE_B + 5, hc._MB_TYPE_B + 5,
+            hc._MB_TYPE_B + 5]
+    for i, b in enumerate(bins):
+        enc.bit(ctx, ctxs[i], b)
+    enc.terminate(1)
+    nal = b"\x00\x00\x00\x01\x01" + hh._escape(bw.bytes()
+                                               + enc.bytes())
+    with pytest.raises(NotImplementedError, match="B_8x8"):
+        hh.h264_decode_gop_planes(_cabac_b_gop_prefix() + nal)
 
 
 def test_cabac_b_encoder_rejects_unknown_spec_kind():
@@ -451,6 +450,45 @@ def test_cabac_b_direct_after_partitioned_p_matches_cavlc():
     fa, _ = hh.h264_decode_gop_planes(streams["cavlc"])
     fb, _ = hh.h264_decode_gop_planes(streams["cabac"])
     assert len(fa) == len(fb) == 3     # output order: I, B, P
+    for k, (pa, pb) in enumerate(zip(fa, fb)):
+        for plane_a, plane_b in zip(pa, pb):
+            np.testing.assert_array_equal(plane_a, plane_b,
+                                          err_msg=str(k))
+
+
+def test_cabac_b_partitions_match_cavlc():
+    """B two-partition macroblocks under CABAC (r8): every mode pair
+    region of the Table 9-37 suffix — FL4 values 0..7 (types 3..10),
+    14 (type 11) and the five-bin 12..21 range — serializes and
+    decodes to the CAVLC pixels, with per-list partition-granular
+    mvd contexts."""
+    rng = np.random.default_rng(63)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    lv = np.zeros((16, 16), dtype=np.int64)
+    lv[2, 0] = 6
+    b_specs = [("b16x8", ("l0", 8, 0), ("l0", -8, 4)),   # type 4
+               ("b8x16", ("l1", 0, -4), ("l1", 4, 0)),   # type 7
+               ("b16x8", ("l0", 5, 7), ("l1", -3, 2)),   # type 8
+               ("b8x16", ("l1", 1, 2), ("l0", 3, 4)),    # type 11
+               ("b16x8", ("l0", 2, 2), ("bi", 0, 0, 4, 4), lv),  # 12
+               ("b8x16", ("bi", 1, 0, 0, 1), ("l1", 2, 2)),      # 19
+               ("b16x8", ("bi", 0, 4, 4, 0),
+                ("bi", 2, 2, 2, 2)),                     # type 20
+               None]
+    streams = {}
+    for entropy in ("cavlc", "cabac"):
+        gop = hh.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                             entropy=entropy)
+        gop += hh.h264_encode_p_frame([(4, 0)] * 8, 4, 2, qp=28,
+                                      frame_num=1, poc_lsb=8,
+                                      entropy=entropy)
+        gop += hh.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=4,
+                                      qp=28, frame_num=2,
+                                      entropy=entropy)
+        streams[entropy] = gop
+    fa, _ = hh.h264_decode_gop_planes(streams["cavlc"])
+    fb, _ = hh.h264_decode_gop_planes(streams["cabac"])
+    assert len(fa) == len(fb) == 3
     for k, (pa, pb) in enumerate(zip(fa, fb)):
         for plane_a, plane_b in zip(pa, pb):
             np.testing.assert_array_equal(plane_a, plane_b,
