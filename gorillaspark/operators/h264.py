@@ -20,15 +20,17 @@ module h264_cabac.py; this module's encoder stays CAVLC and exposes
 the entropy-independent plan/emit split (_plan_mb_i16/_plan_mb_i4 +
 _emit_mb_cavlc) both entropy writers serialize from.
 
-B slices (r8): the 16x16 subset — B_Skip / B_Direct_16x16 (spatial
-derivation 8.4.1.2.2 AND temporal 8.4.1.2.3, per the slice header's
+B slices (r8): B_Skip / B_Direct_16x16 (spatial derivation
+8.4.1.2.2 AND temporal 8.4.1.2.3, per the slice header's
 direct_spatial_mv_pred_flag) / B_L0_16x16 / B_L1_16x16 /
-B_Bi_16x16 (default average) / intra-in-B over a two-list DPB with
-poc_type-0 output reordering (h264_encode_b_frame + the GOP
-decoder), under both entropy coders; sub-16x16 B partitions stay
-rejected loudly. P slices carry the full partition set (16x16,
-16x8, 8x16, P_8x8 with 8x8/8x4/4x8/4x4 sub-partitions) with
-4x4-block-granular MV prediction (8.4.1.3).
+B_Bi_16x16 (default average) / the 16x8 and 8x16 two-partition
+mode pairs (Table 7-14 types 4..21) / B_8x8 with every Table 7-18
+sub-partition incl. B_Direct_8x8 / intra-in-B, over a two-list DPB
+with poc_type-0 output reordering (h264_encode_b_frame + the GOP
+decoder), under both entropy coders. P slices carry the full
+partition set (16x16, 16x8, 8x16, P_8x8 with 8x8/8x4/4x8/4x4
+sub-partitions); all inter MV prediction runs at the spec's
+4x4-block granularity (8.4.1.3).
 
 Out of scope, rejected loudly (NotImplementedError): multiple slice groups, fields/MBAFF, 8x8
 transform (High profile), monochrome / 4:2:2 / 4:4:4, scaling
@@ -1800,6 +1802,142 @@ def _code_b_partitions(code_mvd, mb_type, mvs, ref0, ref1, mbx, mby,
     return predY, predCb, predCr
 
 
+# B_8x8 sub-macroblock types (Table 7-18): prediction mode + the
+# _P_SUB_PARTS shape index. Type 0 (B_Direct_8x8) derives its motion
+# from the MB-level direct derivation's quadrant grid.
+_B_SUB_MODES = {
+    1: ("l0", 0), 2: ("l1", 0), 3: ("bi", 0),
+    4: ("l0", 1), 5: ("l0", 2), 6: ("l1", 1), 7: ("l1", 2),
+    8: ("bi", 1), 9: ("bi", 2),
+    10: ("l0", 3), 11: ("l1", 3), 12: ("bi", 3),
+}
+_B_SUB_TYPE = {(m, s): t for t, (m, s) in _B_SUB_MODES.items()}
+_P_SUB_NAMES = {"8x8": 0, "8x4": 1, "4x8": 2, "4x4": 3}
+
+
+def _b8x8_targets(subs):
+    """Parse 'b8x8' quadrant specs: each entry ``('direct',)`` or
+    ``(mode, shape, mv...)`` with mode 'l0'/'l1'/'bi', shape '8x8'/
+    '8x4'/'4x8'/'4x4' and one MV tuple per sub-part ((x, y) for
+    single-list modes, (x0, y0, x1, y1) for 'bi'). Returns
+    (sub_types, targets) with targets[(li, q, pi)] = (mvx, mvy)."""
+    sub_types, targets = [], {}
+    for q, s in enumerate(subs):
+        if s[0] == "direct":
+            sub_types.append(0)
+            continue
+        mode, shp = s[0], _P_SUB_NAMES[s[1]]
+        sub_types.append(_B_SUB_TYPE[(mode, shp)])
+        parts = s[2:]
+        if len(parts) != len(_P_SUB_PARTS[shp]):
+            raise ValueError("sub-partition MV count mismatch")
+        for pi, mv in enumerate(parts):
+            if mode == "bi":
+                targets[(0, q, pi)] = (int(mv[0]), int(mv[1]))
+                targets[(1, q, pi)] = (int(mv[2]), int(mv[3]))
+            elif mode == "l0":
+                targets[(0, q, pi)] = (int(mv[0]), int(mv[1]))
+            else:
+                targets[(1, q, pi)] = (int(mv[0]), int(mv[1]))
+    return sub_types, targets
+
+
+def _code_b_8x8(code_mvd, sub_types, mvs, col_mvs, temporal, ref0,
+                ref1, mbx, mby, mbs_w):
+    """Shared body of a B_8x8 macroblock (mb_type 22) for both
+    directions and entropy coders. ``sub_types`` is the four
+    Table 7-18 sub_mb_type values (quadrant raster order);
+    ``code_mvd(li, q, pi, bx0, by0, w4, h4, mvp) -> (mvx, mvy)``
+    decodes mvp+mvd or emits target-mvp and returns the target.
+    Syntax order follows 7.3.5.2: ALL L0 mvds (quadrant, then
+    sub-part order) before ALL L1 mvds; B_Direct_8x8 quadrants take
+    the MB-level direct derivation's per-quadrant motion (spatial or
+    temporal), and quadrants not using a list record 'intra' cells
+    so in-MB neighbours predict per 8.4.1.3 with decode-order
+    availability. Returns the prediction planes, or None when called
+    without references (encoder side)."""
+    if any(not 0 <= t <= 12 for t in sub_types):
+        raise ValueError("invalid B sub_mb_type")
+    pms = {"l0": _PartMvs(), "l1": _PartMvs()}
+    direct = None
+    if 0 in sub_types:               # MB-level direct derivation
+        col_mv = col_mvs.get((mbx, mby)) if col_mvs else None
+        if temporal is not None:
+            direct = _direct_temporal_mv(col_mv, temporal[0],
+                                         temporal[1])
+        else:
+            direct = _direct_spatial_mv(mvs, col_mv, mbx, mby,
+                                        mbs_w)
+    mvs["l0"][(mbx, mby)] = pms["l0"]
+    mvs["l1"][(mbx, mby)] = pms["l1"]
+    mv_grid = ({}, {})               # [list][(q, pi)] -> mv
+    for li, lst in enumerate(("l0", "l1")):
+        for q, t in enumerate(sub_types):
+            qx, qy = (q & 1) * 2, (q >> 1) * 2   # 4x4-block units
+            if t == 0:               # B_Direct_8x8
+                use = direct[0] if li == 0 else direct[1]
+                if not use:
+                    pms[lst].fill(qx, qy, 2, 2, "intra")
+                    continue
+                grid = direct[2] if li == 0 else direct[3]
+                mv = grid[q >> 1][q & 1]
+                pms[lst].fill(qx, qy, 2, 2, mv)
+                mv_grid[li][(q, 0)] = mv
+                continue
+            mode, shp = _B_SUB_MODES[t]
+            if mode not in (lst, "bi"):
+                pms[lst].fill(qx, qy, 2, 2, "intra")
+                continue
+            for pi, (dx, dy, w, h) in enumerate(_P_SUB_PARTS[shp]):
+                ox, oy = (q & 1) * 8 + dx, (q >> 1) * 8 + dy
+                bx0 = mbx * 4 + ox // 4
+                by0 = mby * 4 + oy // 4
+                mvp = _mv_pred_part(mvs[lst], bx0, by0, w // 4,
+                                    mbs_w)
+                mvx, mvy = code_mvd(li, q, pi, bx0, by0, w // 4,
+                                    h // 4, mvp)
+                if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
+                    raise ValueError("implausible motion vector")
+                pms[lst].fill(ox // 4, oy // 4, w // 4, h // 4,
+                              (mvx, mvy))
+                mv_grid[li][(q, pi)] = (mvx, mvy)
+    if ref0 is None and ref1 is None:            # encoder side
+        return None
+    predY = np.empty((16, 16), dtype=np.int64)
+    predCb = np.empty((8, 8), dtype=np.int64)
+    predCr = np.empty((8, 8), dtype=np.int64)
+    for q, t in enumerate(sub_types):
+        parts = (((0, 0, 8, 8),) if t == 0
+                 else _P_SUB_PARTS[_B_SUB_MODES[t][1]])
+        for pi, (dx, dy, w, h) in enumerate(parts):
+            ox, oy = (q & 1) * 8 + dx, (q >> 1) * 8 + dy
+            cx, cy, cw, ch = ox // 2, oy // 2, w // 2, h // 2
+            preds = []
+            for li, refp in ((0, ref0), (1, ref1)):
+                mv = mv_grid[li].get((q, pi))
+                if mv is None:
+                    continue
+                if refp is None:
+                    raise ValueError(
+                        "B macroblock without a reference frame")
+                preds.append((
+                    _mc_luma(refp[0], mbx * 16 + ox, mby * 16 + oy,
+                             mv[0], mv[1], (h, w)),
+                    _mc_chroma(refp[1], mbx * 8 + cx, mby * 8 + cy,
+                               mv[0], mv[1], (ch, cw)),
+                    _mc_chroma(refp[2], mbx * 8 + cx, mby * 8 + cy,
+                               mv[0], mv[1], (ch, cw))))
+            if len(preds) == 2:      # default (non-weighted) average
+                py, pcb, pcr = ((a + b + 1) >> 1
+                                for a, b in zip(preds[0], preds[1]))
+            else:
+                py, pcb, pcr = preds[0]
+            predY[oy:oy + h, ox:ox + w] = py
+            predCb[cy:cy + ch, cx:cx + cw] = pcb
+            predCr[cy:cy + ch, cx:cx + cw] = pcr
+    return predY, predCb, predCr
+
+
 def _part_predict(ref, pm, predY, predCb, predCr, mbx, mby, ox, oy,
                   w, h, mvx, mvy):
     """Motion-compensate ONE partition of an inter MB into the
@@ -2038,8 +2176,8 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
                  states, mvs, mbx, mby, mbs_w, temporal=None):
     """B-slice macroblock (r8): B_Direct_16x16 (spatial or temporal
     direct) / B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (default average)
-    / the 16x8 and 8x16 two-partition types (4..21) / intra. B_8x8
-    sub-partitions are rejected loudly."""
+    / the 16x8 and 8x16 two-partition types (4..21) / B_8x8 with all
+    Table 7-18 sub-partitions incl. B_Direct_8x8 / intra."""
     mb_type = br.ue()
     if mb_type >= 23:                # intra macroblock in a B slice
         qp = _decode_mb_intra(br, mb_type - 23, qp, pps, Y, Cb, Cr,
@@ -2047,10 +2185,16 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
         mvs["l0"][(mbx, mby)] = None
         mvs["l1"][(mbx, mby)] = None
         return qp
-    if mb_type == 22:
-        raise NotImplementedError(
-            "B_8x8 sub-partitions unsupported (mb_type 22)")
-    if mb_type > 3:                  # r8: 16x8 / 8x16 partitions
+    if mb_type == 22:                # r8: B_8x8 sub-partitions
+        sub_types = [br.ue() for _ in range(4)]
+
+        def read_sub_mvd(li, q, pi, bx0, by0, w4, h4, mvp):
+            return mvp[0] + br.se(), mvp[1] + br.se()
+
+        predY, predCb, predCr = _code_b_8x8(
+            read_sub_mvd, sub_types, mvs, col_mvs, temporal, ref0,
+            ref1, mbx, mby, mbs_w)
+    elif mb_type > 3:                # r8: 16x8 / 8x16 partitions
         def read_mvd(li, idx, bx0, by0, w4, h4, mvp):
             return mvp[0] + br.se(), mvp[1] + br.se()
 
@@ -3088,6 +3232,10 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         part1[, lv])`` — two-partition B MB (r8, Table 7-14 types
         4..21): each part is ``('l0', mvx, mvy)``, ``('l1', mvx,
         mvy)`` or ``('bi', mvx0, mvy0, mvx1, mvy1)``;
+      * ``('b8x8', [sub0..sub3][, lv])`` — B_8x8 (r8, Table 7-18):
+        each quadrant is ``('direct',)`` or ``(mode, shape, mv...)``
+        with shape '8x8'/'8x4'/'4x8'/'4x4' and one MV tuple per
+        sub-part (see :func:`_b8x8_targets`);
       * ``('i16dc', c)``            — Intra_16x16 DC, one luma level.
     ``lv`` is a (16, 16) scan-order luma level array as in the P
     encoder. MV prediction replicates the decoder per reference list
@@ -3213,6 +3361,25 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
 
             _code_b_partitions(emit_mvd, mb_type, mvs, None, None,
                                mbx, mby, mbs_w)
+        elif kind == "b8x8":                 # r8: B_8x8 sub-parts
+            subs = spec[1]
+            if len(subs) != 4:
+                raise ValueError("b8x8 needs 4 quadrant specs")
+            levels = spec[2] if len(spec) > 2 else None
+            sub_types, targets = _b8x8_targets(subs)
+            bw.ue(22)
+            for t in sub_types:
+                bw.ue(t)                     # sub_mb_type (7.3.5.2)
+
+            def emit_sub_mvd(li, q, pi, bx0, by0, w4, h4, mvp,
+                             _t=targets):
+                mv = _t[(li, q, pi)]
+                bw.se(mv[0] - mvp[0])
+                bw.se(mv[1] - mvp[1])
+                return mv
+
+            _code_b_8x8(emit_sub_mvd, sub_types, mvs, col_mvs,
+                        temporal, None, None, mbx, mby, mbs_w)
         else:
             raise ValueError(f"unknown B mb_spec kind {kind!r}")
         st = _MBState()

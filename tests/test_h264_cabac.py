@@ -295,10 +295,10 @@ def test_cabac_b_skip_decodes_as_spatial_direct():
     np.testing.assert_array_equal(Yb, (Yi + Yp + 1) >> 1)
 
 
-def test_cabac_b_8x8_mb_type_rejected_loudly():
-    """The one Table 9-37 B path still out of scope — B_8x8
-    (bits '111111', mb_type 22) — rejects loudly; the 16x8/8x16
-    partition region decodes (r8, see the partition tests)."""
+def test_cabac_b_8x8_truncated_stream_is_loud():
+    """A B_8x8 mb_type ('111111') followed by a truncated/garbage
+    sub_mb_type stream fails loudly (the full decode path is
+    exercised positively in test_cabac_b8x8_matches_cavlc)."""
     bins = (1, 1, 1, 1, 1, 1)        # '11' + FL4 1111 = B_8x8
     bw = _cabac_b_header()
     while len(bw.bits) % 8:
@@ -314,13 +314,13 @@ def test_cabac_b_8x8_mb_type_rejected_loudly():
     enc.terminate(1)
     nal = b"\x00\x00\x00\x01\x01" + hh._escape(bw.bytes()
                                                + enc.bytes())
-    with pytest.raises(NotImplementedError, match="B_8x8"):
+    with pytest.raises((ValueError, NotImplementedError)):
         hh.h264_decode_gop_planes(_cabac_b_gop_prefix() + nal)
 
 
 def test_cabac_b_encoder_rejects_unknown_spec_kind():
     with pytest.raises(ValueError, match="unknown B mb_spec"):
-        hh.h264_encode_b_frame([("b8x8", 0, 0)], 1, 1, poc_lsb=2,
+        hh.h264_encode_b_frame([("b4x4", 0, 0)], 1, 1, poc_lsb=2,
                                frame_num=2, entropy="cabac")
 
 
@@ -493,3 +493,48 @@ def test_cabac_b_partitions_match_cavlc():
         for plane_a, plane_b in zip(pa, pb):
             np.testing.assert_array_equal(plane_a, plane_b,
                                           err_msg=str(k))
+
+
+def test_cabac_b8x8_matches_cavlc():
+    """B_8x8 macroblocks under CABAC (r8): the Table 9-38
+    sub_mb_type tree (direct / single-list / bi over all four
+    sub-shapes) serializes and decodes to the CAVLC pixels, under
+    both spatial and temporal direct for the B_Direct_8x8
+    quadrants."""
+    rng = np.random.default_rng(73)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    col = {(x, yy): (4, 0) for x in range(4) for yy in range(2)}
+    b_specs = [("b8x8", [("l0", "8x8", (5, 7)),
+                         ("l1", "8x4", (8, 0), (0, 8)),
+                         ("bi", "4x8", (1, 1, 2, 2), (3, 3, 4, 4)),
+                         ("l0", "4x4", (1, 0), (0, 1), (2, 2),
+                          (-1, -1))]),
+               ("b8x8", [("direct",), ("l0", "8x8", (4, 4)),
+                         ("direct",), ("bi", "8x8", (0, 0, 4, 4))]),
+               ("b8x8", [("l1", "4x4", (0, 0), (4, 4), (-4, 0),
+                          (0, -4)),
+                         ("bi", "8x4", (2, 0, 0, 2), (0, 2, 2, 0)),
+                         ("l0", "4x8", (6, 2), (2, 6)),
+                         ("direct",)]),
+               None] + [None] * 4
+    for temporal in (None, (4, 8)):
+        streams = {}
+        for entropy in ("cavlc", "cabac"):
+            gop = hh.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                                 entropy=entropy)
+            gop += hh.h264_encode_p_frame([(4, 0)] * 8, 4, 2, qp=28,
+                                          frame_num=1, poc_lsb=8,
+                                          entropy=entropy)
+            gop += hh.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=4,
+                                          qp=28, frame_num=2,
+                                          entropy=entropy,
+                                          col_mvs=col,
+                                          temporal=temporal)
+            streams[entropy] = gop
+        fa, _ = hh.h264_decode_gop_planes(streams["cavlc"])
+        fb, _ = hh.h264_decode_gop_planes(streams["cabac"])
+        assert len(fa) == len(fb) == 3
+        for k, (pa, pb) in enumerate(zip(fa, fb)):
+            for plane_a, plane_b in zip(pa, pb):
+                np.testing.assert_array_equal(
+                    plane_a, plane_b, err_msg=f"{temporal} {k}")
