@@ -30,7 +30,9 @@ with poc_type-0 output reordering (h264_encode_b_frame + the GOP
 decoder), under both entropy coders. P slices carry the full
 partition set (16x16, 16x8, 8x16, P_8x8 with 8x8/8x4/4x8/4x4
 sub-partitions); all inter MV prediction runs at the spec's
-4x4-block granularity (8.4.1.3).
+4x4-block granularity (8.4.1.3). Weighted prediction (r8): explicit
+pred_weight_tables in P and B slices plus implicit B biprediction
+(8.4.2.3, weighted_bipred_idc 2).
 
 Out of scope, rejected loudly (NotImplementedError): multiple slice groups, fields/MBAFF, 8x8
 transform (High profile), monochrome / 4:2:2 / 4:4:4, scaling
@@ -1012,9 +1014,10 @@ def _parse_pps(br: _Bits) -> dict:
         raise NotImplementedError("multiple slice groups (FMO) unsupported")
     num_ref_idx_l0 = br.ue()                  # num_ref_idx_l0_default
     br.ue()                                   # num_ref_idx_l1_default
-    if br.flag():                             # weighted_pred_flag
-        raise NotImplementedError("weighted prediction unsupported")
+    weighted_pred = bool(br.flag())           # weighted_pred_flag
     weighted_bipred = br.u(2)
+    if weighted_bipred == 3:
+        raise ValueError("weighted_bipred_idc out of range")
     qp = 26 + br.se()                         # pic_init_qp
     br.se()                                   # pic_init_qs
     chroma_qp_off = br.se()
@@ -1027,7 +1030,60 @@ def _parse_pps(br: _Bits) -> dict:
             "constrained_intra": constrained_intra,
             "bottom_field_poc": bottom_field_poc,
             "num_ref_idx_l0": num_ref_idx_l0,
+            "weighted_pred": weighted_pred,
             "weighted_bipred": weighted_bipred}
+
+
+def _parse_pred_weight_table(br: _Bits, is_b: bool) -> dict:
+    """pred_weight_table (7.3.5.1, one reference per list): log2
+    denominators + per-list (luma, Cb, Cr) (weight, offset) pairs,
+    defaulting to (1 << denom, 0) when the per-list flag is 0."""
+    ly = br.ue()
+    lc = br.ue()
+    if ly > 7 or lc > 7:
+        raise ValueError("log2_weight_denom out of range")
+
+    def one_list():
+        if br.flag():                # luma_weight_lX_flag
+            wy, oy = br.se(), br.se()
+        else:
+            wy, oy = 1 << ly, 0
+        if br.flag():                # chroma_weight_lX_flag
+            wcb, ocb = br.se(), br.se()
+            wcr, ocr = br.se(), br.se()
+        else:
+            wcb = wcr = 1 << lc
+            ocb = ocr = 0
+        for v in (wy, oy, wcb, ocb, wcr, ocr):
+            if not -128 <= v <= 127:
+                raise ValueError("weight/offset out of range")
+        return ((wy, oy), (wcb, ocb), (wcr, ocr))
+
+    l0 = one_list()
+    l1 = one_list() if is_b else None
+    return {"ly": ly, "lc": lc, "l0": l0, "l1": l1}
+
+
+def _write_pred_weight_table(bw: _BitW, weights: dict, is_b: bool):
+    """Encoder twin of :func:`_parse_pred_weight_table`."""
+    ly, lc = weights["ly"], weights["lc"]
+    bw.ue(ly)
+    bw.ue(lc)
+    for key in (("l0", "l1") if is_b else ("l0",)):
+        (wy, oy), (wcb, ocb), (wcr, ocr) = weights[key]
+        lf = (wy, oy) != (1 << ly, 0)
+        bw.u(1 if lf else 0, 1)
+        if lf:
+            bw.se(wy)
+            bw.se(oy)
+        cf = ((wcb, ocb) != (1 << lc, 0)
+              or (wcr, ocr) != (1 << lc, 0))
+        bw.u(1 if cf else 0, 1)
+        if cf:
+            bw.se(wcb)
+            bw.se(ocb)
+            bw.se(wcr)
+            bw.se(ocr)
 
 
 def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
@@ -1046,10 +1102,6 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
             raise ValueError(
                 "B slices require pic_order_cnt_type 0 (decoding "
                 "order differs from output order)")
-        if pps["weighted_bipred"] != 0:
-            raise NotImplementedError(
-                "weighted biprediction unsupported (default average "
-                "only)")
     br.ue()                                   # pic_parameter_set_id
     br.u(sps["log2_max_frame_num"])           # frame_num
     if is_idr:
@@ -1079,6 +1131,12 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
         if st5 == 1 and br.flag():            # ref_pic_list_mod_l1
             raise NotImplementedError(
                 "reference picture list modification unsupported")
+    wp = None                        # weighted prediction (r8)
+    if ((st5 == 0 and pps["weighted_pred"])
+            or (st5 == 1 and pps["weighted_bipred"] == 1)):
+        wp = _parse_pred_weight_table(br, st5 == 1)
+    elif st5 == 1 and pps["weighted_bipred"] == 2:
+        wp = "implicit"              # weights derived from POCs
     if nal_ref_idc:
         if is_idr:
             br.flag()                         # no_output_of_prior_pics
@@ -1104,7 +1162,8 @@ def _parse_slice_header(br: _Bits, sps: dict, pps: dict,
             "deblocking_filter_control_present_flag); decoder only "
             "supports streams that disable the loop filter")
     return {"first_mb": first_mb, "qp": qp, "slice_type": st5,
-            "poc_lsb": poc_lsb, "direct_spatial": direct_spatial}
+            "poc_lsb": poc_lsb, "direct_spatial": direct_spatial,
+            "wp": wp}
 
 
 # ---------------------------------------------------------------------------
@@ -1268,7 +1327,9 @@ def h264_decode_gop_planes(payload: bytes):
         mv_map = mvs["l0"]
         if sh["slice_type"] == 0 and ref is None:
             raise ValueError("P slice without a reference frame")
-        ref0 = ref1 = col_mvs = temporal = None
+        ref0 = ref1 = col_mvs = temporal = wp = None
+        if sh["wp"] is not None and sh["wp"] != "implicit":
+            wp = _WPred(table=sh["wp"])      # explicit WP (r8)
         if sh["slice_type"] == 1:    # B: nearest refs by output order
             below = [r for r in refs if r[0] < cur_key[1]]
             above = [r for r in refs if r[0] > cur_key[1]]
@@ -1281,6 +1342,9 @@ def h264_decode_gop_planes(payload: bytes):
             ref1, col_mvs = fut[1], fut[2]
             if not sh["direct_spatial"]:     # temporal direct (r8)
                 temporal = (cur_key[1] - past[0], fut[0] - past[0])
+            if sh["wp"] == "implicit":       # implicit bipred (r8)
+                wp = _WPred(implicit=_implicit_bi_weights(
+                    cur_key[1] - past[0], fut[0] - past[0]))
         qp = sh["qp"]
         addr = sh["first_mb"]
 
@@ -1307,11 +1371,12 @@ def h264_decode_gop_planes(payload: bytes):
             elif sh["slice_type"] == 1:              # B slice, CABAC
                 n = h264_cabac.decode_bslice_cabac(
                     br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
-                    states, mvs, mbs_w, n_mbs, addr, step, temporal)
+                    states, mvs, mbs_w, n_mbs, addr, step, temporal,
+                    wp)
             else:                                    # P slice, CABAC
                 n = h264_cabac.decode_pslice_cabac(
                     br, qp, pps, ref, Y, Cb, Cr, states, mv_map,
-                    mbs_w, n_mbs, addr, step)
+                    mbs_w, n_mbs, addr, step, wp)
             n_decoded += n
             addr += n
         elif sh["slice_type"] == 2:                  # I slice, CAVLC
@@ -1331,7 +1396,7 @@ def h264_decode_gop_planes(payload: bytes):
                     mbx, mby = step(addr)
                     _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr,
                                       states, mvs, mbx, mby, mbs_w,
-                                      temporal)
+                                      temporal, wp)
                     n_decoded += 1
                     addr += 1
                 if not br.more_rbsp_data():
@@ -1339,7 +1404,7 @@ def h264_decode_gop_planes(payload: bytes):
                 mbx, mby = step(addr)
                 qp = _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs,
                                   Y, Cb, Cr, states, mvs, mbx, mby,
-                                  mbs_w, temporal)
+                                  mbs_w, temporal, wp)
                 n_decoded += 1
                 addr += 1
                 if not br.more_rbsp_data():
@@ -1350,14 +1415,14 @@ def h264_decode_gop_planes(payload: bytes):
                 for _ in range(skip_run):
                     mbx, mby = step(addr)
                     _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map,
-                                      mbx, mby, mbs_w)
+                                      mbx, mby, mbs_w, wp)
                     n_decoded += 1
                     addr += 1
                 if not br.more_rbsp_data():
                     break
                 mbx, mby = step(addr)
                 qp = _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states,
-                                  mv_map, mbx, mby, mbs_w)
+                                  mv_map, mbx, mby, mbs_w, wp)
                 n_decoded += 1
                 addr += 1
                 if not br.more_rbsp_data():
@@ -1685,6 +1750,78 @@ def _mc_predict_mb(ref, mbx, mby, mvx, mvy):
     return predY, predCb, predCr
 
 
+class _WPred:
+    """Resolved weighted-prediction context for one inter slice
+    (8.4.2.3, one reference per list). ``table`` is the parsed
+    pred_weight_table for EXPLICIT mode; ``implicit`` the (w0, w1)
+    POC-derived pair for implicit B biprediction (logWD 5, zero
+    offsets — single-list predictions stay unweighted there)."""
+
+    __slots__ = ("table", "implicit")
+
+    def __init__(self, table=None, implicit=None):
+        self.table = table
+        self.implicit = implicit
+
+    def single(self, planes, li: int):
+        """Weight a single-list (y, cb, cr) prediction (8.4.2.3.2)."""
+        t = self.table
+        if t is None:                # implicit: unweighted
+            return planes
+        ws = t["l0"] if li == 0 else t["l1"]
+        out = []
+        for p, ld, (w, o) in zip(planes, (t["ly"], t["lc"], t["lc"]),
+                                 ws):
+            if ld:
+                q = ((p * w + (1 << (ld - 1))) >> ld) + o
+            else:
+                q = p * w + o
+            out.append(np.clip(q, 0, 255))
+        return tuple(out)
+
+    def bi(self, p0, p1):
+        """Combine two (y, cb, cr) predictions (8.4.2.3.2 explicit /
+        8.4.2.3.1 implicit)."""
+        if self.table is None:
+            w0, w1 = self.implicit
+            return tuple(np.clip((a * w0 + b * w1 + 32) >> 6, 0, 255)
+                         for a, b in zip(p0, p1))
+        t = self.table
+        out = []
+        for a, b, ld, (w0, o0), (w1, o1) in zip(
+                p0, p1, (t["ly"], t["lc"], t["lc"]), t["l0"],
+                t["l1"]):
+            q = (((a * w0 + b * w1 + (1 << ld)) >> (ld + 1))
+                 + ((o0 + o1 + 1) >> 1))
+            out.append(np.clip(q, 0, 255))
+        return tuple(out)
+
+
+def _wp_single(planes, wp, li: int):
+    return planes if wp is None else wp.single(planes, li)
+
+
+def _wp_bi(p0, p1, wp):
+    if wp is None:                   # default (non-weighted) average
+        return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+    return wp.bi(p0, p1)
+
+
+def _implicit_bi_weights(tb: int, td: int):
+    """Implicit-mode (w0, w1) from POC distances (8.4.2.3.1): w1 =
+    DistScaleFactor >> 2, falling back to 32/32 outside the legal
+    range or at zero distance."""
+    if td == 0:
+        return 32, 32
+    tb = min(max(tb, -128), 127)
+    td = min(max(td, -128), 127)
+    tx = _idiv(16384 + abs(_idiv(td, 2)), td)
+    w1 = min(max((tb * tx + 32) >> 6, -1024), 1023) >> 2
+    if not -64 <= w1 <= 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
 # P macroblock partition geometry (Table 7-13): mb_type 1 = two
 # 16x8 rows, 2 = two 8x16 columns, each with its 8.4.1.3 directional
 # MV-predictor rule; 3/4 = P_8x8 (ref0 variant identical with one
@@ -1734,7 +1871,7 @@ _B_PART_TYPE = {(s, m0, m1): t for t, (s, m0, m1)
 
 
 def _code_b_partitions(code_mvd, mb_type, mvs, ref0, ref1, mbx, mby,
-                       mbs_w):
+                       mbs_w, wp=None):
     """Shared body of a two-partition B macroblock (16x8/8x16,
     mb_types 4..21) for BOTH directions and entropy coders:
     ``code_mvd(li, idx, bx0, by0, w4, h4, mvp) -> (mvx, mvy)``
@@ -1783,18 +1920,17 @@ def _code_b_partitions(code_mvd, mb_type, mvs, ref0, ref1, mbx, mby,
                 raise ValueError(
                     "B macroblock without a reference frame")
             cx, cy, cw, ch = ox // 2, oy // 2, w // 2, h // 2
-            preds.append((
+            preds.append((li, (
                 _mc_luma(refp[0], mbx * 16 + ox, mby * 16 + oy,
                          mv[0], mv[1], (h, w)),
                 _mc_chroma(refp[1], mbx * 8 + cx, mby * 8 + cy,
                            mv[0], mv[1], (ch, cw)),
                 _mc_chroma(refp[2], mbx * 8 + cx, mby * 8 + cy,
-                           mv[0], mv[1], (ch, cw))))
-        if len(preds) == 2:          # default (non-weighted) average
-            py, pcb, pcr = ((a + b + 1) >> 1
-                            for a, b in zip(preds[0], preds[1]))
+                           mv[0], mv[1], (ch, cw)))))
+        if len(preds) == 2:
+            py, pcb, pcr = _wp_bi(preds[0][1], preds[1][1], wp)
         else:
-            py, pcb, pcr = preds[0]
+            py, pcb, pcr = _wp_single(preds[0][1], wp, preds[0][0])
         predY[oy:oy + h, ox:ox + w] = py
         cx, cy, cw, ch = ox // 2, oy // 2, w // 2, h // 2
         predCb[cy:cy + ch, cx:cx + cw] = pcb
@@ -1843,7 +1979,7 @@ def _b8x8_targets(subs):
 
 
 def _code_b_8x8(code_mvd, sub_types, mvs, col_mvs, temporal, ref0,
-                ref1, mbx, mby, mbs_w):
+                ref1, mbx, mby, mbs_w, wp=None):
     """Shared body of a B_8x8 macroblock (mb_type 22) for both
     directions and entropy coders. ``sub_types`` is the four
     Table 7-18 sub_mb_type values (quadrant raster order);
@@ -1920,18 +2056,18 @@ def _code_b_8x8(code_mvd, sub_types, mvs, col_mvs, temporal, ref0,
                 if refp is None:
                     raise ValueError(
                         "B macroblock without a reference frame")
-                preds.append((
+                preds.append((li, (
                     _mc_luma(refp[0], mbx * 16 + ox, mby * 16 + oy,
                              mv[0], mv[1], (h, w)),
                     _mc_chroma(refp[1], mbx * 8 + cx, mby * 8 + cy,
                                mv[0], mv[1], (ch, cw)),
                     _mc_chroma(refp[2], mbx * 8 + cx, mby * 8 + cy,
-                               mv[0], mv[1], (ch, cw))))
-            if len(preds) == 2:      # default (non-weighted) average
-                py, pcb, pcr = ((a + b + 1) >> 1
-                                for a, b in zip(preds[0], preds[1]))
+                               mv[0], mv[1], (ch, cw)))))
+            if len(preds) == 2:
+                py, pcb, pcr = _wp_bi(preds[0][1], preds[1][1], wp)
             else:
-                py, pcb, pcr = preds[0]
+                py, pcb, pcr = _wp_single(preds[0][1], wp,
+                                          preds[0][0])
             predY[oy:oy + h, ox:ox + w] = py
             predCb[cy:cy + ch, cx:cx + cw] = pcb
             predCr[cy:cy + ch, cx:cx + cw] = pcr
@@ -2019,14 +2155,15 @@ def _mc_predict_quad(ref, mbx, mby, qx, qy, mvx, mvy):
 
 
 def _direct_predict_mb(mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w,
-                       temporal=None):
+                       temporal=None, wp=None):
     """Derive the direct-mode motion for MB (mbx, mby) — spatial, or
     temporal when ``temporal = (tb, td)`` — update the per-list MV
     maps and return the (predY, predCb, predCr) 16x16 prediction —
     shared by B_Skip and B_Direct_16x16 under both entropy coders.
     Uniform quadrant grids (the common case) take the whole-MB MC
     fast path; a partitioned colocated MB yields per-quadrant motion
-    compensation."""
+    compensation. ``wp`` is the slice's weighted-prediction context
+    (r8)."""
     use_l0, use_l1, q_l0, q_l1 = _record_direct(mvs, col_mvs, mbx,
                                                 mby, mbs_w, temporal)
     uni_l0 = q_l0 is None or isinstance(
@@ -2039,10 +2176,9 @@ def _direct_predict_mb(mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w,
             preds.append(_mc_predict_mb(ref0, mbx, mby, *q_l0[0][0]))
         if use_l1:
             preds.append(_mc_predict_mb(ref1, mbx, mby, *q_l1[0][0]))
-        if len(preds) == 2:          # default (non-weighted) average
-            return tuple((a + b + 1) >> 1
-                         for a, b in zip(preds[0], preds[1]))
-        return preds[0]
+        if len(preds) == 2:
+            return _wp_bi(preds[0], preds[1], wp)
+        return _wp_single(preds[0], wp, 0 if use_l0 else 1)
     predY = np.empty((16, 16), dtype=np.int64)
     predCb = np.empty((8, 8), dtype=np.int64)
     predCr = np.empty((8, 8), dtype=np.int64)
@@ -2056,10 +2192,10 @@ def _direct_predict_mb(mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w,
                 preds.append(_mc_predict_quad(ref1, mbx, mby, qx, qy,
                                               *q_l1[qy][qx]))
             if len(preds) == 2:
-                y, cb, cr = ((a + b + 1) >> 1
-                             for a, b in zip(preds[0], preds[1]))
+                y, cb, cr = _wp_bi(preds[0], preds[1], wp)
             else:
-                y, cb, cr = preds[0]
+                y, cb, cr = _wp_single(preds[0], wp,
+                                       0 if use_l0 else 1)
             predY[qy * 8:qy * 8 + 8, qx * 8:qx * 8 + 8] = y
             predCb[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = cb
             predCr[qy * 4:qy * 4 + 4, qx * 4:qx * 4 + 4] = cr
@@ -2067,9 +2203,10 @@ def _direct_predict_mb(mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w,
 
 
 def _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map, mbx, mby,
-                      mbs_w):
+                      mbs_w, wp=None):
     mvx, mvy = _mv_pred_skip(mv_map, mbx, mby, mbs_w)
-    predY, predCb, predCr = _mc_predict_mb(ref, mbx, mby, mvx, mvy)
+    predY, predCb, predCr = _wp_single(
+        _mc_predict_mb(ref, mbx, mby, mvx, mvy), wp, 0)
     Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = predY
     Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCb
     Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCr
@@ -2113,7 +2250,7 @@ def _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
 
 
 def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
-                 mby, mbs_w):
+                 mby, mbs_w, wp=None):
     mb_type = br.ue()
     if mb_type >= 5:                 # intra macroblock in a P slice
         qp = _decode_mb_intra(br, mb_type - 5, qp, pps, Y, Cb, Cr,
@@ -2152,6 +2289,8 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
             _part_predict(ref, pm, predY, predCb, predCr, mbx, mby,
                           ox, oy, w, h, mvx, mvy)
         mv_entry = pm
+    predY, predCb, predCr = _wp_single((predY, predCb, predCr), wp,
+                                       0)
     qp = _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
                            predCb, predCr, mbx, mby, mbs_w)
     states[(mbx, mby)] = st
@@ -2160,12 +2299,12 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
 
 
 def _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr, states, mvs,
-                      mbx, mby, mbs_w, temporal=None):
+                      mbx, mby, mbs_w, temporal=None, wp=None):
     """B_Skip macroblock: direct 16x16 prediction, no residual
     (spatial 8.4.1.2.2 or temporal 8.4.1.2.3)."""
     predY, predCb, predCr = _direct_predict_mb(mvs, col_mvs, ref0,
                                                ref1, mbx, mby, mbs_w,
-                                               temporal)
+                                               temporal, wp)
     Y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = predY
     Cb[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCb
     Cr[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = predCr
@@ -2173,7 +2312,8 @@ def _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr, states, mvs,
 
 
 def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
-                 states, mvs, mbx, mby, mbs_w, temporal=None):
+                 states, mvs, mbx, mby, mbs_w, temporal=None,
+                 wp=None):
     """B-slice macroblock (r8): B_Direct_16x16 (spatial or temporal
     direct) / B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (default average)
     / the 16x8 and 8x16 two-partition types (4..21) / B_8x8 with all
@@ -2193,22 +2333,22 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
 
         predY, predCb, predCr = _code_b_8x8(
             read_sub_mvd, sub_types, mvs, col_mvs, temporal, ref0,
-            ref1, mbx, mby, mbs_w)
+            ref1, mbx, mby, mbs_w, wp)
     elif mb_type > 3:                # r8: 16x8 / 8x16 partitions
         def read_mvd(li, idx, bx0, by0, w4, h4, mvp):
             return mvp[0] + br.se(), mvp[1] + br.se()
 
         predY, predCb, predCr = _code_b_partitions(
-            read_mvd, mb_type, mvs, ref0, ref1, mbx, mby, mbs_w)
+            read_mvd, mb_type, mvs, ref0, ref1, mbx, mby, mbs_w, wp)
     elif mb_type == 0:               # B_Direct_16x16: derived motion
         predY, predCb, predCr = _direct_predict_mb(
-            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w, temporal)
+            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w, temporal, wp)
     else:
         use_l0 = mb_type in (1, 3)
         use_l1 = mb_type in (2, 3)
         preds = []
-        for lst, use, refp in (("l0", use_l0, ref0), ("l1", use_l1,
-                                                      ref1)):
+        for li, (lst, use, refp) in enumerate(
+                (("l0", use_l0, ref0), ("l1", use_l1, ref1))):
             if not use:
                 mvs[lst][(mbx, mby)] = None
                 continue
@@ -2218,12 +2358,14 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
             if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
                 raise ValueError("implausible motion vector")
             mvs[lst][(mbx, mby)] = (mvx, mvy)
-            preds.append(_mc_predict_mb(refp, mbx, mby, mvx, mvy))
-        if len(preds) == 2:          # default (non-weighted) average
-            predY, predCb, predCr = (
-                (a + b + 1) >> 1 for a, b in zip(preds[0], preds[1]))
+            preds.append((li, _mc_predict_mb(refp, mbx, mby, mvx,
+                                             mvy)))
+        if len(preds) == 2:
+            predY, predCb, predCr = _wp_bi(preds[0][1], preds[1][1],
+                                           wp)
         else:
-            predY, predCb, predCr = preds[0]
+            predY, predCb, predCr = _wp_single(preds[0][1], wp,
+                                               preds[0][0])
     st = _MBState()
     qp = _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
                            predCb, predCr, mbx, mby, mbs_w)
@@ -2531,7 +2673,8 @@ def _write_sps(mbs_w: int, mbs_h: int, profile: int = 66,
     return bw.bytes()
 
 
-def _write_pps(cabac: bool = False) -> bytes:
+def _write_pps(cabac: bool = False, weighted_pred: bool = False,
+               weighted_bipred: int = 0) -> bytes:
     bw = _BitW()
     bw.ue(0)                                 # pps_id
     bw.ue(0)                                 # sps_id
@@ -2540,8 +2683,8 @@ def _write_pps(cabac: bool = False) -> bytes:
     bw.ue(0)                                 # num_slice_groups_minus1
     bw.ue(0)                                 # num_ref_idx_l0
     bw.ue(0)                                 # num_ref_idx_l1
-    bw.u(0, 1)                               # weighted_pred
-    bw.u(0, 2)                               # weighted_bipred
+    bw.u(1 if weighted_pred else 0, 1)       # weighted_pred
+    bw.u(weighted_bipred & 3, 2)             # weighted_bipred_idc
     bw.se(0)                                 # pic_init_qp_minus26 -> 26
     bw.se(0)                                 # pic_init_qs
     bw.se(0)                                 # chroma_qp_index_offset
@@ -2590,7 +2733,9 @@ def h264_encode(y: np.ndarray, qp: int = 30,
                 cr: np.ndarray | None = None,
                 mb_mode: str = "i16",
                 entropy: str = "cavlc",
-                poc_lsb: int | None = None) -> bytes:
+                poc_lsb: int | None = None,
+                weighted_pred: bool = False,
+                weighted_bipred: int = 0) -> bytes:
     """Encode a (h, w) uint8 luma plane (h, w multiples of 16; cb/cr
     optional (h/2, w/2) planes, default neutral 128) as a one-slice
     Annex-B IDR access unit. ``mb_mode``: 'i16' (Intra_16x16 DC
@@ -2606,7 +2751,12 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     MB predicts from the *reconstructed* neighbours, so
     :func:`h264_decode` of the returned stream reproduces the
     encoder's reconstruction exactly (asserted in tests). Returns the
-    Annex-B bytes."""
+    Annex-B bytes.
+
+    ``weighted_pred`` / ``weighted_bipred`` (r8) set the PPS flags
+    for a GOP whose P/B slices carry explicit pred_weight_tables
+    (``h264_encode_p_frame(weights=...)``) or implicit B
+    biprediction (idc 2); the IDR itself is unaffected."""
     y = np.asarray(y, dtype=np.int64)
     H, W = y.shape
     if H % 16 or W % 16:
@@ -2682,13 +2832,15 @@ def h264_encode(y: np.ndarray, qp: int = 30,
         return _assemble(
             _write_sps(mbs_w, mbs_h, profile=77,
                        poc_type=0 if poc_lsb is not None else 2),
-            _write_pps(cabac=True), wr.rbsp_from_header(hb),
-            sei=_gs_cabac_sei())
+            _write_pps(cabac=True, weighted_pred=weighted_pred,
+                       weighted_bipred=weighted_bipred),
+            wr.rbsp_from_header(hb), sei=_gs_cabac_sei())
     bw.trailing()
     stream = _assemble(
         _write_sps(mbs_w, mbs_h,
                    poc_type=0 if poc_lsb is not None else 2),
-        _write_pps(), bw.bytes())
+        _write_pps(weighted_pred=weighted_pred,
+                   weighted_bipred=weighted_bipred), bw.bytes())
     return stream
 
 
@@ -2931,7 +3083,9 @@ def _plan_mb_i4(y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx, mby,
 
 def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,
                          entropy: str = "cavlc",
-                         poc_lsb: int | None = None) -> bytes:
+                         poc_lsb: int | None = None,
+                         weighted_pred: bool = False,
+                         weighted_bipred: int = 0) -> bytes:
     """The ORACLE FAMILY: an IDR frame of Intra_16x16 DC-predicted
     macroblocks, each carrying a single luma DC coefficient chosen so
     the whole MB reconstructs to pred + offsets[my][mx] exactly —
@@ -2980,7 +3134,9 @@ def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,
         _slice_header(hb, qp, poc_lsb)
         return _assemble(_write_sps(mbs_w, mbs_h, profile=77,
                                     poc_type=poc_type),
-                         _write_pps(cabac=True),
+                         _write_pps(cabac=True,
+                                    weighted_pred=weighted_pred,
+                                    weighted_bipred=weighted_bipred),
                          wr.rbsp_from_header(hb),
                          sei=_gs_cabac_sei())
     if entropy != "cavlc":
@@ -2992,7 +3148,9 @@ def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,
         states[(mx, my)] = sym["st"]
     bw.trailing()
     return _assemble(_write_sps(mbs_w, mbs_h, poc_type=poc_type),
-                     _write_pps(), bw.bytes())
+                     _write_pps(weighted_pred=weighted_pred,
+                                weighted_bipred=weighted_bipred),
+                     bw.bytes())
 
 
 def _flat_mb_syms(offsets, qp):
@@ -3059,7 +3217,8 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         qp: int = 30, frame_num: int = 1,
                         ref_idc: int = 2,
                         entropy: str = "cavlc",
-                        poc_lsb: int | None = None) -> bytes:
+                        poc_lsb: int | None = None,
+                        weights: dict | None = None) -> bytes:
     """Encode ONE P frame as an Annex-B non-IDR NAL (nal_ref_idc
     ``ref_idc``, single slice, CAVLC) to append after an IDR access
     unit. ``ref_idc=0`` emits a non-reference slice — legal for the
@@ -3085,6 +3244,12 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     to pick coefficient tables — so any decoder divergence shows up
     as a hard mismatch in tests rather than cancelling out.
 
+    ``weights`` (r8) is the explicit pred_weight_table in the parsed
+    dict shape ({'ly', 'lc', 'l0': ((wY,oY),(wCb,oCb),(wCr,oCr)),
+    'l1': None}) — pass it iff the GOP's IDR was encoded with
+    ``weighted_pred=True`` (the PPS flag decides whether the decoder
+    parses the table).
+
     ``entropy='cabac'`` (r8) serializes the same mb_specs with
     h264_cabac's writer (the frame must follow an IDR encoded with
     entropy='cabac', sharing its CABAC PPS and marker SEI)."""
@@ -3092,7 +3257,8 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         from . import h264_cabac
         return h264_cabac.encode_p_frame_cabac(mb_specs, mbs_w,
                                                mbs_h, qp, frame_num,
-                                               ref_idc, poc_lsb)
+                                               ref_idc, poc_lsb,
+                                               weights)
     if entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
@@ -3104,6 +3270,8 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         bw.u(poc_lsb & 63, 6)
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_modification
+    if weights is not None:                  # pred_weight_table (r8)
+        _write_pred_weight_table(bw, weights, is_b=False)
     if ref_idc:
         bw.u(0, 1)                           # adaptive_ref_pic_marking
     bw.se(qp - 26)                           # slice_qp_delta
@@ -3210,7 +3378,8 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         frame_num: int = 1,
                         entropy: str = "cavlc",
                         col_mvs: dict | None = None,
-                        temporal: tuple | None = None) -> bytes:
+                        temporal: tuple | None = None,
+                        weights: dict | None = None) -> bytes:
     """Encode ONE B frame as an Annex-B non-reference NAL (CAVLC,
     single slice) for a poc_type-0 stream (build the IDR with
     ``h264_encode(..., poc_lsb=...)`` and reference P frames with
@@ -3260,7 +3429,7 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         return h264_cabac.encode_b_frame_cabac(mb_specs, mbs_w,
                                                mbs_h, poc_lsb, qp,
                                                frame_num, col_mvs,
-                                               temporal)
+                                               temporal, weights)
     if entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
@@ -3273,6 +3442,9 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_mod_l0
     bw.u(0, 1)                               # ref_pic_list_mod_l1
+    if weights is not None:                  # pred_weight_table (r8):
+        # only for weighted_bipred_idc=1 GOPs (both lists)
+        _write_pred_weight_table(bw, weights, is_b=True)
     # nal_ref_idc 0: no dec_ref_pic_marking
     bw.se(qp - 26)                           # slice_qp_delta
     bw.ue(1)                                 # disable_deblocking

@@ -1340,7 +1340,8 @@ class CabacSliceWriter:
 def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
                          qp: int = 30, frame_num: int = 1,
                          ref_idc: int = 2,
-                         poc_lsb: int | None = None) -> bytes:
+                         poc_lsb: int | None = None,
+                         weights: dict | None = None) -> bytes:
     """CABAC twin of h264.h264_encode_p_frame: ONE P frame as an
     Annex-B non-IDR NAL from the same mb_spec format (must follow an
     IDR encoded with entropy='cabac' so the stream shares the
@@ -1356,6 +1357,9 @@ def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
         bw.u(poc_lsb & 63, 6)
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_modification
+    if weights is not None:                  # pred_weight_table (r8)
+        from .h264 import _write_pred_weight_table
+        _write_pred_weight_table(bw, weights, is_b=False)
     if ref_idc:
         bw.u(0, 1)                           # adaptive_ref_pic_marking
     bw.ue(0)                                 # cabac_init_idc
@@ -1374,7 +1378,8 @@ def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
                          poc_lsb: int, qp: int = 30,
                          frame_num: int = 1,
                          col_mvs: dict | None = None,
-                         temporal: tuple | None = None) -> bytes:
+                         temporal: tuple | None = None,
+                         weights: dict | None = None) -> bytes:
     """CABAC twin of h264.h264_encode_b_frame: ONE non-reference B
     frame as an Annex-B NAL for a poc_type-0 CABAC stream (IDR via
     h264_encode(..., entropy='cabac', poc_lsb=...), reference P
@@ -1392,6 +1397,9 @@ def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.u(0, 1)                               # num_ref_idx_override
     bw.u(0, 1)                               # ref_pic_list_mod_l0
     bw.u(0, 1)                               # ref_pic_list_mod_l1
+    if weights is not None:                  # pred_weight_table (r8)
+        from .h264 import _write_pred_weight_table
+        _write_pred_weight_table(bw, weights, is_b=True)
     # nal_ref_idc 0: no dec_ref_pic_marking
     bw.ue(0)                                 # cabac_init_idc
     bw.se(qp - 26)                           # slice_qp_delta
@@ -1616,7 +1624,8 @@ def _decode_mb_cabac(dec, ctx, recs, qp, prev_qpd, pps, Y, Cb, Cr,
 
 def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
                         Cr, states: dict, mv_map: dict, mbs_w: int,
-                        n_mbs: int, addr: int, step) -> int:
+                        n_mbs: int, addr: int, step,
+                        wp=None) -> int:
     """Decode one CABAC P slice starting at macroblock ``addr``;
     returns the number of MBs decoded. Same gate/contract as
     :func:`decode_islice_cabac`; supports the CAVLC P subset
@@ -1636,7 +1645,7 @@ def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
         mbx, mby = step(addr + n)
         if dec.bit(ctx, _SKIP_P + _skip_inc(recs, mbx, mby, mbs_w)):
             _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map, mbx,
-                              mby, mbs_w)
+                              mby, mbs_w, wp)
             cur = _Rec()
             cur.skip = True
             cur.intra = False
@@ -1645,7 +1654,7 @@ def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
         else:
             qp, prev_qpd = _decode_mb_p_cabac(
                 dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref, Y, Cb,
-                Cr, states, mv_map, mbx, mby, mbs_w)
+                Cr, states, mv_map, mbx, mby, mbs_w, wp)
         n += 1
         if dec.terminate():          # end_of_slice_flag
             break
@@ -1655,9 +1664,11 @@ def decode_pslice_cabac(br: _Bits, qp: int, pps: dict, ref, Y, Cb,
 
 
 def _decode_mb_p_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref,
-                       Y, Cb, Cr, states, mv_map, mbx, mby, mbs_w):
+                       Y, Cb, Cr, states, mv_map, mbx, mby, mbs_w,
+                       wp=None):
     from .h264 import (_PartMvs, _mc_predict_mb, _mv_pred_16x16,
-                       _mv_pred_part, _p_partitions, _part_predict)
+                       _mv_pred_part, _p_partitions, _part_predict,
+                       _wp_single)
     cur = _Rec()
     st = _MBState()
     if dec.bit(ctx, _MB_TYPE_P):     # intra macroblock in the P slice
@@ -1724,6 +1735,8 @@ def _decode_mb_p_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref,
             _part_predict(ref, pm, predY, predCb, predCr, mbx, mby,
                           ox, oy, w, h, mvx, mvy)
         mv_entry = pm
+    predY, predCb, predCr = _wp_single((predY, predCb, predCr), wp,
+                                       0)
     qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
                                    prev_qpd, pps, Y, Cb, Cr, predY,
                                    predCb, predCr, mbx, mby, mbs_w)
@@ -1780,7 +1793,7 @@ def _dec_inter_tail(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y,
 def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
                         col_mvs, Y, Cb, Cr, states: dict, mvs: dict,
                         mbs_w: int, n_mbs: int, addr: int,
-                        step, temporal=None) -> int:
+                        step, temporal=None, wp=None) -> int:
     """Decode one CABAC B slice starting at macroblock ``addr``;
     returns the number of MBs decoded. Same gate/contract as
     :func:`decode_islice_cabac`; supports the CAVLC B subset
@@ -1804,7 +1817,7 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
         mbx, mby = step(addr + n)
         if dec.bit(ctx, _SKIP_B + _skip_inc(recs, mbx, mby, mbs_w)):
             _decode_mb_b_skip(ref0, ref1, col_mvs, Y, Cb, Cr, states,
-                              mvs, mbx, mby, mbs_w, temporal)
+                              mvs, mbx, mby, mbs_w, temporal, wp)
             cur = _Rec()
             cur.skip = True
             cur.intra = False
@@ -1815,7 +1828,7 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
             qp, prev_qpd = _decode_mb_b_cabac(
                 dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref0, ref1,
                 col_mvs, Y, Cb, Cr, states, mvs, mbx, mby, mbs_w,
-                temporal)
+                temporal, wp)
         n += 1
         if dec.terminate():          # end_of_slice_flag
             break
@@ -1826,9 +1839,9 @@ def decode_bslice_cabac(br: _Bits, qp: int, pps: dict, ref0, ref1,
 
 def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
                        ref0, ref1, col_mvs, Y, Cb, Cr, states, mvs,
-                       mbx, mby, mbs_w, temporal=None):
+                       mbx, mby, mbs_w, temporal=None, wp=None):
     from .h264 import (_direct_predict_mb, _mc_predict_mb,
-                       _mv_pred_16x16)
+                       _mv_pred_16x16, _wp_bi, _wp_single)
     cur = _Rec()
     st = _MBState()
     binc = _mbtype_b_inc(recs, mbx, mby, mbs_w)
@@ -1836,7 +1849,7 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
         cur.intra = False
         cur.direct = True
         predY, predCb, predCr = _direct_predict_mb(
-            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w, temporal)
+            mvs, col_mvs, ref0, ref1, mbx, mby, mbs_w, temporal, wp)
         qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
                                        prev_qpd, pps, Y, Cb, Cr,
                                        predY, predCb, predCr, mbx,
@@ -1884,7 +1897,7 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
 
             predY, predCb, predCr = _code_b_8x8(
                 read_sub_mvd, sub_types, mvs, col_mvs, temporal,
-                ref0, ref1, mbx, mby, mbs_w)
+                ref0, ref1, mbx, mby, mbs_w, wp)
             qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st,
                                            qp, prev_qpd, pps, Y, Cb,
                                            Cr, predY, predCb, predCr,
@@ -1911,7 +1924,8 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
                 return mvp[0] + dx, mvp[1] + dy
 
             predY, predCb, predCr = _code_b_partitions(
-                read_mvd, mb_type, mvs, ref0, ref1, mbx, mby, mbs_w)
+                read_mvd, mb_type, mvs, ref0, ref1, mbx, mby, mbs_w,
+                wp)
             qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st,
                                            qp, prev_qpd, pps, Y, Cb,
                                            Cr, predY, predCb, predCr,
@@ -1940,12 +1954,12 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
         if abs(mvx) > 1 << 14 or abs(mvy) > 1 << 14:
             raise ValueError("implausible motion vector")
         mmap[(mbx, mby)] = (mvx, mvy)
-        preds.append(_mc_predict_mb(refp, mbx, mby, mvx, mvy))
-    if len(preds) == 2:              # default (non-weighted) average
-        predY, predCb, predCr = (
-            (a + b + 1) >> 1 for a, b in zip(preds[0], preds[1]))
+        preds.append((lst, _mc_predict_mb(refp, mbx, mby, mvx, mvy)))
+    if len(preds) == 2:
+        predY, predCb, predCr = _wp_bi(preds[0][1], preds[1][1], wp)
     else:
-        predY, predCb, predCr = preds[0]
+        predY, predCb, predCr = _wp_single(preds[0][1], wp,
+                                           preds[0][0])
     qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
                                    prev_qpd, pps, Y, Cb, Cr, predY,
                                    predCb, predCr, mbx, mby, mbs_w)

@@ -1043,3 +1043,107 @@ def test_b_8x8_sub_partitions_per_subpart_oracle():
                 want = (a + c + 1) >> 1
             got = Yb[y0:y0 + hh_, x0:x0 + w]
             assert np.array_equal(got, want), (q, s[0], s[1])
+
+
+def test_weighted_prediction_explicit_p():
+    """Explicit weighted prediction in P slices (8.4.2.3.2, r8): the
+    pred_weight_table scales/offsets the MC result — checked with
+    zero-MV MBs (prediction = reference) against the closed-form
+    weighting, incl. P_Skip MBs, partitioned MBs and chroma
+    defaults, under BOTH entropy coders."""
+    rng = np.random.default_rng(81)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    wts = {"ly": 2, "lc": 3, "l0": ((3, 10), (8, 0), (8, 0)),
+           "l1": None}
+    for entropy in ("cavlc", "cabac"):
+        idr = h.h264_encode(y, qp=24, cb=cb, cr=cr, mb_mode="i4",
+                            weighted_pred=True, entropy=entropy)
+        Y0, Cb0, _, _ = h.h264_decode_planes(idr)
+        specs = [(0, 0), None, ("p16x8", (0, 0), (0, 0)), (0, 0),
+                 None, (0, 0), ("p8x16", (0, 0), (0, 0)), None]
+        p = h.h264_encode_p_frame(specs, 4, 2, qp=28, frame_num=1,
+                                  weights=wts, entropy=entropy)
+        frames, _ = h.h264_decode_gop_planes(idr + p)
+        Y1, Cb1 = frames[1][0], frames[1][1]
+        want = np.clip(((Y0 * 3 + 2) >> 2) + 10, 0, 255)
+        np.testing.assert_array_equal(Y1, want, err_msg=entropy)
+        # chroma weights left at default (1 << lc, 0): unchanged
+        np.testing.assert_array_equal(Cb1, Cb0, err_msg=entropy)
+
+
+def test_weighted_prediction_explicit_b_and_implicit():
+    """B weighted prediction (r8): explicit (weighted_bipred_idc 1)
+    applies per-list weights to single-list MBs and the two-weight
+    formula to bipred; implicit (idc 2) derives 48/16 weights from
+    POC distances 2/8 and weights ONLY bipred."""
+    rng = np.random.default_rng(82)
+    y = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+    wts = {"ly": 1, "lc": 0, "l0": ((1, 20), (1, 0), (1, 0)),
+           "l1": ((3, -4), (1, 0), (1, 0))}
+    for entropy in ("cavlc", "cabac"):
+        # --- explicit ---
+        idr = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                            weighted_bipred=1, entropy=entropy)
+        Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+        p = h.h264_encode_p_frame([(0, 0)] * 2, 2, 1, qp=28,
+                                  frame_num=1, poc_lsb=8,
+                                  entropy=entropy)
+        b = h.h264_encode_b_frame([("l0", 0, 0), ("bi", 0, 0, 0, 0)],
+                                  2, 1, poc_lsb=2, qp=28,
+                                  frame_num=2, weights=wts,
+                                  entropy=entropy)
+        frames, _ = h.h264_decode_gop_planes(idr + p + b)
+        Yb, Yp = frames[1][0], frames[2][0]
+        # MB0: L0 single-list: clip(((p*1 + 1) >> 1) + 20)
+        want0 = np.clip(((Y0[:, :16] + 1) >> 1) + 20, 0, 255)
+        np.testing.assert_array_equal(Yb[:, :16], want0,
+                                      err_msg=entropy)
+        # MB1: bipred: clip(((p0*1 + p1*3 + 2) >> 2) + ((20-4+1)>>1))
+        want1 = np.clip(((Y0[:, 16:] + Yp[:, 16:] * 3 + 2) >> 2) + 8,
+                        0, 255)
+        np.testing.assert_array_equal(Yb[:, 16:], want1,
+                                      err_msg=entropy)
+        # --- implicit ---
+        idr = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                            weighted_bipred=2, entropy=entropy)
+        Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+        p = h.h264_encode_p_frame([(0, 0)] * 2, 2, 1, qp=28,
+                                  frame_num=1, poc_lsb=8,
+                                  entropy=entropy)
+        b = h.h264_encode_b_frame([("bi", 0, 0, 0, 0),
+                                   ("l1", 0, 0)], 2, 1, poc_lsb=2,
+                                  qp=28, frame_num=2,
+                                  entropy=entropy)
+        frames, _ = h.h264_decode_gop_planes(idr + p + b)
+        Yb, Yp = frames[1][0], frames[2][0]
+        # tb=2, td=8 -> DistScaleFactor 64 -> w1=16, w0=48
+        assert h._implicit_bi_weights(2, 8) == (48, 16)
+        want0 = np.clip((Y0[:, :16] * 48 + Yp[:, :16] * 16 + 32)
+                        >> 6, 0, 255)
+        np.testing.assert_array_equal(Yb[:, :16], want0,
+                                      err_msg=entropy)
+        # single-list MBs stay UNWEIGHTED under implicit mode
+        np.testing.assert_array_equal(Yb[:, 16:], Yp[:, 16:],
+                                      err_msg=entropy)
+
+
+def test_weighted_prediction_malformed_table_is_loud():
+    """Out-of-range log2 denominators / weights reject loudly."""
+    bw = h._BitW()
+    bw.ue(9)                             # luma_log2_weight_denom > 7
+    bw.ue(0)
+    bw.trailing()
+    with pytest.raises(ValueError, match="log2_weight_denom"):
+        h._parse_pred_weight_table(h._Bits(bw.bytes()), False)
+    bw = h._BitW()
+    bw.ue(2)                             # denominators fine
+    bw.ue(0)
+    bw.u(1, 1)                           # luma_weight_l0_flag
+    bw.se(200)                           # weight out of [-128, 127]
+    bw.se(0)
+    bw.u(0, 1)
+    bw.trailing()
+    with pytest.raises(ValueError, match="weight/offset"):
+        h._parse_pred_weight_table(h._Bits(bw.bytes()), False)
