@@ -2934,6 +2934,86 @@ def q_media_h264_part_stats(spark, sf_dir):
                      "frame_ts_ms", "ahash")
 
 
+def _synth_h264_wp_gop_udf():
+    """Per-doc weighted-prediction avc1 MP4 (r8): a 3-frame
+    poc_type-0 GOP — flat-MB IDR (POC 0, values v0; PPS signals
+    weighted_pred=1 + weighted_bipred_idc=2), a P frame (POC 8) of
+    zero-MV 16x16 MBs carrying an EXPLICIT pred_weight_table (luma
+    weight w = 2 + doc%3, offset o = doc%11 - 5, denom 2; chroma at
+    defaults) so every pixel is ((v0*w + 2) >> 2) + o exactly, and
+    an all-B_Skip frame (POC 2) whose zero-MV bipred uses IMPLICIT
+    weights from the POC distances (tb=2, td=8 -> w0=48, w1=16:
+    (v0*48 + vp*16 + 32) >> 6, unclipped by construction). Entropy
+    alternates by doc parity; a DuckDB oracle predicts all three
+    frames' ahashes analytically."""
+    from .operators import media_codecs as mc
+    from .operators import h264 as hh
+
+    @pandas_udf("binary")
+    def to_avc1(ids: pd.Series) -> pd.Series:
+        def flat_offsets(v):
+            off = np.zeros_like(v)
+            for my in range(v.shape[0]):
+                for mx in range(v.shape[1]):
+                    if mx == 0 and my == 0:
+                        pred = 128
+                    elif my == 0:
+                        pred = v[my, mx - 1]
+                    elif mx == 0:
+                        pred = v[my - 1, mx]
+                    else:
+                        pred = (v[my, mx - 1] + v[my - 1, mx] + 1) >> 1
+                    off[my, mx] = v[my, mx] - pred
+            return off
+
+        def one(d):
+            ent = "cabac" if d % 2 else "cavlc"
+            mxg, myg = np.meshgrid(np.arange(4), np.arange(2))
+            v0 = 20 + (d * 7 + mxg * 13 + myg * 29) % 200
+            w, o = 2 + d % 3, d % 11 - 5
+            idr = hh.h264_encode_flat_mbs(flat_offsets(v0), qp=36,
+                                          entropy=ent, poc_lsb=0,
+                                          weighted_pred=True,
+                                          weighted_bipred=2)
+            wts = {"ly": 2, "lc": 0,
+                   "l0": ((w, o), (1, 0), (1, 0)), "l1": None}
+            p = hh.h264_encode_p_frame([(0, 0)] * 8, 4, 2, qp=36,
+                                       frame_num=1, poc_lsb=8,
+                                       entropy=ent, weights=wts)
+            col = {(mx, my): (0, 0)
+                   for mx in range(4) for my in range(2)}
+            b = hh.h264_encode_b_frame([None] * 8, 4, 2, poc_lsb=2,
+                                       qp=36, frame_num=2,
+                                       entropy=ent, col_mvs=col)
+            cfg = mc._box(b"avcC", hh.h264_avcc_config(idr))
+            samples = [hh.h264_to_avcc_sample(s) for s in (idr, p, b)]
+            return mc.mp4_mux(samples, frame_ms=500, fourcc=b"avc1",
+                              width=64, height=32, config=cfg,
+                              ctts_offsets=[0, 500, -500])
+
+        return ids.map(one)
+
+    return to_avc1
+
+
+def q_media_h264_wp_stats(spark, sf_dir):
+    """Weighted-prediction H.264 decode value-checked end to end
+    (r8): the explicit pred_weight_table over a zero-MV P frame and
+    the implicit POC-derived biprediction over an all-B_Skip frame,
+    under BOTH entropy coders (CAVLC even docs, CABAC odd docs) —
+    against a pure-SQL oracle that predicts every frame's pixels
+    from the closed-form weighting."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_h264_wp_gop_udf()(F.col("doc_id"))
+                      .alias("payload"))
+    st = video_frame_stats(vid, every_ms=500)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long").alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
 def q_media_h264_b_stats(spark, sf_dir):
     """B-frame H.264 decode value-checked end to end (r8): ctts
     composition reordering, the two-reference DPB, B_L0/B_L1/B_Bi
@@ -2951,6 +3031,50 @@ def q_media_h264_b_stats(spark, sf_dir):
     return st.select(F.col("media_id").alias("doc_id"),
                      F.col("frame_index").cast("long").alias("frame_index"),
                      "frame_ts_ms", "ahash")
+
+
+# presentation frames fi 0/1/2 = IDR (v0) / implicit-bipred B / the
+# explicitly-weighted P: vp = ((v0*w + 2) >> 2) + o with w = 2+d%3,
+# o = d%11-5 (unclipped by construction), vb = (v0*48 + vp*16 + 32)
+# >> 6 (tb=2, td=8 implicit weights); same 8-cell-per-MB ahash
+# reduction as _MEDIA_H264_B_SQL
+_MEDIA_H264_WP_SQL = """
+    WITH mb AS (
+      SELECT d.doc_id, f.fi, mx.mx, my.my,
+             20 + (d.doc_id*7 + mx.mx*13 + my.my*29) % 200 AS v0,
+             2 + d.doc_id % 3 AS w, d.doc_id % 11 - 5 AS o
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS fi) f
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS mx) mx
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS my) my
+    ),
+    px AS (
+      SELECT doc_id, fi, mx, my,
+             CASE WHEN fi = 0 THEN v0
+                  WHEN fi = 2 THEN (v0*w + 2) // 4 + o
+                  ELSE (v0*48 + ((v0*w + 2) // 4 + o)*16 + 32) // 64
+             END AS v
+      FROM mb
+    ),
+    tot AS (SELECT doc_id, fi, sum(v) AS s FROM px GROUP BY 1, 2),
+    cell AS (
+      SELECT p.doc_id, p.fi, i.i * 8 + j.j AS bit, p.v
+      FROM px p
+      JOIN (SELECT unnest(generate_series(0, 7)) AS i) i ON i.i // 4 = p.my
+      JOIN (SELECT unnest(generate_series(0, 7)) AS j) j ON j.j // 2 = p.mx
+    ),
+    ah AS (SELECT c.doc_id, c.fi,
+                  sum(CASE WHEN c.v * 8 > t.s
+                           THEN (1::HUGEINT << CAST(c.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM cell c JOIN tot t USING (doc_id, fi) GROUP BY 1, 2)
+    SELECT doc_id, CAST(fi AS BIGINT) AS frame_index,
+           CAST(fi * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM ah
+"""
 
 
 # presentation frames fi 0/1/2 = IDR (v0) / temporal-direct B / the
@@ -3084,6 +3208,7 @@ QUERIES.update({
     "media_h264_pcm_stats": q_media_h264_pcm_stats,
     "media_h264_b_stats": q_media_h264_b_stats,
     "media_h264_part_stats": q_media_h264_part_stats,
+    "media_h264_wp_stats": q_media_h264_wp_stats,
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
 })
 ORACLES.update({
@@ -3102,6 +3227,8 @@ ORACLES.update({
     "media_h264_b_stats": _MEDIA_H264_B_SQL,  # exact I/P/B GOP family
     "media_h264_part_stats": _MEDIA_H264_PART_SQL,  # partitions +
     #                          temporal direct (r8), cell-aligned
+    "media_h264_wp_stats": _MEDIA_H264_WP_SQL,  # explicit + implicit
+    #                          weighted prediction (r8)
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
 })
 
@@ -3407,6 +3534,10 @@ _EXTRA_NAMES = [
     # (driver-green r8 windows, and part/b both alternate entropy by
     # doc parity, keeping the CABAC layer in-window) takes its slot:
     "media_h264_cabac_stats",
+    # r8: weighted-prediction family registers straight to EXTRA
+    # (pytest extra-oracle gate + check_oracles --extra) — the
+    # in-window H.264 slots hold the round's partition/B/direct work
+    "media_h264_wp_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
