@@ -975,10 +975,22 @@ def _parse_sps(br: _Bits) -> dict:
     br.u(8)                                   # constraint flags + reserved
     level = br.u(8)
     sps_id = br.ue()
-    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+    if profile == 100:               # High profile (r8): 4:2:0 8-bit
+        if br.ue() != 1:
+            raise NotImplementedError(
+                "chroma_format_idc != 1 (monochrome/4:2:2/4:4:4) "
+                "unsupported")
+        if br.ue() != 0 or br.ue() != 0:
+            raise NotImplementedError("bit depths beyond 8 unsupported")
+        br.flag()                    # qpprime_y_zero_transform_bypass
+        if br.flag():
+            raise NotImplementedError(
+                "seq_scaling_matrix_present (non-flat scaling lists) "
+                "unsupported")
+    elif profile in (110, 122, 244, 44, 83, 86, 118, 128):
         raise NotImplementedError(
             f"High/extended profile {profile} (chroma_format_idc, "
-            "scaling matrices, 8x8 transform) unsupported")
+            "scaling matrices, bit depths) unsupported")
     log2_max_frame_num = br.ue() + 4
     poc_type = br.ue()
     if poc_type == 0:
@@ -1024,7 +1036,20 @@ def _parse_pps(br: _Bits) -> dict:
     deblock_ctrl = br.flag()
     constrained_intra = br.flag()
     br.flag()                                 # redundant_pic_cnt_present
+    transform_8x8 = False
+    if br.more_rbsp_data():                   # High-profile extension
+        transform_8x8 = bool(br.flag())
+        if br.flag():
+            raise NotImplementedError(
+                "pic_scaling_matrix_present (non-flat scaling "
+                "lists) unsupported")
+        if br.se() != chroma_qp_off:
+            raise NotImplementedError(
+                "second_chroma_qp_index_offset != "
+                "chroma_qp_index_offset unsupported (shared Cb/Cr "
+                "qp offset only)")
     return {"pps_id": pps_id, "sps_id": sps_id, "cabac": cabac,
+            "transform_8x8": transform_8x8,
             "init_qp": qp, "chroma_qp_off": chroma_qp_off,
             "deblock_ctrl": deblock_ctrl,
             "constrained_intra": constrained_intra,
@@ -1277,6 +1302,14 @@ def h264_decode_gop_planes(payload: bytes):
         raise ValueError("frame dimensions implausible for payload size")
     if n_mbs * len(slices) > 1 << 22:
         raise ValueError("implausible GOP size for frame dimensions")
+    if pps.get("transform_8x8") and not cabac_marker:
+        raise NotImplementedError(
+            "third-party High-profile (8x8 transform) stream "
+            "unsupported: the 8x8 dequant norm tables are "
+            "transcribed without conformance vectors in this "
+            "environment, so decode only accepts gorillaspark-marked "
+            "streams rather than risk a silent misdecode (see "
+            "h264_hi.py's honesty contract)")
     W, H = mbs_w * 16, mbs_h * 16
     frames: list = []                # [(sort_key, planes)]
     cur = None                       # (Y, Cb, Cr, states, mvs)
@@ -1325,6 +1358,12 @@ def h264_decode_gop_planes(payload: bytes):
             raise ValueError("slice continues a frame never started")
         Y, Cb, Cr, states, mvs = cur
         mv_map = mvs["l0"]
+        if sh["slice_type"] != 2 and pps.get("transform_8x8"):
+            raise NotImplementedError(
+                "inter slices under transform_8x8_mode unsupported "
+                "(the inter transform_size_8x8_flag syntax is not "
+                "implemented — High-profile support covers intra "
+                "slices)")
         if sh["slice_type"] == 0 and ref is None:
             raise ValueError("P slice without a reference frame")
         ref0 = ref1 = col_mvs = temporal = wp = None
@@ -2412,8 +2451,13 @@ def _decode_mb_intra(br, mb_type, qp, pps, Y, Cb, Cr, states, mbx,
     if mb_type > 25:
         raise ValueError(f"invalid I-slice mb_type {mb_type}")
     if mb_type == 0:
-        qp = _decode_mb_i4(br, qp, pps, Y, Cb, Cr, states,
-                           mbx, mby, mbs_w, st)
+        if pps.get("transform_8x8") and br.flag():
+            # transform_size_8x8_flag = 1: Intra_8x8 (High profile)
+            qp = _decode_mb_i8(br, qp, pps, Y, Cb, Cr, states,
+                               mbx, mby, mbs_w, st)
+        else:
+            qp = _decode_mb_i4(br, qp, pps, Y, Cb, Cr, states,
+                               mbx, mby, mbs_w, st)
         states[(mbx, mby)] = st
         return qp
     # Intra_16x16: mode/CBP folded into mb_type
@@ -2577,6 +2621,127 @@ def _recon_mb_i4(Y, Cb, Cr, states, mbx, mby, mbs_w, modes, luma,
     _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, cdc, cac, qp, pps)
 
 
+def _predict_i8_mode(states, st, mbx, mby, mbs_w, b: int) -> int:
+    """predIntra8x8PredMode (8.3.2.1): min of the left/top covering
+    blocks' modes at the 8x8's top-left 4x4 cell; DC when a
+    neighbour is missing. Reuses the 4x4 mode cells (an Intra_8x8 MB
+    stores its mode in all four covering cells)."""
+    bx, by = (b & 1) * 2, (b >> 1) * 2
+
+    def mode_at(gx, gy):
+        if gx < 0 or gy < 0:
+            return None
+        mx, my = gx >> 2, gy >> 2
+        if mx >= mbs_w:
+            return None
+        if mx == mbx and my == mby:
+            src = st
+        else:
+            src = states.get((mx, my))
+            if src is None:
+                return None
+            if src.intra16:
+                return 2
+        return int(src.i4_modes[_BLK_POS.index((gx & 3, gy & 3))])
+
+    gx, gy = mbx * 4 + bx, mby * 4 + by
+    ma = mode_at(gx - 1, gy)
+    mb = mode_at(gx, gy - 1)
+    if ma is None or mb is None:
+        return 2
+    return min(ma, mb)
+
+
+def _i8_refs(Y, px, py, b, mbx, mby, mbs_w):
+    """Gather the UNFILTERED Intra_8x8 reference samples of the 8x8
+    block at pixel (px, py): (top16, tl, left8), each None when
+    unavailable; unavailable top-right samples (t[8..15]) replicate
+    t[7] per 8.3.2.2."""
+    top_ok = py > 0 and (b >= 2 or mby > 0)
+    left_ok = px > 0 and ((b & 1) or mbx > 0)
+    top = tl = left = None
+    if top_ok:
+        top = np.empty(16, dtype=np.int64)
+        top[:8] = Y[py - 1, px:px + 8]
+        # top-right: block 2 reads block 1's bottom row, block 0 the
+        # above MB, block 1 the above-right MB; block 3 never
+        tr_ok = b == 0 or b == 2 or (b == 1 and mbx + 1 < mbs_w)
+        if tr_ok:
+            top[8:] = Y[py - 1, px + 8:px + 16]
+        else:
+            top[8:] = top[7]
+    if left_ok:
+        left = Y[py:py + 8, px - 1].copy()
+    if px > 0 and py > 0 and (top_ok or left_ok):
+        tl = int(Y[py - 1, px - 1])
+    return top, tl, left
+
+
+def _recon_mb_i8(Y, Cb, Cr, states, mbx, mby, mbs_w, modes, luma8,
+                 chroma_mode, qp, pps, cdc, cac):
+    """Intra_8x8 reconstruction from parsed levels (8.3.2.2 +
+    8.5.12-8.5.13) — block-by-block in raster order of the four 8x8
+    blocks; shared with h264_cabac."""
+    from . import h264_hi as hi
+    x0, y0 = mbx * 16, mby * 16
+    for b in range(4):
+        px, py = x0 + (b & 1) * 8, y0 + (b >> 1) * 8
+        top, tl, left = _i8_refs(Y, px, py, b, mbx, mby, mbs_w)
+        ft, ftl, fl = hi.filter_ref8(top, tl, left)
+        pred = hi.pred8(int(modes[b]), ft, ftl, fl)
+        d = np.zeros(64, dtype=np.int64)
+        d[hi.ZZ8] = luma8[b]
+        dq = hi.dequant8(d.reshape(8, 8), qp)
+        r = (hi.idct8(dq) + 32) >> 6
+        Y[py:py + 8, px:px + 8] = _clip255(pred + r)
+    _recon_chroma(Cb, Cr, mbx, mby, chroma_mode, cdc, cac, qp, pps)
+
+
+def _decode_mb_i8(br, qp, pps, Y, Cb, Cr, states, mbx, mby, mbs_w,
+                  st):
+    """Intra_8x8 macroblock (mb_type 0 + transform_size_8x8_flag,
+    High profile, CAVLC): four 8x8 blocks with prev/rem-coded
+    prediction modes; each coded 8x8 residual arrives as FOUR
+    interleaved 4x4 CAVLC blocks (7.4.5.3.3 — sub-block k carries
+    the 8x8 zigzag positions 4*i + k, and its totalCoeff feeds the
+    standard 4x4 nC contexts)."""
+    modes = np.full(4, 2, dtype=np.int64)
+    for b in range(4):
+        pred_mode = _predict_i8_mode(states, st, mbx, mby, mbs_w, b)
+        if br.flag():
+            modes[b] = pred_mode
+        else:
+            rem = br.u(3)
+            modes[b] = rem if rem < pred_mode else rem + 1
+        st.i4_modes[[_BLK_POS.index(((b & 1) * 2 + dx,
+                                     (b >> 1) * 2 + dy))
+                     for dx in (0, 1) for dy in (0, 1)]] = modes[b]
+    chroma_mode = br.ue()
+    if chroma_mode > 3:
+        raise ValueError("invalid intra_chroma_pred_mode")
+    cbp = _read_cbp_intra(br)
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma == 3:
+        raise ValueError("invalid chroma CBP")
+    if cbp:
+        qp = _apply_qp_delta(br, qp)
+    luma8 = np.zeros((4, 64), dtype=np.int64)
+    if cbp_luma:
+        for b in range(4):
+            if not cbp_luma & (1 << b):
+                continue
+            for k in range(4):
+                nc = _luma_nc(states, mbx, mby, mbs_w, 4 * b + k)
+                coeffs = _decode_residual(br, nc, 16)
+                st.nnz_l[4 * b + k] = np.count_nonzero(coeffs)
+                luma8[b, 4 * np.arange(16) + k] = coeffs
+    cdc, cac = _decode_chroma_residual(br, states, mbx, mby, mbs_w,
+                                       cbp_chroma, st)
+    _recon_mb_i8(Y, Cb, Cr, states, mbx, mby, mbs_w, modes, luma8,
+                 chroma_mode, qp, pps, cdc, cac)
+    return qp
+
+
 def _i4_top_right_available(bx, by, mbx, mby, mbs_w, states) -> bool:
     """Is the 4x4 block's top-right neighbour reconstructed?"""
     gx, gy = mbx * 4 + bx + 1, mby * 4 + by - 1
@@ -2653,10 +2818,17 @@ def _quant_dc(w: np.ndarray, qp: int, shift_extra: int = 0) -> np.ndarray:
 def _write_sps(mbs_w: int, mbs_h: int, profile: int = 66,
                poc_type: int = 2) -> bytes:
     bw = _BitW()
-    bw.u(profile, 8)                         # 66 Baseline / 77 Main
+    bw.u(profile, 8)                         # 66 Baseline / 77 Main /
+    #                                          100 High (r8)
     bw.u(0b11000000 if profile == 66 else 0, 8)  # constraint_set0/1
     bw.u(20, 8)                              # level 2.0
     bw.ue(0)                                 # sps_id
+    if profile == 100:                       # High-profile extension
+        bw.ue(1)                             # chroma_format_idc 4:2:0
+        bw.ue(0)                             # bit_depth_luma_minus8
+        bw.ue(0)                             # bit_depth_chroma_minus8
+        bw.u(0, 1)                           # qpprime_y_zero_bypass
+        bw.u(0, 1)                           # seq_scaling_matrix
     bw.ue(0)                                 # log2_max_frame_num_minus4
     bw.ue(poc_type)                          # pic_order_cnt_type
     if poc_type == 0:
@@ -2674,7 +2846,8 @@ def _write_sps(mbs_w: int, mbs_h: int, profile: int = 66,
 
 
 def _write_pps(cabac: bool = False, weighted_pred: bool = False,
-               weighted_bipred: int = 0) -> bytes:
+               weighted_bipred: int = 0,
+               transform_8x8: bool = False) -> bytes:
     bw = _BitW()
     bw.ue(0)                                 # pps_id
     bw.ue(0)                                 # sps_id
@@ -2691,6 +2864,10 @@ def _write_pps(cabac: bool = False, weighted_pred: bool = False,
     bw.u(1, 1)                               # deblocking_filter_control
     bw.u(0, 1)                               # constrained_intra_pred
     bw.u(0, 1)                               # redundant_pic_cnt
+    if transform_8x8:                        # High-profile extension
+        bw.u(1, 1)                           # transform_8x8_mode_flag
+        bw.u(0, 1)                           # pic_scaling_matrix
+        bw.se(0)                             # second_chroma_qp_offset
     bw.trailing()
     return bw.bytes()
 
@@ -2774,6 +2951,7 @@ def h264_encode(y: np.ndarray, qp: int = 30,
     if entropy == "cabac":
         from . import h264_cabac
         wr = h264_cabac.CabacSliceWriter(mbs_w)
+        wr.transform_8x8 = mb_mode == "i8"
     elif entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
@@ -2818,6 +2996,9 @@ def h264_encode(y: np.ndarray, qp: int = 30,
             elif mb_mode == "i4":
                 sym = _plan_mb_i4(y, cbp, crp, Yr, Cbr, Crr, states,
                                   mbx, mby, mbs_w, qp)
+            elif mb_mode == "i8":    # High profile (r8)
+                sym = _plan_mb_i8(y, cbp, crp, Yr, Cbr, Crr, states,
+                                  mbx, mby, mbs_w, qp)
             else:
                 raise ValueError(f"unknown mb_mode {mb_mode!r}")
             if wr is not None:
@@ -2826,21 +3007,27 @@ def h264_encode(y: np.ndarray, qp: int = 30,
             else:
                 _emit_mb_cavlc(bw, states, sym, mbx, mby, mbs_w)
             states[(mbx, mby)] = sym["st"]
+    i8 = mb_mode == "i8"
     if wr is not None:
         hb = _BitW()
         _slice_header(hb, qp, poc_lsb)
         return _assemble(
-            _write_sps(mbs_w, mbs_h, profile=77,
+            _write_sps(mbs_w, mbs_h, profile=100 if i8 else 77,
                        poc_type=0 if poc_lsb is not None else 2),
             _write_pps(cabac=True, weighted_pred=weighted_pred,
-                       weighted_bipred=weighted_bipred),
+                       weighted_bipred=weighted_bipred,
+                       transform_8x8=i8),
             wr.rbsp_from_header(hb), sei=_gs_cabac_sei())
     bw.trailing()
+    # High-profile CAVLC streams carry the marker SEI too: the 8x8
+    # dequant tables share CABAC's own-streams-only honesty gate
     stream = _assemble(
-        _write_sps(mbs_w, mbs_h,
+        _write_sps(mbs_w, mbs_h, profile=100 if i8 else 66,
                    poc_type=0 if poc_lsb is not None else 2),
         _write_pps(weighted_pred=weighted_pred,
-                   weighted_bipred=weighted_bipred), bw.bytes())
+                   weighted_bipred=weighted_bipred,
+                   transform_8x8=i8), bw.bytes(),
+        sei=_gs_cabac_sei() if i8 else None)
     return stream
 
 
@@ -2865,6 +3052,9 @@ def h264_encoder_reconstruction(y, qp: int = 30, cb=None, cr=None,
             if mb_mode == "i16":
                 sym = _plan_mb_i16(y, cbp, crp, Yr, Cbr, Crr, states,
                                    mbx, mby, mbs_w, qp)
+            elif mb_mode == "i8":
+                sym = _plan_mb_i8(y, cbp, crp, Yr, Cbr, Crr, states,
+                                  mbx, mby, mbs_w, qp)
             else:
                 sym = _plan_mb_i4(y, cbp, crp, Yr, Cbr, Crr, states,
                                   mbx, mby, mbs_w, qp)
@@ -2945,8 +3135,34 @@ def _emit_mb_cavlc(bw, states, sym, mbx, mby, mbs_w):
             for blk in range(16):
                 nc = _luma_nc(states, mbx, mby, mbs_w, blk)
                 _encode_residual(bw, sym["qac"][blk, 1:], nc, 15)
+    elif sym["kind"] == "i8":                # High profile (r8)
+        bw.ue(0)                             # mb_type I_NxN
+        bw.u(1, 1)                           # transform_size_8x8_flag
+        for b in range(4):
+            pm = sym["pred_modes"][b]
+            m = int(sym["modes"][b])
+            if m == pm:
+                bw.u(1, 1)
+            else:
+                bw.u(0, 1)
+                bw.u(m if m < pm else m - 1, 3)
+        bw.ue(sym["chroma_mode"])
+        bw.ue(_CBP_INTRA_INV[sym["cbp_luma"] | (sym["cbp_chroma"] << 4)])
+        if sym["cbp_luma"] or sym["cbp_chroma"]:
+            bw.se(sym["qp_delta"])
+        if sym["cbp_luma"]:
+            for b in range(4):
+                if not sym["cbp_luma"] & (1 << b):
+                    continue
+                for k in range(4):           # interleaved sub-blocks
+                    nc = _luma_nc(states, mbx, mby, mbs_w, 4 * b + k)
+                    _encode_residual(
+                        bw, sym["q8"][b, 4 * np.arange(16) + k], nc,
+                        16)
     else:
         bw.ue(0)                             # mb_type I_4x4
+        if sym.get("ts8_bit"):               # transform_8x8 PPS: the
+            bw.u(0, 1)                       # flag is present, 0
         for blk in range(16):
             pm = sym["pred_modes"][blk]
             m = int(sym["modes"][blk])
@@ -3079,6 +3295,59 @@ def _plan_mb_i4(y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx, mby,
             "chroma_mode": 0, "qp_delta": 0, "qp": qp,
             "cbp_luma": cbp_luma, "cbp_chroma": cbp_chroma,
             "qblocks": qblocks, "cdc": cdc, "cac": cac, "st": st}
+
+
+def _plan_mb_i8(y, src_cb, src_cr, Yr, Cbr, Crr, states, mbx, mby,
+                mbs_w, qp):
+    """Plan one Intra_8x8 MB (High profile, r8): per-8x8 SAD mode
+    search over the FILTERED references, 8x8 transform/quant chain
+    (h264_hi), reconstructing in place; entropy-layer independent
+    like :func:`_plan_mb_i4`."""
+    from . import h264_hi as hi
+    st = _MBState()
+    x0, y0 = mbx * 16, mby * 16
+    modes = np.empty(4, dtype=np.int64)
+    q8 = np.zeros((4, 64), dtype=np.int64)
+    for b in range(4):
+        px, py = x0 + (b & 1) * 8, y0 + (b >> 1) * 8
+        top, tl, left = _i8_refs(Yr, px, py, b, mbx, mby, mbs_w)
+        ft, ftl, fl = hi.filter_ref8(top, tl, left)
+        best = None
+        src = y[py:py + 8, px:px + 8]
+        for mode in range(9):
+            try:
+                p = hi.pred8(mode, ft, ftl, fl)
+            except ValueError:
+                continue
+            sad = int(np.abs(src - p).sum())
+            if best is None or sad < best[0]:
+                best = (sad, mode, p)
+        _, mode, p = best
+        modes[b] = mode
+        st.i4_modes[[_BLK_POS.index(((b & 1) * 2 + dx,
+                                     (b >> 1) * 2 + dy))
+                     for dx in (0, 1) for dy in (0, 1)]] = mode
+        q = hi.quant8(hi.fwd8(src - p), qp)
+        q8[b] = q.reshape(64)[hi.ZZ8]
+        d = np.zeros(64, dtype=np.int64)
+        d[hi.ZZ8] = q8[b]
+        r = (hi.idct8(hi.dequant8(d.reshape(8, 8), qp)) + 32) >> 6
+        Yr[py:py + 8, px:px + 8] = _clip255(p + r)
+    cbp_luma = 0
+    for b in range(4):
+        if np.any(q8[b]):
+            cbp_luma |= 1 << b
+            for k in range(4):       # interleaved sub-block nnz (nC)
+                st.nnz_l[4 * b + k] = np.count_nonzero(
+                    q8[b, 4 * np.arange(16) + k])
+    cbp_chroma, cdc, cac = _plan_chroma(src_cb, src_cr, Cbr, Crr,
+                                        mbx, mby, qp, st)
+    pred_modes = [_predict_i8_mode(states, st, mbx, mby, mbs_w, b)
+                  for b in range(4)]
+    return {"kind": "i8", "modes": modes, "pred_modes": pred_modes,
+            "chroma_mode": 0, "qp_delta": 0, "qp": qp,
+            "cbp_luma": cbp_luma, "cbp_chroma": cbp_chroma,
+            "q8": q8, "cdc": cdc, "cac": cac, "st": st}
 
 
 def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,

@@ -148,7 +148,20 @@ _ABS_CAT = [0, 10, 20, 30, 39]
 _MB_TYPE_P2 = 276   # P prefix bin2 after b1==1 (spec ctxIdx 17)
 _SUB_MB_P = 277     # P sub_mb_type bins (spec ctxIdx 21..23)
 _SUB_MB_B = 280     # B sub_mb_type bins (spec ctxIdx 36..39)
-N_CTX = 284
+_TS8 = 284          # transform_size_8x8_flag: + condA + condB (r8)
+# 8x8-transform residual (ctxBlockCat 5, r8). The spec maps the 63
+# significance positions onto 15 contexts (Table 9-43) — that map is
+# DATA we cannot validate without conformance vectors, so, like the
+# probability tables, it is REPLACED by a simple documented one
+# (sig: min(pos >> 2, 14); last: min(pos >> 3, 7)) behind the same
+# own-streams-only marker gate; a validated data swap restores
+# conformance.
+_SIG8 = 287         # 15 significance contexts
+_LAST8 = 302        # 8 last-significant contexts
+_ABS8 = 310         # 10 abs-level contexts (same shape as _ABS cats)
+N_CTX = 320
+_SIG8_MAP = [min(i >> 2, 14) for i in range(63)]
+_LAST8_MAP = [min(i >> 3, 7) for i in range(63)]
 
 # the allocation blocks must not overlap
 _blocks = [(_MB_TYPE_I, 8), (_SKIP_P, 3), (_MB_TYPE_P, 3),
@@ -158,7 +171,8 @@ _blocks = [(_MB_TYPE_I, 8), (_SKIP_P, 3), (_MB_TYPE_P, 3),
            (_PREV_I4, 1), (_REM_I4, 1), (_CBP_LUMA, 4),
            (_CBP_CHROMA, 8), (_CBF, 20), (_SIG, 61), (_LAST, 61),
            (_ABS, 49), (_MB_TYPE_P2, 1), (_SUB_MB_P, 3),
-           (_SUB_MB_B, 4)]
+           (_SUB_MB_B, 4), (_TS8, 3), (_SIG8, 15), (_LAST8, 8),
+           (_ABS8, 10)]
 _used = set()
 for _b, _n in _blocks:
     _rng = set(range(_b, _b + _n))
@@ -357,10 +371,11 @@ class _CabacDec:
 
 class _Rec:
     __slots__ = ("nxn", "cm", "cbp_l", "cbp_c", "qpd", "dcY", "acY",
-                 "dcC", "acC", "skip", "intra", "direct")
+                 "dcC", "acC", "skip", "intra", "direct", "ts8")
 
     def __init__(self):
         self.nxn = False
+        self.ts8 = False             # transform_size_8x8_flag (r8)
         self.cm = 0
         self.cbp_l = 0
         self.cbp_c = 0
@@ -485,7 +500,7 @@ def _cbp_chroma_ctx(recs, mbx, mby, mbs_w, binidx: int) -> int:
 
 
 def _lvl_ctx(cat: int, binidx: int, n_eq1: int, n_gt1: int) -> int:
-    base = _ABS + _ABS_CAT[cat]
+    base = _ABS8 if cat == 5 else _ABS + _ABS_CAT[cat]
     if binidx == 0:
         inc = 0 if n_gt1 else min(4, 1 + n_eq1)
     else:
@@ -509,6 +524,17 @@ def _mbtype_b_inc(recs, mbx, mby, mbs_w) -> int:
     for dx, dy in ((-1, 0), (0, -1)):
         r = _nb(recs, mbx, mby, dx, dy, mbs_w)
         if r is not None and not r.skip and not r.direct:
+            inc += 1
+    return inc
+
+
+def _ts8_inc(recs, mbx, mby, mbs_w) -> int:
+    """transform_size_8x8_flag ctx increment: condTermA + condTermB
+    over the neighbours' flags (9.3.3.1.1.10)."""
+    inc = 0
+    for dx, dy in ((-1, 0), (0, -1)):
+        r = _nb(recs, mbx, mby, dx, dy, mbs_w)
+        if r is not None and r.ts8:
             inc += 1
     return inc
 
@@ -668,17 +694,28 @@ def _i16dc_sym(c: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _res_ctx_maps(cat: int):
+    """(sig_base, last_base, sig_map, last_map) for a ctxBlockCat:
+    4x4-domain cats address contexts by scan position directly;
+    cat 5 (8x8 transform, r8) maps the 63 positions through the
+    documented _SIG8_MAP/_LAST8_MAP (see the allocation note)."""
+    if cat == 5:
+        return _SIG8, _LAST8, _SIG8_MAP, _LAST8_MAP
+    return (_SIG + _SIG_CAT[cat], _LAST + _SIG_CAT[cat], None, None)
+
+
 def _enc_residual(enc: _CabacEnc, ctx: _Ctx, cat: int, lv) -> None:
     m = len(lv)
     sig = [i for i in range(m) if lv[i]]
     assert sig, "residual coded with cbf=1 must have a coefficient"
-    sb, lb = _SIG + _SIG_CAT[cat], _LAST + _SIG_CAT[cat]
+    sb, lb, smap, lmap = _res_ctx_maps(cat)
     last = sig[-1]
     for i in range(m - 1):
         s = 1 if lv[i] else 0
-        enc.bit(ctx, sb + i, s)
+        enc.bit(ctx, sb + (smap[i] if smap else i), s)
         if s:
-            enc.bit(ctx, lb + i, 1 if i == last else 0)
+            enc.bit(ctx, lb + (lmap[i] if lmap else i),
+                    1 if i == last else 0)
             if i == last:
                 break
     n_eq1 = n_gt1 = 0
@@ -710,13 +747,13 @@ def _enc_residual(enc: _CabacEnc, ctx: _Ctx, cat: int, lv) -> None:
 
 def _dec_residual(dec: _CabacDec, ctx: _Ctx, cat: int,
                   m: int) -> np.ndarray:
-    sb, lb = _SIG + _SIG_CAT[cat], _LAST + _SIG_CAT[cat]
+    sb, lb, smap, lmap = _res_ctx_maps(cat)
     sig = []
     ended = False
     for i in range(m - 1):
-        if dec.bit(ctx, sb + i):
+        if dec.bit(ctx, sb + (smap[i] if smap else i)):
             sig.append(i)
-            if dec.bit(ctx, lb + i):
+            if dec.bit(ctx, lb + (lmap[i] if lmap else i)):
                 ended = True
                 break
     if not ended:
@@ -816,6 +853,7 @@ class CabacSliceWriter:
         self.mvd_f = ({}, {})        # per-list |mvd| 4x4 fields
         self.col_mvs = None          # B: L1 ref's colocated motion
         self.direct_temporal = None  # B: (tb, td) for temporal direct
+        self.transform_8x8 = False   # PPS flag (High profile, r8)
         self.prev_qpd = 0
         self.done = False
 
@@ -910,6 +948,50 @@ class CabacSliceWriter:
                     _enc_residual(enc, ctx, 2, lv)
         self._emit_chroma(sym, mbx, mby, cur)
 
+    def _emit_i8_rest(self, sym: dict, mbx: int, mby: int, cur):
+        """Intra_8x8 MB body (High profile, r8): four prev/rem-coded
+        modes (shared _PREV_I4/_REM_I4 contexts per the spec), CBP,
+        qp_delta, and per coded 8x8 block ONE cat-5 residual with NO
+        coded_block_flag bin (inferred 1 from the CBP quadrant bit —
+        the four covering 4x4 cbf cells record 1 for later
+        neighbours)."""
+        enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
+                                 self.mbs_w)
+        cur.nxn = True
+        cur.ts8 = True
+        for b in range(4):
+            pm = sym["pred_modes"][b]
+            mo = int(sym["modes"][b])
+            if mo == pm:
+                enc.bit(ctx, _PREV_I4, 1)
+            else:
+                enc.bit(ctx, _PREV_I4, 0)
+                rem = mo if mo < pm else mo - 1
+                for i in (2, 1, 0):
+                    enc.bit(ctx, _REM_I4, (rem >> i) & 1)
+        cur.cm = sym["chroma_mode"]
+        _code_chroma_mode(enc, ctx, recs, mbx, mby, mbs_w,
+                          mode=cur.cm)
+        cbp_l, cbp_c = sym["cbp_luma"], sym["cbp_chroma"]
+        self._emit_cbp(cbp_l, cbp_c, mbx, mby)
+        cur.cbp_l, cur.cbp_c = cbp_l, cbp_c
+        if cbp_l or cbp_c:
+            cur.qpd = sym["qp_delta"]
+            _code_qp_delta(enc, ctx, self.prev_qpd != 0,
+                           delta=cur.qpd)
+            self.prev_qpd = cur.qpd
+        else:
+            self.prev_qpd = 0
+        if cbp_l:
+            q8 = sym["q8"]
+            for b in range(4):
+                if not cbp_l & (1 << b):
+                    continue
+                _enc_residual(enc, ctx, 5, q8[b])
+                for k in range(4):
+                    cur.acY[4 * b + k] = 1
+        self._emit_chroma(sym, mbx, mby, cur)
+
     def _emit_cbp(self, cbp_l: int, cbp_c: int, mbx: int, mby: int):
         enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
                                  self.mbs_w)
@@ -963,7 +1045,15 @@ class CabacSliceWriter:
             self._emit_i16_rest(sym, mbx, mby, cur)
         else:                        # I_NxN
             enc.bit(ctx, _MB_TYPE_I + inc, 0)
-            self._emit_i4_rest(sym, mbx, mby, cur)
+            if sym["kind"] == "i8":  # High profile (r8)
+                enc.bit(ctx, _TS8 + _ts8_inc(recs, mbx, mby,
+                                             self.mbs_w), 1)
+                self._emit_i8_rest(sym, mbx, mby, cur)
+            else:
+                if self.transform_8x8:
+                    enc.bit(ctx, _TS8 + _ts8_inc(recs, mbx, mby,
+                                                 self.mbs_w), 0)
+                self._emit_i4_rest(sym, mbx, mby, cur)
         recs[(mbx, mby)] = cur
 
     def emit_pcm(self, y_mb, cb_mb, cr_mb, mbx: int, mby: int):
@@ -1540,6 +1630,56 @@ def _dec_i4_body(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y, Cb,
     return qp, prev_qpd
 
 
+def _dec_i8_body(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y, Cb,
+                 Cr, states, mbx, mby, mbs_w):
+    """Intra_8x8 MB body (High profile, r8) — the decode twin of
+    CabacSliceWriter._emit_i8_rest."""
+    from .h264 import (_BLK_POS, _predict_i8_mode, _recon_mb_i8)
+    cur.nxn = True
+    cur.ts8 = True
+    modes = np.full(4, 2, dtype=np.int64)
+    for b in range(4):
+        pm = _predict_i8_mode(states, st, mbx, mby, mbs_w, b)
+        if dec.bit(ctx, _PREV_I4):
+            modes[b] = pm
+        else:
+            rem = 0
+            for _ in range(3):
+                rem = (rem << 1) | dec.bit(ctx, _REM_I4)
+            modes[b] = rem if rem < pm else rem + 1
+        st.i4_modes[[_BLK_POS.index(((b & 1) * 2 + dx,
+                                     (b >> 1) * 2 + dy))
+                     for dx in (0, 1) for dy in (0, 1)]] = modes[b]
+    chroma_mode = _code_chroma_mode(dec, ctx, recs, mbx, mby, mbs_w)
+    cbp_luma, cbp_chroma = _dec_cbp(dec, ctx, recs, mbx, mby, mbs_w)
+    cur.cbp_l, cur.cbp_c = cbp_luma, cbp_chroma
+    cur.cm = chroma_mode
+    if cbp_luma or cbp_chroma:
+        delta = _code_qp_delta(dec, ctx, prev_qpd != 0)
+        if not -27 <= delta <= 26:
+            raise ValueError("mb_qp_delta out of range")
+        qp = (qp + delta + 52) % 52
+        prev_qpd = delta
+        cur.qpd = delta
+    else:
+        prev_qpd = 0
+    luma8 = np.zeros((4, 64), dtype=np.int64)
+    if cbp_luma:
+        for b in range(4):
+            if not cbp_luma & (1 << b):
+                continue
+            luma8[b] = _dec_residual(dec, ctx, 5, 64)
+            for k in range(4):
+                cur.acY[4 * b + k] = 1
+                st.nnz_l[4 * b + k] = np.count_nonzero(
+                    luma8[b, 4 * np.arange(16) + k])
+    cdc, cac = _dec_chroma_cabac(dec, ctx, recs, cur, st, mbx, mby,
+                                 mbs_w, cbp_chroma)
+    _recon_mb_i8(Y, Cb, Cr, states, mbx, mby, mbs_w, modes, luma8,
+                 chroma_mode, qp, pps, cdc, cac)
+    return qp, prev_qpd
+
+
 def _dec_cbp(dec, ctx, recs, mbx, mby, mbs_w):
     cbp_luma = 0
     for b8 in range(4):
@@ -1609,9 +1749,15 @@ def _decode_mb_cabac(dec, ctx, recs, qp, prev_qpd, pps, Y, Cb, Cr,
                                      mby, mbs_w, cbp_luma,
                                      cbp_chroma, pred)
     else:                            # I_NxN
-        qp, prev_qpd = _dec_i4_body(dec, ctx, recs, cur, st, qp,
-                                    prev_qpd, pps, Y, Cb, Cr, states,
-                                    mbx, mby, mbs_w)
+        if pps.get("transform_8x8") and dec.bit(
+                ctx, _TS8 + _ts8_inc(recs, mbx, mby, mbs_w)):
+            qp, prev_qpd = _dec_i8_body(dec, ctx, recs, cur, st, qp,
+                                        prev_qpd, pps, Y, Cb, Cr,
+                                        states, mbx, mby, mbs_w)
+        else:
+            qp, prev_qpd = _dec_i4_body(dec, ctx, recs, cur, st, qp,
+                                        prev_qpd, pps, Y, Cb, Cr,
+                                        states, mbx, mby, mbs_w)
     states[(mbx, mby)] = st
     recs[(mbx, mby)] = cur
     return qp, prev_qpd
