@@ -3422,6 +3422,112 @@ def h264_encode_flat_mbs(offsets: np.ndarray, qp: int = 36,
                      bw.bytes())
 
 
+def h264_encode_flat_i8(values: np.ndarray, qp: int = 0,
+                        entropy: str = "cavlc") -> bytes:
+    """The High-profile ORACLE FAMILY (r8): an IDR frame of
+    Intra_8x8 DC-predicted blocks, each carrying a single 8x8 DC
+    coefficient chosen so the block reconstructs EXACTLY to
+    ``values[gj][gi]`` (one target per 8x8 block; shape (rows, cols)
+    with rows/cols even).
+
+    At qp 0 the DC dequant is d = (320*c + 32) >> 6 = 5*c exactly
+    (LevelScale 16*20, shift 6) and a DC-only 8x8 inverse transform
+    is flat, so the reconstruction offset is (5*c + 32) >> 6 — every
+    integer offset is reachable. The generator replicates the
+    decoder's filtered-reference DC prediction (8.3.2.2.1-2) over
+    the flat neighbour blocks, so any drift between this replica and
+    the real decode shows up as a hard value mismatch in the
+    driver's oracle compare, never silently."""
+    from . import h264_cabac, h264_hi as hi
+    v = np.asarray(values, dtype=np.int64)
+    rows, cols = v.shape
+    if rows % 2 or cols % 2:
+        raise ValueError("flat-i8 grid must be an even block grid")
+    if v.min() < 0 or v.max() > 255:
+        raise ValueError("targets would clip")
+    mbs_w, mbs_h = cols // 2, rows // 2
+
+    def dc_pred(gi, gj):
+        top, left = gj > 0, gi > 0
+        if not top and not left:
+            return 128
+        n = v[gj - 1, gi] if top else 0
+        w = v[gj, gi - 1] if left else 0
+        nw = v[gj - 1, gi - 1] if (top and left) else 0
+        tr_ok = gi < cols - 1 and not (gi % 2 == 1 and gj % 2 == 1)
+        ne = v[gj - 1, gi + 1] if (top and tr_ok) else n
+        if top:
+            ft0 = ((nw + 3 * n + 2) >> 2) if left else n
+            ft7 = (3 * n + ne + 2) >> 2
+            sum_top = ft0 + 6 * n + ft7
+        if left:
+            fl0 = ((nw + 3 * w + 2) >> 2) if top else w
+            sum_left = fl0 + 7 * w
+        if top and left:
+            return (sum_top + sum_left + 8) >> 4
+        if top:
+            return (sum_top + 4) >> 3
+        return (sum_left + 4) >> 3
+
+    def dc_level(off):
+        if off == 0:
+            return 0
+        c = -(-(64 * off - 32) // 5)             # ceil division
+        assert (5 * c + 32) >> 6 == off
+        return c
+
+    states: dict = {}
+    wr = None
+    if entropy == "cabac":
+        wr = h264_cabac.CabacSliceWriter(mbs_w)
+        wr.transform_8x8 = True
+    elif entropy != "cavlc":
+        raise ValueError(f"unknown entropy coder {entropy!r}")
+    bw = _BitW()
+    _slice_header(bw, qp)
+    n_mbs = mbs_w * mbs_h
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            st = _MBState()
+            q8 = np.zeros((4, 64), dtype=np.int64)
+            cbp_luma = 0
+            for b in range(4):
+                gi, gj = mbx * 2 + (b & 1), mby * 2 + (b >> 1)
+                c = dc_level(int(v[gj, gi]) - dc_pred(gi, gj))
+                if c:
+                    q8[b, 0] = c
+                    cbp_luma |= 1 << b
+                    for k in range(4):
+                        st.nnz_l[4 * b + k] = 1 if k == 0 else 0
+            sym = {"kind": "i8",
+                   "modes": np.full(4, 2, dtype=np.int64),
+                   "pred_modes": [
+                       _predict_i8_mode(states, st, mbx, mby,
+                                        mbs_w, b) for b in range(4)],
+                   "chroma_mode": 0, "qp_delta": 0, "qp": qp,
+                   "cbp_luma": cbp_luma, "cbp_chroma": 0, "q8": q8,
+                   "cdc": np.zeros((2, 4), dtype=np.int64),
+                   "cac": np.zeros((2, 4, 16), dtype=np.int64),
+                   "st": st}
+            if wr is not None:
+                wr.emit(sym, mbx, mby)
+                wr.end_mb(mby * mbs_w + mbx == n_mbs - 1)
+            else:
+                _emit_mb_cavlc(bw, states, sym, mbx, mby, mbs_w)
+            states[(mbx, mby)] = st
+    if wr is not None:
+        hb = _BitW()
+        _slice_header(hb, qp)
+        return _assemble(_write_sps(mbs_w, mbs_h, profile=100),
+                         _write_pps(cabac=True, transform_8x8=True),
+                         wr.rbsp_from_header(hb),
+                         sei=_gs_cabac_sei())
+    bw.trailing()
+    return _assemble(_write_sps(mbs_w, mbs_h, profile=100),
+                     _write_pps(transform_8x8=True), bw.bytes(),
+                     sei=_gs_cabac_sei())
+
+
 def _flat_mb_syms(offsets, qp):
     """MB plans for the flat-macroblock oracle family (one luma DC
     coefficient per Intra_16x16 MB, CBP 0/0) — shared by the CAVLC

@@ -2653,6 +2653,85 @@ _MEDIA_H264_PCM_SQL = """
 """
 
 
+def _synth_h264_i8_udf():
+    """Per-doc High-profile IDR (r8): Intra_8x8 DC-only blocks whose
+    8x8 transform chain is exact by construction — the 4x8 grid of
+    8x8-block targets v = 20 + (doc*7 + gi*9 + gj*31) % 200 comes
+    back pixel-exactly through the profile-100 SPS, the PPS
+    transform_8x8 extension, the transform_size_8x8_flag, the
+    filtered-reference DC prediction and the qp-0 dequant/IDCT8
+    (offset map (5c + 32) >> 6). Entropy alternates by doc parity,
+    driving BOTH coders' Intra_8x8 paths (CAVLC interleaved 4x4
+    sub-blocks; CABAC ts8 context + cat-5 residuals)."""
+    from .operators import h264 as hh
+
+    @pandas_udf("binary")
+    def to_h264(ids: pd.Series) -> pd.Series:
+        def one(d):
+            gig, gjg = np.meshgrid(np.arange(8), np.arange(4))
+            v = 20 + (d * 7 + gig * 9 + gjg * 31) % 200
+            return hh.h264_encode_flat_i8(
+                v, entropy="cabac" if d % 2 else "cavlc")
+
+        return ids.map(one)
+
+    return to_h264
+
+
+def q_media_h264_i8_stats(spark, sf_dir):
+    """High-profile Intra_8x8 decode value-checked end to end (r8):
+    profile-100 parameter sets, the 8x8 transform chain and the
+    filtered-reference DC prediction, under BOTH entropy coders
+    (CAVLC even docs, CABAC odd docs) — against a pure-SQL oracle
+    over the exact block-target construction."""
+    from .operators.multimodal import image_stats
+    docs = _docs(spark, sf_dir)
+    img = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_h264_i8_udf()(F.col("doc_id"))
+                      .alias("payload"))
+    st = image_stats(img)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("width").cast("long").alias("width"),
+                     F.col("height").cast("long").alias("height"),
+                     "sum_r", "sum_g", "sum_b", "ahash")
+
+
+# 64x32 frame of 8x8-block constants v(gi, gj); each ahash cell is
+# 8x4 px = half of one block, so cell value = its block's v and the
+# bit criterion reduces to v*32 > sum-over-the-32-blocks; channel
+# sums are 64*v per block (grey via neutral chroma)
+_MEDIA_H264_I8_SQL = """
+    WITH blk AS (
+      SELECT doc_id, gi.gi, gj.gj,
+             20 + (doc_id*7 + gi.gi*9 + gj.gj*31) % 200 AS v
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gi) gi
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS gj) gj
+    ),
+    tot AS (SELECT doc_id, sum(v) AS t FROM blk GROUP BY 1),
+    cell AS (
+      SELECT b.doc_id, i.i * 8 + b.gi AS bit, b.v
+      FROM blk b
+      JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+        ON i.i // 2 = b.gj
+    ),
+    ah AS (SELECT c.doc_id,
+                  sum(CASE WHEN c.v * 32 > t.t
+                           THEN (1::HUGEINT << CAST(c.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM cell c JOIN tot t USING (doc_id) GROUP BY 1)
+    SELECT t.doc_id, CAST(64 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(t.t * 64 AS BIGINT) AS sum_r,
+           CAST(t.t * 64 AS BIGINT) AS sum_g,
+           CAST(t.t * 64 AS BIGINT) AS sum_b,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM tot t JOIN ah USING (doc_id)
+"""
+
+
 def q_media_jpeg_prog_stats(spark, sf_dir):
     """Progressive-JPEG (SOF2) decode value-checked end to end: the
     quantization-exact block-constant family of media_jpeg_stats,
@@ -3209,6 +3288,7 @@ QUERIES.update({
     "media_h264_b_stats": q_media_h264_b_stats,
     "media_h264_part_stats": q_media_h264_part_stats,
     "media_h264_wp_stats": q_media_h264_wp_stats,
+    "media_h264_i8_stats": q_media_h264_i8_stats,
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
 })
 ORACLES.update({
@@ -3229,6 +3309,8 @@ ORACLES.update({
     #                          temporal direct (r8), cell-aligned
     "media_h264_wp_stats": _MEDIA_H264_WP_SQL,  # explicit + implicit
     #                          weighted prediction (r8)
+    "media_h264_i8_stats": _MEDIA_H264_I8_SQL,  # High-profile
+    #                          Intra_8x8 transform chain (r8)
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
 })
 
@@ -3538,6 +3620,8 @@ _EXTRA_NAMES = [
     # (pytest extra-oracle gate + check_oracles --extra) — the
     # in-window H.264 slots hold the round's partition/B/direct work
     "media_h264_wp_stats",
+    # r8: High-profile Intra_8x8 family, EXTRA for the same reason
+    "media_h264_i8_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =

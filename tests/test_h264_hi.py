@@ -177,3 +177,20 @@ def test_i8_prediction_modes_all_exercised():
             states[(mbx, mby)] = sym["st"]
             seen.update(int(m) for m in sym["modes"])
     assert len(seen) >= 4
+
+
+def test_flat_i8_oracle_family_exact_both_coders():
+    """The Intra_8x8 oracle family reconstructs its 8x8-block
+    targets exactly (DC-only qp-0 chain; generator-replicated
+    filtered-reference DC prediction) under both entropy coders."""
+    rng = np.random.default_rng(17)
+    for ent in ("cavlc", "cabac"):
+        for _ in range(8):
+            v = rng.integers(20, 220, (4, 8)).astype(np.int64)
+            s = h.h264_encode_flat_i8(v, entropy=ent)
+            Y, Cb, Cr, _ = h.h264_decode_planes(s)
+            want = np.kron(v, np.ones((8, 8), dtype=np.int64))
+            np.testing.assert_array_equal(Y, want, err_msg=ent)
+            assert (Cb == 128).all() and (Cr == 128).all()
+    with pytest.raises(ValueError, match="clip"):
+        h.h264_encode_flat_i8(np.full((2, 2), 300))
