@@ -1358,12 +1358,6 @@ def h264_decode_gop_planes(payload: bytes):
             raise ValueError("slice continues a frame never started")
         Y, Cb, Cr, states, mvs = cur
         mv_map = mvs["l0"]
-        if sh["slice_type"] != 2 and pps.get("transform_8x8"):
-            raise NotImplementedError(
-                "inter slices under transform_8x8_mode unsupported "
-                "(the inter transform_size_8x8_flag syntax is not "
-                "implemented — High-profile support covers intra "
-                "slices)")
         if sh["slice_type"] == 0 and ref is None:
             raise ValueError("P slice without a reference frame")
         ref0 = ref1 = col_mvs = temporal = wp = None
@@ -2253,20 +2247,53 @@ def _decode_mb_p_skip(ref, Y, Cb, Cr, states, mv_map, mbx, mby,
     mv_map[(mbx, mby)] = (mvx, mvy)
 
 
+def _recon_inter_8x8(recon, predY, luma8, cbp_luma, qp):
+    """8x8-transform luma reconstruction over inter prediction
+    planes (shared by the CAVLC and CABAC tails): per coded quadrant
+    dequant8 + idct8 on the scan-order levels."""
+    from . import h264_hi as hi
+    for b in range(4):
+        if not cbp_luma & (1 << b):
+            continue
+        d = np.zeros(64, dtype=np.int64)
+        d[hi.ZZ8] = luma8[b]
+        dq = hi.dequant8(d.reshape(8, 8), qp)
+        r = (hi.idct8(dq) + 32) >> 6
+        ox, oy = (b & 1) * 8, (b >> 1) * 8
+        recon[oy:oy + 8, ox:ox + 8] = _clip255(
+            predY[oy:oy + 8, ox:ox + 8] + r)
+
+
 def _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
-                      predCb, predCr, mbx, mby, mbs_w):
+                      predCb, predCr, mbx, mby, mbs_w, ts8_ok=False):
     """CBP + mb_qp_delta + residual + reconstruction of an inter MB
     over its assembled prediction planes (CAVLC) — shared by the P
-    and B macroblock decoders."""
+    and B macroblock decoders. ``ts8_ok`` (r8, High profile): the MB
+    shape permits transform_size_8x8_flag (all partitions >= 8x8);
+    the flag is read when the PPS enables the mode and luma is
+    coded, switching the residual to per-8x8 interleaved CAVLC."""
     cbp_code = br.ue()
     if cbp_code > 47:
         raise ValueError("invalid coded_block_pattern")
     cbp = _CBP_INTER[cbp_code]
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    ts8 = bool(pps.get("transform_8x8") and ts8_ok and cbp_luma
+               and br.flag())
     if cbp:
         qp = _apply_qp_delta(br, qp)
     recon = predY.copy()
-    if cbp_luma:
+    if cbp_luma and ts8:             # 8x8 transform (r8)
+        luma8 = np.zeros((4, 64), dtype=np.int64)
+        for b in range(4):
+            if not cbp_luma & (1 << b):
+                continue
+            for k in range(4):
+                nc = _luma_nc(states, mbx, mby, mbs_w, 4 * b + k)
+                coeffs = _decode_residual(br, nc, 16)
+                st.nnz_l[4 * b + k] = np.count_nonzero(coeffs)
+                luma8[b, 4 * np.arange(16) + k] = coeffs
+        _recon_inter_8x8(recon, predY, luma8, cbp_luma, qp)
+    elif cbp_luma:
         for blk in range(16):
             if not (cbp_luma >> (blk // 4)) & 1:
                 continue
@@ -2297,6 +2324,7 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
         mv_map[(mbx, mby)] = None
         return qp
     st = _MBState()
+    sub_types = None
     if mb_type == 0:                 # P_L0_16x16
         mvpx, mvpy = _mv_pred_16x16(mv_map, mbx, mby, mbs_w)
         mvx = mvpx + br.se()
@@ -2307,7 +2335,6 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
                                                mvy)
         mv_entry = (mvx, mvy)
     else:                            # r8: 16x8 / 8x16 / P_8x8(ref0)
-        sub_types = None
         if mb_type >= 3:             # all four sub_mb_types first
             sub_types = [br.ue() for _ in range(4)]
             if any(t > 3 for t in sub_types):
@@ -2330,8 +2357,11 @@ def _decode_mb_p(br, qp, pps, ref, Y, Cb, Cr, states, mv_map, mbx,
         mv_entry = pm
     predY, predCb, predCr = _wp_single((predY, predCb, predCr), wp,
                                        0)
+    ts8_ok = mb_type in (0, 1, 2) or (sub_types is not None
+                                      and all(t == 0
+                                              for t in sub_types))
     qp = _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
-                           predCb, predCr, mbx, mby, mbs_w)
+                           predCb, predCr, mbx, mby, mbs_w, ts8_ok)
     states[(mbx, mby)] = st
     mv_map[(mbx, mby)] = mv_entry
     return qp
@@ -2358,6 +2388,8 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
     / the 16x8 and 8x16 two-partition types (4..21) / B_8x8 with all
     Table 7-18 sub-partitions incl. B_Direct_8x8 / intra."""
     mb_type = br.ue()
+    ts8_ok = True                    # 16x16/16x8/8x16 + direct (the
+    #                                  SPS sets direct_8x8_inference)
     if mb_type >= 23:                # intra macroblock in a B slice
         qp = _decode_mb_intra(br, mb_type - 23, qp, pps, Y, Cb, Cr,
                               states, mbx, mby, mbs_w)
@@ -2366,6 +2398,7 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
         return qp
     if mb_type == 22:                # r8: B_8x8 sub-partitions
         sub_types = [br.ue() for _ in range(4)]
+        ts8_ok = all(t <= 3 for t in sub_types)   # 8x8-only subs
 
         def read_sub_mvd(li, q, pi, bx0, by0, w4, h4, mvp):
             return mvp[0] + br.se(), mvp[1] + br.se()
@@ -2407,7 +2440,7 @@ def _decode_mb_b(br, qp, pps, ref0, ref1, col_mvs, Y, Cb, Cr,
                                                preds[0][0])
     st = _MBState()
     qp = _cavlc_inter_tail(br, qp, pps, Y, Cb, Cr, states, st, predY,
-                           predCb, predCr, mbx, mby, mbs_w)
+                           predCb, predCr, mbx, mby, mbs_w, ts8_ok)
     states[(mbx, mby)] = st
     return qp
 
@@ -3588,12 +3621,63 @@ def _split_annexb_raw(payload: bytes):
 _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
 
 
+def _emit_inter_levels_cavlc(bw, states, st, levels, ts8_stream,
+                             part_ok, mbx, mby, mbs_w):
+    """CBP + optional transform_size_8x8_flag + mb_qp_delta + luma
+    residual of one inter MB (CAVLC) — shared by the P and B
+    encoders. ``levels`` is None, a (16, 16) per-4x4 scan-order
+    array, or (r8, High profile) a (4, 64) per-8x8 scan-order array
+    (requires ``ts8_stream`` and an all->=8x8 partition shape)."""
+    lv8 = levels is not None and np.asarray(levels).shape == (4, 64)
+    if lv8 and not (ts8_stream and part_ok):
+        raise ValueError("8x8-transform levels need a transform_8x8 "
+                         "stream and an all->=8x8 partition shape")
+    if levels is None:
+        bw.ue(_CBP_INTER_INV[0])
+        return
+    levels = np.asarray(levels, dtype=np.int64)
+    if lv8:
+        cbp_luma = 0
+        for b in range(4):
+            if np.any(levels[b]):
+                cbp_luma |= 1 << b
+        bw.ue(_CBP_INTER_INV[cbp_luma])
+        if cbp_luma:
+            bw.u(1, 1)               # transform_size_8x8_flag
+            bw.se(0)                 # mb_qp_delta
+        for b in range(4):
+            if not cbp_luma & (1 << b):
+                continue
+            for k in range(4):       # interleaved sub-blocks
+                nc = _luma_nc(states, mbx, mby, mbs_w, 4 * b + k)
+                sub = levels[b, 4 * np.arange(16) + k]
+                _encode_residual(bw, sub, nc, 16)
+                st.nnz_l[4 * b + k] = np.count_nonzero(sub)
+        return
+    cbp_luma = 0
+    for blk in range(16):
+        if np.any(levels[blk]):
+            cbp_luma |= 1 << (blk // 4)
+    bw.ue(_CBP_INTER_INV[cbp_luma])
+    if cbp_luma:
+        if ts8_stream and part_ok:
+            bw.u(0, 1)               # transform_size_8x8_flag = 0
+        bw.se(0)                     # mb_qp_delta
+    for blk in range(16):
+        if not (cbp_luma >> (blk // 4)) & 1:
+            continue
+        nc = _luma_nc(states, mbx, mby, mbs_w, blk)
+        _encode_residual(bw, levels[blk], nc, 16)
+        st.nnz_l[blk] = np.count_nonzero(levels[blk])
+
+
 def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         qp: int = 30, frame_num: int = 1,
                         ref_idc: int = 2,
                         entropy: str = "cavlc",
                         poc_lsb: int | None = None,
-                        weights: dict | None = None) -> bytes:
+                        weights: dict | None = None,
+                        ts8_stream: bool = False) -> bytes:
     """Encode ONE P frame as an Annex-B non-IDR NAL (nal_ref_idc
     ``ref_idc``, single slice, CAVLC) to append after an IDR access
     unit. ``ref_idc=0`` emits a non-reference slice — legal for the
@@ -3605,7 +3689,11 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
       * ``(mvx, mvy)``      — P_L0_16x16, quarter-pel MV, no residual;
       * ``(mvx, mvy, lv)``  — P_L0_16x16 with a luma residual: ``lv``
         is a (16, 16) int array of per-4x4 CAVLC scan-order
-        coefficient LEVELS (inter blocks carry all 16 positions);
+        coefficient LEVELS (inter blocks carry all 16 positions), or
+        (r8, High profile) a (4, 64) per-8x8 scan-order array coding
+        the MB with transform_size_8x8_flag = 1 (requires
+        ``ts8_stream=True``, i.e. a GOP anchored by an i8 IDR whose
+        PPS sets transform_8x8_mode);
       * ``('p16x8', mv0, mv1[, lv])`` — P_L0_L0_16x8 (r8): top and
         bottom 16x8 partition MVs as (mvx, mvy) pairs;
       * ``('p8x16', mv0, mv1[, lv])`` — P_L0_L0_8x16: left and right;
@@ -3633,7 +3721,7 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         return h264_cabac.encode_p_frame_cabac(mb_specs, mbs_w,
                                                mbs_h, qp, frame_num,
                                                ref_idc, poc_lsb,
-                                               weights)
+                                               weights, ts8_stream)
     if entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
@@ -3721,24 +3809,11 @@ def h264_encode_p_frame(mb_specs: list, mbs_w: int, mbs_h: int,
             bw.se(mvx - mvpx)
             bw.se(mvy - mvpy)
             mv_entry = (mvx, mvy)
+        part_ok = not isinstance(spec[0], str) or spec[0] != "p8x8" \
+            or all(s[0] == "8x8" for s in spec[1])
         st = _MBState()
-        if levels is None:
-            bw.ue(_CBP_INTER_INV[0])
-        else:
-            levels = np.asarray(levels, dtype=np.int64)
-            cbp_luma = 0
-            for blk in range(16):
-                if np.any(levels[blk]):
-                    cbp_luma |= 1 << (blk // 4)
-            bw.ue(_CBP_INTER_INV[cbp_luma])
-            if cbp_luma:
-                bw.se(0)                     # mb_qp_delta
-            for blk in range(16):
-                if not (cbp_luma >> (blk // 4)) & 1:
-                    continue
-                nc = _luma_nc(states, mbx, mby, mbs_w, blk)
-                _encode_residual(bw, levels[blk], nc, 16)
-                st.nnz_l[blk] = np.count_nonzero(levels[blk])
+        _emit_inter_levels_cavlc(bw, states, st, levels, ts8_stream,
+                                 part_ok, mbx, mby, mbs_w)
         states[(mbx, mby)] = st
         mv_map[(mbx, mby)] = mv_entry
     if skip_run:
@@ -3754,7 +3829,8 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         entropy: str = "cavlc",
                         col_mvs: dict | None = None,
                         temporal: tuple | None = None,
-                        weights: dict | None = None) -> bytes:
+                        weights: dict | None = None,
+                        ts8_stream: bool = False) -> bytes:
     """Encode ONE B frame as an Annex-B non-reference NAL (CAVLC,
     single slice) for a poc_type-0 stream (build the IDR with
     ``h264_encode(..., poc_lsb=...)`` and reference P frames with
@@ -3804,7 +3880,8 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
         return h264_cabac.encode_b_frame_cabac(mb_specs, mbs_w,
                                                mbs_h, poc_lsb, qp,
                                                frame_num, col_mvs,
-                                               temporal, weights)
+                                               temporal, weights,
+                                               ts8_stream)
     if entropy != "cavlc":
         raise ValueError(f"unknown entropy coder {entropy!r}")
     bw = _BitW()
@@ -3929,24 +4006,11 @@ def h264_encode_b_frame(mb_specs: list, mbs_w: int, mbs_h: int,
                         temporal, None, None, mbx, mby, mbs_w)
         else:
             raise ValueError(f"unknown B mb_spec kind {kind!r}")
+        part_ok = kind != "b8x8" or all(
+            s[0] == "direct" or s[1] == "8x8" for s in spec[1])
         st = _MBState()
-        if levels is None:
-            bw.ue(_CBP_INTER_INV[0])
-        else:
-            levels = np.asarray(levels, dtype=np.int64)
-            cbp_luma = 0
-            for blk in range(16):
-                if np.any(levels[blk]):
-                    cbp_luma |= 1 << (blk // 4)
-            bw.ue(_CBP_INTER_INV[cbp_luma])
-            if cbp_luma:
-                bw.se(0)                     # mb_qp_delta
-            for blk in range(16):
-                if not (cbp_luma >> (blk // 4)) & 1:
-                    continue
-                nc = _luma_nc(states, mbx, mby, mbs_w, blk)
-                _encode_residual(bw, levels[blk], nc, 16)
-                st.nnz_l[blk] = np.count_nonzero(levels[blk])
+        _emit_inter_levels_cavlc(bw, states, st, levels, ts8_stream,
+                                 part_ok, mbx, mby, mbs_w)
         states[(mbx, mby)] = st
     if skip_run:
         bw.ue(skip_run)

@@ -1125,7 +1125,9 @@ class CabacSliceWriter:
         if isinstance(spec[0], str):             # partitioned inter
             levels = self._emit_p_partitions(spec, mbx, mby)
             cur.intra = False
-            self._emit_inter_tail(levels, mbx, mby, cur)
+            part_ok = spec[0] != "p8x8" or all(
+                sub[0] == "8x8" for sub in spec[1])
+            self._emit_inter_tail(levels, mbx, mby, cur, part_ok)
             recs[(mbx, mby)] = cur
             return
         mvx, mvy = int(spec[0]), int(spec[1])
@@ -1195,34 +1197,61 @@ class CabacSliceWriter:
                     (int(mv[0]), int(mv[1])))
         return levels
 
-    def _emit_inter_tail(self, levels, mbx: int, mby: int, cur):
-        """CBP + mb_qp_delta + luma cat-2 residual of a 16x16 inter
-        MB (no chroma residual in the supported subset) — shared by
-        the P and B emitters."""
+    def _emit_inter_tail(self, levels, mbx: int, mby: int, cur,
+                         part_ok: bool = True):
+        """CBP + optional transform_size_8x8_flag + mb_qp_delta +
+        luma residual of an inter MB (no chroma residual in the
+        supported subset) — shared by the P and B emitters.
+        ``levels`` may be a (4, 64) per-8x8 scan-order array (r8,
+        High profile): ONE cat-5 residual per coded quadrant, no cbf
+        bins."""
         enc, ctx, recs, mbs_w = (self.enc, self.ctx, self.recs,
                                  self.mbs_w)
+        lv8 = (levels is not None
+               and np.asarray(levels).shape == (4, 64))
+        if lv8 and not (self.transform_8x8 and part_ok):
+            raise ValueError("8x8-transform levels need a "
+                             "transform_8x8 stream and an all->=8x8 "
+                             "partition shape")
         cbp_l = 0
         if levels is not None:
             levels = np.asarray(levels, dtype=np.int64)
-            for blk in range(16):
-                if np.any(levels[blk]):
-                    cbp_l |= 1 << (blk // 4)
+            if lv8:
+                for b in range(4):
+                    if np.any(levels[b]):
+                        cbp_l |= 1 << b
+            else:
+                for blk in range(16):
+                    if np.any(levels[blk]):
+                        cbp_l |= 1 << (blk // 4)
         self._emit_cbp(cbp_l, 0, mbx, mby)
         cur.cbp_l = cbp_l
+        if self.transform_8x8 and part_ok and cbp_l:
+            enc.bit(ctx, _TS8 + _ts8_inc(recs, mbx, mby, mbs_w),
+                    1 if lv8 else 0)
+            cur.ts8 = lv8
         if cbp_l:
             _code_qp_delta(enc, ctx, self.prev_qpd != 0, delta=0)
             self.prev_qpd = 0
-            for blk in range(16):
-                if not (cbp_l >> (blk // 4)) & 1:
-                    continue
-                lv = levels[blk]
-                cbf = 1 if np.any(lv) else 0
-                a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
-                                        mbs_w)
-                enc.bit(ctx, _cbf_ctx(2, a, b), cbf)
-                cur.acY[blk] = cbf
-                if cbf:
-                    _enc_residual(enc, ctx, 2, lv)
+            if lv8:
+                for b in range(4):
+                    if not cbp_l & (1 << b):
+                        continue
+                    _enc_residual(enc, ctx, 5, levels[b])
+                    for k in range(4):
+                        cur.acY[4 * b + k] = 1
+            else:
+                for blk in range(16):
+                    if not (cbp_l >> (blk // 4)) & 1:
+                        continue
+                    lv = levels[blk]
+                    cbf = 1 if np.any(lv) else 0
+                    a, b = _cbf_luma_blk_nb(recs, cur, mbx, mby, blk,
+                                            mbs_w)
+                    enc.bit(ctx, _cbf_ctx(2, a, b), cbf)
+                    cur.acY[blk] = cbf
+                    if cbf:
+                        _enc_residual(enc, ctx, 2, lv)
         else:
             self.prev_qpd = 0
 
@@ -1405,7 +1434,9 @@ class CabacSliceWriter:
                         None, mbx, mby, mbs_w)
         else:
             raise ValueError(f"unknown B mb_spec kind {kind!r}")
-        self._emit_inter_tail(levels, mbx, mby, cur)
+        part_ok = kind != "b8x8" or all(
+            sub[0] == "direct" or sub[1] == "8x8" for sub in spec[1])
+        self._emit_inter_tail(levels, mbx, mby, cur, part_ok)
         recs[(mbx, mby)] = cur
 
     def end_mb(self, last: bool):
@@ -1431,7 +1462,8 @@ def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
                          qp: int = 30, frame_num: int = 1,
                          ref_idc: int = 2,
                          poc_lsb: int | None = None,
-                         weights: dict | None = None) -> bytes:
+                         weights: dict | None = None,
+                         ts8_stream: bool = False) -> bytes:
     """CABAC twin of h264.h264_encode_p_frame: ONE P frame as an
     Annex-B non-IDR NAL from the same mb_spec format (must follow an
     IDR encoded with entropy='cabac' so the stream shares the
@@ -1456,6 +1488,7 @@ def encode_p_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
     bw.se(qp - 26)                           # slice_qp_delta
     bw.ue(1)                                 # disable_deblocking
     wr = CabacSliceWriter(mbs_w)
+    wr.transform_8x8 = ts8_stream
     n = len(mb_specs)
     for addr, spec in enumerate(mb_specs):
         wr.emit_p(spec, addr % mbs_w, addr // mbs_w)
@@ -1469,7 +1502,8 @@ def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
                          frame_num: int = 1,
                          col_mvs: dict | None = None,
                          temporal: tuple | None = None,
-                         weights: dict | None = None) -> bytes:
+                         weights: dict | None = None,
+                         ts8_stream: bool = False) -> bytes:
     """CABAC twin of h264.h264_encode_b_frame: ONE non-reference B
     frame as an Annex-B NAL for a poc_type-0 CABAC stream (IDR via
     h264_encode(..., entropy='cabac', poc_lsb=...), reference P
@@ -1497,6 +1531,7 @@ def encode_b_frame_cabac(mb_specs: list, mbs_w: int, mbs_h: int,
     wr = CabacSliceWriter(mbs_w)
     wr.col_mvs = col_mvs
     wr.direct_temporal = temporal
+    wr.transform_8x8 = ts8_stream
     n = len(mb_specs)
     for addr, spec in enumerate(mb_specs):
         wr.emit_b(spec, addr % mbs_w, addr // mbs_w)
@@ -1883,9 +1918,13 @@ def _decode_mb_p_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref,
         mv_entry = pm
     predY, predCb, predCr = _wp_single((predY, predCb, predCr), wp,
                                        0)
+    ts8_ok = mb_type in (0, 1, 2) or (mb_type == 3
+                                      and all(t == 0
+                                              for t in sub_types))
     qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
                                    prev_qpd, pps, Y, Cb, Cr, predY,
-                                   predCb, predCr, mbx, mby, mbs_w)
+                                   predCb, predCr, mbx, mby, mbs_w,
+                                   ts8_ok)
     states[(mbx, mby)] = st
     mv_map[(mbx, mby)] = mv_entry
     recs[(mbx, mby)] = cur
@@ -1893,14 +1932,25 @@ def _decode_mb_p_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps, ref,
 
 
 def _dec_inter_tail(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y,
-                    Cb, Cr, predY, predCb, predCr, mbx, mby, mbs_w):
+                    Cb, Cr, predY, predCb, predCr, mbx, mby, mbs_w,
+                    ts8_ok=False):
     """CBP + mb_qp_delta + residual + reconstruction of a 16x16
     inter MB over its prediction planes — shared by the P and B
-    macroblock decoders."""
+    macroblock decoders. ``ts8_ok`` (r8, High profile): the MB shape
+    permits transform_size_8x8_flag; when the PPS enables the mode
+    and luma is coded the flag bin is decoded and the residual
+    switches to cat-5 8x8 blocks (no cbf bins — inferred from the
+    CBP quadrant bits)."""
     from .h264 import (_BLK_POS as BP, _ZZ4, _clip255, _dequant_ac,
-                       _inv_transform_4x4, _recon_chroma_from_pred)
+                       _inv_transform_4x4, _recon_chroma_from_pred,
+                       _recon_inter_8x8)
     cbp_luma, cbp_chroma = _dec_cbp(dec, ctx, recs, mbx, mby, mbs_w)
     cur.cbp_l, cur.cbp_c = cbp_luma, cbp_chroma
+    ts8 = False
+    if pps.get("transform_8x8") and ts8_ok and cbp_luma:
+        ts8 = bool(dec.bit(ctx, _TS8 + _ts8_inc(recs, mbx, mby,
+                                                mbs_w)))
+        cur.ts8 = ts8
     if cbp_luma or cbp_chroma:
         delta = _code_qp_delta(dec, ctx, prev_qpd != 0)
         if not -27 <= delta <= 26:
@@ -1911,7 +1961,18 @@ def _dec_inter_tail(dec, ctx, recs, cur, st, qp, prev_qpd, pps, Y,
     else:
         prev_qpd = 0
     recon = predY.copy()
-    if cbp_luma:
+    if cbp_luma and ts8:             # 8x8 transform (r8)
+        luma8 = np.zeros((4, 64), dtype=np.int64)
+        for b in range(4):
+            if not cbp_luma & (1 << b):
+                continue
+            luma8[b] = _dec_residual(dec, ctx, 5, 64)
+            for k in range(4):
+                cur.acY[4 * b + k] = 1
+                st.nnz_l[4 * b + k] = np.count_nonzero(
+                    luma8[b, 4 * np.arange(16) + k])
+        _recon_inter_8x8(recon, predY, luma8, cbp_luma, qp)
+    elif cbp_luma:
         for blk in range(16):
             if not (cbp_luma >> (blk // 4)) & 1:
                 continue
@@ -1999,7 +2060,7 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
         qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
                                        prev_qpd, pps, Y, Cb, Cr,
                                        predY, predCb, predCr, mbx,
-                                       mby, mbs_w)
+                                       mby, mbs_w, True)
         states[(mbx, mby)] = st
         recs[(mbx, mby)] = cur
         return qp, prev_qpd
@@ -2047,7 +2108,9 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
             qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st,
                                            qp, prev_qpd, pps, Y, Cb,
                                            Cr, predY, predCb, predCr,
-                                           mbx, mby, mbs_w)
+                                           mbx, mby, mbs_w,
+                                           all(t <= 3
+                                               for t in sub_types))
             states[(mbx, mby)] = st
             recs[(mbx, mby)] = cur
             return qp, prev_qpd
@@ -2075,7 +2138,7 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
             qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st,
                                            qp, prev_qpd, pps, Y, Cb,
                                            Cr, predY, predCb, predCr,
-                                           mbx, mby, mbs_w)
+                                           mbx, mby, mbs_w, True)
             states[(mbx, mby)] = st
             recs[(mbx, mby)] = cur
             return qp, prev_qpd
@@ -2108,7 +2171,8 @@ def _decode_mb_b_cabac(dec, ctx, recs, mvd_f, qp, prev_qpd, pps,
                                            preds[0][0])
     qp, prev_qpd = _dec_inter_tail(dec, ctx, recs, cur, st, qp,
                                    prev_qpd, pps, Y, Cb, Cr, predY,
-                                   predCb, predCr, mbx, mby, mbs_w)
+                                   predCb, predCr, mbx, mby, mbs_w,
+                                   True)
     states[(mbx, mby)] = st
     recs[(mbx, mby)] = cur
     return qp, prev_qpd

@@ -134,12 +134,62 @@ def test_foreign_high_profile_stream_rejected_loudly():
         h.h264_decode(b"".join(nals))
 
 
-def test_inter_slice_under_transform_8x8_rejected():
-    y = np.full((16, 16), 90, np.uint8)
-    idr = h.h264_encode(y, qp=20, mb_mode="i8")
-    p = h.h264_encode_p_frame([(0, 0)], 1, 1, frame_num=1)
-    with pytest.raises(NotImplementedError, match="inter slices"):
-        h.h264_decode_gop_planes(idr + p)
+def test_inter_transform_8x8_gop_both_coders():
+    """Inter MBs under a transform_8x8 PPS (r8): the per-MB
+    transform_size_8x8_flag switches the residual to the 8x8 chain —
+    (4, 64)-shaped levels in the P/B mb_specs — while (16, 16)
+    levels still ride the 4x4 path with the flag coded 0; checked
+    against per-quadrant dequant8+idct8 pixel expectations under
+    BOTH entropy coders (an i8 IDR anchors the GOP)."""
+    from gorillaspark.operators import h264_hi as hi8
+    rng = np.random.default_rng(96)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    lv8 = np.zeros((4, 64), dtype=np.int64)
+    lv8[0, 0], lv8[0, 5], lv8[2, 1], lv8[3, 10] = 12, -3, 7, 2
+    lv4 = np.zeros((16, 16), dtype=np.int64)
+    lv4[0, 0], lv4[9, 2] = 4, -2
+    for ent in ("cavlc", "cabac"):
+        idr = h.h264_encode(y, qp=24, mb_mode="i8", entropy=ent,
+                            poc_lsb=0)
+        Y0 = h.h264_decode_gop_planes(idr)[0][0][0]
+        specs = [(0, 0, lv8), None, (8, 4, lv4),
+                 ("p16x8", (0, 0), (4, 4), lv8), (0, 0),
+                 ("p8x8", [("8x8", (0, 0))] * 4, lv8), None, (4, 0)]
+        p = h.h264_encode_p_frame(specs, 4, 2, qp=28, frame_num=1,
+                                  poc_lsb=8, entropy=ent,
+                                  ts8_stream=True)
+        b = h.h264_encode_b_frame(
+            [("l0", 0, 0, lv8), None, ("bi", 0, 0, 0, 0, lv8)]
+            + [None] * 5, 4, 2, poc_lsb=4, qp=28, frame_num=2,
+            entropy=ent, ts8_stream=True)
+        frames, _ = h.h264_decode_gop_planes(idr + p + b)
+        assert len(frames) == 3
+        Y1, Yb = frames[2][0], frames[1][0]
+        for bq in (0, 2):            # MB0 zero-MV 8x8 residual quads
+            d = np.zeros(64, dtype=np.int64)
+            d[hi8.ZZ8] = lv8[bq]
+            r = (hi8.idct8(hi8.dequant8(d.reshape(8, 8), 28))
+                 + 32) >> 6
+            ox, oy = (bq & 1) * 8, (bq >> 1) * 8
+            want = np.clip(Y0[oy:oy + 8, ox:ox + 8] + r, 0, 255)
+            np.testing.assert_array_equal(
+                Y1[oy:oy + 8, ox:ox + 8], want, err_msg=f"{ent} {bq}")
+            # B MB0 (L0 zero MV off Y0): same residual over Y0
+            np.testing.assert_array_equal(
+                Yb[oy:oy + 8, ox:ox + 8], want,
+                err_msg=f"{ent} B {bq}")
+        # uncoded quadrant untouched; the 4x4-levels MB decodes via
+        # the 4x4 chain (flag 0) — block (0,0) of MB2 with MV (8,4)
+        assert np.array_equal(Y1[0:8, 8:16], Y0[0:8, 8:16])
+    # 8x8 levels without a transform_8x8 stream reject loudly
+    with pytest.raises(ValueError, match="8x8-transform levels"):
+        h.h264_encode_p_frame([(0, 0, lv8)], 1, 1, frame_num=1)
+    # and on a sub-8x8-partitioned MB
+    with pytest.raises(ValueError, match="8x8-transform levels"):
+        h.h264_encode_p_frame(
+            [("p8x8", [("4x4", (0, 0), (0, 0), (0, 0), (0, 0))]
+              + [("8x8", (0, 0))] * 3, lv8)], 1, 1, frame_num=1,
+            ts8_stream=True)
 
 
 def test_high_profile_sps_gates():
