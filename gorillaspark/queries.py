@@ -3616,12 +3616,17 @@ _EXTRA_NAMES = [
     # (driver-green r8 windows, and part/b both alternate entropy by
     # doc parity, keeping the CABAC layer in-window) takes its slot:
     "media_h264_cabac_stats",
-    # r8: weighted-prediction family registers straight to EXTRA
-    # (pytest extra-oracle gate + check_oracles --extra) — the
-    # in-window H.264 slots hold the round's partition/B/direct work
-    "media_h264_wp_stats",
-    # r8: High-profile Intra_8x8 family, EXTRA for the same reason
-    "media_h264_i8_stats",
+    # r8 fifth rotation: media_h264_wp_stats (NEW — explicit +
+    # implicit weighted prediction) moves IN for first driver
+    # evidence; media_audio_stats (driver-green r5-r8, and FLAC —
+    # lossless, SHARING the WAV analytic oracle — keeps the audio
+    # decode path in-window) takes its EXTRA slot:
+    "media_audio_stats",
+    # r8 sixth rotation: media_h264_i8_stats (NEW — High-profile
+    # Intra_8x8 transform chain) moves IN; doc_fingerprint
+    # (driver-green r3-r8; doc_stats + the trigram families keep the
+    # textstats surface in-window) takes its EXTRA slot:
+    "doc_fingerprint",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
