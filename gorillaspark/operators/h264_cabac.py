@@ -1258,7 +1258,7 @@ class CabacSliceWriter:
     # -- B slice (r8) ----------------------------------------------
 
     def _code_mvd_b(self, lst: int, mbx: int, mby: int, mvx: int,
-                    mvy: int, cur):
+                    mvy: int):
         """mvd pair for one list of a B 16x16 MB, replicating the
         decoder's per-list median MV prediction."""
         mmap = self.mv_map if lst == 0 else self.mv_map1
@@ -1336,15 +1336,13 @@ class CabacSliceWriter:
             enc.bit(ctx, _MB_TYPE_B + 3, 0)
             enc.bit(ctx, _MB_TYPE_B + 4, 0)
             levels = spec[3] if len(spec) > 3 else None
-            self._code_mvd_b(0, mbx, mby, int(spec[1]), int(spec[2]),
-                             cur)
+            self._code_mvd_b(0, mbx, mby, int(spec[1]), int(spec[2]))
             self.mv_map1[(mbx, mby)] = None
         elif kind == "l1":                       # '101'
             enc.bit(ctx, _MB_TYPE_B + 3, 0)
             enc.bit(ctx, _MB_TYPE_B + 4, 1)
             levels = spec[3] if len(spec) > 3 else None
-            self._code_mvd_b(1, mbx, mby, int(spec[1]), int(spec[2]),
-                             cur)
+            self._code_mvd_b(1, mbx, mby, int(spec[1]), int(spec[2]))
             self.mv_map[(mbx, mby)] = None
         elif kind == "bi":                       # '110' + FL3 000
             enc.bit(ctx, _MB_TYPE_B + 3, 1)
@@ -1352,10 +1350,8 @@ class CabacSliceWriter:
             for _ in range(3):
                 enc.bit(ctx, _MB_TYPE_B + 5, 0)
             levels = spec[5] if len(spec) > 5 else None
-            self._code_mvd_b(0, mbx, mby, int(spec[1]), int(spec[2]),
-                             cur)
-            self._code_mvd_b(1, mbx, mby, int(spec[3]), int(spec[4]),
-                             cur)
+            self._code_mvd_b(0, mbx, mby, int(spec[1]), int(spec[2]))
+            self._code_mvd_b(1, mbx, mby, int(spec[3]), int(spec[4]))
         elif kind in ("b16x8", "b8x16"):         # r8: two partitions
             from .h264 import _B_PART_TYPE, _code_b_partitions
             shape = 1 if kind == "b16x8" else 2
