@@ -8,11 +8,12 @@ uncompressed 24-bit BMP images, and the GSV1 frame container (see
 media_codecs.py) — via ``decoder='native'`` and the typed operators
 :func:`audio_stats` / :func:`image_stats` / :func:`video_frame_stats`.
 media_codecs.py grew a real baseline JPEG codec in r5 (MP4/MJPEG
-demux+decode with it) and a baseline H.264 decoder in r7 (h264.py —
-Annex-B and avc1/avcC MP4 tracks, CAVLC, intra prediction, and
-P-slice GOPs with quarter-pel motion compensation), so only
-B-slice/CABAC H.264 and hev1 bitstreams stay honestly stubbed —
-full video needs real codec libraries — behind
+demux+decode with it) and an H.264 decoder in r7-r8 (h264.py —
+Annex-B and avc1/avcC MP4 tracks, CAVLC + CABAC, I/P/B GOPs with
+every inter partition shape, quarter-pel MC, spatial+temporal
+direct, weighted prediction, and High-profile Intra_8x8 via
+h264_hi.py), so only hev1 (HEVC) bitstreams and interlaced H.264
+stay honestly stubbed — those need real codec libraries — behind
 ``decoder=`` hooks that raise ``NotImplementedError``. Swapping in
 ffmpeg/torchaudio on a real cluster changes only the per-format
 branch: batch shapes, schemas and partitioning are already exercised
