@@ -249,6 +249,57 @@ def main() -> None:
     print(line)
 
 
+def _host_anchor():
+    """Single-thread C-kernel encode/decode throughput (M pts/s,
+    pinned, min of 3 on 300k points) — a host-health sentinel
+    embedded in the output line so a degraded co-tenant window
+    self-adjudicates: the anchor runs BYTE-IDENTICAL code every
+    round, so a low reading means the box, not a regression (quiet
+    baseline on this box: encode ~150-200, decode ~100-115; the r7
+    driver-window incident and both late-r8 attempts would have been
+    classified automatically with this field). Returns [enc, dec]
+    rounded to 0.1, or None if pinning/kernels are unavailable."""
+    try:
+        import time
+
+        import numpy as np
+
+        from gorillaspark.codec.native import (decode_blocks_native,
+                                               encode_blocks_native)
+        old_aff = None
+        try:
+            old_aff = os.sched_getaffinity(0)
+            os.sched_setaffinity(0, {2})
+        except (AttributeError, OSError):
+            pass
+        n, nb = 100_000, 3
+        ts = np.concatenate(
+            [np.arange(n, dtype=np.int64) * 60_000 + i * 10 ** 10
+             for i in range(nb)])
+        vals = np.tile(np.arange(n, dtype=np.float64), nb)
+        bts = np.array([i * 10 ** 10 for i in range(nb)],
+                       dtype=np.int64)
+        offs = np.arange(0, nb * n + 1, n, dtype=np.int64)
+        try:
+            enc = dec = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = encode_blocks_native(bts, offs, ts, vals)
+                if r is None:
+                    return None      # no C kernel: skip the sentinel
+                enc = min(enc, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                decode_blocks_native(*r)
+                dec = min(dec, time.perf_counter() - t0)
+        finally:
+            if old_aff is not None:
+                os.sched_setaffinity(0, old_aff)
+        tot = n * nb
+        return [round(tot / enc / 1e6, 1), round(tot / dec / 1e6, 1)]
+    except Exception:
+        return None                  # sentinel must never fail bench
+
+
 def build_output_line(queries: dict, extras: dict, sf_dir: str,
                       cpus: int, n_turns: int) -> str:
     """Assemble the driver-contract one-line JSON.
@@ -295,6 +346,7 @@ def build_output_line(queries: dict, extras: dict, sf_dir: str,
         "protocol": "per query: 1 warm-up + median of 3 timed reps",
         "regression_count": len(regressions),
         "regressions": regressions[:3],
+        "anchor_mpts": _host_anchor(),
         **extras,
     }
     line = json.dumps(out)
