@@ -1147,3 +1147,135 @@ def test_weighted_prediction_malformed_table_is_loud():
     bw.trailing()
     with pytest.raises(ValueError, match="weight/offset"):
         h._parse_pred_weight_table(h._Bits(bw.bytes()), False)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606,
+                                  707, 808])
+def test_gop_fuzz_cavlc_cabac_equality(seed):
+    """Randomized GOP fuzz over the full r8 inter surface: random
+    mixes of every P/B macroblock kind (16x16 / 16x8 / 8x16 / P_8x8
+    sub-shapes / B mode pairs / B_8x8 / direct / skip / intra-in-P),
+    random quarter-pel MVs and residuals, spatial vs temporal direct
+    — the SAME specs must decode to identical pixels under both
+    entropy coders (any ctx/bin drift desyncs CABAC loudly, any
+    prediction drift diverges pixels)."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+
+    def mv():
+        return int(rng.integers(-12, 13)), int(rng.integers(-12, 13))
+
+    def maybe_lv():
+        if rng.random() < 0.5:
+            return None
+        lv = np.zeros((16, 16), dtype=np.int64)
+        for _ in range(int(rng.integers(1, 5))):
+            lv[rng.integers(0, 16), rng.integers(0, 3)] = int(
+                rng.integers(-6, 7)) or 1
+        return lv
+
+    def p_spec():
+        k = rng.integers(0, 6)
+        if k == 0:
+            return None                      # P_Skip
+        if k == 1:
+            lv = maybe_lv()
+            return mv() + ((lv,) if lv is not None else ())
+        if k == 2:
+            return ("i16dc", int(rng.integers(-8, 9)))
+        if k == 3:
+            return ("p16x8", mv(), mv())
+        if k == 4:
+            return ("p8x16", mv(), mv())
+        subs = []
+        for _ in range(4):
+            shape = ("8x8", "8x4", "4x8", "4x4")[rng.integers(0, 4)]
+            n = {"8x8": 1, "8x4": 2, "4x8": 2, "4x4": 4}[shape]
+            subs.append((shape, *[mv() for _ in range(n)]))
+        return ("p8x8", subs)
+
+    def b_spec():
+        k = rng.integers(0, 8)
+        if k == 0:
+            return None                      # B_Skip
+        if k == 1:
+            return ("direct",)
+        if k == 2:
+            return ("l0", *mv())
+        if k == 3:
+            return ("l1", *mv())
+        if k == 4:
+            return ("bi", *mv(), *mv())
+        if k in (5, 6):
+            def part():
+                m = ("l0", "l1", "bi")[rng.integers(0, 3)]
+                return (m, *mv(), *mv()) if m == "bi" else (m, *mv())
+            return ("b16x8" if k == 5 else "b8x16", part(), part())
+        subs = []
+        for _ in range(4):
+            t = rng.integers(0, 5)
+            if t == 0:
+                subs.append(("direct",))
+                continue
+            m = ("l0", "l1", "bi")[rng.integers(0, 3)]
+            shape = ("8x8", "8x4", "4x8", "4x4")[rng.integers(0, 4)]
+            n = {"8x8": 1, "8x4": 2, "4x8": 2, "4x4": 4}[shape]
+            mvs = [((*mv(), *mv()) if m == "bi" else mv())
+                   for _ in range(n)]
+            subs.append((m, shape, *mvs))
+        return ("b8x8", subs)
+
+    temporal = (2, 8) if rng.random() < 0.5 else None
+    p_specs = [p_spec() for _ in range(8)]
+    b_specs = [b_spec() for _ in range(8)]
+    streams = {}
+    col = None
+    for entropy in ("cavlc", "cabac"):
+        gop = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
+                            entropy=entropy)
+        if col is None:
+            # replicate the decoder's P motion for the B direct
+            # derivation: re-derive from the specs
+            col = {}
+            mvmap = {}
+            for addr, sp in enumerate(p_specs):
+                mbx, mby = addr % 4, addr // 4
+                if sp is None:
+                    mvmap[(mbx, mby)] = h._mv_pred_skip(mvmap, mbx,
+                                                        mby, 4)
+                elif isinstance(sp[0], str) and sp[0] == "i16dc":
+                    mvmap[(mbx, mby)] = None
+                elif isinstance(sp[0], str):
+                    pm = h._PartMvs()
+                    mb_type = {"p16x8": 1, "p8x16": 2,
+                               "p8x8": 3}[sp[0]]
+                    subs = None
+                    if sp[0] == "p8x8":
+                        subs = [h._P_SUB_NAMES[s[0]] for s in sp[1]]
+                        mv_seq = [m for s in sp[1] for m in s[1:]]
+                    else:
+                        mv_seq = [sp[1], sp[2]]
+                    mvmap[(mbx, mby)] = pm
+                    for (ox, oy, w, hh_, rule), m in zip(
+                            h._p_partitions(mb_type, subs), mv_seq):
+                        mvp = h._mv_pred_part(
+                            mvmap, mbx * 4 + ox // 4,
+                            mby * 4 + oy // 4, w // 4, 4, rule)
+                        pm.fill(ox // 4, oy // 4, w // 4, hh_ // 4,
+                                (int(m[0]), int(m[1])))
+                else:
+                    mvmap[(mbx, mby)] = (int(sp[0]), int(sp[1]))
+            col = dict(mvmap)
+        p = h.h264_encode_p_frame(p_specs, 4, 2, qp=28, frame_num=1,
+                                  poc_lsb=8, entropy=entropy)
+        b = h.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=4, qp=28,
+                                  frame_num=2, entropy=entropy,
+                                  col_mvs=col, temporal=temporal)
+        streams[entropy] = gop + p + b
+    fa, _ = h.h264_decode_gop_planes(streams["cavlc"])
+    fb, _ = h.h264_decode_gop_planes(streams["cabac"])
+    assert len(fa) == len(fb) == 3
+    for k, (pa, pb) in enumerate(zip(fa, fb)):
+        for plane_a, plane_b in zip(pa, pb):
+            np.testing.assert_array_equal(plane_a, plane_b,
+                                          err_msg=f"seed {seed} f{k}")
