@@ -1228,11 +1228,22 @@ def test_gop_fuzz_cavlc_cabac_equality(seed):
     temporal = (2, 8) if rng.random() < 0.5 else None
     p_specs = [p_spec() for _ in range(8)]
     b_specs = [b_spec() for _ in range(8)]
+    # random weighted prediction on half the seeds: explicit P table
+    # + implicit B weights through the same GOP
+    wp_on = rng.random() < 0.5
+    p_wts = None
+    if wp_on:
+        p_wts = {"ly": int(rng.integers(0, 3)), "lc": 0,
+                 "l0": ((int(rng.integers(1, 5)),
+                         int(rng.integers(-8, 9))), (1, 0), (1, 0)),
+                 "l1": None}
     streams = {}
     col = None
     for entropy in ("cavlc", "cabac"):
         gop = h.h264_encode(y, qp=24, mb_mode="i4", poc_lsb=0,
-                            entropy=entropy)
+                            entropy=entropy,
+                            weighted_pred=wp_on,
+                            weighted_bipred=2 if wp_on else 0)
         if col is None:
             # replicate the decoder's P motion for the B direct
             # derivation: re-derive from the specs
@@ -1267,7 +1278,8 @@ def test_gop_fuzz_cavlc_cabac_equality(seed):
                     mvmap[(mbx, mby)] = (int(sp[0]), int(sp[1]))
             col = dict(mvmap)
         p = h.h264_encode_p_frame(p_specs, 4, 2, qp=28, frame_num=1,
-                                  poc_lsb=8, entropy=entropy)
+                                  poc_lsb=8, entropy=entropy,
+                                  weights=p_wts)
         b = h.h264_encode_b_frame(b_specs, 4, 2, poc_lsb=4, qp=28,
                                   frame_num=2, entropy=entropy,
                                   col_mvs=col, temporal=temporal)
