@@ -15,9 +15,12 @@ decodes for real too: Annex-B CAVLC IDR frames — standalone or as
 avc1 MP4 tracks (avcC record + length-prefixed samples, ISO/IEC
 14496-15) — and GOPs with P slices (one reference, P_L0_16x16 /
 P_Skip / intra-in-P, quarter-pel motion compensation,
-h264_decode_gop). Out of scope, honestly: B slices, CABAC,
-sub-16x16 partitions, deblocking, and hev1 — full video needs real
-codec libraries.
+h264_decode_gop). The r8 rounds closed most of that module's old
+stub list (CABAC, B slices, every inter partition shape, weighted
+prediction, High-profile Intra_8x8), and late r8 added HEVC
+Main-profile intra (h265.py — hvc1/hvcC MP4 tracks, lossless
+transquant-bypass). Out of scope, honestly: H.264/HEVC inter
+features beyond those, deblocking/SAO in-loop filters.
 
 Also defines GSV1, a minimal documented frame container (magic +
 frame interval + length-prefixed BMP frames) so video frame-sampling
@@ -196,6 +199,20 @@ def h264_rgb(payload: bytes) -> np.ndarray:
     return _h264.h264_decode(payload)
 
 
+def _is_annexb_h265(payload: bytes) -> bool:
+    """H.265 vs H.264 Annex-B: the 2-byte H.265 NAL header makes the
+    first NAL byte EVEN (bit 0 is the top of nuh_layer_id) with a
+    6-bit type in the parameter-set/IRAP/SEI range, while every
+    H.264 stream leads with an odd-first-byte SPS/PPS/IDR NAL
+    (nal_ref_idc in bits 5-6, 5-bit type)."""
+    i = 4 if payload[:4] == b"\x00\x00\x00\x01" else 3
+    if len(payload) <= i:
+        return False
+    b0 = payload[i]
+    return (b0 & 0x81) == 0 and ((b0 >> 1) & 0x3F) in (
+        16, 17, 18, 19, 20, 21, 32, 33, 34, 35, 39, 40)
+
+
 def image_features(payload: bytes) -> dict:
     """Exact-integer image statistics from a BMP or PNG payload
     (PNG: real zlib+unfilter decode, png_decode below; grey/RGBA
@@ -214,7 +231,11 @@ def image_features(payload: bytes) -> dict:
     elif payload[:2] == b"\xff\xd8":
         px = _to_rgb(jpeg_decode(payload)).astype(np.int64)
     elif _is_annexb(payload):
-        px = h264_rgb(payload).astype(np.int64)
+        if _is_annexb_h265(payload):
+            from . import h265 as _h265
+            px = _h265.h265_decode(payload).astype(np.int64)
+        else:
+            px = h264_rgb(payload).astype(np.int64)
     else:
         px = bmp_decode(payload).astype(np.int64)
     return pixel_features(px)
@@ -303,7 +324,7 @@ def gsv1_sample_frames(payload: bytes, every_ms: int):
 # huffman + 8x8 DCT are numpy-sized — real codec since r5 (below);
 # and MP4 is a CONTAINER — the ISO-BMFF mux/demux below is pure byte
 # arithmetic, with Motion-JPEG samples decoding for real through the
-# JPEG codec. Only compressed video bitstreams (H.264/HEVC) remain
+# JPEG codec. Only post-r8 video bitstream features remain
 # honestly stubbed.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -1798,12 +1819,15 @@ def mp4_demux(payload: bytes) -> dict:
     entry_start = off + 4
     (entry_size,) = struct.unpack_from(">I", payload, entry_start)
     entry_end = min(entry_start + entry_size, len(payload))
-    avcc = None
+    avcc = hvcc = None
     if entry_start + 86 < entry_end:
         for tag, boff, bend in _walk_boxes(payload, entry_start + 86,
                                            entry_end):
             if tag == b"avcC":
                 avcc = payload[boff:bend]
+                break
+            if tag == b"hvcC":
+                hvcc = payload[boff:bend]
                 break
 
     cap = len(payload)  # a sample needs >= 1 byte: counts beyond the
@@ -1888,6 +1912,17 @@ def mp4_demux(payload: bytes) -> dict:
             raise ValueError("avc1 track lacks an avcC record")
         from . import h264 as _h264
         samples = [_h264.h264_sample_to_annexb(s, avcc) for s in samples]
+    elif fourcc in (b"hvc1", b"hev1"):
+        # same contract for HEVC tracks (r8: h265.py) — hvc1 keeps
+        # parameter sets in the hvcC record; hev1 may carry them
+        # in-band, in which case samples pass through length-unwrapped
+        # via the record-free path
+        if hvcc is None:
+            raise ValueError(f"{fourcc.decode()} track lacks an "
+                             "hvcC record")
+        from . import h265 as _h265
+        samples = [_h265.hevc_sample_to_annexb(s, hvcc)
+                   for s in samples]
     return {"fourcc": fourcc, "timescale": timescale, "width": w,
             "height": h, "sample_ts": ts, "samples": samples,
             "composition_ts": comp_ts}
@@ -1922,6 +1957,17 @@ def mp4_sample_frame_features(payload: bytes, every_ms: int):
     samples the decoded frames (a standalone decode of a P sample
     raises 'P slice without a reference frame'; r7 ADVICE item)."""
     d = mp4_demux(payload)
+    if d["fourcc"] in (b"hvc1", b"hev1"):
+        from . import h265 as _h265
+        frames = _h265.h265_decode_gop(b"".join(d["samples"]))
+        if len(frames) != len(d["samples"]):
+            raise ValueError("hvc1 sample count != decoded frame count")
+        next_ts = 0
+        for i, (ts_, px) in enumerate(zip(d["sample_ts"], frames)):
+            if ts_ >= next_ts:
+                yield i, ts_, pixel_features(px)
+                next_ts = (ts_ // every_ms + 1) * every_ms
+        return
     if d["fourcc"] == b"avc1":
         from . import h264 as _h264
         # each demuxed sample is already a full Annex-B access unit

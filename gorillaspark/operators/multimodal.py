@@ -8,13 +8,15 @@ uncompressed 24-bit BMP images, and the GSV1 frame container (see
 media_codecs.py) — via ``decoder='native'`` and the typed operators
 :func:`audio_stats` / :func:`image_stats` / :func:`video_frame_stats`.
 media_codecs.py grew a real baseline JPEG codec in r5 (MP4/MJPEG
-demux+decode with it) and an H.264 decoder in r7-r8 (h264.py —
+demux+decode with it), an H.264 decoder in r7-r8 (h264.py —
 Annex-B and avc1/avcC MP4 tracks, CAVLC + CABAC, I/P/B GOPs with
 every inter partition shape, quarter-pel MC, spatial+temporal
 direct, weighted prediction, and High-profile Intra_8x8 via
-h264_hi.py), so only hev1 (HEVC) bitstreams and interlaced H.264
-stay honestly stubbed — those need real codec libraries — behind
-``decoder=`` hooks that raise ``NotImplementedError``. Swapping in
+h264_hi.py), and an HEVC Main-profile intra codec in late r8
+(h265.py — Annex-B and hvc1/hvcC MP4 tracks, CABAC on the shared
+M-coder, lossless transquant-bypass), so only HEVC inter slices and
+interlaced H.264 stay honestly stubbed — behind ``decoder=`` hooks
+/ parsers that raise ``NotImplementedError``. Swapping in
 ffmpeg/torchaudio on a real cluster changes only the per-format
 branch: batch shapes, schemas and partitioning are already exercised
 end-to-end.
@@ -258,11 +260,12 @@ def video_frame_stats(media: DataFrame, every_ms: int = 1000,
     """REAL demux + per-frame decode, sampled every ``every_ms``:
     one output row per sampled frame (1→N fan-out inside the Arrow
     batch — the distributed frame-extraction shape). Containers: GSV1
-    (BMP frames); real ISO-BMFF MP4 with Motion-JPEG samples (r5); and
+    (BMP frames); real ISO-BMFF MP4 with Motion-JPEG samples (r5);
     avc1 H.264 tracks (r8: sample sequences decode as GOPs via
     h264_decode_gop, so P-frame samples predict from their references
-    instead of failing standalone). Unsupported fourccs raise at
-    frame decode.
+    instead of failing standalone); and hvc1/hev1 HEVC tracks (late
+    r8: intra-only IDR sequences via h265_decode_gop). Unsupported
+    fourccs raise at frame decode.
     """
     cols = media.select(F.col(id_col).alias("media_id"),
                         F.col(payload_col).alias("payload"))

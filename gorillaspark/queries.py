@@ -3272,6 +3272,98 @@ _MEDIA_H264_B_SQL = """
 """
 
 
+def _synth_hvc1_udf():
+    """Per-doc hvc1 MP4 — a REAL ISO/IEC 14496-15 §8.4 HEVC track
+    (hvcC decoder-configuration record + 4-byte-length-prefixed
+    sample NALs) of LOSSLESS Main-profile intra frames (r8:
+    h265.py): each 16x16 frame carries the grey field
+    v = (doc*7 + k*37 + x*3 + y*5) % 256 through
+    cu_transquant_bypass CUs, so the full pipeline — hvcC parse,
+    sample→Annex-B rebuild, the shared-M-coder CABAC decode
+    (last-sig/sig/gt1/gt2/Rice-remaining residuals), planar/DC/
+    angular intra prediction and the quadtree — reproduces it
+    BIT-EXACTLY, the HEVC analogue of the I_PCM/FLAC lossless
+    families. Odd docs force the CTB quadtree split (8x8 CUs, NxN
+    where the encoder's SAD picks it), even docs code whole CTBs, so
+    one query drives both partitioning paths."""
+    from .operators import media_codecs as mc
+    from .operators import h265 as h5
+
+    @pandas_udf("binary")
+    def to_hvc1(ids: pd.Series) -> pd.Series:
+        def one(d):
+            xg, yg = np.meshgrid(np.arange(16), np.arange(16))
+            frames, cfg = [], None
+            for k in range(2 + d % 3):
+                v = ((d * 7 + k * 37 + xg * 3 + yg * 5) % 256) \
+                    .astype(np.uint8)
+                ab = h5.h265_encode(v, lossless=True,
+                                    cands=(0, 1, 10, 26),
+                                    force_split=bool(d % 2))
+                if cfg is None:
+                    cfg = mc._box(b"hvcC", h5.hevc_hvcc_config(ab))
+                frames.append(h5.hevc_to_hvc1_sample(ab))
+            return mc.mp4_mux(frames, frame_ms=500, fourcc=b"hvc1",
+                              width=16, height=16, config=cfg)
+
+        return ids.map(one)
+
+    return to_hvc1
+
+
+def q_media_h265_stats(spark, sf_dir):
+    """Real HEVC decode end to end (r8, closing the last media
+    stub): hvc1 MP4 demux, hvcC parse, Annex-B rebuild, CABAC
+    residual decode, intra prediction and the lossless
+    transquant-bypass reconstruction — value-checked against a
+    pure-SQL oracle since the decode is bit-exact by construction."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_hvc1_udf()(F.col("doc_id"))
+                      .alias("payload"))
+    st = video_frame_stats(vid, every_ms=1000)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long")
+                     .alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
+# 16x16 grey lossless frames sampled at k % 2 == 0; ahash cell (i,j)
+# spans 2x2 px (area 4 of 256): block-mean > frame-mean reduces
+# exactly to 64*cellsum > total — the same reduction as the I_PCM
+# family, with the GOP dimension of the H.264 video families
+_MEDIA_H265_SQL = """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS k
+      FROM documents
+    ), sampled AS (SELECT doc_id, k FROM f WHERE k % 2 = 0),
+    px AS (
+      SELECT s.doc_id, s.k, x.x, y.y,
+             (s.doc_id*7 + s.k*37 + x.x*3 + y.y*5) % 256 AS v
+      FROM sampled s
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) y
+    ),
+    tot AS (SELECT doc_id, k, sum(v) AS t FROM px GROUP BY 1, 2),
+    cell AS (
+      SELECT doc_id, k, (y // 2) * 8 + (x // 2) AS bit, sum(v) AS cs
+      FROM px GROUP BY 1, 2, 3
+    ),
+    ah AS (SELECT c.doc_id, c.k,
+                  sum(CASE WHEN c.cs * 64 > t.t
+                           THEN (1::HUGEINT << CAST(c.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM cell c JOIN tot t USING (doc_id, k) GROUP BY 1, 2)
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_index,
+           CAST(k * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM ah
+"""
+
+
 QUERIES.update({
     "media_audio_stats": q_media_audio_stats,
     "media_image_stats": q_media_image_stats,
@@ -3290,6 +3382,7 @@ QUERIES.update({
     "media_h264_wp_stats": q_media_h264_wp_stats,
     "media_h264_i8_stats": q_media_h264_i8_stats,
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
+    "media_h265_stats": q_media_h265_stats,
 })
 ORACLES.update({
     "media_audio_stats": _MEDIA_AUDIO_SQL,
@@ -3312,6 +3405,7 @@ ORACLES.update({
     "media_h264_i8_stats": _MEDIA_H264_I8_SQL,  # High-profile
     #                          Intra_8x8 transform chain (r8)
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
+    "media_h265_stats": _MEDIA_H265_SQL,  # lossless HEVC intra (r8)
 })
 
 
@@ -3627,6 +3721,14 @@ _EXTRA_NAMES = [
     # (driver-green r3-r8; doc_stats + the trigram families keep the
     # textstats surface in-window) takes its EXTRA slot:
     "doc_fingerprint",
+    # r8 seventh rotation: media_h265_stats (NEW — the from-scratch
+    # HEVC Main-profile intra codec: hvc1/hvcC MP4 tracks, lossless
+    # transquant-bypass decode) moves IN for first driver evidence;
+    # media_mp4_stats (driver-green r5-r8) takes its EXTRA slot — the
+    # MP4 demux machinery stays in-window via the avc1 H.264 and
+    # hvc1 HEVC GOP families, and the MJPEG sample decode shares
+    # jpeg_decode with the two in-window JPEG queries:
+    "media_mp4_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
