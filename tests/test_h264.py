@@ -196,12 +196,16 @@ def test_avc1_without_avcc_raises():
         mc.mp4_demux(mp4)
 
 
-def test_hev1_still_raises():
+def test_hev1_without_hvcc_raises():
+    # r8: hvc1/hev1 are real HEVC tracks (h265.py), no longer opaque
+    # stubs — a parameter-set-less hev1 track is rejected loudly at
+    # demux (ISO/IEC 14496-15 §8.4 requires an hvcC record in the
+    # sample entry for BOTH brands; hev1 only additionally allows
+    # in-band parameter sets).
     mp4 = mc.mp4_mux([b"\x00\x00\x00\x01junk"], frame_ms=500,
                      fourcc=b"hev1", width=16, height=16)
-    d = mc.mp4_demux(mp4)          # demux is fine; decode raises
     with pytest.raises(OK_ERRORS):
-        mc.image_features(bytes(d["samples"][0])[4:])
+        mc.mp4_demux(mp4)
 
 
 # ---------------------------------------------------------------------------
