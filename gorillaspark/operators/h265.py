@@ -65,6 +65,8 @@ from .h264_cabac import _CabacDec, _CabacEnc
 _GS_HEVC_UUID = b"gorillaspark-hvc"
 
 # H.265 NAL unit types (Table 7-1)
+_NAL_TRAIL_N = 0
+_NAL_TRAIL_R = 1
 _NAL_IDR_W_RADL = 19
 _NAL_IDR_N_LP = 20
 _NAL_VPS = 32
@@ -241,7 +243,11 @@ def _write_sps(bw: _BitW, w: int, h: int, crop=(0, 0, 0, 0)):
     bw.ue(1)                     # log2_diff_max_min_luma_coding_block_size
     bw.ue(0)                     # log2_min_luma_transform_block_size_minus2
     bw.ue(2)                     # log2_diff_max_min_luma_transform_block_size
-    bw.ue(0)                     # max_transform_hierarchy_depth_inter
+    # depth_inter = 1 so split_transform_flag is CODED (always 0) on
+    # inter CUs — TU == CU even for partitioned PUs (legal: inter TUs
+    # may span PU boundaries), avoiding the forced interSplitFlag
+    # quad-split of §7.4.9.8 that depth 0 would impose
+    bw.ue(1)                     # max_transform_hierarchy_depth_inter
     bw.ue(0)                     # max_transform_hierarchy_depth_intra
     bw.u(0, 1)                   # scaling_list_enabled_flag
     bw.u(0, 1)                   # amp_enabled_flag
@@ -408,38 +414,83 @@ def _parse_pps(br: _Bits) -> dict:
     return pps
 
 
-def _write_slice_header(bw: _BitW, qp_delta: int = 0):
-    """slice_segment_header (§7.3.6.1) for a one-segment IDR I
-    slice under this codec's fixed SPS/PPS."""
+def _write_slice_header(bw: _BitW, qp_delta: int = 0,
+                        slice_type: int = 2, poc_lsb: int = 0):
+    """slice_segment_header (§7.3.6.1) for a one-segment slice under
+    this codec's fixed SPS/PPS. slice_type 2 = IDR I (byte-identical
+    to the r8 intra-only form); slice_type 1 = TRAIL P referencing
+    the previous picture via a one-negative-pic slice-local
+    short-term RPS (delta_poc = 1, used_by_curr = 1)."""
     bw.u(1, 1)                   # first_slice_segment_in_pic_flag
-    bw.u(0, 1)                   # no_output_of_prior_pics_flag (IDR)
+    if slice_type == 2:
+        bw.u(0, 1)               # no_output_of_prior_pics_flag (IDR)
     bw.ue(0)                     # slice_pic_parameter_set_id
-    bw.ue(2)                     # slice_type = I
+    bw.ue(slice_type)            # slice_type
+    if slice_type != 2:
+        bw.u(poc_lsb & 0xFF, 8)  # slice_pic_order_cnt_lsb (log2 = 8)
+        bw.u(0, 1)               # short_term_ref_pic_set_sps_flag
+        # st_ref_pic_set(0): sps holds none, so no inter-RPS pred flag
+        bw.ue(1)                 # num_negative_pics
+        bw.ue(0)                 # num_positive_pics
+        bw.ue(0)                 # delta_poc_s0_minus1[0]  (ref = poc-1)
+        bw.u(1, 1)               # used_by_curr_pic_s0_flag[0]
+        # long_term off; sps_temporal_mvp off -> no slice TMVP flag
+    if slice_type == 1:
+        bw.u(0, 1)               # num_ref_idx_active_override_flag
+        # lists_modification absent (flag off, NumPicTotalCurr == 1);
+        # cabac_init absent; no collocated (TMVP off); no weight table
+        bw.ue(0)                 # five_minus_max_num_merge_cand -> 5
     bw.se(qp_delta)              # slice_qp_delta
-    # (pps deblocking: disabled, not overridable; SAO: off; IDR: no POC)
+    # (pps deblocking: disabled, not overridable; SAO: off)
     bw.trailing()                # byte_alignment before slice data
 
 
-def _parse_slice_header(br: _Bits, pps: dict) -> dict:
+def _parse_slice_header(br: _Bits, pps: dict, is_idr: bool = True) -> dict:
     if not br.u(1):
         raise NotImplementedError("multi-segment slices unsupported")
-    br.u(1)                      # no_output_of_prior_pics_flag
+    if is_idr:
+        br.u(1)                  # no_output_of_prior_pics_flag
     if br.ue() != 0:
         raise NotImplementedError("non-zero slice PPS id unsupported")
     st = br.ue()
-    if st != 2:
+    if st not in (1, 2):
         raise NotImplementedError(
-            f"slice_type {st} unsupported (I slices only)")
+            f"slice_type {st} unsupported (I and P slices only)")
+    if is_idr and st != 2:
+        raise ValueError("IDR access unit with a non-I slice")
+    sh = {"type": st, "poc_lsb": 0, "max_merge": 5}
+    if not is_idr:
+        sh["poc_lsb"] = br.u(8)  # log2_max_poc fixed at 8 by our SPS
+        if br.u(1):
+            raise NotImplementedError("SPS-indexed short-term RPS "
+                                      "unsupported")
+        if br.ue() != 1 or br.ue() != 0:
+            raise NotImplementedError(
+                "multi-picture DPB unsupported (single negative ref)")
+        if br.ue() != 0:
+            raise NotImplementedError(
+                "delta_poc beyond previous picture unsupported")
+        if not br.u(1):
+            raise NotImplementedError("unused reference pic in RPS")
+    if st == 1:
+        if br.u(1):
+            raise NotImplementedError(
+                "num_ref_idx_active_override unsupported")
+        five = br.ue()
+        if five > 4:
+            raise ValueError("five_minus_max_num_merge_cand out of range")
+        sh["max_merge"] = 5 - five
     qp = pps["qp"] + br.se()
     if not 0 <= qp <= 51:
         raise ValueError("slice QP out of range")
+    sh["qp"] = qp
     # byte_alignment: alignment_bit_equal_to_one + zeros
     if br.u(1) != 1:
         raise ValueError("slice header alignment bit missing")
     while br.pos % 8:
         if br.u(1):
             raise ValueError("slice header alignment padding not zero")
-    return {"qp": qp}
+    return sh
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +612,18 @@ _CSBF = 47          # 4: (chroma ? 2 : 0) + min(csbf_right+csbf_below, 1)
 _SIG = 51           # 19: luma 0..10, chroma 11..18 (see _sig_ctx)
 _GT1 = 70           # 24: luma sets 0..3, chroma sets 4..5, x4 each
 _GT2 = 94           # 6: one per ctxSet
-N_CTX5 = 100
+# inter (P slices, r8):
+_CU_SKIP = 100      # 3: + left_skip + above_skip (§9.3.4.2.2)
+_PRED_MODE = 103    # 1: pred_mode_flag
+_PART_INTER = 104   # 2: inter part_mode bins 0/1 ("1"/"01"/"00")
+_MERGE_FLAG = 106   # 1
+_MERGE_IDX = 107    # 1: bin0 (rest bypass, TR cMax = MaxMerge-1)
+_MVD_GR0 = 108      # 1: abs_mvd_greater0_flag (shared across comps)
+_MVD_GR1 = 109      # 1: abs_mvd_greater1_flag
+_MVP_FLAG = 110     # 1: mvp_l0_flag
+_RQT_ROOT = 111     # 1: rqt_root_cbf
+_SPLIT_TF = 112     # 3: split_transform_flag, ctxInc 5 - log2TrafoSize
+N_CTX5 = 115
 
 
 class _Ctx5:
@@ -1203,9 +1265,13 @@ def _dec_residual5(dec: _CabacDec, ctx: _Ctx5, log2_tb: int,
 class _Frame5:
     """Per-frame decode/encode state: recon planes plus the
     4x4-luma-granular availability / intra-mode / CU-depth grids the
-    context and prediction derivations need."""
+    context and prediction derivations need. P slices (r8) add the
+    4x4-granular motion field: ``mvs`` (quarter-luma-pel L0 vectors),
+    ``inter`` (cell coded by motion compensation) and ``skip``
+    (cu_skip_flag of the covering CU, for the skip context)."""
 
-    __slots__ = ("Y", "Cb", "Cr", "avail", "modes", "depths", "W", "H")
+    __slots__ = ("Y", "Cb", "Cr", "avail", "modes", "depths",
+                 "mvs", "inter", "skip", "W", "H")
 
     def __init__(self, W: int, H: int):
         self.W, self.H = W, H
@@ -1215,6 +1281,9 @@ class _Frame5:
         self.avail = np.zeros((H // 4, W // 4), dtype=bool)
         self.modes = np.full((H // 4, W // 4), -1, dtype=np.int16)
         self.depths = np.zeros((H // 4, W // 4), dtype=np.int8)
+        self.mvs = np.zeros((H // 4, W // 4, 2), dtype=np.int32)
+        self.inter = np.zeros((H // 4, W // 4), dtype=bool)
+        self.skip = np.zeros((H // 4, W // 4), dtype=bool)
 
 
 def _split_ctx(fr: _Frame5, x0: int, y0: int, depth: int) -> int:
@@ -1285,15 +1354,18 @@ def _predict_tb(fr: _Frame5, plane: np.ndarray, x0: int, y0: int,
 
 
 def _recon_tb(pred: np.ndarray, levels, qp: int, log2_tb: int,
-              is_luma: bool, bypass: bool) -> np.ndarray:
-    """pred + inverse-scaled residual, clipped to 8-bit."""
+              is_luma: bool, bypass: bool,
+              intra: bool = True) -> np.ndarray:
+    """pred + inverse-scaled residual, clipped to 8-bit. ``intra``
+    picks DST-VII for 4x4 luma (§8.6.4.2 applies it to intra only —
+    inter residuals always use DCT-II)."""
     if levels is None:
         return np.clip(pred, 0, 255)
     if bypass:
         res = levels
     else:
         d = _dequant(levels, qp, log2_tb)
-        res = _inv_transform(d, _tb_matrix(1 << log2_tb, is_luma))
+        res = _inv_transform(d, _tb_matrix(1 << log2_tb, is_luma, intra))
     return np.clip(pred + res, 0, 255)
 
 
@@ -1307,12 +1379,396 @@ def _mark(fr: _Frame5, x0: int, y0: int, size: int, depth: int,
         fr.modes[by:by + bs, bx:bx + bs] = mode
 
 
+# ---------------------------------------------------------------------------
+# inter prediction — P slices (r8)
+# ---------------------------------------------------------------------------
+
+# §8.5.4.2.2.1 Table 8-12: 8-tap DCT-IF luma filters (quarter-pel)
+_LUMA_FILT = {
+    1: (-1, 4, -10, 58, 17, -5, 1, 0),
+    2: (-1, 4, -11, 40, 40, -11, 4, -1),
+    3: (0, 1, -5, 17, 58, -10, 4, -1),
+}
+# §8.5.4.2.2.2 Table 8-13: 4-tap chroma filters (eighth-pel)
+_CHROMA_FILT = {
+    1: (-2, 58, 10, -2),
+    2: (-4, 54, 16, -2),
+    3: (-6, 46, 28, -4),
+    4: (-4, 36, 36, -4),
+    5: (-4, 28, 46, -6),
+    6: (-2, 16, 54, -4),
+    7: (-2, 10, 58, -2),
+}
+
+
+def _mc_plane(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+              mvx: int, mvy: int, taps: int, filt: dict,
+              frac_bits: int) -> np.ndarray:
+    """Fractional-sample motion compensation for one plane
+    (§8.5.4.2.2): separable DCT-IF, horizontal then vertical, with
+    the 8-bit shift chain shift1=0 / shift2=6 / shift3=6 and the
+    uni-prediction finalization (+32) >> 6 of §8.5.4.2.3.2.
+    Out-of-picture positions clamp to the frame edge (the spec's
+    coordinate Clip3). ``frac_bits`` is 2 for luma quarter-pel MVs,
+    3 for chroma (luma MV reused at eighth-chroma-pel precision).
+
+    The full-pel fast path (ref << 6, +32 >> 6) is an exact copy; the
+    mixed-fraction chains are exact too: the pre-shifted << 6
+    intermediate is a multiple of 64, so the later >> 6 loses no
+    bits (matching the spec's unshifted single-stage forms)."""
+    H, W = ref.shape
+    ix = x0 + (mvx >> frac_bits)
+    iy = y0 + (mvy >> frac_bits)
+    fx = mvx & ((1 << frac_bits) - 1)
+    fy = mvy & ((1 << frac_bits) - 1)
+    if not fx and not fy:
+        xs = np.clip(np.arange(ix, ix + w), 0, W - 1)
+        ys = np.clip(np.arange(iy, iy + h), 0, H - 1)
+        return ref[np.ix_(ys, xs)].astype(np.int64)
+    lo = taps // 2 - 1                           # taps at -lo .. +lo+1
+    hi = taps - lo
+    xs = np.clip(np.arange(ix - lo, ix + w + hi - 1), 0, W - 1)
+    ys = np.clip(np.arange(iy - lo, iy + h + hi - 1), 0, H - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)   # (h+taps-1, w+taps-1)
+    if fx:
+        f = filt[fx]
+        hbuf = sum(f[i] * win[:, i:i + w] for i in range(taps))
+    else:
+        hbuf = win[:, lo:lo + w] << 6
+    if fy:
+        f = filt[fy]
+        p14 = sum(f[i] * hbuf[i:i + h, :] for i in range(taps)) >> 6
+    else:
+        p14 = hbuf[lo:lo + h, :]
+    return np.clip((p14 + 32) >> 6, 0, 255)
+
+
+def _mc_luma(ref: np.ndarray, x0, y0, w, h, mv) -> np.ndarray:
+    return _mc_plane(ref, x0, y0, w, h, int(mv[0]), int(mv[1]),
+                     8, _LUMA_FILT, 2)
+
+
+def _mc_chroma(ref: np.ndarray, cx0, cy0, w, h, mv) -> np.ndarray:
+    return _mc_plane(ref, cx0, cy0, w, h, int(mv[0]), int(mv[1]),
+                     4, _CHROMA_FILT, 3)
+
+
+def _mv_at(fr: _Frame5, bx: int, by: int):
+    """Motion vector of the 4x4 cell (bx, by), or None when the cell
+    is outside the picture, not yet decoded, or intra-coded."""
+    if bx < 0 or by < 0 or bx >= fr.W // 4 or by >= fr.H // 4:
+        return None
+    if not fr.avail[by, bx] or not fr.inter[by, bx]:
+        return None
+    return (int(fr.mvs[by, bx, 0]), int(fr.mvs[by, bx, 1]))
+
+
+def _merge_candidates(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
+                      max_cand: int, no_a1: bool = False,
+                      no_b1: bool = False) -> list:
+    """§8.5.3.2.3 spatial merge list (single L0 reference, no TMVP —
+    sps_temporal_mvp_enabled_flag is 0 in our SPS): A1 B1 B0 A0 (B2
+    when fewer than 4), spec pruning pairs, zero-MV fill. With one
+    reference picture the spec's full motion compare reduces to an
+    MV compare. ``no_a1``/``no_b1`` implement the second-PU
+    exclusions of a vertical/horizontal split (the excluded position
+    lies in the sibling PU — merging with it would replicate
+    2Nx2N)."""
+    bx0, by0 = x0 // 4, y0 // 4
+    bw_, bh_ = nw // 4, nh // 4
+    a1 = None if no_a1 else _mv_at(fr, bx0 - 1, by0 + bh_ - 1)
+    b1 = None if no_b1 else _mv_at(fr, bx0 + bw_ - 1, by0 - 1)
+    b0 = _mv_at(fr, bx0 + bw_, by0 - 1)
+    a0 = _mv_at(fr, bx0 - 1, by0 + bh_)
+    b2 = _mv_at(fr, bx0 - 1, by0 - 1)
+    cands = []
+    if a1 is not None:
+        cands.append(a1)
+    if b1 is not None and b1 != a1:
+        cands.append(b1)
+    if b0 is not None and b0 != b1:
+        cands.append(b0)
+    if a0 is not None and a0 != a1:
+        cands.append(a0)
+    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+        cands.append(b2)
+    while len(cands) < max_cand:
+        cands.append((0, 0))
+    return cands[:max_cand]
+
+
+def _amvp_candidates(fr: _Frame5, x0: int, y0: int,
+                     nw: int, nh: int) -> list:
+    """§8.5.3.2.5-7 AMVP: first available of {A0, A1}, first
+    available of {B0, B1, B2} (pruned against A), zero fill to 2.
+    The spec's POC-distance scaling never triggers here — every
+    neighbour references the same single picture."""
+    bx0, by0 = x0 // 4, y0 // 4
+    bw_, bh_ = nw // 4, nh // 4
+    a = _mv_at(fr, bx0 - 1, by0 + bh_)            # A0
+    if a is None:
+        a = _mv_at(fr, bx0 - 1, by0 + bh_ - 1)    # A1
+    b = _mv_at(fr, bx0 + bw_, by0 - 1)            # B0
+    if b is None:
+        b = _mv_at(fr, bx0 + bw_ - 1, by0 - 1)    # B1
+    if b is None:
+        b = _mv_at(fr, bx0 - 1, by0 - 1)          # B2
+    lst = []
+    if a is not None:
+        lst.append(a)
+    if b is not None and b != a:
+        lst.append(b)
+    while len(lst) < 2:
+        lst.append((0, 0))
+    return lst[:2]
+
+
+def _skip_ctx(fr: _Frame5, x0: int, y0: int) -> int:
+    """cu_skip_flag ctxInc (§9.3.4.2.2): + left skip + above skip."""
+    bx, by = x0 // 4, y0 // 4
+    inc = 0
+    if x0 > 0 and fr.avail[by, bx - 1] and fr.skip[by, bx - 1]:
+        inc += 1
+    if y0 > 0 and fr.avail[by - 1, bx] and fr.skip[by - 1, bx]:
+        inc += 1
+    return _CU_SKIP + inc
+
+
+def _code_merge_idx(x, ctx, max_merge: int, v=None) -> int:
+    """merge_idx: TR, cMax = MaxNumMergeCand - 1; bin 0 context-coded,
+    the rest bypass (§9.3.3.2, Table 9-32)."""
+    cmax = max_merge - 1
+    if cmax == 0:
+        return 0
+    if v is not None:
+        x.bit(ctx, _MERGE_IDX, 1 if v > 0 else 0)
+        for i in range(1, v):
+            x.bypass(1)
+        if 0 < v < cmax:
+            x.bypass(0)
+        return v
+    if not x.bit(ctx, _MERGE_IDX):
+        return 0
+    v = 1
+    while v < cmax and x.bypass():
+        v += 1
+    return v
+
+
+def _code_mvd_pair(x, ctx, mv=None):
+    """mvd_coding(x0, y0, 0) (§7.3.8.9): abs_mvd_greater0_flag for
+    both components, abs_mvd_greater1_flag for both (where coded),
+    then per-component abs_mvd_minus2 (EG1, bypass) + sign."""
+    if mv is not None:
+        ax, ay = abs(mv[0]), abs(mv[1])
+        x.bit(ctx, _MVD_GR0, 1 if ax else 0)
+        x.bit(ctx, _MVD_GR0, 1 if ay else 0)
+        if ax:
+            x.bit(ctx, _MVD_GR1, 1 if ax > 1 else 0)
+        if ay:
+            x.bit(ctx, _MVD_GR1, 1 if ay > 1 else 0)
+        for a, v in ((ax, mv[0]), (ay, mv[1])):
+            if a:
+                if a > 1:
+                    _eg_bypass(x, 1, a - 2)
+                x.bypass(1 if v < 0 else 0)
+        return mv
+    g0x = x.bit(ctx, _MVD_GR0)
+    g0y = x.bit(ctx, _MVD_GR0)
+    g1x = x.bit(ctx, _MVD_GR1) if g0x else 0
+    g1y = x.bit(ctx, _MVD_GR1) if g0y else 0
+    out = []
+    for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+        if not g0:
+            out.append(0)
+            continue
+        a = (_eg_bypass(x, 1) + 2) if g1 else 1
+        out.append(-a if x.bypass() else a)
+    return tuple(out)
+
+
+def _eg_bypass(x, k: int, v=None) -> int:
+    """Exp-Golomb order-k bypass bins (§9.3.3.5, EGk)."""
+    if v is not None:
+        while v >= (1 << k):
+            x.bypass(1)
+            v -= 1 << k
+            k += 1
+        x.bypass(0)
+        for i in range(k - 1, -1, -1):
+            x.bypass((v >> i) & 1)
+        return v
+    v = 0
+    while x.bypass():
+        v += 1 << k
+        k += 1
+        if k > 30:
+            raise ValueError("exp-Golomb bypass overflow")
+    suf = 0
+    for _ in range(k):
+        suf = (suf << 1) | x.bypass()
+    return v + suf
+
+
+def _mark_inter(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
+                depth: int, mv, skip: bool):
+    bw_, bh_ = nw // 4, nh // 4
+    bx, by = x0 // 4, y0 // 4
+    fr.avail[by:by + bh_, bx:bx + bw_] = True
+    fr.depths[by:by + bh_, bx:bx + bw_] = depth
+    # inter cells read as INTRA_DC in intra MPM derivation (§8.4.2)
+    fr.modes[by:by + bh_, bx:bx + bw_] = 1
+    fr.inter[by:by + bh_, bx:bx + bw_] = True
+    fr.skip[by:by + bh_, bx:bx + bw_] = skip
+    fr.mvs[by:by + bh_, bx:bx + bw_, 0] = mv[0]
+    fr.mvs[by:by + bh_, bx:bx + bw_, 1] = mv[1]
+
+
+def _pu_geometry(part: str, x0: int, y0: int, n: int) -> list:
+    """(px, py, pw, ph) per prediction unit for the supported inter
+    part modes."""
+    if part == "2Nx2N":
+        return [(x0, y0, n, n)]
+    if part == "2NxN":
+        return [(x0, y0, n, n // 2), (x0, y0 + n // 2, n, n // 2)]
+    if part == "Nx2N":
+        return [(x0, y0, n // 2, n), (x0 + n // 2, y0, n // 2, n)]
+    raise ValueError(part)
+
+
+def _inter_pred_planes(ref: _Frame5, x0: int, y0: int, n: int,
+                       pu_mvs: list):
+    """Assemble the CU's motion-compensated prediction from per-PU
+    vectors (quarter-luma-pel; chroma reuses the luma MV at
+    eighth-chroma-pel precision, §8.5.4.2.2.2)."""
+    predY = np.empty((n, n), dtype=np.int64)
+    nc = n // 2
+    predCb = np.empty((nc, nc), dtype=np.int64)
+    predCr = np.empty((nc, nc), dtype=np.int64)
+    for px, py, pw, ph, mv in pu_mvs:
+        ry, rx = py - y0, px - x0
+        predY[ry:ry + ph, rx:rx + pw] = _mc_luma(ref.Y, px, py,
+                                                 pw, ph, mv)
+        cpx, cpy, cpw, cph = px // 2, py // 2, pw // 2, ph // 2
+        cry, crx = cpy - y0 // 2, cpx - x0 // 2
+        predCb[cry:cry + cph, crx:crx + cpw] = _mc_chroma(
+            ref.Cb, cpx, cpy, cpw, cph, mv)
+        predCr[cry:cry + cph, crx:crx + cpw] = _mc_chroma(
+            ref.Cr, cpx, cpy, cpw, cph, mv)
+    return predY, predCb, predCr
+
+
+def _recon_inter_cu(fr: _Frame5, x0: int, y0: int, n: int,
+                    preds, lv_y, lv_cb, lv_cr, qp: int, bypass: bool):
+    predY, predCb, predCr = preds
+    log2_cb = n.bit_length() - 1
+    fr.Y[y0:y0 + n, x0:x0 + n] = _recon_tb(
+        predY, lv_y, qp, log2_cb, True, bypass, intra=False)
+    qpc = _chroma_qp(qp)
+    nc = n // 2
+    cx, cy = x0 // 2, y0 // 2
+    fr.Cb[cy:cy + nc, cx:cx + nc] = _recon_tb(
+        predCb, lv_cb, qpc, log2_cb - 1, False, bypass, intra=False)
+    fr.Cr[cy:cy + nc, cx:cx + nc] = _recon_tb(
+        predCr, lv_cr, qpc, log2_cb - 1, False, bypass, intra=False)
+
+
+def _dec_pu_motion(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, sh: dict,
+                   part: str, pi: int, px, py, pw, ph):
+    """Parse one prediction_unit's syntax and derive its MV. The
+    second PU of a split excludes the in-CU spatial merge candidate
+    (§8.5.3.2.3: B1 for horizontal splits, A1 for vertical)."""
+    no_a1 = part == "Nx2N" and pi == 1
+    no_b1 = part == "2NxN" and pi == 1
+    if dec.bit(ctx, _MERGE_FLAG):
+        midx = _code_merge_idx(dec, ctx, sh["max_merge"])
+        cands = _merge_candidates(fr, px, py, pw, ph, sh["max_merge"],
+                                  no_a1=no_a1, no_b1=no_b1)
+        return ("merge", midx), cands[midx]
+    mvd = _code_mvd_pair(dec, ctx)
+    mvp = dec.bit(ctx, _MVP_FLAG)
+    pred = _amvp_candidates(fr, px, py, pw, ph)[mvp]
+    return ("amvp", mvd, mvp), (pred[0] + mvd[0], pred[1] + mvd[1])
+
+
+def _dec_inter_residual(dec: _CabacDec, ctx: _Ctx5, log2_cb: int):
+    """transform_tree at trafoDepth 0 for an inter CU under our
+    fixed SPS (max_trafo_depth_inter = 1, so split_transform_flag is
+    coded; only the unsplit TU == CU form is supported)."""
+    if dec.bit(ctx, _SPLIT_TF + 5 - log2_cb):
+        raise NotImplementedError("inter transform split unsupported")
+    cbf_cb = dec.bit(ctx, _CBF_CHROMA + 0)
+    cbf_cr = dec.bit(ctx, _CBF_CHROMA + 0)
+    if cbf_cb or cbf_cr:
+        cbf_l = dec.bit(ctx, _CBF_LUMA + 1)
+    else:
+        cbf_l = 1                # §7.3.8.8: inferred at inter depth 0
+    lv_y = lv_cb = lv_cr = None
+    if cbf_l:
+        lv_y = _dec_residual5(dec, ctx, log2_cb, True, 0)
+    if cbf_cb:
+        lv_cb = _dec_residual5(dec, ctx, log2_cb - 1, False, 0)
+    if cbf_cr:
+        lv_cr = _dec_residual5(dec, ctx, log2_cb - 1, False, 0)
+    return lv_y, lv_cb, lv_cr
+
+
+def _dec_cu_inter(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5,
+                  ref: _Frame5, pps: dict, qp: int, x0: int, y0: int,
+                  log2_cb: int, depth: int, sh: dict, bypass: bool):
+    """Non-skip inter coding_unit body (P slice)."""
+    n = 1 << log2_cb
+    if dec.bit(ctx, _PART_INTER + 0):
+        part = "2Nx2N"
+    elif dec.bit(ctx, _PART_INTER + 1):
+        part = "2NxN"
+    else:
+        part = "Nx2N"
+    pu_mvs = []
+    merge_first = False
+    for pi, (px, py, pw, ph) in enumerate(_pu_geometry(part, x0, y0, n)):
+        syn, mv = _dec_pu_motion(dec, ctx, fr, sh, part, pi,
+                                 px, py, pw, ph)
+        if pi == 0 and syn[0] == "merge":
+            merge_first = True
+        pu_mvs.append((px, py, pw, ph, mv))
+        _mark_inter(fr, px, py, pw, ph, depth, mv, False)
+    if part == "2Nx2N" and merge_first:
+        rqt = 1                  # §7.3.8.5: inferred (else it'd be skip)
+    else:
+        rqt = dec.bit(ctx, _RQT_ROOT)
+    lv_y = lv_cb = lv_cr = None
+    if rqt:
+        lv_y, lv_cb, lv_cr = _dec_inter_residual(dec, ctx, log2_cb)
+    preds = _inter_pred_planes(ref, x0, y0, n, pu_mvs)
+    _recon_inter_cu(fr, x0, y0, n, preds, lv_y, lv_cb, lv_cr,
+                    qp, bypass)
+
+
 def _dec_cu(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, pps: dict,
-            qp: int, x0: int, y0: int, log2_cb: int, depth: int):
-    """coding_unit (§7.3.8.5), intra."""
+            qp: int, x0: int, y0: int, log2_cb: int, depth: int,
+            sh: dict | None = None, ref: _Frame5 | None = None):
+    """coding_unit (§7.3.8.5): intra, plus the P-slice inter forms
+    (cu_skip / merge / AMVP, part modes 2Nx2N / 2NxN / Nx2N)."""
     bypass = False
     if pps["tq_bypass"]:
         bypass = bool(dec.bit(ctx, _TQ_BYPASS))
+    if sh is not None and sh["type"] == 1:
+        n = 1 << log2_cb
+        if dec.bit(ctx, _skip_ctx(fr, x0, y0)):
+            midx = _code_merge_idx(dec, ctx, sh["max_merge"])
+            mv = _merge_candidates(fr, x0, y0, n, n,
+                                   sh["max_merge"])[midx]
+            preds = _inter_pred_planes(ref, x0, y0, n,
+                                       [(x0, y0, n, n, mv)])
+            _recon_inter_cu(fr, x0, y0, n, preds, None, None, None,
+                            qp, bypass)
+            _mark_inter(fr, x0, y0, n, n, depth, mv, True)
+            return
+        if not dec.bit(ctx, _PRED_MODE):
+            _dec_cu_inter(dec, ctx, fr, ref, pps, qp, x0, y0,
+                          log2_cb, depth, sh, bypass)
+            return
     nxn = False
     if log2_cb == 3:
         nxn = not dec.bit(ctx, _PART_MODE)     # bin 1 -> PART_2Nx2N
@@ -1373,7 +1829,8 @@ def _dec_cu(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, pps: dict,
             pred, lv, qpc, log2_c, False, bypass)
 
 
-def _dec_quadtree(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth):
+def _dec_quadtree(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth,
+                  sh=None, ref=None):
     if log2_cb > 3:
         if dec.bit(ctx, _split_ctx(fr, x0, y0, depth)):
             h = 1 << (log2_cb - 1)
@@ -1381,14 +1838,24 @@ def _dec_quadtree(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth):
                 for dx in (0, 1):
                     _dec_quadtree(dec, ctx, fr, pps, qp,
                                   x0 + dx * h, y0 + dy * h,
-                                  log2_cb - 1, depth + 1)
+                                  log2_cb - 1, depth + 1, sh, ref)
             return
-    _dec_cu(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth)
+    _dec_cu(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth, sh, ref)
 
 
-def _decode_slice(rbsp: bytes, sps: dict, pps: dict) -> _Frame5:
+def _decode_slice(rbsp: bytes, sps: dict, pps: dict,
+                  is_idr: bool = True,
+                  ref: _Frame5 | None = None) -> _Frame5:
     br = _Bits(rbsp)
-    sh = _parse_slice_header(br, pps)
+    sh = _parse_slice_header(br, pps, is_idr=is_idr)
+    if sh["type"] == 1:
+        if ref is None:
+            raise ValueError("P slice without a reference picture")
+        if sps.get("max_trafo_depth_inter", 0) != 1:
+            raise NotImplementedError(
+                "P slices need max_transform_hierarchy_depth_inter 1 "
+                "(this codec's SPS; depth-0 forced inter RQT splits "
+                "are unsupported)")
     dec = _CabacDec(br)
     ctx = _Ctx5()
     fr = _Frame5(sps["w"], sps["h"])
@@ -1397,7 +1864,7 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict) -> _Frame5:
     for cy in range(ctbs_h):
         for cx in range(ctbs_w):
             _dec_quadtree(dec, ctx, fr, pps, sh["qp"],
-                          cx * 16, cy * 16, 4, 0)
+                          cx * 16, cy * 16, 4, 0, sh, ref)
             eos = dec.terminate()
             last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
             if bool(eos) != last:
@@ -1426,19 +1893,21 @@ def _best_mode(fr: _Frame5, plane, src, x0, y0, n, is_luma, cands):
     return best
 
 
-def _tb_levels(pred, src_blk, qp, log2_tb, is_luma, bypass):
+def _tb_levels(pred, src_blk, qp, log2_tb, is_luma, bypass,
+               intra=True):
     """Residual -> coded levels (or None when all-zero) plus the
     reconstruction the decoder will produce."""
     res = src_blk - pred
     if bypass:
         lv = res.astype(np.int64)
     else:
-        coef = _fwd_transform(res, _tb_matrix(1 << log2_tb, is_luma),
+        coef = _fwd_transform(res,
+                              _tb_matrix(1 << log2_tb, is_luma, intra),
                               log2_tb)
         lv = _quant(coef, qp, log2_tb)
     if not lv.any():
         return None, np.clip(pred, 0, 255)
-    return lv, _recon_tb(pred, lv, qp, log2_tb, is_luma, bypass)
+    return lv, _recon_tb(pred, lv, qp, log2_tb, is_luma, bypass, intra)
 
 
 def _commit_cu(fr: _Frame5, srcY, srcCb, srcCr, pps: dict, qp: int,
@@ -1509,9 +1978,189 @@ def _commit_cu(fr: _Frame5, srcY, srcCb, srcCr, pps: dict, qp: int,
     return plan
 
 
-def _serialize_cu(enc: _CabacEnc, ctx: _Ctx5, pps: dict, plan: dict):
+def _search_mv(refY: np.ndarray, src_blk: np.ndarray, x0: int,
+               y0: int, w: int, h: int, starts, rng: int) -> tuple:
+    """Deterministic motion search: integer full search in a
+    ±``rng`` window around each (deduplicated, integer-rounded)
+    start vector, then two rounds of quarter-pel 8-neighbour
+    refinement. Ties break lexicographically on (SAD, mv)."""
+    seen = set()
+    best = None
+    for sx, sy in list(starts) + [(0, 0)]:
+        sx, sy = (sx >> 2) << 2, (sy >> 2) << 2
+        for dy in range(-rng, rng + 1):
+            for dx in range(-rng, rng + 1):
+                mv = (sx + 4 * dx, sy + 4 * dy)
+                if mv in seen:
+                    continue
+                seen.add(mv)
+                pred = _mc_luma(refY, x0, y0, w, h, mv)
+                s = _sad(pred, src_blk)
+                if best is None or (s, mv) < best:
+                    best = (s, mv)
+    for _ in range(2):
+        s0, (mx, my) = best
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                mv = (mx + dx, my + dy)
+                if mv in seen:
+                    continue
+                seen.add(mv)
+                pred = _mc_luma(refY, x0, y0, w, h, mv)
+                s = _sad(pred, src_blk)
+                if (s, mv) < best:
+                    best = (s, mv)
+    return best
+
+
+def _pu_repr(fr: _Frame5, part: str, pi: int, px, py, pw, ph,
+             mv, max_merge: int):
+    """Choose the cheapest syntax that yields ``mv`` for this PU:
+    lowest-index merge candidate, else AMVP with the
+    smaller-|mvd| predictor. Returns (syntax_tuple, same merge
+    candidate list the decoder will derive)."""
+    no_a1 = part == "Nx2N" and pi == 1
+    no_b1 = part == "2NxN" and pi == 1
+    cands = _merge_candidates(fr, px, py, pw, ph, max_merge,
+                              no_a1=no_a1, no_b1=no_b1)
+    if mv in cands:
+        return ("merge", cands.index(mv))
+    preds = _amvp_candidates(fr, px, py, pw, ph)
+    costs = []
+    for flag, pr in enumerate(preds):
+        mvd = (mv[0] - pr[0], mv[1] - pr[1])
+        costs.append((abs(mvd[0]) + abs(mvd[1]), flag, mvd))
+    _, flag, mvd = min(costs)
+    return ("amvp", mvd, flag)
+
+
+def _commit_cu_p(fr: _Frame5, ref: _Frame5, srcY, srcCb, srcCr,
+                 pps: dict, qp: int, x0: int, y0: int, log2_cb: int,
+                 depth: int, sh: dict, cands, search: int):
+    """P-slice CU decision: try inter (2Nx2N, and the two-PU splits
+    when they clearly win), fall back to the intra path when intra
+    predicts better. Commit-then-serialize like the intra path: all
+    grid state a later syntax element's context or candidate
+    derivation reads is updated here, and ``_serialize_cu`` merely
+    replays the recorded plan."""
+    bypass = bool(pps["tq_bypass"])
+    n = 1 << log2_cb
+    src_blk = srcY[y0:y0 + n, x0:x0 + n]
+    merge0 = _merge_candidates(fr, x0, y0, n, n, sh["max_merge"])
+    starts = list(dict.fromkeys(merge0))
+    sad2n, mv2n = _search_mv(ref.Y, src_blk, x0, y0, n, n,
+                             starts, search)
+    # two-PU splits: independent searches per half; a fixed
+    # lexicographic penalty keeps the decision deterministic and
+    # biased to the simpler mode on ties
+    part, pu_mvs, sad_inter = "2Nx2N", [(x0, y0, n, n, mv2n)], sad2n
+    for cand_part in ("2NxN", "Nx2N"):
+        geo = _pu_geometry(cand_part, x0, y0, n)
+        tot, mvs = 0, []
+        for px, py, pw, ph in geo:
+            s, mv = _search_mv(ref.Y, srcY[py:py + ph, px:px + pw],
+                               px, py, pw, ph, starts, search)
+            tot += s
+            mvs.append((px, py, pw, ph, mv))
+        if tot + 64 < sad_inter:
+            part, pu_mvs, sad_inter = cand_part, mvs, tot
+    skip_ctx = _skip_ctx(fr, x0, y0)
+    # intra estimate on luma (same greedy cost as the intra path);
+    # ties go to inter — skip/merge is the cheaper representation
+    sad_intra = _best_mode(fr, fr.Y, srcY, x0, y0, n, True, cands)[0]
+    if sad_intra < sad_inter:
+        plan = _commit_cu(fr, srcY, srcCb, srcCr, pps, qp,
+                          x0, y0, log2_cb, depth, cands)
+        plan["skip_ctx"] = skip_ctx
+        return plan
+    preds = _inter_pred_planes(ref, x0, y0, n, pu_mvs)
+    plan = {"inter": True, "bypass": bypass, "log2_cb": log2_cb,
+            "part": part, "pus": [], "skip": False,
+            "skip_ctx": skip_ctx}
+    for pi, (px, py, pw, ph, mv) in enumerate(pu_mvs):
+        plan["pus"].append(_pu_repr(fr, part, pi, px, py, pw, ph,
+                                    mv, sh["max_merge"]))
+        _mark_inter(fr, px, py, pw, ph, depth, mv, False)
+    lv_y, rec_y = _tb_levels(preds[0], src_blk, qp, log2_cb, True,
+                             bypass, intra=False)
+    qpc = _chroma_qp(qp)
+    nc = n // 2
+    cx, cy = x0 // 2, y0 // 2
+    lv_cb, rec_cb = _tb_levels(preds[1], srcCb[cy:cy + nc, cx:cx + nc],
+                               qpc, log2_cb - 1, False, bypass,
+                               intra=False)
+    lv_cr, rec_cr = _tb_levels(preds[2], srcCr[cy:cy + nc, cx:cx + nc],
+                               qpc, log2_cb - 1, False, bypass,
+                               intra=False)
+    all_zero = lv_y is None and lv_cb is None and lv_cr is None
+    merge_first = plan["pus"][0][0] == "merge"
+    if part == "2Nx2N" and merge_first and all_zero:
+        # a zero-residual 2Nx2N merge MUST be coded as cu_skip
+        # (rqt_root_cbf is inferred 1 for non-skip 2Nx2N merge)
+        plan["skip"] = True
+        plan["pus"] = [plan["pus"][0]]
+        fr.skip[y0 // 4:(y0 + n) // 4, x0 // 4:(x0 + n) // 4] = True
+    plan.update(lv_y=lv_y, lv_cb=lv_cb, lv_cr=lv_cr,
+                rqt=0 if all_zero else 1, merge_first=merge_first)
+    fr.Y[y0:y0 + n, x0:x0 + n] = rec_y
+    fr.Cb[cy:cy + nc, cx:cx + nc] = rec_cb
+    fr.Cr[cy:cy + nc, cx:cx + nc] = rec_cr
+    return plan
+
+
+def _serialize_cu_inter(enc: _CabacEnc, ctx: _Ctx5, pps: dict,
+                        plan: dict):
     if pps["tq_bypass"]:
         enc.bit(ctx, _TQ_BYPASS, int(plan["bypass"]))
+    max_merge = plan["max_merge"]
+    if plan["skip"]:
+        enc.bit(ctx, plan["skip_ctx"], 1)
+        _code_merge_idx(enc, ctx, max_merge, v=plan["pus"][0][1])
+        return
+    enc.bit(ctx, plan["skip_ctx"], 0)
+    enc.bit(ctx, _PRED_MODE, 0)
+    part = plan["part"]
+    enc.bit(ctx, _PART_INTER + 0, 1 if part == "2Nx2N" else 0)
+    if part != "2Nx2N":
+        enc.bit(ctx, _PART_INTER + 1, 1 if part == "2NxN" else 0)
+    for syn in plan["pus"]:
+        if syn[0] == "merge":
+            enc.bit(ctx, _MERGE_FLAG, 1)
+            _code_merge_idx(enc, ctx, max_merge, v=syn[1])
+        else:
+            enc.bit(ctx, _MERGE_FLAG, 0)
+            _code_mvd_pair(enc, ctx, mv=syn[1])
+            enc.bit(ctx, _MVP_FLAG, syn[2])
+    if not (part == "2Nx2N" and plan["merge_first"]):
+        enc.bit(ctx, _RQT_ROOT, plan["rqt"])
+    if plan["rqt"]:
+        log2_cb = plan["log2_cb"]
+        enc.bit(ctx, _SPLIT_TF + 5 - log2_cb, 0)
+        enc.bit(ctx, _CBF_CHROMA + 0, int(plan["lv_cb"] is not None))
+        enc.bit(ctx, _CBF_CHROMA + 0, int(plan["lv_cr"] is not None))
+        if plan["lv_cb"] is not None or plan["lv_cr"] is not None:
+            enc.bit(ctx, _CBF_LUMA + 1, int(plan["lv_y"] is not None))
+        elif plan["lv_y"] is None:
+            raise AssertionError("all-zero inter residual with rqt set")
+        if plan["lv_y"] is not None:
+            _enc_residual5(enc, ctx, plan["lv_y"], log2_cb, True, 0)
+        for lv in (plan["lv_cb"], plan["lv_cr"]):
+            if lv is not None:
+                _enc_residual5(enc, ctx, lv, log2_cb - 1, False, 0)
+
+
+def _serialize_cu(enc: _CabacEnc, ctx: _Ctx5, pps: dict, plan: dict,
+                  sh: dict | None = None):
+    if plan.get("inter"):
+        plan["max_merge"] = sh["max_merge"]
+        _serialize_cu_inter(enc, ctx, pps, plan)
+        return
+    if pps["tq_bypass"]:
+        enc.bit(ctx, _TQ_BYPASS, int(plan["bypass"]))
+    if sh is not None and sh["type"] == 1:
+        # intra CU inside a P slice: cu_skip 0 + pred_mode 1
+        enc.bit(ctx, plan["skip_ctx"], 0)
+        enc.bit(ctx, _PRED_MODE, 1)
     if plan["log2_cb"] == 3:
         enc.bit(ctx, _PART_MODE, 0 if plan["nxn"] else 1)
     for prev, _mpm, _m in plan["pu"]:
@@ -1539,7 +2188,8 @@ def _serialize_cu(enc: _CabacEnc, ctx: _Ctx5, pps: dict, plan: dict):
 
 
 def _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
-                  x0, y0, log2_cb, depth, cands, force_split):
+                  x0, y0, log2_cb, depth, cands, force_split,
+                  sh=None, ref=None, search=4):
     if log2_cb > 3:
         if force_split is not None:
             split = bool(force_split)
@@ -1557,34 +2207,49 @@ def _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
                     _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr,
                                   pps, qp, x0 + dx * h, y0 + dy * h,
                                   log2_cb - 1, depth + 1, cands,
-                                  force_split)
+                                  force_split, sh, ref, search)
             return
-    plan = _commit_cu(fr, srcY, srcCb, srcCr, pps, qp, x0, y0,
-                      log2_cb, depth, cands)
-    _serialize_cu(enc, ctx, pps, plan)
+    if sh is not None and sh["type"] == 1:
+        plan = _commit_cu_p(fr, ref, srcY, srcCb, srcCr, pps, qp,
+                            x0, y0, log2_cb, depth, sh, cands, search)
+    else:
+        plan = _commit_cu(fr, srcY, srcCb, srcCr, pps, qp, x0, y0,
+                          log2_cb, depth, cands)
+    _serialize_cu(enc, ctx, pps, plan, sh)
 
 
 _ALL_MODES = tuple(range(35))
 
 
 def _encode_frame(srcY, srcCb, srcCr, sps_w, sps_h, pps, qp,
-                  cands=_ALL_MODES, force_split=None):
-    """Encode one IDR frame's slice NAL (header + CABAC data);
-    returns (nal_bytes, reconstruction _Frame5)."""
+                  cands=_ALL_MODES, force_split=None,
+                  ref: _Frame5 | None = None, poc: int = 0,
+                  search: int = 4):
+    """Encode one frame's slice NAL (header + CABAC data); returns
+    (nal_bytes, reconstruction _Frame5). ``ref is None`` emits an
+    IDR I slice; otherwise a TRAIL_R P slice referencing ``ref``."""
     fr = _Frame5(sps_w, sps_h)
     bw = _BitW()
-    _write_slice_header(bw, qp_delta=qp - pps["qp"])
+    if ref is None:
+        sh = None
+        _write_slice_header(bw, qp_delta=qp - pps["qp"])
+    else:
+        sh = {"type": 1, "poc_lsb": poc & 0xFF, "max_merge": 5}
+        _write_slice_header(bw, qp_delta=qp - pps["qp"],
+                            slice_type=1, poc_lsb=poc)
     enc = _CabacEnc()
     ctx = _Ctx5()
     ctbs_w, ctbs_h = sps_w // 16, sps_h // 16
     for cy in range(ctbs_h):
         for cx in range(ctbs_w):
             _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
-                          cx * 16, cy * 16, 4, 0, cands, force_split)
+                          cx * 16, cy * 16, 4, 0, cands, force_split,
+                          sh, ref, search)
             last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
             enc.terminate(int(last))
     rbsp = bw.bytes() + enc.bytes()
-    return _nal(_NAL_IDR_W_RADL, rbsp), fr
+    nal_type = _NAL_IDR_W_RADL if ref is None else _NAL_TRAIL_R
+    return _nal(nal_type, rbsp), fr
 
 
 # ---------------------------------------------------------------------------
@@ -1637,6 +2302,85 @@ def h265_encode_planes(Y, Cb, Cr, qp: int = 32, lossless: bool = False,
     return out + nal
 
 
+def h265_encode_gop_planes(frames: list, qp: int = 32,
+                           lossless: bool = False, cands=_ALL_MODES,
+                           force_split=None, search: int = 4,
+                           recon_out: list | None = None) -> bytes:
+    """Encode a GOP of 4:2:0 plane triples (Y, Cb, Cr) to one
+    Annex-B HEVC stream: frame 0 is an IDR I picture, every later
+    frame a TRAIL_R P picture referencing its predecessor
+    (single-pic DPB, slice-local one-negative-pic RPS). ``search``
+    bounds the integer motion-search window per start vector."""
+    if not frames:
+        raise ValueError("empty GOP")
+    if len(frames) > 255:
+        raise ValueError("GOP too long for 8-bit POC lsb")
+    h, w = np.asarray(frames[0][0]).shape
+    out = None
+    ref = None
+    pps = {"qp": qp, "tq_bypass": 1 if lossless else 0}
+    for i, (Y, Cb, Cr) in enumerate(frames):
+        Y = np.asarray(Y, dtype=np.int64)
+        Cb = np.asarray(Cb, dtype=np.int64)
+        Cr = np.asarray(Cr, dtype=np.int64)
+        if Y.shape != (h, w):
+            raise ValueError("GOP frames must share dimensions")
+        if h % 2 or w % 2 or h == 0 or w == 0:
+            raise ValueError("4:2:0 frame dimensions must be even")
+        if Cb.shape != (h // 2, w // 2) or Cb.shape != Cr.shape:
+            raise ValueError("chroma planes must be half-resolution "
+                             "4:2:0")
+        pY = _pad_plane(Y, 16)
+        pCb = _pad_plane(Cb, 8)
+        pCr = _pad_plane(Cr, 8)
+        H, W = pY.shape
+        if out is None:
+            crop = (0, W - w, 0, H - h)
+            bw = _BitW()
+            _write_vps(bw)
+            out = _nal(_NAL_VPS, bw.bytes())
+            bw = _BitW()
+            _write_sps(bw, W, H, crop=crop)
+            out += _nal(_NAL_SPS, bw.bytes())
+            bw = _BitW()
+            _write_pps(bw, qp, transquant_bypass=lossless)
+            out += _nal(_NAL_PPS, bw.bytes())
+            out += _marker_sei()
+        nal, fr = _encode_frame(pY, pCb, pCr, W, H, pps, qp,
+                                cands=cands, force_split=force_split,
+                                ref=ref, poc=i, search=search)
+        out += nal
+        ref = fr
+        if recon_out is not None:
+            # what a conformant decode must produce (uncropped) —
+            # the pixel-parity anchor for the lossy-path tests
+            recon_out.append((fr.Y.copy(), fr.Cb.copy(), fr.Cr.copy()))
+    return out
+
+
+def h265_encode_gop(frames: list, qp: int = 32, lossless: bool = False,
+                    cands=_ALL_MODES, force_split=None,
+                    search: int = 4) -> bytes:
+    """GOP form of :func:`h265_encode`: a list of 2-D luma arrays
+    (neutral chroma) or (Y, Cb, Cr) triples."""
+    trips = []
+    for f in frames:
+        if isinstance(f, (tuple, list)):
+            trips.append(tuple(np.asarray(p) for p in f))
+        else:
+            y = np.asarray(f)
+            if y.ndim != 2:
+                raise ValueError("GOP frames must be 2-D luma arrays "
+                                 "or (Y, Cb, Cr) triples")
+            h, w = y.shape
+            ch, cw = (h + 1) // 2, (w + 1) // 2
+            trips.append((y, np.full((ch, cw), 128, dtype=np.uint8),
+                          np.full((ch, cw), 128, dtype=np.uint8)))
+    return h265_encode_gop_planes(trips, qp=qp, lossless=lossless,
+                                  cands=cands, force_split=force_split,
+                                  search=search)
+
+
 def h265_encode(y: np.ndarray, qp: int = 32, cb=None, cr=None,
                 lossless: bool = False, cands=_ALL_MODES,
                 force_split=None) -> bytes:
@@ -1666,11 +2410,13 @@ def h265_encoder_reconstruction(y, qp: int = 32, cb=None, cr=None,
 
 
 def h265_decode_gop_planes(payload: bytes):
-    """Decode an Annex-B HEVC stream (VPS/SPS/PPS + one or more IDR
+    """Decode an Annex-B HEVC stream (VPS/SPS/PPS + IDR and TRAIL P
     access units) to a list of uncropped (Y, Cb, Cr) int64 frame
-    planes plus the SPS conformance-window crop."""
+    planes plus the SPS conformance-window crop. P slices reference
+    the previously decoded picture (single-pic DPB — the shape this
+    codec's slice-local RPS signals); an IDR resets the chain."""
     sps = pps = None
-    slices = []
+    slices = []                  # (is_idr, rbsp) in decode order
     marker = False
     for nal_type, layer_id, _tid, rbsp in _split_annexb_h265(payload):
         if layer_id:
@@ -1682,17 +2428,21 @@ def h265_decode_gop_planes(payload: bytes):
         elif nal_type == _NAL_PPS:
             pps = _parse_pps(_Bits(rbsp))
         elif nal_type in (_NAL_IDR_W_RADL, _NAL_IDR_N_LP):
-            slices.append(rbsp)
+            slices.append((True, rbsp))
+        elif nal_type in (_NAL_TRAIL_N, _NAL_TRAIL_R):
+            slices.append((False, rbsp))
         elif nal_type in (39, 40):
             marker = marker or _GS_HEVC_UUID in rbsp
         elif nal_type < 32:
             raise NotImplementedError(
-                f"HEVC NAL type {nal_type} unsupported (intra-only: "
-                "IDR slices; inter/CRA/RASL streams need reference "
-                "pictures this codec does not model)")
+                f"HEVC NAL type {nal_type} unsupported (IDR + TRAIL "
+                "P only; B/CRA/RASL streams need reference structures "
+                "this codec does not model)")
         # AUD(35)/EOS(36)/EOB(37)/filler(38): ignored
     if sps is None or pps is None or not slices:
         raise ValueError("stream lacks SPS, PPS or a coded slice")
+    if not slices[0][0]:
+        raise ValueError("stream does not start with an IDR picture")
     if not marker:
         raise NotImplementedError(
             "third-party HEVC stream unsupported: this codec's CABAC "
@@ -1709,8 +2459,11 @@ def h265_decode_gop_planes(payload: bytes):
     if n_ctbs * len(slices) > 1 << 22:
         raise ValueError("implausible stream size for frame dimensions")
     frames = []
-    for rbsp in slices:
-        fr = _decode_slice(rbsp, sps, pps)
+    ref = None
+    for is_idr, rbsp in slices:
+        fr = _decode_slice(rbsp, sps, pps, is_idr=is_idr,
+                           ref=None if is_idr else ref)
+        ref = fr
         frames.append((fr.Y, fr.Cb, fr.Cr))
     return frames, sps["crop"]
 
@@ -1736,7 +2489,8 @@ def h265_decode(payload: bytes) -> np.ndarray:
 
 
 def h265_decode_gop(payload: bytes) -> list:
-    """Decode an intra-only HEVC stream to a list of RGB frames."""
+    """Decode an HEVC stream (IDR + TRAIL P pictures) to a list of
+    RGB frames."""
     from .h264 import _planes_to_rgb
     frames, crop = h265_decode_gop_planes(payload)
     crop2 = tuple(c // 2 for c in crop)

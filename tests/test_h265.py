@@ -210,15 +210,27 @@ def test_foreign_hevc_rejected_loudly():
         h5.h265_decode_planes(stripped)
 
 
-def test_inter_nal_rejected():
+def test_trail_first_stream_rejected():
+    # TRAIL NALs are decodable since the r8 P-slice work, but a
+    # stream that does not start with an IDR has no reference chain
     y = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
     ab = h5.h265_encode(y, lossless=True)
-    # retag the IDR slice as TRAIL_R (type 1): inter-bearing NAL
     parts = []
     for t, _l, ti, rbsp in h5._split_annexb_h265(ab):
         parts.append(h5._nal(1 if t == h5._NAL_IDR_W_RADL else t,
                              rbsp, tid=ti))
-    with pytest.raises(NotImplementedError, match="intra-only"):
+    with pytest.raises(ValueError, match="IDR"):
+        h5.h265_decode_planes(b"".join(parts))
+
+
+def test_cra_nal_rejected():
+    y = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    ab = h5.h265_encode(y, lossless=True)
+    parts = []
+    for t, _l, ti, rbsp in h5._split_annexb_h265(ab):
+        parts.append(h5._nal(21 if t == h5._NAL_IDR_W_RADL else t,
+                             rbsp, tid=ti))      # 21 = CRA_NUT
+    with pytest.raises(NotImplementedError):
         h5.h265_decode_planes(b"".join(parts))
 
 
@@ -242,3 +254,231 @@ def test_truncation_and_corruption_contract():
 def test_even_dimension_requirement():
     with pytest.raises(ValueError, match="even"):
         h5.h265_encode(np.zeros((15, 16), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# P slices (r8): merge/AMVP, partitions, fractional-sample MC
+# ---------------------------------------------------------------------------
+
+
+def _neutral(h, w):
+    return np.full((h // 2, w // 2), 128, dtype=np.uint8)
+
+
+def test_p_gop_lossless_exact():
+    rng = np.random.default_rng(41)
+    f0 = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    f1 = np.roll(f0, 4, axis=1)                 # pure translation
+    f2 = np.roll(f1, (2, -3), axis=(0, 1))
+    stream = h5.h265_encode_gop([f0, f1, f2], lossless=True)
+    frames, crop = h5.h265_decode_gop_planes(stream)
+    assert crop == (0, 0, 0, 0) and len(frames) == 3
+    for src, (Y, _cb, _cr) in zip((f0, f1, f2), frames):
+        assert np.array_equal(Y, src.astype(np.int64))
+
+
+def test_p_gop_lossy_decode_equals_encoder_reconstruction():
+    rng = np.random.default_rng(42)
+    for h, w in ((32, 48), (30, 42)):           # second: crop path
+        frames = []
+        cur = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(
+            np.int64)
+        frames.append(cur.copy())
+        for _ in range(3):
+            dx, dy = int(rng.integers(-6, 7)), int(rng.integers(-6, 7))
+            cur = np.roll(cur, (dy, dx), axis=(0, 1))
+            cur = np.clip(cur + rng.integers(-3, 4, (h, w)), 0, 255)
+            frames.append(cur.copy())
+        for qp in (22, 34):
+            recon = []
+            stream = h5.h265_encode_gop_planes(
+                [(f, _neutral(h + h % 2, w + w % 2)[: (h + 1) // 2,
+                                                   : (w + 1) // 2],
+                  _neutral(h + h % 2, w + w % 2)[: (h + 1) // 2,
+                                                 : (w + 1) // 2])
+                 for f in frames],
+                qp=qp, recon_out=recon)
+            dec, _crop = h5.h265_decode_gop_planes(stream)
+            assert len(dec) == len(recon)
+            for (ry, rcb, rcr), (dy_, dcb, dcr) in zip(recon, dec):
+                assert np.array_equal(ry, dy_)
+                assert np.array_equal(rcb, dcb)
+                assert np.array_equal(rcr, dcr)
+
+
+def test_p_cu_modes_all_exercised():
+    # split-motion content must produce skip, 2Nx2N, 2NxN, Nx2N,
+    # merge, AMVP and intra-in-P CUs — and still decode bit-exactly
+    stats = {"skip": 0, "2Nx2N": 0, "2NxN": 0, "Nx2N": 0,
+             "intra": 0, "merge": 0, "amvp": 0}
+    orig = h5._commit_cu_p
+
+    def spy(*a, **k):
+        plan = orig(*a, **k)
+        if not plan.get("inter"):
+            stats["intra"] += 1
+        elif plan["skip"]:
+            stats["skip"] += 1
+        else:
+            stats[plan["part"]] += 1
+            for syn in plan["pus"]:
+                stats[syn[0]] += 1
+        return plan
+
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    base = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(np.int64)
+    f1 = base.copy()
+    f1[:24] = np.roll(base[:24], 3, axis=1)
+    f1[24:] = np.roll(base[24:], -5, axis=1)
+    f2 = f1.copy()
+    f2[:, :32] = np.roll(f1[:, :32], 4, axis=0)
+    f3 = f2.copy()                               # static -> skips
+    f4 = np.clip((f2 + np.roll(f2, 1, axis=1)) // 2
+                 + rng.integers(-2, 3, (h, w)), 0, 255)
+    h5._commit_cu_p = spy
+    try:
+        recon = []
+        stream = h5.h265_encode_gop_planes(
+            [(f, _neutral(h, w), _neutral(h, w))
+             for f in (base, f1, f2, f3, f4)], qp=28, recon_out=recon)
+    finally:
+        h5._commit_cu_p = orig
+    dec, _ = h5.h265_decode_gop_planes(stream)
+    for (ry, rcb, rcr), (dy_, dcb, dcr) in zip(recon, dec):
+        assert np.array_equal(ry, dy_)
+        assert np.array_equal(rcb, dcb)
+        assert np.array_equal(rcr, dcr)
+    for k, v in stats.items():
+        assert v > 0, f"CU kind {k} never exercised"
+
+
+def _mc_ref_naive(ref, x0, y0, w, h, mvx, mvy, taps, filt, frac_bits):
+    """Literal §8.5.4.2.2 per-pixel reference: clamp-index gather,
+    horizontal filter (shift1 = 0), vertical filter (>> 6 when both
+    fractions set), << 6 chains for the pure cases, then the
+    uni-prediction (+32) >> 6 finalization."""
+    H, W = ref.shape
+    ix, iy = x0 + (mvx >> frac_bits), y0 + (mvy >> frac_bits)
+    mask = (1 << frac_bits) - 1
+    fx, fy = mvx & mask, mvy & mask
+    lo = taps // 2 - 1
+
+    def at(yy, xx):
+        return int(ref[min(max(yy, 0), H - 1), min(max(xx, 0), W - 1)])
+
+    out = np.zeros((h, w), dtype=np.int64)
+    for r in range(h):
+        for c in range(w):
+            if fx == 0 and fy == 0:
+                p14 = at(iy + r, ix + c) << 6
+            elif fy == 0:
+                p14 = sum(filt[fx][i] * at(iy + r, ix + c - lo + i)
+                          for i in range(taps))
+            elif fx == 0:
+                p14 = sum(filt[fy][i] * at(iy + r - lo + i, ix + c)
+                          for i in range(taps))
+            else:
+                acc = 0
+                for i in range(taps):
+                    hh = sum(filt[fx][j]
+                             * at(iy + r - lo + i, ix + c - lo + j)
+                             for j in range(taps))
+                    acc += filt[fy][i] * hh
+                p14 = acc >> 6
+            out[r, c] = min(max((p14 + 32) >> 6, 0), 255)
+    return out
+
+
+def test_fractional_mc_matches_spec_reference():
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 256, (24, 28), dtype=np.uint8).astype(
+        np.int64)
+    for _ in range(24):
+        mvx = int(rng.integers(-20, 21))
+        mvy = int(rng.integers(-20, 21))
+        x0 = int(rng.integers(0, 12))
+        y0 = int(rng.integers(0, 8))
+        fast = h5._mc_luma(ref, x0, y0, 8, 8, (mvx, mvy))
+        slow = _mc_ref_naive(ref, x0, y0, 8, 8, mvx, mvy,
+                             8, h5._LUMA_FILT, 2)
+        assert np.array_equal(fast, slow), (mvx, mvy, x0, y0)
+        fastc = h5._mc_chroma(ref, x0, y0, 4, 4, (mvx, mvy))
+        slowc = _mc_ref_naive(ref, x0, y0, 4, 4, mvx, mvy,
+                              4, h5._CHROMA_FILT, 3)
+        assert np.array_equal(fastc, slowc), ("chroma", mvx, mvy)
+
+
+def test_p_gop_fuzz_roundtrip():
+    # random GOPs with random motion/noise/QP: encoder recon must
+    # equal decode for every frame (lossless and lossy)
+    rng = np.random.default_rng(0xBEEF)
+    for trial in range(8):
+        h = int(rng.integers(2, 4)) * 16
+        w = int(rng.integers(2, 5)) * 16
+        n_frames = int(rng.integers(2, 5))
+        cur = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(
+            np.int64)
+        frames = [cur.copy()]
+        for _ in range(n_frames - 1):
+            mode = rng.integers(0, 3)
+            if mode == 0:                        # translation
+                cur = np.roll(cur, (int(rng.integers(-8, 9)),
+                                    int(rng.integers(-8, 9))),
+                              axis=(0, 1))
+            elif mode == 1:                      # split motion
+                cur = cur.copy()
+                cur[: h // 2] = np.roll(cur[: h // 2],
+                                        int(rng.integers(-4, 5)),
+                                        axis=1)
+            else:                                # new content
+                cur = rng.integers(0, 256, (h, w),
+                                   dtype=np.uint8).astype(np.int64)
+            cur = np.clip(cur + rng.integers(-2, 3, (h, w)), 0, 255)
+            frames.append(cur.copy())
+        lossless = bool(rng.integers(0, 2))
+        qp = int(rng.integers(16, 46))
+        recon = []
+        stream = h5.h265_encode_gop_planes(
+            [(f, _neutral(h, w), _neutral(h, w)) for f in frames],
+            qp=qp, lossless=lossless, recon_out=recon, search=3)
+        dec, _ = h5.h265_decode_gop_planes(stream)
+        for i, ((ry, rcb, rcr), (dy_, dcb, dcr)) in enumerate(
+                zip(recon, dec)):
+            assert np.array_equal(ry, dy_), (trial, i)
+            assert np.array_equal(rcb, dcb), (trial, i)
+            assert np.array_equal(rcr, dcr), (trial, i)
+        if lossless:
+            for src, (Y, _cb, _cr) in zip(frames, dec):
+                assert np.array_equal(Y, src)
+
+
+def test_p_stream_corruption_contract():
+    rng = np.random.default_rng(77)
+    f0 = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    f1 = np.roll(f0, 5, axis=1)
+    base = h5.h265_encode_gop([f0, f1], qp=30)
+    rnd = random.Random(19)
+    for _ in range(120):
+        b = bytearray(base)
+        for _ in range(rnd.randint(1, 4)):
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+        try:
+            h5.h265_decode_gop_planes(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    for cut in range(1, len(base), 11):
+        try:
+            h5.h265_decode_gop_planes(base[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_p_foreign_stream_rejected():
+    f0 = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+    stream = h5.h265_encode_gop([f0, np.roll(f0, 2, axis=0)], qp=30)
+    parts = [h5._nal(t, rbsp, tid=ti)
+             for t, _l, ti, rbsp in h5._split_annexb_h265(stream)
+             if t != h5._NAL_PREFIX_SEI]         # strip the marker
+    with pytest.raises(NotImplementedError, match="third-party"):
+        h5.h265_decode_gop_planes(b"".join(parts))
