@@ -558,6 +558,29 @@ def hevc_to_hvc1_sample(annexb: bytes) -> bytes:
     return bytes(out)
 
 
+def hevc_gop_to_hvc1_samples(annexb: bytes):
+    """Split a GOP Annex-B stream into per-access-unit hvc1 sample
+    payloads plus the shared hvcC record body: parameter sets go to
+    the record, non-slice NALs (SEI) attach to the following slice,
+    and each slice NAL closes one sample."""
+    hvcc = hevc_hvcc_config(annexb)
+    samples = []
+    pending = bytearray()
+    for nal_type, _lid, tid, rbsp in _split_annexb_h265(annexb):
+        if nal_type in (_NAL_VPS, _NAL_SPS, _NAL_PPS):
+            continue
+        nal = _raw_nal(nal_type, rbsp, tid)
+        pending += len(nal).to_bytes(4, "big") + nal
+        if nal_type < 32:                      # VCL NAL ends the AU
+            samples.append(bytes(pending))
+            pending.clear()
+    if pending:
+        raise ValueError("trailing non-VCL NALs after the last slice")
+    if not samples:
+        raise ValueError("stream has no coded slices")
+    return samples, hvcc
+
+
 def hevc_sample_to_annexb(sample: bytes, hvcc: bytes) -> bytes:
     """Rebuild a decodable Annex-B access unit from a
     length-prefixed hvc1 sample plus its track's hvcC record."""

@@ -3329,6 +3329,58 @@ def q_media_h265_stats(spark, sf_dir):
                      "frame_ts_ms", "ahash")
 
 
+def _synth_hvc1_p_udf():
+    """Per-doc hvc1 MP4 carrying a REAL HEVC P GOP (r8 inter work):
+    frame 0 is a lossless IDR of the grey field
+    v = (doc*7 + x*3 + y*5) % 256, and frame k is that field rolled
+    by (2k, 3k) pixels — inside the encoder's ±4-px motion-search
+    window, so the GOP codes skip/merge/AMVP motion-compensated CUs
+    (wrap-around seams fall back to intra-in-P / residuals; every
+    path is transquant-bypass lossless, keeping the pixels exactly
+    SQL-predictable regardless of the encoder's CU decisions). The
+    track is one hvcC record + per-access-unit samples
+    (hevc_gop_to_hvc1_samples), so the Spark decode exercises the
+    single-pic-DPB TRAIL chain end to end."""
+    from .operators import media_codecs as mc
+    from .operators import h265 as h5
+
+    @pandas_udf("binary")
+    def to_hvc1_p(ids: pd.Series) -> pd.Series:
+        def one(d):
+            xg, yg = np.meshgrid(np.arange(16), np.arange(16))
+            f0 = ((d * 7 + xg * 3 + yg * 5) % 256).astype(np.uint8)
+            frames = [np.roll(f0, (2 * k, 3 * k), axis=(0, 1))
+                      for k in range(2 + d % 3)]
+            ab = h5.h265_encode_gop(frames, lossless=True,
+                                    cands=(0, 1, 10, 26), search=4)
+            samples, hvcc = h5.hevc_gop_to_hvc1_samples(ab)
+            return mc.mp4_mux(samples, frame_ms=500, fourcc=b"hvc1",
+                              width=16, height=16,
+                              config=mc._box(b"hvcC", hvcc))
+
+        return ids.map(one)
+
+    return to_hvc1_p
+
+
+def q_media_h265_p_stats(spark, sf_dir):
+    """HEVC inter decode end to end (r8): hvc1 demux, hvcC parse,
+    per-sample Annex-B rebuild, TRAIL P slices — cu_skip / merge /
+    AMVP motion derivation and quarter-pel-capable MC against the
+    previous picture — reconstructed losslessly and value-checked
+    against a pure-SQL shifted-field oracle."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_hvc1_p_udf()(F.col("doc_id"))
+                      .alias("payload"))
+    st = video_frame_stats(vid, every_ms=1000)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long")
+                     .alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
 # 16x16 grey lossless frames sampled at k % 2 == 0; ahash cell (i,j)
 # spans 2x2 px (area 4 of 256): block-mean > frame-mean reduces
 # exactly to 64*cellsum > total — the same reduction as the I_PCM
@@ -3341,6 +3393,42 @@ _MEDIA_H265_SQL = """
     px AS (
       SELECT s.doc_id, s.k, x.x, y.y,
              (s.doc_id*7 + s.k*37 + x.x*3 + y.y*5) % 256 AS v
+      FROM sampled s
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) y
+    ),
+    tot AS (SELECT doc_id, k, sum(v) AS t FROM px GROUP BY 1, 2),
+    cell AS (
+      SELECT doc_id, k, (y // 2) * 8 + (x // 2) AS bit, sum(v) AS cs
+      FROM px GROUP BY 1, 2, 3
+    ),
+    ah AS (SELECT c.doc_id, c.k,
+                  sum(CASE WHEN c.cs * 64 > t.t
+                           THEN (1::HUGEINT << CAST(c.bit AS INTEGER))
+                           ELSE 0::HUGEINT END) AS ahash_u
+           FROM cell c JOIN tot t USING (doc_id, k) GROUP BY 1, 2)
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_index,
+           CAST(k * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(CASE WHEN ahash_u >= 9223372036854775808::HUGEINT
+                     THEN ahash_u - 18446744073709551616::HUGEINT
+                     ELSE ahash_u END AS BIGINT) AS ahash
+    FROM ah
+"""
+
+# P-GOP twin: frame k is the base field rolled by (2k, 3k), so
+# v(x, y, k) = base((x-3k) mod 16, (y-2k) mod 16); the double-mod
+# keeps DuckDB's dividend-signed % non-negative. Downstream ahash
+# reduction identical to _MEDIA_H265_SQL.
+_MEDIA_H265_P_SQL = """
+    WITH f AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS k
+      FROM documents
+    ), sampled AS (SELECT doc_id, k FROM f WHERE k % 2 = 0),
+    px AS (
+      SELECT s.doc_id, s.k, x.x, y.y,
+             (s.doc_id*7
+              + ((x.x - 3*s.k) % 16 + 16) % 16 * 3
+              + ((y.y - 2*s.k) % 16 + 16) % 16 * 5) % 256 AS v
       FROM sampled s
       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) x
       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) y
@@ -3383,6 +3471,7 @@ QUERIES.update({
     "media_h264_i8_stats": q_media_h264_i8_stats,
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
     "media_h265_stats": q_media_h265_stats,
+    "media_h265_p_stats": q_media_h265_p_stats,
 })
 ORACLES.update({
     "media_audio_stats": _MEDIA_AUDIO_SQL,
@@ -3406,6 +3495,7 @@ ORACLES.update({
     #                          Intra_8x8 transform chain (r8)
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
     "media_h265_stats": _MEDIA_H265_SQL,  # lossless HEVC intra (r8)
+    "media_h265_p_stats": _MEDIA_H265_P_SQL,  # lossless HEVC P GOP (r8)
 })
 
 
@@ -3729,6 +3819,14 @@ _EXTRA_NAMES = [
     # hvc1 HEVC GOP families, and the MJPEG sample decode shares
     # jpeg_decode with the two in-window JPEG queries:
     "media_mp4_stats",
+    # r8 eighth rotation: media_h265_p_stats (NEW — HEVC P slices:
+    # cu_skip/merge/AMVP, DCT-IF MC, single-pic DPB TRAIL chain)
+    # moves IN for first driver evidence; media_jpeg_stats (baseline
+    # JPEG, driver-green r5-r8) takes its EXTRA slot — the baseline
+    # huffman/dequant chain stays in-window via
+    # media_jpeg_prog_stats (same exact block-constant family,
+    # progressive scans) and stays EXTRA-oracled + fuzz-pinned:
+    "media_jpeg_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
