@@ -1,8 +1,8 @@
-"""From-scratch HEVC (Rec. ITU-T H.265) Main-profile intra codec —
-the last named media stub on the multimodal surface (hev1/hvc1 MP4
-tracks demuxed fine but their frame decode raised).
+"""From-scratch HEVC (Rec. ITU-T H.265) Main-profile codec —
+formerly the last named media stub on the multimodal surface
+(hev1/hvc1 MP4 tracks demuxed fine but their frame decode raised).
 
-Scope (r8): Main profile, 4:2:0, 8-bit, I slices only —
+Scope (r8): Main profile, 4:2:0, 8-bit, I and P slices —
 * NAL layer: Annex-B start codes, the 2-byte H.265 NAL header
   (§7.3.1.2: nal_unit_type(6) / nuh_layer_id(6) / temporal_id(3)),
   emulation-prevention handling shared with h264.py.
@@ -40,9 +40,20 @@ Scope (r8): Main profile, 4:2:0, 8-bit, I slices only —
   every structural piece (engine, binarizations, syntax order,
   scans, transforms, prediction) is already here.
 
-Deliberately out of scope (reject loudly): inter slices (P/B),
-SAO, deblocking (disabled via PPS/slice flags — structurally
-legal), PCM, scaling lists, tiles, WPP, 4:2:2/4:4:4, >8-bit.
+P slices (late r8): TRAIL_R pictures over a single-pic DPB
+(slice-local one-negative-pic short-term RPS), cu_skip / merge /
+AMVP motion derivation (§8.5.3.2 spatial candidates incl. the
+second-PU split exclusions; no TMVP — SPS flag 0), inter part
+modes 2Nx2N / 2NxN / Nx2N, quarter-pel luma 8-tap + eighth-pel
+chroma 4-tap DCT-IF interpolation (§8.5.4.2.2, exact shift chain),
+mvd_coding (EG1 bypass) and TU == CU inter residuals under
+max_transform_hierarchy_depth_inter = 1 (split_transform_flag
+coded 0 — inter TUs legally span PU boundaries, avoiding the
+forced §7.4.9.8 RQT split).
+
+Deliberately out of scope (reject loudly): B slices, SAO,
+deblocking (disabled via PPS/slice flags — structurally legal),
+PCM, scaling lists, tiles, WPP, AMP, 4:2:2/4:4:4, >8-bit.
 
 Scale note (same contract as h264.py): decode runs per-payload
 inside mapInArrow batches on the media surface — embarrassingly
@@ -415,12 +426,14 @@ def _parse_pps(br: _Bits) -> dict:
 
 
 def _write_slice_header(bw: _BitW, qp_delta: int = 0,
-                        slice_type: int = 2, poc_lsb: int = 0):
+                        slice_type: int = 2, poc_lsb: int = 0,
+                        d0: int = 1, d1: int = 1):
     """slice_segment_header (§7.3.6.1) for a one-segment slice under
     this codec's fixed SPS/PPS. slice_type 2 = IDR I (byte-identical
     to the r8 intra-only form); slice_type 1 = TRAIL P referencing
-    the previous picture via a one-negative-pic slice-local
-    short-term RPS (delta_poc = 1, used_by_curr = 1)."""
+    poc - d0; slice_type 0 = TRAIL B referencing poc - d0 (L0) and
+    poc + d1 (L1) — both via a slice-local short-term RPS with
+    every pic used_by_curr."""
     bw.u(1, 1)                   # first_slice_segment_in_pic_flag
     if slice_type == 2:
         bw.u(0, 1)               # no_output_of_prior_pics_flag (IDR)
@@ -431,14 +444,19 @@ def _write_slice_header(bw: _BitW, qp_delta: int = 0,
         bw.u(0, 1)               # short_term_ref_pic_set_sps_flag
         # st_ref_pic_set(0): sps holds none, so no inter-RPS pred flag
         bw.ue(1)                 # num_negative_pics
-        bw.ue(0)                 # num_positive_pics
-        bw.ue(0)                 # delta_poc_s0_minus1[0]  (ref = poc-1)
+        bw.ue(1 if slice_type == 0 else 0)   # num_positive_pics
+        bw.ue(d0 - 1)            # delta_poc_s0_minus1[0]
         bw.u(1, 1)               # used_by_curr_pic_s0_flag[0]
+        if slice_type == 0:
+            bw.ue(d1 - 1)        # delta_poc_s1_minus1[0]
+            bw.u(1, 1)           # used_by_curr_pic_s1_flag[0]
         # long_term off; sps_temporal_mvp off -> no slice TMVP flag
-    if slice_type == 1:
+    if slice_type in (0, 1):
         bw.u(0, 1)               # num_ref_idx_active_override_flag
-        # lists_modification absent (flag off, NumPicTotalCurr == 1);
+        # lists_modification absent (flag off, NumPicTotalCurr small);
         # cabac_init absent; no collocated (TMVP off); no weight table
+        if slice_type == 0:
+            bw.u(0, 1)           # mvd_l1_zero_flag
         bw.ue(0)                 # five_minus_max_num_merge_cand -> 5
     bw.se(qp_delta)              # slice_qp_delta
     # (pps deblocking: disabled, not overridable; SAO: off)
@@ -453,29 +471,37 @@ def _parse_slice_header(br: _Bits, pps: dict, is_idr: bool = True) -> dict:
     if br.ue() != 0:
         raise NotImplementedError("non-zero slice PPS id unsupported")
     st = br.ue()
-    if st not in (1, 2):
-        raise NotImplementedError(
-            f"slice_type {st} unsupported (I and P slices only)")
+    if st not in (0, 1, 2):
+        raise ValueError(f"illegal slice_type {st}")
     if is_idr and st != 2:
         raise ValueError("IDR access unit with a non-I slice")
-    sh = {"type": st, "poc_lsb": 0, "max_merge": 5}
+    sh = {"type": st, "poc_lsb": 0, "max_merge": 5,
+          "d0": 0, "d1": 0}
     if not is_idr:
         sh["poc_lsb"] = br.u(8)  # log2_max_poc fixed at 8 by our SPS
         if br.u(1):
             raise NotImplementedError("SPS-indexed short-term RPS "
                                       "unsupported")
-        if br.ue() != 1 or br.ue() != 0:
+        n_neg, n_pos = br.ue(), br.ue()
+        if n_neg != 1 or n_pos > 1:
             raise NotImplementedError(
-                "multi-picture DPB unsupported (single negative ref)")
-        if br.ue() != 0:
-            raise NotImplementedError(
-                "delta_poc beyond previous picture unsupported")
+                "DPB shapes beyond one negative + at most one "
+                "positive reference unsupported")
+        sh["d0"] = br.ue() + 1
         if not br.u(1):
             raise NotImplementedError("unused reference pic in RPS")
-    if st == 1:
+        if n_pos:
+            sh["d1"] = br.ue() + 1
+            if not br.u(1):
+                raise NotImplementedError("unused reference pic in RPS")
+        if st == 0 and not n_pos:
+            raise ValueError("B slice without a positive reference")
+    if st in (0, 1):
         if br.u(1):
             raise NotImplementedError(
                 "num_ref_idx_active_override unsupported")
+        if st == 0 and br.u(1):
+            raise NotImplementedError("mvd_l1_zero unsupported")
         five = br.ue()
         if five > 4:
             raise ValueError("five_minus_max_num_merge_cand out of range")
@@ -646,7 +672,8 @@ _MVD_GR1 = 109      # 1: abs_mvd_greater1_flag
 _MVP_FLAG = 110     # 1: mvp_l0_flag
 _RQT_ROOT = 111     # 1: rqt_root_cbf
 _SPLIT_TF = 112     # 3: split_transform_flag, ctxInc 5 - log2TrafoSize
-N_CTX5 = 115
+_INTER_DIR = 115    # 2: inter_pred_idc bins ("1"=BI / "0x"=L0|L1)
+N_CTX5 = 117
 
 
 class _Ctx5:
@@ -1288,24 +1315,26 @@ def _dec_residual5(dec: _CabacDec, ctx: _Ctx5, log2_tb: int,
 class _Frame5:
     """Per-frame decode/encode state: recon planes plus the
     4x4-luma-granular availability / intra-mode / CU-depth grids the
-    context and prediction derivations need. P slices (r8) add the
-    4x4-granular motion field: ``mvs`` (quarter-luma-pel L0 vectors),
-    ``inter`` (cell coded by motion compensation) and ``skip``
-    (cu_skip_flag of the covering CU, for the skip context)."""
+    context and prediction derivations need. P/B slices (r8) add
+    the 4x4-granular motion field: ``mvs`` (quarter-luma-pel
+    vectors, indexed [y, x, list, comp]), ``pdir`` (0 = intra/none,
+    1 = L0, 2 = L1, 3 = bi), and ``skip`` (cu_skip_flag of the
+    covering CU, for the skip context)."""
 
     __slots__ = ("Y", "Cb", "Cr", "avail", "modes", "depths",
-                 "mvs", "inter", "skip", "W", "H")
+                 "mvs", "pdir", "skip", "W", "H", "poc")
 
     def __init__(self, W: int, H: int):
         self.W, self.H = W, H
+        self.poc = 0
         self.Y = np.zeros((H, W), dtype=np.int64)
         self.Cb = np.full((H // 2, W // 2), 128, dtype=np.int64)
         self.Cr = np.full((H // 2, W // 2), 128, dtype=np.int64)
         self.avail = np.zeros((H // 4, W // 4), dtype=bool)
         self.modes = np.full((H // 4, W // 4), -1, dtype=np.int16)
         self.depths = np.zeros((H // 4, W // 4), dtype=np.int8)
-        self.mvs = np.zeros((H // 4, W // 4, 2), dtype=np.int32)
-        self.inter = np.zeros((H // 4, W // 4), dtype=bool)
+        self.mvs = np.zeros((H // 4, W // 4, 2, 2), dtype=np.int32)
+        self.pdir = np.zeros((H // 4, W // 4), dtype=np.uint8)
         self.skip = np.zeros((H // 4, W // 4), dtype=bool)
 
 
@@ -1426,14 +1455,17 @@ _CHROMA_FILT = {
 
 def _mc_plane(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
               mvx: int, mvy: int, taps: int, filt: dict,
-              frac_bits: int) -> np.ndarray:
+              frac_bits: int, finalize: bool = True) -> np.ndarray:
     """Fractional-sample motion compensation for one plane
     (§8.5.4.2.2): separable DCT-IF, horizontal then vertical, with
     the 8-bit shift chain shift1=0 / shift2=6 / shift3=6 and the
-    uni-prediction finalization (+32) >> 6 of §8.5.4.2.3.2.
-    Out-of-picture positions clamp to the frame edge (the spec's
-    coordinate Clip3). ``frac_bits`` is 2 for luma quarter-pel MVs,
-    3 for chroma (luma MV reused at eighth-chroma-pel precision).
+    uni-prediction finalization (+32) >> 6 of §8.5.4.2.3.2 (or the
+    raw 14-bit plane when ``finalize`` is False — the bi-prediction
+    combiner needs both lists unfinalized, §8.5.4.2.3.2's
+    (L0 + L1 + 64) >> 7 chain). Out-of-picture positions clamp to
+    the frame edge (the spec's coordinate Clip3). ``frac_bits`` is
+    2 for luma quarter-pel MVs, 3 for chroma (luma MV reused at
+    eighth-chroma-pel precision).
 
     The full-pel fast path (ref << 6, +32 >> 6) is an exact copy; the
     mixed-fraction chains are exact too: the pre-shifted << 6
@@ -1447,48 +1479,58 @@ def _mc_plane(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
     if not fx and not fy:
         xs = np.clip(np.arange(ix, ix + w), 0, W - 1)
         ys = np.clip(np.arange(iy, iy + h), 0, H - 1)
-        return ref[np.ix_(ys, xs)].astype(np.int64)
-    lo = taps // 2 - 1                           # taps at -lo .. +lo+1
-    hi = taps - lo
-    xs = np.clip(np.arange(ix - lo, ix + w + hi - 1), 0, W - 1)
-    ys = np.clip(np.arange(iy - lo, iy + h + hi - 1), 0, H - 1)
-    win = ref[np.ix_(ys, xs)].astype(np.int64)   # (h+taps-1, w+taps-1)
-    if fx:
-        f = filt[fx]
-        hbuf = sum(f[i] * win[:, i:i + w] for i in range(taps))
+        p14 = ref[np.ix_(ys, xs)].astype(np.int64) << 6
     else:
-        hbuf = win[:, lo:lo + w] << 6
-    if fy:
-        f = filt[fy]
-        p14 = sum(f[i] * hbuf[i:i + h, :] for i in range(taps)) >> 6
-    else:
-        p14 = hbuf[lo:lo + h, :]
+        lo = taps // 2 - 1                       # taps at -lo .. +lo+1
+        hi = taps - lo
+        xs = np.clip(np.arange(ix - lo, ix + w + hi - 1), 0, W - 1)
+        ys = np.clip(np.arange(iy - lo, iy + h + hi - 1), 0, H - 1)
+        win = ref[np.ix_(ys, xs)].astype(np.int64)
+        if fx:
+            f = filt[fx]
+            hbuf = sum(f[i] * win[:, i:i + w] for i in range(taps))
+        else:
+            hbuf = win[:, lo:lo + w] << 6
+        if fy:
+            f = filt[fy]
+            p14 = sum(f[i] * hbuf[i:i + h, :]
+                      for i in range(taps)) >> 6
+        else:
+            p14 = hbuf[lo:lo + h, :]
+    if not finalize:
+        return p14
     return np.clip((p14 + 32) >> 6, 0, 255)
 
 
-def _mc_luma(ref: np.ndarray, x0, y0, w, h, mv) -> np.ndarray:
+def _mc_luma(ref: np.ndarray, x0, y0, w, h, mv,
+             finalize: bool = True) -> np.ndarray:
     return _mc_plane(ref, x0, y0, w, h, int(mv[0]), int(mv[1]),
-                     8, _LUMA_FILT, 2)
+                     8, _LUMA_FILT, 2, finalize)
 
 
-def _mc_chroma(ref: np.ndarray, cx0, cy0, w, h, mv) -> np.ndarray:
+def _mc_chroma(ref: np.ndarray, cx0, cy0, w, h, mv,
+               finalize: bool = True) -> np.ndarray:
     return _mc_plane(ref, cx0, cy0, w, h, int(mv[0]), int(mv[1]),
-                     4, _CHROMA_FILT, 3)
+                     4, _CHROMA_FILT, 3, finalize)
 
 
-def _mv_at(fr: _Frame5, bx: int, by: int):
-    """Motion vector of the 4x4 cell (bx, by), or None when the cell
-    is outside the picture, not yet decoded, or intra-coded."""
+def _mot_at(fr: _Frame5, bx: int, by: int):
+    """Motion record (dir, mvL0, mvL1) of the 4x4 cell (bx, by), or
+    None when the cell is outside the picture, not yet decoded, or
+    intra-coded."""
     if bx < 0 or by < 0 or bx >= fr.W // 4 or by >= fr.H // 4:
         return None
-    if not fr.avail[by, bx] or not fr.inter[by, bx]:
+    if not fr.avail[by, bx] or not fr.pdir[by, bx]:
         return None
-    return (int(fr.mvs[by, bx, 0]), int(fr.mvs[by, bx, 1]))
+    return (int(fr.pdir[by, bx]),
+            (int(fr.mvs[by, bx, 0, 0]), int(fr.mvs[by, bx, 0, 1])),
+            (int(fr.mvs[by, bx, 1, 0]), int(fr.mvs[by, bx, 1, 1])))
 
 
 def _merge_candidates(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
                       max_cand: int, no_a1: bool = False,
-                      no_b1: bool = False) -> list:
+                      no_b1: bool = False,
+                      slice_type: int = 1) -> list:
     """§8.5.3.2.3 spatial merge list (single L0 reference, no TMVP —
     sps_temporal_mvp_enabled_flag is 0 in our SPS): A1 B1 B0 A0 (B2
     when fewer than 4), spec pruning pairs, zero-MV fill. With one
@@ -1496,14 +1538,17 @@ def _merge_candidates(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
     MV compare. ``no_a1``/``no_b1`` implement the second-PU
     exclusions of a vertical/horizontal split (the excluded position
     lies in the sibling PU — merging with it would replicate
-    2Nx2N)."""
+    2Nx2N). B slices (``slice_type`` 0) append the §8.5.3.2.4
+    combined bi-predictive candidates before the zero fill, whose
+    direction is bi for B and L0 for P. Candidates are full motion
+    records (dir, mvL0, mvL1)."""
     bx0, by0 = x0 // 4, y0 // 4
     bw_, bh_ = nw // 4, nh // 4
-    a1 = None if no_a1 else _mv_at(fr, bx0 - 1, by0 + bh_ - 1)
-    b1 = None if no_b1 else _mv_at(fr, bx0 + bw_ - 1, by0 - 1)
-    b0 = _mv_at(fr, bx0 + bw_, by0 - 1)
-    a0 = _mv_at(fr, bx0 - 1, by0 + bh_)
-    b2 = _mv_at(fr, bx0 - 1, by0 - 1)
+    a1 = None if no_a1 else _mot_at(fr, bx0 - 1, by0 + bh_ - 1)
+    b1 = None if no_b1 else _mot_at(fr, bx0 + bw_ - 1, by0 - 1)
+    b0 = _mot_at(fr, bx0 + bw_, by0 - 1)
+    a0 = _mot_at(fr, bx0 - 1, by0 + bh_)
+    b2 = _mot_at(fr, bx0 - 1, by0 - 1)
     cands = []
     if a1 is not None:
         cands.append(a1)
@@ -1515,35 +1560,91 @@ def _merge_candidates(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
         cands.append(a0)
     if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
         cands.append(b2)
+    if slice_type == 0 and len(cands) > 1:
+        # combined bi-predictive candidates: L0 of cand i + L1 of
+        # cand j over the spec's fixed index pair order
+        n0 = len(cands)
+        for i, j in ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+                     (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2)):
+            if len(cands) >= max_cand:
+                break
+            if i >= n0 or j >= n0:
+                continue
+            ca, cb = cands[i], cands[j]
+            if not (ca[0] & 1) or not (cb[0] & 2):
+                continue
+            comb = (3, ca[1], cb[2])
+            if comb != ca and comb != cb:
+                cands.append(comb)
+    zero_dir = 3 if slice_type == 0 else 1
     while len(cands) < max_cand:
-        cands.append((0, 0))
+        cands.append((zero_dir, (0, 0), (0, 0)))
     return cands[:max_cand]
 
 
-def _amvp_candidates(fr: _Frame5, x0: int, y0: int,
-                     nw: int, nh: int) -> list:
-    """§8.5.3.2.5-7 AMVP: first available of {A0, A1}, first
-    available of {B0, B1, B2} (pruned against A), zero fill to 2.
-    The spec's POC-distance scaling never triggers here — every
-    neighbour references the same single picture."""
+def _c_div(a: int, b: int) -> int:
+    """C-style integer division (truncation toward zero)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _mv_scale(mv, tb: int, td: int):
+    """§8.5.3.2.8 POC-distance motion scaling."""
+    if tb == td:
+        return mv
+    tx = _c_div(16384 + (abs(td) >> 1), td)
+    dsf = min(max((tb * tx + 32) >> 6, -4096), 4095)
+    out = []
+    for c in mv:
+        v = dsf * c
+        v = (abs(v) + 127) >> 8
+        if dsf * c < 0:
+            v = -v
+        out.append(min(max(v, -32768), 32767))
+    return (out[0], out[1])
+
+
+def _amvp_candidates(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
+                     lst: int = 0, poc: int = 0,
+                     ref_pocs=(None, None)) -> list:
+    """§8.5.3.2.5-7 AMVP for list ``lst``: first available of
+    {A0, A1}, first available of {B0, B1, B2} (pruned against A),
+    zero fill to 2. A neighbour holding the target list contributes
+    directly (one reference per list — same picture by
+    construction); a neighbour holding only the other list
+    contributes its vector scaled by the §8.5.3.2.8 POC-distance
+    formula (identity in P slices, where there is no other list)."""
+
+    def from_mot(mot):
+        if mot is None:
+            return None
+        d = mot[0]
+        if d & (1 << lst):
+            return mot[1 + lst]
+        oth = 1 - lst
+        if d & (1 << oth) and ref_pocs[oth] is not None:
+            return _mv_scale(mot[1 + oth], poc - ref_pocs[lst],
+                             poc - ref_pocs[oth])
+        return None
+
     bx0, by0 = x0 // 4, y0 // 4
     bw_, bh_ = nw // 4, nh // 4
-    a = _mv_at(fr, bx0 - 1, by0 + bh_)            # A0
+    a = from_mot(_mot_at(fr, bx0 - 1, by0 + bh_))          # A0
     if a is None:
-        a = _mv_at(fr, bx0 - 1, by0 + bh_ - 1)    # A1
-    b = _mv_at(fr, bx0 + bw_, by0 - 1)            # B0
+        a = from_mot(_mot_at(fr, bx0 - 1, by0 + bh_ - 1))  # A1
+    b = from_mot(_mot_at(fr, bx0 + bw_, by0 - 1))          # B0
     if b is None:
-        b = _mv_at(fr, bx0 + bw_ - 1, by0 - 1)    # B1
+        b = from_mot(_mot_at(fr, bx0 + bw_ - 1, by0 - 1))  # B1
     if b is None:
-        b = _mv_at(fr, bx0 - 1, by0 - 1)          # B2
-    lst = []
+        b = from_mot(_mot_at(fr, bx0 - 1, by0 - 1))        # B2
+    out = []
     if a is not None:
-        lst.append(a)
+        out.append(a)
     if b is not None and b != a:
-        lst.append(b)
-    while len(lst) < 2:
-        lst.append((0, 0))
-    return lst[:2]
+        out.append(b)
+    while len(out) < 2:
+        out.append((0, 0))
+    return out[:2]
 
 
 def _skip_ctx(fr: _Frame5, x0: int, y0: int) -> int:
@@ -1634,17 +1735,18 @@ def _eg_bypass(x, k: int, v=None) -> int:
 
 
 def _mark_inter(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
-                depth: int, mv, skip: bool):
+                depth: int, mot, skip: bool):
     bw_, bh_ = nw // 4, nh // 4
     bx, by = x0 // 4, y0 // 4
     fr.avail[by:by + bh_, bx:bx + bw_] = True
     fr.depths[by:by + bh_, bx:bx + bw_] = depth
     # inter cells read as INTRA_DC in intra MPM derivation (§8.4.2)
     fr.modes[by:by + bh_, bx:bx + bw_] = 1
-    fr.inter[by:by + bh_, bx:bx + bw_] = True
+    fr.pdir[by:by + bh_, bx:bx + bw_] = mot[0]
     fr.skip[by:by + bh_, bx:bx + bw_] = skip
-    fr.mvs[by:by + bh_, bx:bx + bw_, 0] = mv[0]
-    fr.mvs[by:by + bh_, bx:bx + bw_, 1] = mv[1]
+    for l in (0, 1):
+        fr.mvs[by:by + bh_, bx:bx + bw_, l, 0] = mot[1 + l][0]
+        fr.mvs[by:by + bh_, bx:bx + bw_, l, 1] = mot[1 + l][1]
 
 
 def _pu_geometry(part: str, x0: int, y0: int, n: int) -> list:
@@ -1659,25 +1761,49 @@ def _pu_geometry(part: str, x0: int, y0: int, n: int) -> list:
     raise ValueError(part)
 
 
-def _inter_pred_planes(ref: _Frame5, x0: int, y0: int, n: int,
+def _pu_pred(refs, px: int, py: int, pw: int, ph: int, mot):
+    """One PU's (Y, Cb, Cr) prediction. ``refs`` is (refL0, refL1)
+    _Frame5s; uni-prediction finalizes per §8.5.4.2.3.2's
+    (p14 + 32) >> 6, bi-prediction combines the two unfinalized
+    14-bit planes as (L0 + L1 + 64) >> 7."""
+    d = mot[0]
+    cpx, cpy, cpw, cph = px // 2, py // 2, pw // 2, ph // 2
+    if d != 3:
+        l = 0 if d == 1 else 1
+        ref = refs[l]
+        mv = mot[1 + l]
+        return (_mc_luma(ref.Y, px, py, pw, ph, mv),
+                _mc_chroma(ref.Cb, cpx, cpy, cpw, cph, mv),
+                _mc_chroma(ref.Cr, cpx, cpy, cpw, cph, mv))
+    out = []
+    for plane, gx, gy, gw, gh, mc in (
+            ("Y", px, py, pw, ph, _mc_luma),
+            ("Cb", cpx, cpy, cpw, cph, _mc_chroma),
+            ("Cr", cpx, cpy, cpw, cph, _mc_chroma)):
+        p0 = mc(getattr(refs[0], plane), gx, gy, gw, gh, mot[1],
+                finalize=False)
+        p1 = mc(getattr(refs[1], plane), gx, gy, gw, gh, mot[2],
+                finalize=False)
+        out.append(np.clip((p0 + p1 + 64) >> 7, 0, 255))
+    return tuple(out)
+
+
+def _inter_pred_planes(refs, x0: int, y0: int, n: int,
                        pu_mvs: list):
     """Assemble the CU's motion-compensated prediction from per-PU
-    vectors (quarter-luma-pel; chroma reuses the luma MV at
+    motion records (quarter-luma-pel; chroma reuses the luma MV at
     eighth-chroma-pel precision, §8.5.4.2.2.2)."""
     predY = np.empty((n, n), dtype=np.int64)
     nc = n // 2
     predCb = np.empty((nc, nc), dtype=np.int64)
     predCr = np.empty((nc, nc), dtype=np.int64)
-    for px, py, pw, ph, mv in pu_mvs:
+    for px, py, pw, ph, mot in pu_mvs:
+        pY, pCb, pCr = _pu_pred(refs, px, py, pw, ph, mot)
         ry, rx = py - y0, px - x0
-        predY[ry:ry + ph, rx:rx + pw] = _mc_luma(ref.Y, px, py,
-                                                 pw, ph, mv)
-        cpx, cpy, cpw, cph = px // 2, py // 2, pw // 2, ph // 2
-        cry, crx = cpy - y0 // 2, cpx - x0 // 2
-        predCb[cry:cry + cph, crx:crx + cpw] = _mc_chroma(
-            ref.Cb, cpx, cpy, cpw, cph, mv)
-        predCr[cry:cry + cph, crx:crx + cpw] = _mc_chroma(
-            ref.Cr, cpx, cpy, cpw, cph, mv)
+        predY[ry:ry + ph, rx:rx + pw] = pY
+        cry, crx = py // 2 - y0 // 2, px // 2 - x0 // 2
+        predCb[cry:cry + ph // 2, crx:crx + pw // 2] = pCb
+        predCr[cry:cry + ph // 2, crx:crx + pw // 2] = pCr
     return predY, predCb, predCr
 
 
@@ -1698,20 +1824,41 @@ def _recon_inter_cu(fr: _Frame5, x0: int, y0: int, n: int,
 
 def _dec_pu_motion(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, sh: dict,
                    part: str, pi: int, px, py, pw, ph):
-    """Parse one prediction_unit's syntax and derive its MV. The
-    second PU of a split excludes the in-CU spatial merge candidate
-    (§8.5.3.2.3: B1 for horizontal splits, A1 for vertical)."""
+    """Parse one prediction_unit's syntax (§7.3.8.6) and derive its
+    motion record. The second PU of a split excludes the in-CU
+    spatial merge candidate (§8.5.3.2.3: B1 for horizontal splits,
+    A1 for vertical). B slices add inter_pred_idc and a second
+    mvd/mvp pair for L1 (one reference per list, so no ref_idx
+    syntax is ever present)."""
+    st = sh["type"]
     no_a1 = part == "Nx2N" and pi == 1
     no_b1 = part == "2NxN" and pi == 1
     if dec.bit(ctx, _MERGE_FLAG):
         midx = _code_merge_idx(dec, ctx, sh["max_merge"])
         cands = _merge_candidates(fr, px, py, pw, ph, sh["max_merge"],
-                                  no_a1=no_a1, no_b1=no_b1)
+                                  no_a1=no_a1, no_b1=no_b1,
+                                  slice_type=st)
         return ("merge", midx), cands[midx]
-    mvd = _code_mvd_pair(dec, ctx)
-    mvp = dec.bit(ctx, _MVP_FLAG)
-    pred = _amvp_candidates(fr, px, py, pw, ph)[mvp]
-    return ("amvp", mvd, mvp), (pred[0] + mvd[0], pred[1] + mvd[1])
+    if st == 0:
+        if dec.bit(ctx, _INTER_DIR + 0):
+            d = 3                                 # PRED_BI
+        else:
+            d = 2 if dec.bit(ctx, _INTER_DIR + 1) else 1
+    else:
+        d = 1                                     # P: L0 implicit
+    mvs, syn = [(0, 0), (0, 0)], []
+    for l in (0, 1):
+        if not (d & (1 << l)):
+            continue
+        mvd = _code_mvd_pair(dec, ctx)
+        mvp = dec.bit(ctx, _MVP_FLAG)
+        pred = _amvp_candidates(fr, px, py, pw, ph, lst=l,
+                                poc=sh.get("poc", 0),
+                                ref_pocs=sh.get("ref_pocs",
+                                                (None, None)))[mvp]
+        mvs[l] = (pred[0] + mvd[0], pred[1] + mvd[1])
+        syn.append((mvd, mvp))
+    return ("amvp", d, syn), (d, mvs[0], mvs[1])
 
 
 def _dec_inter_residual(dec: _CabacDec, ctx: _Ctx5, log2_cb: int):
@@ -1737,9 +1884,9 @@ def _dec_inter_residual(dec: _CabacDec, ctx: _Ctx5, log2_cb: int):
 
 
 def _dec_cu_inter(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5,
-                  ref: _Frame5, pps: dict, qp: int, x0: int, y0: int,
+                  refs, pps: dict, qp: int, x0: int, y0: int,
                   log2_cb: int, depth: int, sh: dict, bypass: bool):
-    """Non-skip inter coding_unit body (P slice)."""
+    """Non-skip inter coding_unit body (P/B slices)."""
     n = 1 << log2_cb
     if dec.bit(ctx, _PART_INTER + 0):
         part = "2Nx2N"
@@ -1750,12 +1897,12 @@ def _dec_cu_inter(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5,
     pu_mvs = []
     merge_first = False
     for pi, (px, py, pw, ph) in enumerate(_pu_geometry(part, x0, y0, n)):
-        syn, mv = _dec_pu_motion(dec, ctx, fr, sh, part, pi,
-                                 px, py, pw, ph)
+        syn, mot = _dec_pu_motion(dec, ctx, fr, sh, part, pi,
+                                  px, py, pw, ph)
         if pi == 0 and syn[0] == "merge":
             merge_first = True
-        pu_mvs.append((px, py, pw, ph, mv))
-        _mark_inter(fr, px, py, pw, ph, depth, mv, False)
+        pu_mvs.append((px, py, pw, ph, mot))
+        _mark_inter(fr, px, py, pw, ph, depth, mot, False)
     if part == "2Nx2N" and merge_first:
         rqt = 1                  # §7.3.8.5: inferred (else it'd be skip)
     else:
@@ -1763,33 +1910,35 @@ def _dec_cu_inter(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5,
     lv_y = lv_cb = lv_cr = None
     if rqt:
         lv_y, lv_cb, lv_cr = _dec_inter_residual(dec, ctx, log2_cb)
-    preds = _inter_pred_planes(ref, x0, y0, n, pu_mvs)
+    preds = _inter_pred_planes(refs, x0, y0, n, pu_mvs)
     _recon_inter_cu(fr, x0, y0, n, preds, lv_y, lv_cb, lv_cr,
                     qp, bypass)
 
 
 def _dec_cu(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, pps: dict,
             qp: int, x0: int, y0: int, log2_cb: int, depth: int,
-            sh: dict | None = None, ref: _Frame5 | None = None):
-    """coding_unit (§7.3.8.5): intra, plus the P-slice inter forms
-    (cu_skip / merge / AMVP, part modes 2Nx2N / 2NxN / Nx2N)."""
+            sh: dict | None = None, refs=None):
+    """coding_unit (§7.3.8.5): intra, plus the P/B-slice inter forms
+    (cu_skip / merge / AMVP / bi-prediction, part modes
+    2Nx2N / 2NxN / Nx2N)."""
     bypass = False
     if pps["tq_bypass"]:
         bypass = bool(dec.bit(ctx, _TQ_BYPASS))
-    if sh is not None and sh["type"] == 1:
+    if sh is not None and sh["type"] in (0, 1):
         n = 1 << log2_cb
         if dec.bit(ctx, _skip_ctx(fr, x0, y0)):
             midx = _code_merge_idx(dec, ctx, sh["max_merge"])
-            mv = _merge_candidates(fr, x0, y0, n, n,
-                                   sh["max_merge"])[midx]
-            preds = _inter_pred_planes(ref, x0, y0, n,
-                                       [(x0, y0, n, n, mv)])
+            mot = _merge_candidates(fr, x0, y0, n, n,
+                                    sh["max_merge"],
+                                    slice_type=sh["type"])[midx]
+            preds = _inter_pred_planes(refs, x0, y0, n,
+                                       [(x0, y0, n, n, mot)])
             _recon_inter_cu(fr, x0, y0, n, preds, None, None, None,
                             qp, bypass)
-            _mark_inter(fr, x0, y0, n, n, depth, mv, True)
+            _mark_inter(fr, x0, y0, n, n, depth, mot, True)
             return
         if not dec.bit(ctx, _PRED_MODE):
-            _dec_cu_inter(dec, ctx, fr, ref, pps, qp, x0, y0,
+            _dec_cu_inter(dec, ctx, fr, refs, pps, qp, x0, y0,
                           log2_cb, depth, sh, bypass)
             return
     nxn = False
@@ -1853,7 +2002,7 @@ def _dec_cu(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, pps: dict,
 
 
 def _dec_quadtree(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth,
-                  sh=None, ref=None):
+                  sh=None, refs=None):
     if log2_cb > 3:
         if dec.bit(ctx, _split_ctx(fr, x0, y0, depth)):
             h = 1 << (log2_cb - 1)
@@ -1861,24 +2010,39 @@ def _dec_quadtree(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth,
                 for dx in (0, 1):
                     _dec_quadtree(dec, ctx, fr, pps, qp,
                                   x0 + dx * h, y0 + dy * h,
-                                  log2_cb - 1, depth + 1, sh, ref)
+                                  log2_cb - 1, depth + 1, sh, refs)
             return
-    _dec_cu(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth, sh, ref)
+    _dec_cu(dec, ctx, fr, pps, qp, x0, y0, log2_cb, depth, sh, refs)
 
 
 def _decode_slice(rbsp: bytes, sps: dict, pps: dict,
                   is_idr: bool = True,
-                  ref: _Frame5 | None = None) -> _Frame5:
+                  dpb: dict | None = None) -> _Frame5:
+    """Decode one slice segment. ``dpb`` maps POC -> decoded
+    _Frame5 for the pictures still referenced; the slice's RPS
+    deltas select L0 (poc - d0) and, for B, L1 (poc + d1)."""
     br = _Bits(rbsp)
     sh = _parse_slice_header(br, pps, is_idr=is_idr)
-    if sh["type"] == 1:
-        if ref is None:
-            raise ValueError("P slice without a reference picture")
+    refs = None
+    if sh["type"] in (0, 1):
         if sps.get("max_trafo_depth_inter", 0) != 1:
             raise NotImplementedError(
-                "P slices need max_transform_hierarchy_depth_inter 1 "
-                "(this codec's SPS; depth-0 forced inter RQT splits "
-                "are unsupported)")
+                "P/B slices need max_transform_hierarchy_depth_inter "
+                "1 (this codec's SPS; depth-0 forced inter RQT "
+                "splits are unsupported)")
+        poc = sh["poc_lsb"]
+        sh["poc"] = poc
+        l0_poc = poc - sh["d0"]
+        l1_poc = poc + sh["d1"] if sh["type"] == 0 else None
+        dpb = dpb or {}
+        if l0_poc not in dpb or (l1_poc is not None
+                                 and l1_poc not in dpb):
+            raise ValueError(
+                "inter slice references a picture missing from the "
+                "decoded-picture buffer")
+        refs = (dpb[l0_poc],
+                dpb[l1_poc] if l1_poc is not None else None)
+        sh["ref_pocs"] = (l0_poc, l1_poc)
     dec = _CabacDec(br)
     ctx = _Ctx5()
     fr = _Frame5(sps["w"], sps["h"])
@@ -1887,11 +2051,13 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict,
     for cy in range(ctbs_h):
         for cx in range(ctbs_w):
             _dec_quadtree(dec, ctx, fr, pps, sh["qp"],
-                          cx * 16, cy * 16, 4, 0, sh, ref)
+                          cx * 16, cy * 16, 4, 0, sh, refs)
             eos = dec.terminate()
             last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
             if bool(eos) != last:
                 raise ValueError("end_of_slice_segment_flag mismatch")
+    fr_poc = 0 if is_idr else sh["poc_lsb"]
+    fr.poc = fr_poc
     return fr
 
 
@@ -2037,54 +2203,101 @@ def _search_mv(refY: np.ndarray, src_blk: np.ndarray, x0: int,
 
 
 def _pu_repr(fr: _Frame5, part: str, pi: int, px, py, pw, ph,
-             mv, max_merge: int):
-    """Choose the cheapest syntax that yields ``mv`` for this PU:
-    lowest-index merge candidate, else AMVP with the
-    smaller-|mvd| predictor. Returns (syntax_tuple, same merge
-    candidate list the decoder will derive)."""
+             mot, sh: dict):
+    """Choose the cheapest syntax that yields motion ``mot`` for
+    this PU: lowest-index merge candidate, else AMVP (per active
+    list) with the smaller-|mvd| predictor. Returns the syntax
+    tuple ``_serialize_cu_inter`` replays."""
     no_a1 = part == "Nx2N" and pi == 1
     no_b1 = part == "2NxN" and pi == 1
-    cands = _merge_candidates(fr, px, py, pw, ph, max_merge,
-                              no_a1=no_a1, no_b1=no_b1)
-    if mv in cands:
-        return ("merge", cands.index(mv))
-    preds = _amvp_candidates(fr, px, py, pw, ph)
-    costs = []
-    for flag, pr in enumerate(preds):
-        mvd = (mv[0] - pr[0], mv[1] - pr[1])
-        costs.append((abs(mvd[0]) + abs(mvd[1]), flag, mvd))
-    _, flag, mvd = min(costs)
-    return ("amvp", mvd, flag)
+    cands = _merge_candidates(fr, px, py, pw, ph, sh["max_merge"],
+                              no_a1=no_a1, no_b1=no_b1,
+                              slice_type=sh["type"])
+    if mot in cands:
+        return ("merge", cands.index(mot))
+    d = mot[0]
+    syn = []
+    for l in (0, 1):
+        if not (d & (1 << l)):
+            continue
+        preds = _amvp_candidates(fr, px, py, pw, ph, lst=l,
+                                 poc=sh.get("poc", 0),
+                                 ref_pocs=sh.get("ref_pocs",
+                                                 (None, None)))
+        mv = mot[1 + l]
+        costs = []
+        for flag, pr in enumerate(preds):
+            mvd = (mv[0] - pr[0], mv[1] - pr[1])
+            costs.append((abs(mvd[0]) + abs(mvd[1]), flag, mvd))
+        _, flag, mvd = min(costs)
+        syn.append((mvd, flag))
+    return ("amvp", d, syn)
 
 
-def _commit_cu_p(fr: _Frame5, ref: _Frame5, srcY, srcCb, srcCr,
+def _search_pu(fr: _Frame5, refs, sh: dict, srcY, px, py, pw, ph,
+               search: int, starts):
+    """Best motion record for one PU: searched L0 (and for B: L1,
+    plus the bi combination of the two winners), against the merge
+    candidates' implied predictions. Returns (sad, mot) with the
+    deterministic lexicographic tie-break."""
+    src_blk = srcY[py:py + ph, px:px + pw]
+    s0, mv0 = _search_mv(refs[0].Y, src_blk, px, py, pw, ph,
+                         [m[1] for m in starts if m[0] & 1], search)
+    best = (s0, (1, mv0, (0, 0)))
+    if sh["type"] == 0:
+        s1, mv1 = _search_mv(refs[1].Y, src_blk, px, py, pw, ph,
+                             [m[2] for m in starts if m[0] & 2],
+                             search)
+        if (s1, 1) < (best[0], 0):
+            best = (s1, (2, (0, 0), mv1))
+        bi = (3, mv0, mv1)
+        p0 = _mc_luma(refs[0].Y, px, py, pw, ph, mv0, finalize=False)
+        p1 = _mc_luma(refs[1].Y, px, py, pw, ph, mv1, finalize=False)
+        sbi = _sad(np.clip((p0 + p1 + 64) >> 7, 0, 255), src_blk)
+        if sbi < best[0]:
+            best = (sbi, bi)
+    return best
+
+
+def _commit_cu_p(fr: _Frame5, refs, srcY, srcCb, srcCr,
                  pps: dict, qp: int, x0: int, y0: int, log2_cb: int,
                  depth: int, sh: dict, cands, search: int):
-    """P-slice CU decision: try inter (2Nx2N, and the two-PU splits
-    when they clearly win), fall back to the intra path when intra
-    predicts better. Commit-then-serialize like the intra path: all
-    grid state a later syntax element's context or candidate
-    derivation reads is updated here, and ``_serialize_cu`` merely
-    replays the recorded plan."""
+    """P/B-slice CU decision: try inter (2Nx2N, and the two-PU
+    splits when they clearly win), fall back to the intra path when
+    intra predicts better. Commit-then-serialize like the intra
+    path: all grid state a later syntax element's context or
+    candidate derivation reads is updated here, and
+    ``_serialize_cu`` merely replays the recorded plan."""
     bypass = bool(pps["tq_bypass"])
     n = 1 << log2_cb
     src_blk = srcY[y0:y0 + n, x0:x0 + n]
-    merge0 = _merge_candidates(fr, x0, y0, n, n, sh["max_merge"])
+    merge0 = _merge_candidates(fr, x0, y0, n, n, sh["max_merge"],
+                               slice_type=sh["type"])
     starts = list(dict.fromkeys(merge0))
-    sad2n, mv2n = _search_mv(ref.Y, src_blk, x0, y0, n, n,
-                             starts, search)
+    # merge candidates evaluated as full motion records (their
+    # bi/uni prediction may beat any searched uni vector)
+    best_merge = None
+    for mot in starts:
+        pY = _pu_pred(refs, x0, y0, n, n, mot)[0]
+        s = _sad(pY, src_blk)
+        if best_merge is None or (s, mot) < best_merge:
+            best_merge = (s, mot)
+    sad2n, mot2n = _search_pu(fr, refs, sh, srcY, x0, y0, n, n,
+                              search, starts)
+    if best_merge is not None and best_merge[0] <= sad2n:
+        sad2n, mot2n = best_merge
     # two-PU splits: independent searches per half; a fixed
     # lexicographic penalty keeps the decision deterministic and
     # biased to the simpler mode on ties
-    part, pu_mvs, sad_inter = "2Nx2N", [(x0, y0, n, n, mv2n)], sad2n
+    part, pu_mvs, sad_inter = "2Nx2N", [(x0, y0, n, n, mot2n)], sad2n
     for cand_part in ("2NxN", "Nx2N"):
         geo = _pu_geometry(cand_part, x0, y0, n)
         tot, mvs = 0, []
         for px, py, pw, ph in geo:
-            s, mv = _search_mv(ref.Y, srcY[py:py + ph, px:px + pw],
-                               px, py, pw, ph, starts, search)
+            s, mot = _search_pu(fr, refs, sh, srcY, px, py, pw, ph,
+                                search, starts)
             tot += s
-            mvs.append((px, py, pw, ph, mv))
+            mvs.append((px, py, pw, ph, mot))
         if tot + 64 < sad_inter:
             part, pu_mvs, sad_inter = cand_part, mvs, tot
     skip_ctx = _skip_ctx(fr, x0, y0)
@@ -2096,14 +2309,14 @@ def _commit_cu_p(fr: _Frame5, ref: _Frame5, srcY, srcCb, srcCr,
                           x0, y0, log2_cb, depth, cands)
         plan["skip_ctx"] = skip_ctx
         return plan
-    preds = _inter_pred_planes(ref, x0, y0, n, pu_mvs)
+    preds = _inter_pred_planes(refs, x0, y0, n, pu_mvs)
     plan = {"inter": True, "bypass": bypass, "log2_cb": log2_cb,
             "part": part, "pus": [], "skip": False,
-            "skip_ctx": skip_ctx}
-    for pi, (px, py, pw, ph, mv) in enumerate(pu_mvs):
+            "skip_ctx": skip_ctx, "slice_type": sh["type"]}
+    for pi, (px, py, pw, ph, mot) in enumerate(pu_mvs):
         plan["pus"].append(_pu_repr(fr, part, pi, px, py, pw, ph,
-                                    mv, sh["max_merge"]))
-        _mark_inter(fr, px, py, pw, ph, depth, mv, False)
+                                    mot, sh))
+        _mark_inter(fr, px, py, pw, ph, depth, mot, False)
     lv_y, rec_y = _tb_levels(preds[0], src_blk, qp, log2_cb, True,
                              bypass, intra=False)
     qpc = _chroma_qp(qp)
@@ -2152,8 +2365,14 @@ def _serialize_cu_inter(enc: _CabacEnc, ctx: _Ctx5, pps: dict,
             _code_merge_idx(enc, ctx, max_merge, v=syn[1])
         else:
             enc.bit(ctx, _MERGE_FLAG, 0)
-            _code_mvd_pair(enc, ctx, mv=syn[1])
-            enc.bit(ctx, _MVP_FLAG, syn[2])
+            _syn, d, lists = syn
+            if plan.get("slice_type", 1) == 0:
+                enc.bit(ctx, _INTER_DIR + 0, 1 if d == 3 else 0)
+                if d != 3:
+                    enc.bit(ctx, _INTER_DIR + 1, 1 if d == 2 else 0)
+            for mvd, flag in lists:
+                _code_mvd_pair(enc, ctx, mv=mvd)
+                enc.bit(ctx, _MVP_FLAG, flag)
     if not (part == "2Nx2N" and plan["merge_first"]):
         enc.bit(ctx, _RQT_ROOT, plan["rqt"])
     if plan["rqt"]:
@@ -2180,8 +2399,8 @@ def _serialize_cu(enc: _CabacEnc, ctx: _Ctx5, pps: dict, plan: dict,
         return
     if pps["tq_bypass"]:
         enc.bit(ctx, _TQ_BYPASS, int(plan["bypass"]))
-    if sh is not None and sh["type"] == 1:
-        # intra CU inside a P slice: cu_skip 0 + pred_mode 1
+    if sh is not None and sh["type"] in (0, 1):
+        # intra CU inside a P/B slice: cu_skip 0 + pred_mode 1
         enc.bit(ctx, plan["skip_ctx"], 0)
         enc.bit(ctx, _PRED_MODE, 1)
     if plan["log2_cb"] == 3:
@@ -2212,7 +2431,7 @@ def _serialize_cu(enc: _CabacEnc, ctx: _Ctx5, pps: dict, plan: dict,
 
 def _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
                   x0, y0, log2_cb, depth, cands, force_split,
-                  sh=None, ref=None, search=4):
+                  sh=None, refs=None, search=4):
     if log2_cb > 3:
         if force_split is not None:
             split = bool(force_split)
@@ -2230,10 +2449,10 @@ def _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
                     _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr,
                                   pps, qp, x0 + dx * h, y0 + dy * h,
                                   log2_cb - 1, depth + 1, cands,
-                                  force_split, sh, ref, search)
+                                  force_split, sh, refs, search)
             return
-    if sh is not None and sh["type"] == 1:
-        plan = _commit_cu_p(fr, ref, srcY, srcCb, srcCr, pps, qp,
+    if sh is not None and sh["type"] in (0, 1):
+        plan = _commit_cu_p(fr, refs, srcY, srcCb, srcCr, pps, qp,
                             x0, y0, log2_cb, depth, sh, cands, search)
     else:
         plan = _commit_cu(fr, srcY, srcCb, srcCr, pps, qp, x0, y0,
@@ -2246,20 +2465,31 @@ _ALL_MODES = tuple(range(35))
 
 def _encode_frame(srcY, srcCb, srcCr, sps_w, sps_h, pps, qp,
                   cands=_ALL_MODES, force_split=None,
-                  ref: _Frame5 | None = None, poc: int = 0,
-                  search: int = 4):
+                  refs=None, poc: int = 0, search: int = 4):
     """Encode one frame's slice NAL (header + CABAC data); returns
-    (nal_bytes, reconstruction _Frame5). ``ref is None`` emits an
-    IDR I slice; otherwise a TRAIL_R P slice referencing ``ref``."""
+    (nal_bytes, reconstruction _Frame5). ``refs is None`` emits an
+    IDR I slice; ``(refL0, None)`` a TRAIL_R P slice; ``(refL0,
+    refL1)`` with a non-None second element a TRAIL_R B slice
+    (L0 = past, L1 = future, POC distances from the frames'
+    ``poc`` fields)."""
     fr = _Frame5(sps_w, sps_h)
+    fr.poc = poc
     bw = _BitW()
-    if ref is None:
+    if refs is None:
         sh = None
         _write_slice_header(bw, qp_delta=qp - pps["qp"])
     else:
-        sh = {"type": 1, "poc_lsb": poc & 0xFF, "max_merge": 5}
+        st = 0 if refs[1] is not None else 1
+        d0 = poc - refs[0].poc
+        d1 = refs[1].poc - poc if st == 0 else 0
+        if d0 <= 0 or (st == 0 and d1 <= 0):
+            raise ValueError("reference POCs must bracket the frame")
+        sh = {"type": st, "poc": poc, "max_merge": 5,
+              "ref_pocs": (refs[0].poc,
+                           refs[1].poc if st == 0 else None)}
         _write_slice_header(bw, qp_delta=qp - pps["qp"],
-                            slice_type=1, poc_lsb=poc)
+                            slice_type=st, poc_lsb=poc,
+                            d0=d0, d1=max(d1, 1))
     enc = _CabacEnc()
     ctx = _Ctx5()
     ctbs_w, ctbs_h = sps_w // 16, sps_h // 16
@@ -2267,11 +2497,11 @@ def _encode_frame(srcY, srcCb, srcCr, sps_w, sps_h, pps, qp,
         for cx in range(ctbs_w):
             _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
                           cx * 16, cy * 16, 4, 0, cands, force_split,
-                          sh, ref, search)
+                          sh, refs, search)
             last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
             enc.terminate(int(last))
     rbsp = bw.bytes() + enc.bytes()
-    nal_type = _NAL_IDR_W_RADL if ref is None else _NAL_TRAIL_R
+    nal_type = _NAL_IDR_W_RADL if refs is None else _NAL_TRAIL_R
     return _nal(nal_type, rbsp), fr
 
 
@@ -2325,24 +2555,48 @@ def h265_encode_planes(Y, Cb, Cr, qp: int = 32, lossless: bool = False,
     return out + nal
 
 
+def _b_coding_order(n: int) -> list:
+    """(display_idx, slice_type, l0_idx, l1_idx) in coding order for
+    an I-B-P ladder: even frames are P pictures referencing the
+    previous even frame; each odd frame is a B picture referencing
+    its display neighbours (decoded out of display order — the
+    future P first)."""
+    order = [(0, 2, None, None)]
+    i = 2
+    while i < n:
+        order.append((i, 1, i - 2, None))
+        order.append((i - 1, 0, i - 2, i))
+        i += 2
+    if n >= 2 and n % 2 == 0:
+        order.append((n - 1, 1, n - 2, None))
+    return order
+
+
 def h265_encode_gop_planes(frames: list, qp: int = 32,
                            lossless: bool = False, cands=_ALL_MODES,
                            force_split=None, search: int = 4,
-                           recon_out: list | None = None) -> bytes:
+                           recon_out: list | None = None,
+                           b_frames: bool = False):
     """Encode a GOP of 4:2:0 plane triples (Y, Cb, Cr) to one
-    Annex-B HEVC stream: frame 0 is an IDR I picture, every later
-    frame a TRAIL_R P picture referencing its predecessor
-    (single-pic DPB, slice-local one-negative-pic RPS). ``search``
-    bounds the integer motion-search window per start vector."""
+    Annex-B HEVC stream. Default: frame 0 is an IDR I picture,
+    every later frame a TRAIL_R P picture referencing its
+    predecessor. ``b_frames=True`` codes the I-B-P ladder of
+    :func:`_b_coding_order` instead — odd display positions become
+    B pictures (bi-prediction over both display neighbours), and
+    the NALs are emitted in CODING order (the stream carries POCs;
+    decode returns display order). ``search`` bounds the integer
+    motion-search window per start vector. ``recon_out`` (when a
+    list) receives the per-frame encoder reconstructions in DISPLAY
+    order after the call. Returns the Annex-B bytes; with
+    ``b_frames`` the display-order-index list of each emitted NAL
+    is available via the POCs themselves."""
     if not frames:
         raise ValueError("empty GOP")
     if len(frames) > 255:
         raise ValueError("GOP too long for 8-bit POC lsb")
     h, w = np.asarray(frames[0][0]).shape
-    out = None
-    ref = None
-    pps = {"qp": qp, "tq_bypass": 1 if lossless else 0}
-    for i, (Y, Cb, Cr) in enumerate(frames):
+    planes = []
+    for Y, Cb, Cr in frames:
         Y = np.asarray(Y, dtype=np.int64)
         Cb = np.asarray(Cb, dtype=np.int64)
         Cr = np.asarray(Cr, dtype=np.int64)
@@ -2353,37 +2607,52 @@ def h265_encode_gop_planes(frames: list, qp: int = 32,
         if Cb.shape != (h // 2, w // 2) or Cb.shape != Cr.shape:
             raise ValueError("chroma planes must be half-resolution "
                              "4:2:0")
-        pY = _pad_plane(Y, 16)
-        pCb = _pad_plane(Cb, 8)
-        pCr = _pad_plane(Cr, 8)
-        H, W = pY.shape
-        if out is None:
-            crop = (0, W - w, 0, H - h)
-            bw = _BitW()
-            _write_vps(bw)
-            out = _nal(_NAL_VPS, bw.bytes())
-            bw = _BitW()
-            _write_sps(bw, W, H, crop=crop)
-            out += _nal(_NAL_SPS, bw.bytes())
-            bw = _BitW()
-            _write_pps(bw, qp, transquant_bypass=lossless)
-            out += _nal(_NAL_PPS, bw.bytes())
-            out += _marker_sei()
+        planes.append((_pad_plane(Y, 16), _pad_plane(Cb, 8),
+                       _pad_plane(Cr, 8)))
+    H, W = planes[0][0].shape
+    crop = (0, W - w, 0, H - h)
+    bw = _BitW()
+    _write_vps(bw)
+    out = _nal(_NAL_VPS, bw.bytes())
+    bw = _BitW()
+    _write_sps(bw, W, H, crop=crop)
+    out += _nal(_NAL_SPS, bw.bytes())
+    bw = _BitW()
+    _write_pps(bw, qp, transquant_bypass=lossless)
+    out += _nal(_NAL_PPS, bw.bytes())
+    out += _marker_sei()
+    pps = {"qp": qp, "tq_bypass": 1 if lossless else 0}
+    if b_frames:
+        order = _b_coding_order(len(frames))
+    else:
+        order = [(i, 2 if i == 0 else 1, i - 1 if i else None, None)
+                 for i in range(len(frames))]
+    recons: dict[int, _Frame5] = {}
+    for disp, st, l0, l1 in order:
+        pY, pCb, pCr = planes[disp]
+        refs = None
+        if st != 2:
+            refs = (recons[l0],
+                    recons[l1] if l1 is not None else None)
         nal, fr = _encode_frame(pY, pCb, pCr, W, H, pps, qp,
                                 cands=cands, force_split=force_split,
-                                ref=ref, poc=i, search=search)
+                                refs=refs, poc=disp, search=search)
         out += nal
-        ref = fr
-        if recon_out is not None:
-            # what a conformant decode must produce (uncropped) —
-            # the pixel-parity anchor for the lossy-path tests
-            recon_out.append((fr.Y.copy(), fr.Cb.copy(), fr.Cr.copy()))
+        recons[disp] = fr
+    if recon_out is not None:
+        # what a conformant decode must produce (uncropped), in
+        # display order — the pixel-parity anchor for the tests
+        for i in range(len(frames)):
+            fr = recons[i]
+            recon_out.append((fr.Y.copy(), fr.Cb.copy(),
+                              fr.Cr.copy()))
     return out
 
 
 def h265_encode_gop(frames: list, qp: int = 32, lossless: bool = False,
                     cands=_ALL_MODES, force_split=None,
-                    search: int = 4) -> bytes:
+                    search: int = 4, recon_out: list | None = None,
+                    b_frames: bool = False) -> bytes:
     """GOP form of :func:`h265_encode`: a list of 2-D luma arrays
     (neutral chroma) or (Y, Cb, Cr) triples."""
     trips = []
@@ -2401,7 +2670,8 @@ def h265_encode_gop(frames: list, qp: int = 32, lossless: bool = False,
                           np.full((ch, cw), 128, dtype=np.uint8)))
     return h265_encode_gop_planes(trips, qp=qp, lossless=lossless,
                                   cands=cands, force_split=force_split,
-                                  search=search)
+                                  search=search, recon_out=recon_out,
+                                  b_frames=b_frames)
 
 
 def h265_encode(y: np.ndarray, qp: int = 32, cb=None, cr=None,
@@ -2481,14 +2751,23 @@ def h265_decode_gop_planes(payload: bytes):
         raise ValueError("frame dimensions implausible for payload size")
     if n_ctbs * len(slices) > 1 << 22:
         raise ValueError("implausible stream size for frame dimensions")
-    frames = []
-    ref = None
+    frames = []                  # (segment, poc, planes) for ordering
+    seg = -1
+    dpb: dict = {}
     for is_idr, rbsp in slices:
-        fr = _decode_slice(rbsp, sps, pps, is_idr=is_idr,
-                           ref=None if is_idr else ref)
-        ref = fr
-        frames.append((fr.Y, fr.Cb, fr.Cr))
-    return frames, sps["crop"]
+        if is_idr:
+            seg += 1
+            dpb = {}
+        fr = _decode_slice(rbsp, sps, pps, is_idr=is_idr, dpb=dpb)
+        if fr.poc in dpb:
+            raise ValueError("duplicate POC within a coded video "
+                             "sequence")
+        dpb[fr.poc] = fr
+        frames.append((seg, fr.poc, (fr.Y, fr.Cb, fr.Cr)))
+    # output order: stream order of IDR segments, POC order within
+    # (B pictures decode after their future reference)
+    frames.sort(key=lambda t: (t[0], t[1]))
+    return [planes for _seg, _poc, planes in frames], sps["crop"]
 
 
 def h265_decode_planes(payload: bytes):

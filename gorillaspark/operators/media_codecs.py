@@ -1962,8 +1962,13 @@ def mp4_sample_frame_features(payload: bytes, every_ms: int):
         frames = _h265.h265_decode_gop(b"".join(d["samples"]))
         if len(frames) != len(d["samples"]):
             raise ValueError("hvc1 sample count != decoded frame count")
+        # h265_decode_gop returns DISPLAY (POC) order; pair with the
+        # sorted presentation timeline — ctts composition times when
+        # the track carries B reordering, decode times otherwise
+        # (identical timelines for I/P-only tracks)
+        pres = sorted(d["composition_ts"] or d["sample_ts"])
         next_ts = 0
-        for i, (ts_, px) in enumerate(zip(d["sample_ts"], frames)):
+        for i, (ts_, px) in enumerate(zip(pres, frames)):
             if ts_ >= next_ts:
                 yield i, ts_, pixel_features(px)
                 next_ts = (ts_ // every_ms + 1) * every_ms

@@ -3333,8 +3333,8 @@ def _synth_hvc1_p_udf():
     """Per-doc hvc1 MP4 carrying a REAL HEVC P GOP (r8 inter work):
     frame 0 is a lossless IDR of the grey field
     v = (doc*7 + x*3 + y*5) % 256, and frame k is that field rolled
-    by (2k, 3k) pixels — inside the encoder's ±4-px motion-search
-    window, so the GOP codes skip/merge/AMVP motion-compensated CUs
+    by (2k, 3k) pixels — inside the encoder's ±3-px motion-search
+    window (search=3), so the GOP codes skip/merge/AMVP motion-compensated CUs
     (wrap-around seams fall back to intra-in-P / residuals; every
     path is transquant-bypass lossless, keeping the pixels exactly
     SQL-predictable regardless of the encoder's CU decisions). The
@@ -3351,8 +3351,10 @@ def _synth_hvc1_p_udf():
             f0 = ((d * 7 + xg * 3 + yg * 5) % 256).astype(np.uint8)
             frames = [np.roll(f0, (2 * k, 3 * k), axis=(0, 1))
                       for k in range(2 + d % 3)]
+            # search=3 still reaches the (3,2)-px roll; the pixels
+            # are search-independent (lossless), this is pure cost
             ab = h5.h265_encode_gop(frames, lossless=True,
-                                    cands=(0, 1, 10, 26), search=4)
+                                    cands=(0, 1, 10, 26), search=3)
             samples, hvcc = h5.hevc_gop_to_hvc1_samples(ab)
             return mc.mp4_mux(samples, frame_ms=500, fourcc=b"hvc1",
                               width=16, height=16,

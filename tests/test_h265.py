@@ -482,3 +482,125 @@ def test_p_foreign_stream_rejected():
              if t != h5._NAL_PREFIX_SEI]         # strip the marker
     with pytest.raises(NotImplementedError, match="third-party"):
         h5.h265_decode_gop_planes(b"".join(parts))
+
+
+# ---------------------------------------------------------------------------
+# B slices (r8): bi-prediction, two-list DPB, POC output reordering
+# ---------------------------------------------------------------------------
+
+
+def test_b_gop_lossless_exact_and_reordered():
+    rng = np.random.default_rng(51)
+    f0 = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    frames = [np.roll(f0, (2 * k, 3 * k), axis=(0, 1))
+              for k in range(5)]
+    stream = h5.h265_encode_gop(frames, lossless=True, b_frames=True)
+    dec, crop = h5.h265_decode_gop_planes(stream)
+    assert crop == (0, 0, 0, 0) and len(dec) == 5
+    # decode must return DISPLAY order despite I P B P B coding order
+    for src, (Y, _cb, _cr) in zip(frames, dec):
+        assert np.array_equal(Y, src.astype(np.int64))
+
+
+def test_b_gop_lossy_decode_equals_encoder_reconstruction():
+    rng = np.random.default_rng(52)
+    for trial in range(6):
+        h = int(rng.integers(2, 4)) * 16
+        w = int(rng.integers(2, 5)) * 16
+        n = int(rng.integers(2, 7))
+        cur = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(
+            np.int64)
+        frames = [cur.copy()]
+        for _ in range(n - 1):
+            cur = np.roll(cur, (int(rng.integers(-5, 6)),
+                                int(rng.integers(-5, 6))),
+                          axis=(0, 1))
+            cur = np.clip(cur + rng.integers(-2, 3, (h, w)), 0, 255)
+            frames.append(cur.copy())
+        lossless = bool(rng.integers(0, 2))
+        qp = int(rng.integers(16, 44))
+        recon = []
+        stream = h5.h265_encode_gop(
+            [f for f in frames], qp=qp, lossless=lossless,
+            recon_out=recon, b_frames=True, search=3)
+        dec, _ = h5.h265_decode_gop_planes(stream)
+        assert len(dec) == len(recon) == n
+        for i, ((ry, rcb, rcr), (dy_, dcb, dcr)) in enumerate(
+                zip(recon, dec)):
+            assert np.array_equal(ry, dy_), (trial, i)
+            assert np.array_equal(rcb, dcb), (trial, i)
+            assert np.array_equal(rcr, dcr), (trial, i)
+
+
+def test_b_cu_modes_all_exercised():
+    stats = {"skip": 0, "merge": 0, "amvp_l0": 0, "amvp_l1": 0,
+             "amvp_bi": 0}
+    orig = h5._commit_cu_p
+
+    def spy(*a, **k):
+        plan = orig(*a, **k)
+        if plan.get("inter") and plan["skip"]:
+            stats["skip"] += 1
+        elif plan.get("inter"):
+            for syn in plan["pus"]:
+                if syn[0] == "merge":
+                    stats["merge"] += 1
+                else:
+                    stats["amvp_" + {1: "l0", 2: "l1",
+                                     3: "bi"}[syn[1]]] += 1
+        return plan
+
+    rng = np.random.default_rng(9)
+    h, w = 48, 64
+    cur = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(np.int64)
+    frames = [cur.copy()]
+    for _ in range(6):
+        cur = cur.copy()
+        cur[:24] = np.roll(cur[:24], int(rng.integers(-3, 4)), axis=1)
+        cur[24:] = np.roll(cur[24:], int(rng.integers(-3, 4)), axis=1)
+        cur = np.clip(cur + rng.integers(-2, 3, (h, w)), 0, 255)
+        frames.append(cur.copy())
+    h5._commit_cu_p = spy
+    try:
+        recon = []
+        stream = h5.h265_encode_gop(frames, qp=30, b_frames=True,
+                                    recon_out=recon, search=3)
+    finally:
+        h5._commit_cu_p = orig
+    dec, _ = h5.h265_decode_gop_planes(stream)
+    for (ry, _rcb, _rcr), (dy_, _dcb, _dcr) in zip(recon, dec):
+        assert np.array_equal(ry, dy_)
+    for k, v in stats.items():
+        assert v > 0, f"B CU kind {k} never exercised"
+
+
+def test_mv_scale_symmetric_negation():
+    # §8.5.3.2.8 with tb = -(td): symmetric B distances scale a
+    # cross-list AMVP candidate to its exact negation
+    for mv in ((5, -3), (-128, 64), (1, 0), (0, 0), (-1, 7)):
+        assert h5._mv_scale(mv, 1, -1) == (-mv[0], -mv[1])
+        assert h5._mv_scale(mv, -1, 1) == (-mv[0], -mv[1])
+        assert h5._mv_scale(mv, 1, 1) == mv        # identity path
+
+
+def test_b_hvc1_mp4_end_to_end():
+    from gorillaspark.operators import media_codecs as mc
+    rng = np.random.default_rng(53)
+    f0 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    frames = [np.roll(f0, (2 * k, 3 * k), axis=(0, 1))
+              for k in range(5)]
+    ab = h5.h265_encode_gop(frames, lossless=True, b_frames=True)
+    samples, hvcc = h5.hevc_gop_to_hvc1_samples(ab)
+    order = h5._b_coding_order(5)
+    assert [d for d, *_ in order] == [0, 2, 1, 4, 3]
+    ctts = [(disp - i) * 500 for i, (disp, *_ ) in enumerate(order)]
+    mp4 = mc.mp4_mux(samples, frame_ms=500, fourcc=b"hvc1",
+                     width=16, height=16,
+                     config=mc._box(b"hvcC", hvcc),
+                     ctts_offsets=ctts)
+    feats = list(mc.mp4_sample_frame_features(mp4, every_ms=1000))
+    # presentation timeline 0,500,...: sampled at 0, 1000, 2000 ms
+    assert [ts for _i, ts, _f in feats] == [0, 1000, 2000]
+    # lossless grey decode: sum_r equals the display frame's luma sum
+    for (_i, _ts, f), k in zip(feats, (0, 2, 4)):
+        assert f["sum_r"] == int(frames[k].astype(np.int64).sum())
