@@ -3365,6 +3365,64 @@ def _synth_hvc1_p_udf():
     return to_hvc1_p
 
 
+def _synth_hvc1_b_udf():
+    """B-picture twin of :func:`_synth_hvc1_p_udf`: the same rolled
+    grey field per DISPLAY index, coded as the I-B-P ladder
+    (b_frames=True — odd display positions are bi-predicted TRAIL B
+    pictures decoded out of display order), muxed with version-1
+    ctts composition offsets so the MP4 presentation timeline is the
+    display order. Lossless, so the pixels per display frame — and
+    therefore the oracle — are IDENTICAL to the P family's
+    (_MEDIA_H265_P_SQL is shared verbatim); what changes is the
+    decode machinery under test: two-list DPB, inter_pred_idc,
+    combined bi merge candidates, POC output reordering."""
+    from .operators import media_codecs as mc
+    from .operators import h265 as h5
+
+    @pandas_udf("binary")
+    def to_hvc1_b(ids: pd.Series) -> pd.Series:
+        def one(d):
+            xg, yg = np.meshgrid(np.arange(16), np.arange(16))
+            f0 = ((d * 7 + xg * 3 + yg * 5) % 256).astype(np.uint8)
+            n = 2 + d % 3
+            frames = [np.roll(f0, (2 * k, 3 * k), axis=(0, 1))
+                      for k in range(n)]
+            ab = h5.h265_encode_gop(frames, lossless=True,
+                                    cands=(0, 1, 10, 26), search=3,
+                                    b_frames=True)
+            samples, hvcc = h5.hevc_gop_to_hvc1_samples(ab)
+            order = h5._b_coding_order(n)
+            ctts = [(disp - i) * 500
+                    for i, (disp, *_rest) in enumerate(order)]
+            return mc.mp4_mux(samples, frame_ms=500, fourcc=b"hvc1",
+                              width=16, height=16,
+                              config=mc._box(b"hvcC", hvcc),
+                              ctts_offsets=ctts)
+
+        return ids.map(one)
+
+    return to_hvc1_b
+
+
+def q_media_h265_b_stats(spark, sf_dir):
+    """HEVC B decode end to end (r8): hvc1 demux with ctts
+    reordering, TRAIL B slices — two-list DPB, bi-prediction,
+    combined merge candidates, POC-ordered output — reconstructed
+    losslessly and value-checked against the same pure-SQL
+    shifted-field oracle as the P family (pixels per display index
+    are identical by construction)."""
+    from .operators.multimodal import video_frame_stats
+    docs = _docs(spark, sf_dir)
+    vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
+                      _synth_hvc1_b_udf()(F.col("doc_id"))
+                      .alias("payload"))
+    st = video_frame_stats(vid, every_ms=1000)
+    return st.select(F.col("media_id").alias("doc_id"),
+                     F.col("frame_index").cast("long")
+                     .alias("frame_index"),
+                     "frame_ts_ms", "ahash")
+
+
 def q_media_h265_p_stats(spark, sf_dir):
     """HEVC inter decode end to end (r8): hvc1 demux, hvcC parse,
     per-sample Annex-B rebuild, TRAIL P slices — cu_skip / merge /
@@ -3474,6 +3532,7 @@ QUERIES.update({
     "media_jpeg_prog_stats": q_media_jpeg_prog_stats,
     "media_h265_stats": q_media_h265_stats,
     "media_h265_p_stats": q_media_h265_p_stats,
+    "media_h265_b_stats": q_media_h265_b_stats,
 })
 ORACLES.update({
     "media_audio_stats": _MEDIA_AUDIO_SQL,
@@ -3498,6 +3557,9 @@ ORACLES.update({
     "media_jpeg_prog_stats": _MEDIA_JPEG_SQL,  # same exact family, SOF2
     "media_h265_stats": _MEDIA_H265_SQL,  # lossless HEVC intra (r8)
     "media_h265_p_stats": _MEDIA_H265_P_SQL,  # lossless HEVC P GOP (r8)
+    # B ladder: same display-order pixels as the P family by
+    # construction (lossless + ctts reordering), so the SQL is shared
+    "media_h265_b_stats": _MEDIA_H265_P_SQL,
 })
 
 
@@ -3829,6 +3891,14 @@ _EXTRA_NAMES = [
     # media_jpeg_prog_stats (same exact block-constant family,
     # progressive scans) and stays EXTRA-oracled + fuzz-pinned:
     "media_jpeg_stats",
+    # r8 ninth rotation: media_h265_b_stats (NEW — HEVC B pictures:
+    # two-list DPB, bi-prediction, combined merge candidates, ctts
+    # POC reordering) moves IN for first driver evidence;
+    # media_png_stats (driver-green r6-r8) takes its EXTRA slot —
+    # the still-image surface stays in-window via
+    # media_jpeg_prog_stats, and the full PNG matrix stays
+    # EXTRA-oracled + fuzz-pinned:
+    "media_png_stats",
     "ann_topk",                # kept: ann_topk_lsh in-window is
                                #       oracled against this exact
                                #       brute-force SQL (equality =
