@@ -3318,7 +3318,11 @@ def q_media_h265_stats(spark, sf_dir):
     transquant-bypass reconstruction — value-checked against a
     pure-SQL oracle since the decode is bit-exact by construction."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen BEFORE the synth UDF: the per-doc GOP encode is the
+    # expensive stage, and a small corpus is one parquet split —
+    # without this the synthesis serializes on the scan partitions
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_hvc1_udf()(F.col("doc_id"))
                       .alias("payload"))
@@ -3412,7 +3416,11 @@ def q_media_h265_b_stats(spark, sf_dir):
     shifted-field oracle as the P family (pixels per display index
     are identical by construction)."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen BEFORE the synth UDF: the per-doc GOP encode is the
+    # expensive stage, and a small corpus is one parquet split —
+    # without this the synthesis serializes on the scan partitions
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_hvc1_b_udf()(F.col("doc_id"))
                       .alias("payload"))
@@ -3430,7 +3438,11 @@ def q_media_h265_p_stats(spark, sf_dir):
     previous picture — reconstructed losslessly and value-checked
     against a pure-SQL shifted-field oracle."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen BEFORE the synth UDF: the per-doc GOP encode is the
+    # expensive stage, and a small corpus is one parquet split —
+    # without this the synthesis serializes on the scan partitions
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_hvc1_p_udf()(F.col("doc_id"))
                       .alias("payload"))
