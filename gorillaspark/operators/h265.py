@@ -40,20 +40,25 @@ Scope (r8): Main profile, 4:2:0, 8-bit, I and P slices —
   every structural piece (engine, binarizations, syntax order,
   scans, transforms, prediction) is already here.
 
-P slices (late r8): TRAIL_R pictures over a single-pic DPB
-(slice-local one-negative-pic short-term RPS), cu_skip / merge /
-AMVP motion derivation (§8.5.3.2 spatial candidates incl. the
-second-PU split exclusions; no TMVP — SPS flag 0), inter part
-modes 2Nx2N / 2NxN / Nx2N, quarter-pel luma 8-tap + eighth-pel
+P and B slices (late r8): TRAIL_R pictures over a POC-keyed DPB
+(slice-local short-term RPS: one negative pic for P, one negative
++ one positive for B), cu_skip / merge / AMVP motion derivation
+(§8.5.3.2 spatial candidates incl. the second-PU split exclusions
+and the §8.5.3.2.4 combined bi-predictive candidates; no TMVP —
+SPS flag 0; cross-list AMVP scaled by the exact §8.5.3.2.8
+POC-distance formula), inter part modes 2Nx2N / 2NxN / Nx2N,
+inter_pred_idc L0/L1/BI with the §8.5.4.2.3.2 bi combiner over
+unfinalized 14-bit planes, quarter-pel luma 8-tap + eighth-pel
 chroma 4-tap DCT-IF interpolation (§8.5.4.2.2, exact shift chain),
 mvd_coding (EG1 bypass) and TU == CU inter residuals under
 max_transform_hierarchy_depth_inter = 1 (split_transform_flag
 coded 0 — inter TUs legally span PU boundaries, avoiding the
-forced §7.4.9.8 RQT split).
+forced §7.4.9.8 RQT split). Decode returns display (POC) order;
+the encoder's ``b_frames=True`` codes an I-B-P ladder.
 
-Deliberately out of scope (reject loudly): B slices, SAO,
-deblocking (disabled via PPS/slice flags — structurally legal),
-PCM, scaling lists, tiles, WPP, AMP, 4:2:2/4:4:4, >8-bit.
+Deliberately out of scope (reject loudly): SAO, deblocking
+(disabled via PPS/slice flags — structurally legal), PCM, scaling
+lists, tiles, WPP, AMP, long-term refs, 4:2:2/4:4:4, >8-bit.
 
 Scale note (same contract as h264.py): decode runs per-payload
 inside mapInArrow batches on the media surface — embarrassingly

@@ -1,4 +1,4 @@
-"""HEVC Main-profile intra codec (gorillaspark.operators.h265).
+"""HEVC Main-profile codec (gorillaspark.operators.h265).
 
 Pinning levels, mirroring the H.264 suites:
 1. syntax-layer round-trips (VPS/SPS/PPS/slice header, hvcC record,
