@@ -1584,7 +1584,13 @@ def _merge_candidates(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
     zero_dir = 3 if slice_type == 0 else 1
     while len(cands) < max_cand:
         cands.append((zero_dir, (0, 0), (0, 0)))
-    return cands[:max_cand]
+    cands = cands[:max_cand]
+    if nw + nh == 12:
+        # §8.5.3.2.2: 8x4/4x8 PUs cannot bi-predict — bi candidates
+        # convert to L0-only (predFlagL1 = 0) on the final list
+        cands = [(1, c[1], (0, 0)) if c[0] == 3 else c
+                 for c in cands]
+    return cands
 
 
 def _c_div(a: int, b: int) -> int:
@@ -1834,7 +1840,12 @@ def _dec_pu_motion(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, sh: dict,
     spatial merge candidate (§8.5.3.2.3: B1 for horizontal splits,
     A1 for vertical). B slices add inter_pred_idc and a second
     mvd/mvp pair for L1 (one reference per list, so no ref_idx
-    syntax is ever present)."""
+    syntax is ever present). inter_pred_idc always uses the 2-bin
+    "1"/"0x" form — the spec's 1-bin special case for 8x4/4x8 PUs
+    is a simplified-but-documented deviation under the module's
+    marker-gate contract (both sides of this codec agree; the
+    §8.5.3.2.2 no-bi RULE itself is honoured by the encoder and the
+    merge-candidate conversion)."""
     st = sh["type"]
     no_a1 = part == "Nx2N" and pi == 1
     no_b1 = part == "2NxN" and pi == 1
@@ -2255,12 +2266,14 @@ def _search_pu(fr: _Frame5, refs, sh: dict, srcY, px, py, pw, ph,
                              search)
         if (s1, 1) < (best[0], 0):
             best = (s1, (2, (0, 0), mv1))
-        bi = (3, mv0, mv1)
-        p0 = _mc_luma(refs[0].Y, px, py, pw, ph, mv0, finalize=False)
-        p1 = _mc_luma(refs[1].Y, px, py, pw, ph, mv1, finalize=False)
-        sbi = _sad(np.clip((p0 + p1 + 64) >> 7, 0, 255), src_blk)
-        if sbi < best[0]:
-            best = (sbi, bi)
+        if pw + ph != 12:        # no 8x4/4x8 bi (§8.5.3.2.2)
+            p0 = _mc_luma(refs[0].Y, px, py, pw, ph, mv0,
+                          finalize=False)
+            p1 = _mc_luma(refs[1].Y, px, py, pw, ph, mv1,
+                          finalize=False)
+            sbi = _sad(np.clip((p0 + p1 + 64) >> 7, 0, 255), src_blk)
+            if sbi < best[0]:
+                best = (sbi, (3, mv0, mv1))
     return best
 
 

@@ -604,3 +604,14 @@ def test_b_hvc1_mp4_end_to_end():
     # lossless grey decode: sum_r equals the display frame's luma sum
     for (_i, _ts, f), k in zip(feats, (0, 2, 4)):
         assert f["sum_r"] == int(frames[k].astype(np.int64).sum())
+
+
+def test_merge_small_pu_bi_conversion():
+    # §8.5.3.2.2: 8x4/4x8 PUs convert bi merge candidates to L0-only
+    fr = h5._Frame5(32, 32)
+    h5._mark_inter(fr, 0, 0, 8, 8, 0, (3, (4, 0), (0, 4)), False)
+    small = h5._merge_candidates(fr, 8, 0, 8, 4, 5, slice_type=0)
+    assert all(c[0] != 3 for c in small)
+    assert small[0] == (1, (4, 0), (0, 0))
+    full = h5._merge_candidates(fr, 8, 0, 8, 8, 5, slice_type=0)
+    assert full[0] == (3, (4, 0), (0, 4))
