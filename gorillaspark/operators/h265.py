@@ -266,7 +266,7 @@ def _write_sps(bw: _BitW, w: int, h: int, crop=(0, 0, 0, 0)):
     bw.ue(1)                     # max_transform_hierarchy_depth_inter
     bw.ue(0)                     # max_transform_hierarchy_depth_intra
     bw.u(0, 1)                   # scaling_list_enabled_flag
-    bw.u(0, 1)                   # amp_enabled_flag
+    bw.u(1, 1)                   # amp_enabled_flag (late r8: AMP)
     bw.u(0, 1)                   # sample_adaptive_offset_enabled_flag
     bw.u(0, 1)                   # pcm_enabled_flag
     bw.ue(0)                     # num_short_term_ref_pic_sets
@@ -324,7 +324,7 @@ def _parse_sps(br: _Bits) -> dict:
         raise NotImplementedError("residual quadtree depth unsupported")
     if br.u(1):
         raise NotImplementedError("scaling lists unsupported")
-    br.u(1)                      # amp_enabled (inter-only; ignore)
+    sps["amp"] = br.u(1)         # asymmetric motion partitions
     if br.u(1):
         raise NotImplementedError("SAO unsupported")
     if br.u(1):
@@ -1762,14 +1762,27 @@ def _mark_inter(fr: _Frame5, x0: int, y0: int, nw: int, nh: int,
 
 def _pu_geometry(part: str, x0: int, y0: int, n: int) -> list:
     """(px, py, pw, ph) per prediction unit for the supported inter
-    part modes."""
+    part modes (the four AMP shapes split at n/4)."""
+    q = n // 4
     if part == "2Nx2N":
         return [(x0, y0, n, n)]
     if part == "2NxN":
         return [(x0, y0, n, n // 2), (x0, y0 + n // 2, n, n // 2)]
     if part == "Nx2N":
         return [(x0, y0, n // 2, n), (x0 + n // 2, y0, n // 2, n)]
+    if part == "2NxnU":
+        return [(x0, y0, n, q), (x0, y0 + q, n, n - q)]
+    if part == "2NxnD":
+        return [(x0, y0, n, n - q), (x0, y0 + n - q, n, q)]
+    if part == "nLx2N":
+        return [(x0, y0, q, n), (x0 + q, y0, n - q, n)]
+    if part == "nRx2N":
+        return [(x0, y0, n - q, n), (x0 + n - q, y0, q, n)]
     raise ValueError(part)
+
+
+_HORIZ_PARTS = ("2NxN", "2NxnU", "2NxnD")
+_VERT_PARTS = ("Nx2N", "nLx2N", "nRx2N")
 
 
 def _pu_pred(refs, px: int, py: int, pw: int, ph: int, mot):
@@ -1847,8 +1860,8 @@ def _dec_pu_motion(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, sh: dict,
     §8.5.3.2.2 no-bi RULE itself is honoured by the encoder and the
     merge-candidate conversion)."""
     st = sh["type"]
-    no_a1 = part == "Nx2N" and pi == 1
-    no_b1 = part == "2NxN" and pi == 1
+    no_a1 = part in _VERT_PARTS and pi == 1
+    no_b1 = part in _HORIZ_PARTS and pi == 1
     if dec.bit(ctx, _MERGE_FLAG):
         midx = _code_merge_idx(dec, ctx, sh["max_merge"])
         cands = _merge_candidates(fr, px, py, pw, ph, sh["max_merge"],
@@ -1902,14 +1915,25 @@ def _dec_inter_residual(dec: _CabacDec, ctx: _Ctx5, log2_cb: int):
 def _dec_cu_inter(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5,
                   refs, pps: dict, qp: int, x0: int, y0: int,
                   log2_cb: int, depth: int, sh: dict, bypass: bool):
-    """Non-skip inter coding_unit body (P/B slices)."""
+    """Non-skip inter coding_unit body (P/B slices). part_mode
+    follows Table 9-34: at CB16 (> min CB) with AMP enabled, bin2
+    (bypass) picks symmetric vs asymmetric and bin3 (bypass) the
+    asymmetric variant; at the minimum CB size the 2-bin form
+    applies and AMP shapes are not available."""
     n = 1 << log2_cb
     if dec.bit(ctx, _PART_INTER + 0):
         part = "2Nx2N"
-    elif dec.bit(ctx, _PART_INTER + 1):
-        part = "2NxN"
     else:
-        part = "Nx2N"
+        horiz = dec.bit(ctx, _PART_INTER + 1)
+        if log2_cb == 4 and sh.get("amp"):
+            if dec.bypass():
+                part = "2NxN" if horiz else "Nx2N"
+            elif dec.bypass():
+                part = "2NxnD" if horiz else "nRx2N"
+            else:
+                part = "2NxnU" if horiz else "nLx2N"
+        else:
+            part = "2NxN" if horiz else "Nx2N"
     pu_mvs = []
     merge_first = False
     for pi, (px, py, pw, ph) in enumerate(_pu_geometry(part, x0, y0, n)):
@@ -2039,6 +2063,7 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict,
     deltas select L0 (poc - d0) and, for B, L1 (poc + d1)."""
     br = _Bits(rbsp)
     sh = _parse_slice_header(br, pps, is_idr=is_idr)
+    sh["amp"] = sps.get("amp", 0)
     refs = None
     if sh["type"] in (0, 1):
         if sps.get("max_trafo_depth_inter", 0) != 1:
@@ -2224,8 +2249,8 @@ def _pu_repr(fr: _Frame5, part: str, pi: int, px, py, pw, ph,
     this PU: lowest-index merge candidate, else AMVP (per active
     list) with the smaller-|mvd| predictor. Returns the syntax
     tuple ``_serialize_cu_inter`` replays."""
-    no_a1 = part == "Nx2N" and pi == 1
-    no_b1 = part == "2NxN" and pi == 1
+    no_a1 = part in _VERT_PARTS and pi == 1
+    no_b1 = part in _HORIZ_PARTS and pi == 1
     cands = _merge_candidates(fr, px, py, pw, ph, sh["max_merge"],
                               no_a1=no_a1, no_b1=no_b1,
                               slice_type=sh["type"])
@@ -2308,7 +2333,10 @@ def _commit_cu_p(fr: _Frame5, refs, srcY, srcCb, srcCr,
     # lexicographic penalty keeps the decision deterministic and
     # biased to the simpler mode on ties
     part, pu_mvs, sad_inter = "2Nx2N", [(x0, y0, n, n, mot2n)], sad2n
-    for cand_part in ("2NxN", "Nx2N"):
+    trial_parts = ("2NxN", "Nx2N")
+    if log2_cb == 4 and sh.get("amp"):
+        trial_parts += ("2NxnU", "2NxnD", "nLx2N", "nRx2N")
+    for cand_part in trial_parts:
         geo = _pu_geometry(cand_part, x0, y0, n)
         tot, mvs = 0, []
         for px, py, pw, ph in geo:
@@ -2330,7 +2358,8 @@ def _commit_cu_p(fr: _Frame5, refs, srcY, srcCb, srcCr,
     preds = _inter_pred_planes(refs, x0, y0, n, pu_mvs)
     plan = {"inter": True, "bypass": bypass, "log2_cb": log2_cb,
             "part": part, "pus": [], "skip": False,
-            "skip_ctx": skip_ctx, "slice_type": sh["type"]}
+            "skip_ctx": skip_ctx, "slice_type": sh["type"],
+            "amp": sh.get("amp", 0)}
     for pi, (px, py, pw, ph, mot) in enumerate(pu_mvs):
         plan["pus"].append(_pu_repr(fr, part, pi, px, py, pw, ph,
                                     mot, sh))
@@ -2376,7 +2405,13 @@ def _serialize_cu_inter(enc: _CabacEnc, ctx: _Ctx5, pps: dict,
     part = plan["part"]
     enc.bit(ctx, _PART_INTER + 0, 1 if part == "2Nx2N" else 0)
     if part != "2Nx2N":
-        enc.bit(ctx, _PART_INTER + 1, 1 if part == "2NxN" else 0)
+        enc.bit(ctx, _PART_INTER + 1,
+                1 if part in _HORIZ_PARTS else 0)
+        if plan["log2_cb"] == 4 and plan.get("amp"):
+            sym = part in ("2NxN", "Nx2N")
+            enc.bypass(1 if sym else 0)
+            if not sym:
+                enc.bypass(1 if part in ("2NxnD", "nRx2N") else 0)
     for syn in plan["pus"]:
         if syn[0] == "merge":
             enc.bit(ctx, _MERGE_FLAG, 1)
@@ -2502,7 +2537,7 @@ def _encode_frame(srcY, srcCb, srcCr, sps_w, sps_h, pps, qp,
         d1 = refs[1].poc - poc if st == 0 else 0
         if d0 <= 0 or (st == 0 and d1 <= 0):
             raise ValueError("reference POCs must bracket the frame")
-        sh = {"type": st, "poc": poc, "max_merge": 5,
+        sh = {"type": st, "poc": poc, "max_merge": 5, "amp": 1,
               "ref_pocs": (refs[0].poc,
                            refs[1].poc if st == 0 else None)}
         _write_slice_header(bw, qp_delta=qp - pps["qp"],

@@ -320,7 +320,7 @@ def test_p_cu_modes_all_exercised():
         elif plan["skip"]:
             stats["skip"] += 1
         else:
-            stats[plan["part"]] += 1
+            stats[plan["part"]] = stats.get(plan["part"], 0) + 1
             for syn in plan["pus"]:
                 stats[syn[0]] += 1
         return plan
@@ -336,12 +336,17 @@ def test_p_cu_modes_all_exercised():
     f3 = f2.copy()                               # static -> skips
     f4 = np.clip((f2 + np.roll(f2, 1, axis=1)) // 2
                  + rng.integers(-2, 3, (h, w)), 0, 255)
+    # f5: fresh smooth content MC cannot predict from the noisy f4 —
+    # forces intra-in-P (angular/DC beats any motion candidate)
+    xg, yg = np.meshgrid(np.arange(w), np.arange(h))
+    f5 = ((xg * 2 + yg) % 256).astype(np.int64)
     h5._commit_cu_p = spy
     try:
         recon = []
         stream = h5.h265_encode_gop_planes(
             [(f, _neutral(h, w), _neutral(h, w))
-             for f in (base, f1, f2, f3, f4)], qp=28, recon_out=recon)
+             for f in (base, f1, f2, f3, f4, f5)], qp=28,
+            recon_out=recon)
     finally:
         h5._commit_cu_p = orig
     dec, _ = h5.h265_decode_gop_planes(stream)
@@ -615,3 +620,47 @@ def test_merge_small_pu_bi_conversion():
     assert small[0] == (1, (4, 0), (0, 0))
     full = h5._merge_candidates(fr, 8, 0, 8, 8, 5, slice_type=0)
     assert full[0] == (3, (4, 0), (0, 4))
+
+
+def test_amp_partitions_exercised():
+    # motion boundaries at the quarter split of a CTB force the AMP
+    # shapes (2NxnU/2NxnD/nLx2N/nRx2N) — and decode stays bit-exact
+    parts = {}
+    orig = h5._commit_cu_p
+
+    def spy(*a, **k):
+        plan = orig(*a, **k)
+        if plan.get("inter") and not plan["skip"]:
+            parts[plan["part"]] = parts.get(plan["part"], 0) + 1
+        return plan
+
+    rng = np.random.default_rng(71)
+    h, w = 32, 32
+    base = rng.integers(0, 256, (h, w), dtype=np.uint8).astype(
+        np.int64)
+    f1 = base.copy()                 # top 4 rows vs rest: 2NxnU
+    f1[:4] = np.roll(base[:4], 3, axis=1)
+    f1[4:] = np.roll(base[4:], -3, axis=1)
+    f2 = f1.copy()                   # bottom 4 rows: 2NxnD
+    f2[-4:] = np.roll(f1[-4:], 3, axis=1)
+    f2[:-4] = np.roll(f1[:-4], -3, axis=1)
+    f3 = f2.copy()                   # left 4 cols: nLx2N
+    f3[:, :4] = np.roll(f2[:, :4], 3, axis=0)
+    f3[:, 4:] = np.roll(f2[:, 4:], -3, axis=0)
+    f4 = f3.copy()                   # right 4 cols: nRx2N
+    f4[:, -4:] = np.roll(f3[:, -4:], 3, axis=0)
+    f4[:, :-4] = np.roll(f3[:, :-4], -3, axis=0)
+    h5._commit_cu_p = spy
+    try:
+        recon = []
+        stream = h5.h265_encode_gop_planes(
+            [(f, _neutral(h, w), _neutral(h, w))
+             for f in (base, f1, f2, f3, f4)],
+            qp=30, recon_out=recon, force_split=False)
+    finally:
+        h5._commit_cu_p = orig
+    dec, _ = h5.h265_decode_gop_planes(stream)
+    for (ry, _rcb, _rcr), (dy_, _dcb, _dcr) in zip(recon, dec):
+        assert np.array_equal(ry, dy_)
+    for shape in ("2NxnU", "2NxnD", "nLx2N", "nRx2N"):
+        assert parts.get(shape, 0) > 0, (shape, parts)
