@@ -46,7 +46,9 @@ P and B slices (late r8): TRAIL_R pictures over a POC-keyed DPB
 (§8.5.3.2 spatial candidates incl. the second-PU split exclusions
 and the §8.5.3.2.4 combined bi-predictive candidates; no TMVP —
 SPS flag 0; cross-list AMVP scaled by the exact §8.5.3.2.8
-POC-distance formula), inter part modes 2Nx2N / 2NxN / Nx2N,
+POC-distance formula), inter part modes 2Nx2N / 2NxN / Nx2N + the four
+AMP quarter-splits at CB16 (amp_enabled_flag, Table 9-34 bypass
+bins),
 inter_pred_idc L0/L1/BI with the §8.5.4.2.3.2 bi combiner over
 unfinalized 14-bit planes, quarter-pel luma 8-tap + eighth-pel
 chroma 4-tap DCT-IF interpolation (§8.5.4.2.2, exact shift chain),
@@ -58,7 +60,7 @@ the encoder's ``b_frames=True`` codes an I-B-P ladder.
 
 Deliberately out of scope (reject loudly): SAO, deblocking
 (disabled via PPS/slice flags — structurally legal), PCM, scaling
-lists, tiles, WPP, AMP, long-term refs, 4:2:2/4:4:4, >8-bit.
+lists, tiles, WPP, long-term refs, 4:2:2/4:4:4, >8-bit.
 
 Scale note (same contract as h264.py): decode runs per-payload
 inside mapInArrow batches on the media surface — embarrassingly
