@@ -269,7 +269,7 @@ def _write_sps(bw: _BitW, w: int, h: int, crop=(0, 0, 0, 0)):
     bw.ue(0)                     # max_transform_hierarchy_depth_intra
     bw.u(0, 1)                   # scaling_list_enabled_flag
     bw.u(1, 1)                   # amp_enabled_flag (late r8: AMP)
-    bw.u(0, 1)                   # sample_adaptive_offset_enabled_flag
+    bw.u(1, 1)          # sample_adaptive_offset_enabled_flag (late r8)
     bw.u(0, 1)                   # pcm_enabled_flag
     bw.ue(0)                     # num_short_term_ref_pic_sets
     bw.u(0, 1)                   # long_term_ref_pics_present_flag
@@ -327,8 +327,7 @@ def _parse_sps(br: _Bits) -> dict:
     if br.u(1):
         raise NotImplementedError("scaling lists unsupported")
     sps["amp"] = br.u(1)         # asymmetric motion partitions
-    if br.u(1):
-        raise NotImplementedError("SAO unsupported")
+    sps["sao"] = br.u(1)         # sample-adaptive offset
     if br.u(1):
         raise NotImplementedError("PCM unsupported")
     if br.ue():
@@ -434,7 +433,8 @@ def _parse_pps(br: _Bits) -> dict:
 
 def _write_slice_header(bw: _BitW, qp_delta: int = 0,
                         slice_type: int = 2, poc_lsb: int = 0,
-                        d0: int = 1, d1: int = 1):
+                        d0: int = 1, d1: int = 1,
+                        sao: bool = False):
     """slice_segment_header (§7.3.6.1) for a one-segment slice under
     this codec's fixed SPS/PPS. slice_type 2 = IDR I (byte-identical
     to the r8 intra-only form); slice_type 1 = TRAIL P referencing
@@ -458,6 +458,11 @@ def _write_slice_header(bw: _BitW, qp_delta: int = 0,
             bw.ue(d1 - 1)        # delta_poc_s1_minus1[0]
             bw.u(1, 1)           # used_by_curr_pic_s1_flag[0]
         # long_term off; sps_temporal_mvp off -> no slice TMVP flag
+    # SPS sample_adaptive_offset_enabled_flag is 1 (late r8), so the
+    # per-slice opt-in flags are always present; lossless slices
+    # write 0 (SAO would perturb the transquant-bypass exactness)
+    bw.u(1 if sao else 0, 1)     # slice_sao_luma_flag
+    bw.u(1 if sao else 0, 1)     # slice_sao_chroma_flag
     if slice_type in (0, 1):
         bw.u(0, 1)               # num_ref_idx_active_override_flag
         # lists_modification absent (flag off, NumPicTotalCurr small);
@@ -470,7 +475,8 @@ def _write_slice_header(bw: _BitW, qp_delta: int = 0,
     bw.trailing()                # byte_alignment before slice data
 
 
-def _parse_slice_header(br: _Bits, pps: dict, is_idr: bool = True) -> dict:
+def _parse_slice_header(br: _Bits, pps: dict, is_idr: bool = True,
+                        sao_present: bool = True) -> dict:
     if not br.u(1):
         raise NotImplementedError("multi-segment slices unsupported")
     if is_idr:
@@ -503,6 +509,11 @@ def _parse_slice_header(br: _Bits, pps: dict, is_idr: bool = True) -> dict:
                 raise NotImplementedError("unused reference pic in RPS")
         if st == 0 and not n_pos:
             raise ValueError("B slice without a positive reference")
+    if sao_present:
+        sh["sao_luma"] = br.u(1)
+        sh["sao_chroma"] = br.u(1)
+    else:
+        sh["sao_luma"] = sh["sao_chroma"] = 0
     if st in (0, 1):
         if br.u(1):
             raise NotImplementedError(
@@ -680,7 +691,9 @@ _MVP_FLAG = 110     # 1: mvp_l0_flag
 _RQT_ROOT = 111     # 1: rqt_root_cbf
 _SPLIT_TF = 112     # 3: split_transform_flag, ctxInc 5 - log2TrafoSize
 _INTER_DIR = 115    # 2: inter_pred_idc bins ("1"=BI / "0x"=L0|L1)
-N_CTX5 = 117
+_SAO_MERGE = 117    # 1: sao_merge_left/up_flag (shared, §9.3.4.2.2)
+_SAO_TYPE = 118     # 1: sao_type_idx bin0 (bin1 bypass)
+N_CTX5 = 119
 
 
 class _Ctx5:
@@ -1316,6 +1329,269 @@ def _dec_residual5(dec: _CabacDec, ctx: _Ctx5, log2_tb: int,
 
 # ---------------------------------------------------------------------------
 # coding units, quadtree, slice codec
+# ---------------------------------------------------------------------------
+# SAO — sample-adaptive offset (§7.3.8.3 syntax, §8.7.3 filtering)
+# ---------------------------------------------------------------------------
+
+# edge-offset class -> the two neighbour (dy, dx) offsets
+_SAO_EO_NB = {0: ((0, -1), (0, 1)),      # horizontal
+              1: ((-1, 0), (1, 0)),      # vertical
+              2: ((-1, -1), (1, 1)),     # 135 degrees
+              3: ((1, -1), (-1, 1))}     # 45 degrees
+
+
+def _code_sao_type(x, ctx, v=None) -> int:
+    """sao_type_idx_luma/chroma: TR cMax 2, bin0 context-coded,
+    bin1 bypass ("0" off, "10" band, "11" edge)."""
+    if v is not None:
+        x.bit(ctx, _SAO_TYPE, 1 if v else 0)
+        if v:
+            x.bypass(1 if v == 2 else 0)
+        return v
+    if not x.bit(ctx, _SAO_TYPE):
+        return 0
+    return 2 if x.bypass() else 1
+
+
+def _code_sao_abs(x, v=None) -> int:
+    """sao_offset_abs: TR cMax 7 (8-bit), all bypass."""
+    if v is not None:
+        for _ in range(v):
+            x.bypass(1)
+        if v < 7:
+            x.bypass(0)
+        return v
+    v = 0
+    while v < 7 and x.bypass():
+        v += 1
+    return v
+
+
+def _ser_sao_comp(enc, ctx, cidx: int, p):
+    """Serialize one component's sao() body after the merge flags:
+    type (luma codes its own, chroma once at cIdx 1, cIdx 2
+    inherits), four offset magnitudes, then band signs + position or
+    the EO class. ``p`` is None (off) | ("bo", pos, offs) |
+    ("eo", cls, offs) with offs the four SIGNED applied offsets
+    (EO signs are inferred by the spec: the first two non-negative,
+    the last two non-positive)."""
+    typ = 0 if p is None else (1 if p[0] == "bo" else 2)
+    if cidx != 2:
+        _code_sao_type(enc, ctx, v=typ)
+    if typ == 0:
+        return
+    offs = p[2]
+    for o in offs:
+        _code_sao_abs(enc, v=abs(o))
+    if typ == 1:
+        for o in offs:
+            if o:
+                enc.bypass(1 if o < 0 else 0)
+        for i in range(4, -1, -1):
+            enc.bypass((p[1] >> i) & 1)
+    elif cidx != 2:
+        enc.bypass((p[1] >> 1) & 1)
+        enc.bypass(p[1] & 1)
+
+
+def _dec_sao_comp(dec, ctx, cidx: int, inherit_typ, inherit_cls):
+    """Decode twin of :func:`_ser_sao_comp`; returns
+    (params, typ, eo_cls) so cIdx 2 can inherit chroma's type and
+    class while decoding its own offsets."""
+    typ = _code_sao_type(dec, ctx) if cidx != 2 else inherit_typ
+    if typ == 0:
+        return None, typ, inherit_cls
+    absv = [_code_sao_abs(dec) for _ in range(4)]
+    if typ == 1:
+        offs = []
+        for a in absv:
+            if a and dec.bypass():
+                offs.append(-a)
+            else:
+                offs.append(a)
+        pos = 0
+        for _ in range(5):
+            pos = (pos << 1) | dec.bypass()
+        return ("bo", pos, tuple(offs)), typ, inherit_cls
+    if cidx != 2:
+        cls = (dec.bypass() << 1) | dec.bypass()
+    else:
+        cls = inherit_cls
+    offs = (absv[0], absv[1], -absv[2], -absv[3])
+    return ("eo", cls, offs), typ, cls
+
+
+def _dec_sao(dec, ctx, cx: int, cy: int, all_params: dict,
+             sh: dict):
+    """sao() for one CTB: merge-left/up flags then per-component
+    params."""
+    if cx > 0 and dec.bit(ctx, _SAO_MERGE):
+        return all_params[(cx - 1, cy)]
+    if cy > 0 and dec.bit(ctx, _SAO_MERGE):
+        return all_params[(cx, cy - 1)]
+    out = []
+    typ = cls = 0
+    for cidx in range(3):
+        if (cidx == 0 and not sh["sao_luma"]) or \
+                (cidx > 0 and not sh["sao_chroma"]):
+            out.append(None)
+            continue
+        p, typ, cls = _dec_sao_comp(dec, ctx, cidx, typ, cls)
+        out.append(p)
+    return tuple(out)
+
+
+def _ser_sao(enc, ctx, cx: int, cy: int, params, all_params: dict,
+             sh: dict):
+    """Encoder twin of :func:`_dec_sao` — merges with the left/up
+    CTB when the chosen params are identical (exercising the merge
+    syntax naturally on uniform content)."""
+    if cx > 0:
+        left = all_params[(cx - 1, cy)]
+        enc.bit(ctx, _SAO_MERGE, 1 if params == left else 0)
+        if params == left:
+            return
+    if cy > 0:
+        up = all_params[(cx, cy - 1)]
+        enc.bit(ctx, _SAO_MERGE, 1 if params == up else 0)
+        if params == up:
+            return
+    for cidx in range(3):
+        if (cidx == 0 and not sh["sao_luma"]) or \
+                (cidx > 0 and not sh["sao_chroma"]):
+            continue
+        _ser_sao_comp(enc, ctx, cidx, params[cidx])
+
+
+def _sao_apply_region(dst: np.ndarray, src: np.ndarray, x0: int,
+                      y0: int, n: int, p):
+    """Apply one CTB-component's SAO params: classify on the pre-SAO
+    plane ``src``, write into ``dst`` (§8.7.3: SAO reads the
+    unfiltered reconstruction everywhere, including across CTB
+    boundaries)."""
+    if p is None:
+        return
+    H, W = src.shape
+    n_y = min(n, H - y0)
+    n_x = min(n, W - x0)
+    if n_y <= 0 or n_x <= 0:
+        return
+    blk = src[y0:y0 + n_y, x0:x0 + n_x]
+    if p[0] == "bo":
+        pos, offs = p[1], p[2]
+        band = blk >> 3
+        delta = np.zeros_like(blk)
+        for k in range(4):
+            delta[band == ((pos + k) & 31)] = offs[k]
+        dst[y0:y0 + n_y, x0:x0 + n_x] = np.clip(blk + delta, 0, 255)
+        return
+    cls, offs = p[1], p[2]
+    (ay, ax), (by, bx) = _SAO_EO_NB[cls]
+    ys = np.arange(y0, y0 + n_y)
+    xs = np.arange(x0, x0 + n_x)
+    # picture-boundary pixels whose neighbour falls outside stay
+    # unmodified (the spec skips them)
+    ok_y = (ys + ay >= 0) & (ys + ay < H) & (ys + by >= 0) & \
+        (ys + by < H)
+    ok_x = (xs + ax >= 0) & (xs + ax < W) & (xs + bx >= 0) & \
+        (xs + bx < W)
+    na = src[np.ix_(np.clip(ys + ay, 0, H - 1),
+                    np.clip(xs + ax, 0, W - 1))]
+    nb = src[np.ix_(np.clip(ys + by, 0, H - 1),
+                    np.clip(xs + bx, 0, W - 1))]
+    edge = 2 + np.sign(blk - na) + np.sign(blk - nb)
+    lut = np.array([offs[0], offs[1], 0, offs[2], offs[3]],
+                   dtype=np.int64)
+    delta = lut[edge.astype(np.int64)]
+    delta[~np.outer(ok_y, ok_x)] = 0
+    dst[y0:y0 + n_y, x0:x0 + n_x] = np.clip(blk + delta, 0, 255)
+
+
+def _apply_sao(fr, all_params: dict, ctbs_w: int, ctbs_h: int):
+    """Frame-level SAO pass: classification reads the pre-SAO recon
+    of every plane; the filtered planes replace the frame's (they
+    are both the output and the reference for later pictures)."""
+    srcY = fr.Y.copy()
+    srcCb = fr.Cb.copy()
+    srcCr = fr.Cr.copy()
+    for cy in range(ctbs_h):
+        for cx in range(ctbs_w):
+            p = all_params[(cx, cy)]
+            _sao_apply_region(fr.Y, srcY, cx * 16, cy * 16, 16, p[0])
+            _sao_apply_region(fr.Cb, srcCb, cx * 8, cy * 8, 8, p[1])
+            _sao_apply_region(fr.Cr, srcCr, cx * 8, cy * 8, 8, p[2])
+
+
+def _sao_choose_comp(src: np.ndarray, rec: np.ndarray, x0: int,
+                     y0: int, n: int):
+    """Deterministic encoder-side SAO decision for one
+    CTB-component: evaluate off / band offset / the four EO classes
+    by exact integer SSE delta and pick the strict best (ties keep
+    off). EO classification is restricted to pixels whose
+    neighbours lie inside the CTB — the full-frame recon is not
+    final until the frame completes, and any parameter choice is
+    conformant; this only affects optimality at CTB seams."""
+    H, W = src.shape
+    n_y = min(n, H - y0)
+    n_x = min(n, W - x0)
+    if n_y <= 0 or n_x <= 0:
+        return None
+    s = src[y0:y0 + n_y, x0:x0 + n_x].astype(np.int64)
+    r = rec[y0:y0 + n_y, x0:x0 + n_x].astype(np.int64)
+    diff = s - r
+    best_d, best = 0, None
+
+    def offset_for(ssum, cnt, lo, hi):
+        if cnt == 0:
+            return 0
+        o = int(np.round(ssum / cnt))
+        return min(max(o, lo), hi)
+
+    # band offset: per-band ideal offsets, best 4-band window
+    band = r >> 3
+    sums = np.zeros(32, dtype=np.int64)
+    cnts = np.zeros(32, dtype=np.int64)
+    np.add.at(sums, band.ravel(), diff.ravel())
+    np.add.at(cnts, band.ravel(), 1)
+    obs = [offset_for(int(sums[b]), int(cnts[b]), -7, 7)
+           for b in range(32)]
+    deltas = [obs[b] * obs[b] * int(cnts[b]) - 2 * obs[b] * int(sums[b])
+              for b in range(32)]
+    for pos in range(32):
+        bands = [(pos + k) & 31 for k in range(4)]
+        d = sum(deltas[b] for b in bands)
+        offs = tuple(obs[b] for b in bands)
+        if any(offs) and d < best_d:
+            best_d, best = d, ("bo", pos, offs)
+    # edge offset classes
+    for cls in range(4):
+        (ay, ax), (by, bx) = _SAO_EO_NB[cls]
+        y_lo = max(0, -min(ay, by))
+        y_hi = n_y - max(0, max(ay, by))
+        x_lo = max(0, -min(ax, bx))
+        x_hi = n_x - max(0, max(ax, bx))
+        if y_hi - y_lo <= 0 or x_hi - x_lo <= 0:
+            continue
+        c = r[y_lo:y_hi, x_lo:x_hi]
+        na = r[y_lo + ay:y_hi + ay, x_lo + ax:x_hi + ax]
+        nb = r[y_lo + by:y_hi + by, x_lo + bx:x_hi + bx]
+        edge = 2 + np.sign(c - na) + np.sign(c - nb)
+        dd = diff[y_lo:y_hi, x_lo:x_hi]
+        offs = []
+        d_tot = 0
+        for k, (lo, hi) in zip((0, 1, 3, 4),
+                               ((0, 7), (0, 7), (-7, 0), (-7, 0))):
+            m = edge == k
+            cnt = int(m.sum())
+            ssum = int(dd[m].sum())
+            o = offset_for(ssum, cnt, lo, hi)
+            offs.append(o)
+            d_tot += o * o * cnt - 2 * o * ssum
+        if any(offs) and d_tot < best_d:
+            best_d, best = d_tot, ("eo", cls, tuple(offs))
+    return best
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2064,7 +2340,8 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict,
     _Frame5 for the pictures still referenced; the slice's RPS
     deltas select L0 (poc - d0) and, for B, L1 (poc + d1)."""
     br = _Bits(rbsp)
-    sh = _parse_slice_header(br, pps, is_idr=is_idr)
+    sh = _parse_slice_header(br, pps, is_idr=is_idr,
+                             sao_present=bool(sps.get("sao", 0)))
     sh["amp"] = sps.get("amp", 0)
     refs = None
     if sh["type"] in (0, 1):
@@ -2091,14 +2368,21 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict,
     fr = _Frame5(sps["w"], sps["h"])
     ctbs_w = sps["w"] // 16
     ctbs_h = sps["h"] // 16
+    sao_on = sh["sao_luma"] or sh["sao_chroma"]
+    sao_params: dict = {}
     for cy in range(ctbs_h):
         for cx in range(ctbs_w):
+            if sao_on:
+                sao_params[(cx, cy)] = _dec_sao(dec, ctx, cx, cy,
+                                                sao_params, sh)
             _dec_quadtree(dec, ctx, fr, pps, sh["qp"],
                           cx * 16, cy * 16, 4, 0, sh, refs)
             eos = dec.terminate()
             last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
             if bool(eos) != last:
                 raise ValueError("end_of_slice_segment_flag mismatch")
+    if sao_on:
+        _apply_sao(fr, sao_params, ctbs_w, ctbs_h)
     fr_poc = 0 if is_idr else sh["poc_lsb"]
     fr.poc = fr_poc
     return fr
@@ -2484,9 +2768,16 @@ def _serialize_cu(enc: _CabacEnc, ctx: _Ctx5, pps: dict, plan: dict,
                            plan["scan_c"])
 
 
-def _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
+def _enc_quadtree(ops, fr, srcY, srcCb, srcCr, pps, qp,
                   x0, y0, log2_cb, depth, cands, force_split,
                   sh=None, refs=None, search=4):
+    """Commit pass over one quadtree: reconstructs + updates grids
+    and appends the serialization ops (split bits with their
+    ctxInc, CU plans) to ``ops``. Serialization is REPLAYED after
+    the CTB's sao() syntax is chosen — legal because every
+    grid-dependent ctxInc is computed here, at the same walk
+    position where the decoder derives it (sao params depend on the
+    CTB's reconstruction, which only exists after this pass)."""
     if log2_cb > 3:
         if force_split is not None:
             split = bool(force_split)
@@ -2496,12 +2787,13 @@ def _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
                                                    n // 2)
             means = q.mean(axis=(1, 3))
             split = float(means.max() - means.min()) > 24.0
-        enc.bit(ctx, _split_ctx(fr, x0, y0, depth), int(split))
+        ops.append(("split", _split_ctx(fr, x0, y0, depth),
+                    int(split)))
         if split:
             h = 1 << (log2_cb - 1)
             for dy in (0, 1):
                 for dx in (0, 1):
-                    _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr,
+                    _enc_quadtree(ops, fr, srcY, srcCb, srcCr,
                                   pps, qp, x0 + dx * h, y0 + dy * h,
                                   log2_cb - 1, depth + 1, cands,
                                   force_split, sh, refs, search)
@@ -2512,7 +2804,7 @@ def _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
     else:
         plan = _commit_cu(fr, srcY, srcCb, srcCr, pps, qp, x0, y0,
                           log2_cb, depth, cands)
-    _serialize_cu(enc, ctx, pps, plan, sh)
+    ops.append(("cu", plan))
 
 
 _ALL_MODES = tuple(range(35))
@@ -2520,7 +2812,8 @@ _ALL_MODES = tuple(range(35))
 
 def _encode_frame(srcY, srcCb, srcCr, sps_w, sps_h, pps, qp,
                   cands=_ALL_MODES, force_split=None,
-                  refs=None, poc: int = 0, search: int = 4):
+                  refs=None, poc: int = 0, search: int = 4,
+                  sao: bool = False):
     """Encode one frame's slice NAL (header + CABAC data); returns
     (nal_bytes, reconstruction _Frame5). ``refs is None`` emits an
     IDR I slice; ``(refL0, None)`` a TRAIL_R P slice; ``(refL0,
@@ -2529,10 +2822,13 @@ def _encode_frame(srcY, srcCb, srcCr, sps_w, sps_h, pps, qp,
     ``poc`` fields)."""
     fr = _Frame5(sps_w, sps_h)
     fr.poc = poc
+    # SAO never pairs with transquant bypass here: it would perturb
+    # the lossless exactness the bypass families are built on
+    sao_on = bool(sao) and not pps["tq_bypass"]
     bw = _BitW()
     if refs is None:
         sh = None
-        _write_slice_header(bw, qp_delta=qp - pps["qp"])
+        _write_slice_header(bw, qp_delta=qp - pps["qp"], sao=sao_on)
     else:
         st = 0 if refs[1] is not None else 1
         d0 = poc - refs[0].poc
@@ -2544,17 +2840,38 @@ def _encode_frame(srcY, srcCb, srcCr, sps_w, sps_h, pps, qp,
                            refs[1].poc if st == 0 else None)}
         _write_slice_header(bw, qp_delta=qp - pps["qp"],
                             slice_type=st, poc_lsb=poc,
-                            d0=d0, d1=max(d1, 1))
+                            d0=d0, d1=max(d1, 1), sao=sao_on)
+    sao_sh = {"sao_luma": int(sao_on), "sao_chroma": int(sao_on)}
     enc = _CabacEnc()
     ctx = _Ctx5()
     ctbs_w, ctbs_h = sps_w // 16, sps_h // 16
+    sao_params: dict = {}
     for cy in range(ctbs_h):
         for cx in range(ctbs_w):
-            _enc_quadtree(enc, ctx, fr, srcY, srcCb, srcCr, pps, qp,
+            ops: list = []
+            _enc_quadtree(ops, fr, srcY, srcCb, srcCr, pps, qp,
                           cx * 16, cy * 16, 4, 0, cands, force_split,
                           sh, refs, search)
+            if sao_on:
+                params = (
+                    _sao_choose_comp(srcY, fr.Y, cx * 16, cy * 16,
+                                     16),
+                    _sao_choose_comp(srcCb, fr.Cb, cx * 8, cy * 8,
+                                     8),
+                    _sao_choose_comp(srcCr, fr.Cr, cx * 8, cy * 8,
+                                     8))
+                _ser_sao(enc, ctx, cx, cy, params, sao_params,
+                         sao_sh)
+                sao_params[(cx, cy)] = params
+            for op in ops:
+                if op[0] == "split":
+                    enc.bit(ctx, op[1], op[2])
+                else:
+                    _serialize_cu(enc, ctx, pps, op[1], sh)
             last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
             enc.terminate(int(last))
+    if sao_on:
+        _apply_sao(fr, sao_params, ctbs_w, ctbs_h)
     rbsp = bw.bytes() + enc.bytes()
     nal_type = _NAL_IDR_W_RADL if refs is None else _NAL_TRAIL_R
     return _nal(nal_type, rbsp), fr
@@ -2575,7 +2892,8 @@ def _pad_plane(p: np.ndarray, mult: int) -> np.ndarray:
 
 
 def h265_encode_planes(Y, Cb, Cr, qp: int = 32, lossless: bool = False,
-                       cands=_ALL_MODES, force_split=None) -> bytes:
+                       cands=_ALL_MODES, force_split=None,
+                       sao: bool = True) -> bytes:
     """Encode 4:2:0 planes (uint8; Cb/Cr at half resolution) to an
     Annex-B HEVC stream: VPS + SPS + PPS + gorillaspark marker SEI +
     one IDR access unit. Non-CTB-multiple sizes are edge-padded and
@@ -2606,7 +2924,8 @@ def h265_encode_planes(Y, Cb, Cr, qp: int = 32, lossless: bool = False,
     out += _marker_sei()
     pps = {"qp": qp, "tq_bypass": 1 if lossless else 0}
     nal, _fr = _encode_frame(pY, pCb, pCr, W, H, pps, qp,
-                             cands=cands, force_split=force_split)
+                             cands=cands, force_split=force_split,
+                             sao=sao)
     return out + nal
 
 
@@ -2631,7 +2950,8 @@ def h265_encode_gop_planes(frames: list, qp: int = 32,
                            lossless: bool = False, cands=_ALL_MODES,
                            force_split=None, search: int = 4,
                            recon_out: list | None = None,
-                           b_frames: bool = False):
+                           b_frames: bool = False,
+                           sao: bool = True):
     """Encode a GOP of 4:2:0 plane triples (Y, Cb, Cr) to one
     Annex-B HEVC stream. Default: frame 0 is an IDR I picture,
     every later frame a TRAIL_R P picture referencing its
@@ -2691,7 +3011,8 @@ def h265_encode_gop_planes(frames: list, qp: int = 32,
                     recons[l1] if l1 is not None else None)
         nal, fr = _encode_frame(pY, pCb, pCr, W, H, pps, qp,
                                 cands=cands, force_split=force_split,
-                                refs=refs, poc=disp, search=search)
+                                refs=refs, poc=disp, search=search,
+                                sao=sao)
         out += nal
         recons[disp] = fr
     if recon_out is not None:
@@ -2707,7 +3028,8 @@ def h265_encode_gop_planes(frames: list, qp: int = 32,
 def h265_encode_gop(frames: list, qp: int = 32, lossless: bool = False,
                     cands=_ALL_MODES, force_split=None,
                     search: int = 4, recon_out: list | None = None,
-                    b_frames: bool = False) -> bytes:
+                    b_frames: bool = False,
+                    sao: bool = True) -> bytes:
     """GOP form of :func:`h265_encode`: a list of 2-D luma arrays
     (neutral chroma) or (Y, Cb, Cr) triples."""
     trips = []
@@ -2726,12 +3048,12 @@ def h265_encode_gop(frames: list, qp: int = 32, lossless: bool = False,
     return h265_encode_gop_planes(trips, qp=qp, lossless=lossless,
                                   cands=cands, force_split=force_split,
                                   search=search, recon_out=recon_out,
-                                  b_frames=b_frames)
+                                  b_frames=b_frames, sao=sao)
 
 
 def h265_encode(y: np.ndarray, qp: int = 32, cb=None, cr=None,
                 lossless: bool = False, cands=_ALL_MODES,
-                force_split=None) -> bytes:
+                force_split=None, sao: bool = True) -> bytes:
     """Encode a grayscale (neutral-chroma) or YCbCr 4:2:0 image."""
     y = np.asarray(y)
     if y.ndim != 2:
@@ -2743,17 +3065,20 @@ def h265_encode(y: np.ndarray, qp: int = 32, cb=None, cr=None,
     if cr is None:
         cr = np.full((ch, cw), 128, dtype=np.uint8)
     return h265_encode_planes(y, cb, cr, qp=qp, lossless=lossless,
-                              cands=cands, force_split=force_split)
+                              cands=cands, force_split=force_split,
+                              sao=sao)
 
 
 def h265_encoder_reconstruction(y, qp: int = 32, cb=None, cr=None,
                                 lossless: bool = False,
-                                cands=_ALL_MODES, force_split=None):
+                                cands=_ALL_MODES, force_split=None,
+                                sao: bool = True):
     """The encoder's own reconstruction (= what a conformant decode
     of its stream must produce), cropped — the pixel-parity test
     anchor, mirroring h264.h264_encoder_reconstruction."""
     payload = h265_encode(y, qp=qp, cb=cb, cr=cr, lossless=lossless,
-                          cands=cands, force_split=force_split)
+                          cands=cands, force_split=force_split,
+                          sao=sao)
     return h265_decode_planes(payload)
 
 

@@ -664,3 +664,101 @@ def test_amp_partitions_exercised():
         assert np.array_equal(ry, dy_)
     for shape in ("2NxnU", "2NxnD", "nLx2N", "nRx2N"):
         assert parts.get(shape, 0) > 0, (shape, parts)
+
+
+# ---------------------------------------------------------------------------
+# SAO (late r8): band/edge offsets, merge flags, in-loop references
+# ---------------------------------------------------------------------------
+
+
+def test_sao_improves_and_round_trips():
+    # smooth gradient + noise: SAO must reduce (or match) the coded
+    # error, decode must equal the encoder recon bit-exactly, and
+    # both band and edge types should fire somewhere
+    rng = np.random.default_rng(81)
+    xg, yg = np.meshgrid(np.arange(64), np.arange(48))
+    y = np.clip((xg * 3 + yg * 2) % 256
+                + rng.integers(-8, 9, (48, 64)), 0, 255).astype(
+        np.uint8)
+    kinds = set()
+    orig = h5._sao_choose_comp
+
+    def spy(*a, **k):
+        p = orig(*a, **k)
+        if p is not None:
+            kinds.add(p[0])
+        return p
+
+    h5._sao_choose_comp = spy
+    try:
+        p_on = h5.h265_encode(y, qp=34, sao=True)
+    finally:
+        h5._sao_choose_comp = orig
+    p_off = h5.h265_encode(y, qp=34, sao=False)
+    Y_on, _, _, _ = h5.h265_decode_planes(p_on)
+    Y_off, _, _, _ = h5.h265_decode_planes(p_off)
+    Yr, _, _, _ = h5.h265_encoder_reconstruction(y, qp=34, sao=True)
+    assert np.array_equal(Y_on, Yr)
+    src = y.astype(np.int64)
+    sse_on = int(((Y_on - src) ** 2).sum())
+    sse_off = int(((Y_off - src) ** 2).sum())
+    assert sse_on <= sse_off
+    assert "eo" in kinds or "bo" in kinds
+
+
+def test_sao_merge_flags_exercised():
+    # flat content -> all-off params everywhere -> merge-left/up
+    y = np.full((48, 64), 77, dtype=np.uint8)
+    merges = [0]
+    orig = h5._ser_sao
+
+    def spy(enc, ctx, cx, cy, params, all_params, sh):
+        if cx > 0 and params == all_params[(cx - 1, cy)]:
+            merges[0] += 1
+        elif cy > 0 and params == all_params[(cx, cy - 1)]:
+            merges[0] += 1
+        return orig(enc, ctx, cx, cy, params, all_params, sh)
+
+    h5._ser_sao = spy
+    try:
+        p = h5.h265_encode(y, qp=30, sao=True, force_split=False)
+    finally:
+        h5._ser_sao = orig
+    assert merges[0] > 0
+    Y, _, _, _ = h5.h265_decode_planes(p)
+    Yr, _, _, _ = h5.h265_encoder_reconstruction(
+        y, qp=30, sao=True, force_split=False)
+    assert np.array_equal(Y, Yr)
+
+
+def test_sao_gop_references_filtered_frames():
+    # P/B frames predict from the SAO-filtered reference: parity
+    # would break if encoder and decoder disagreed about filtering
+    rng = np.random.default_rng(83)
+    f0 = rng.integers(0, 256, (32, 48), dtype=np.uint8).astype(
+        np.int64)
+    frames = [f0]
+    cur = f0
+    for _ in range(3):
+        cur = np.clip(np.roll(cur, (2, 3), axis=(0, 1))
+                      + rng.integers(-4, 5, (32, 48)), 0, 255)
+        frames.append(cur.copy())
+    for b in (False, True):
+        recon = []
+        s = h5.h265_encode_gop(frames, qp=33, b_frames=b,
+                               recon_out=recon, search=3)
+        dec, _ = h5.h265_decode_gop_planes(s)
+        for i, ((ry, rcb, rcr), (dy_, dcb, dcr)) in enumerate(
+                zip(recon, dec)):
+            assert np.array_equal(ry, dy_), (b, i)
+            assert np.array_equal(rcb, dcb), (b, i)
+            assert np.array_equal(rcr, dcr), (b, i)
+
+
+def test_sao_lossless_opts_out():
+    # transquant-bypass streams must never be SAO-perturbed, even
+    # when the caller leaves sao=True
+    y = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
+    p = h5.h265_encode(y, lossless=True, sao=True)
+    Y, _, _, _ = h5.h265_decode_planes(p)
+    assert np.array_equal(Y, y.astype(np.int64))
