@@ -47,6 +47,9 @@ from split_exec_probe import CAL_TOLERANCE, calibrate, _collect  # noqa: E402
 SF_DIR = os.environ.get("SPLIT_MEDIA_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPLIT_REPS", "3"))
 TRIES = int(os.environ.get("SPLIT_TRIES", "3"))
+# late r8: CODEC=h265 swaps the synthesized tracks for HEVC I-B-P
+# ladders (_synth_hvc1_b_udf) — same protocol, same shard mix
+CODEC = os.environ.get("SPLIT_MEDIA_CODEC", "h264")
 
 
 def _single(cpus: int, shard: str, barrier: str, tag: str) -> None:
@@ -59,7 +62,8 @@ def _single(cpus: int, shard: str, barrier: str, tag: str) -> None:
 
     from gorillaspark.operators.multimodal import video_frame_stats
     from gorillaspark.plans.session import build_session
-    from gorillaspark.queries import _synth_h264_b_gop_udf
+    from gorillaspark.queries import (_synth_h264_b_gop_udf,
+                                      _synth_hvc1_b_udf)
 
     local_dir = tempfile.mkdtemp(
         prefix=f"gssplitm-{tag}-",
@@ -71,8 +75,10 @@ def _single(cpus: int, shard: str, barrier: str, tag: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{shard}/documents").cache()
     n_docs = docs.count()
+    synth = (_synth_hvc1_b_udf if CODEC == "h265"
+             else _synth_h264_b_gop_udf)
     media = docs.select(F.col("doc_id").alias("media_id"),
-                        _synth_h264_b_gop_udf()(F.col("doc_id"))
+                        synth()(F.col("doc_id"))
                         .alias("payload"))
 
     def stage() -> int:
@@ -200,7 +206,8 @@ def main() -> None:
                                                   for r in rs)
     solo8 = runs["solo8_full"][0]
     tp_solo8 = solo8["n_frames"] / solo8["h264_s"]
-    out = {"sf_dir": SF_DIR, "reps": REPS, "runs": runs,
+    out = {"sf_dir": SF_DIR, "reps": REPS, "codec": CODEC,
+           "runs": runs,
            "efficiency": {
                "solo2_quarter_frames_s": round(tp_solo2, 1),
                "split_4x2_frames_s": round(tp_4x2, 1),
