@@ -348,9 +348,14 @@ def _parse_sps(br: _Bits) -> dict:
     return sps
 
 
-def _write_pps(bw: _BitW, qp: int, transquant_bypass: bool = False):
-    """pic_parameter_set_rbsp (§7.3.2.3): deblocking disabled,
-    no tiles/WPP, fixed chroma QP offsets 0."""
+def _write_pps(bw: _BitW, qp: int, transquant_bypass: bool = False,
+               deblock: bool = False):
+    """pic_parameter_set_rbsp (§7.3.2.3): no tiles/WPP, fixed
+    chroma QP offsets 0. ``deblock`` enables the in-loop deblocking
+    filter by OMITTING the control block (control_present 0 ->
+    disabled_flag inferred 0, offsets inferred 0); otherwise the
+    r8 disabled form (control present, disabled 1) is kept
+    byte-identical."""
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
     bw.ue(0)                     # pps_pic_parameter_set_id
@@ -375,9 +380,14 @@ def _write_pps(bw: _BitW, qp: int, transquant_bypass: bool = False):
     bw.u(0, 1)                   # tiles_enabled_flag
     bw.u(0, 1)                   # entropy_coding_sync_enabled_flag
     bw.u(0, 1)                   # pps_loop_filter_across_slices_enabled_flag
-    bw.u(1, 1)                   # deblocking_filter_control_present_flag
-    bw.u(0, 1)                   # deblocking_filter_override_enabled_flag
-    bw.u(1, 1)                   # pps_deblocking_filter_disabled_flag
+    if deblock:
+        bw.u(0, 1)               # deblocking_filter_control_present_flag
+        # -> pps_deblocking_filter_disabled_flag inferred 0 (ON),
+        #    beta/tc offsets inferred 0
+    else:
+        bw.u(1, 1)               # deblocking_filter_control_present_flag
+        bw.u(0, 1)               # deblocking_filter_override_enabled_flag
+        bw.u(1, 1)               # pps_deblocking_filter_disabled_flag
     bw.u(0, 1)                   # pps_scaling_list_data_present_flag
     bw.u(0, 1)                   # lists_modification_present_flag
     bw.ue(0)                     # log2_parallel_merge_level_minus2
@@ -421,12 +431,15 @@ def _parse_pps(br: _Bits) -> dict:
     if br.u(1):                  # deblocking_filter_control_present
         if br.u(1):
             raise NotImplementedError("deblocking override unsupported")
-        if not br.u(1):
+        pps["deblock"] = 0 if br.u(1) else None
+        if pps["deblock"] is None:
+            # disabled_flag 0 with explicit offsets would follow
             raise NotImplementedError(
-                "in-loop deblocking unsupported (this codec's PPS "
-                "always disables it)")
+                "explicit deblocking offsets unsupported (this "
+                "codec signals filter-on by omitting the control "
+                "block: offsets inferred 0)")
     else:
-        raise NotImplementedError("in-loop deblocking unsupported")
+        pps["deblock"] = 1       # disabled_flag inferred 0: filter ON
     if br.u(1):
         raise NotImplementedError("PPS scaling lists unsupported")
     br.u(1)                      # lists_modification (inter-only)
@@ -1335,6 +1348,177 @@ def _dec_residual5(dec: _CabacDec, ctx: _Ctx5, log2_tb: int,
 # ---------------------------------------------------------------------------
 # coding units, quadtree, slice codec
 # ---------------------------------------------------------------------------
+# Deblocking filter (§8.7.2) — vertical edges then horizontal, on the
+# 8-sample luma grid (16 for chroma); the filtered picture feeds SAO
+# and becomes the reference. Within a pass the filters of adjacent
+# edges never overlap (3-sample reach + 4-sample reads on an 8 grid),
+# so in-place application matches the spec's parallel definition.
+# ---------------------------------------------------------------------------
+
+# Rec. ITU-T H.265 Table 8-12 (8-bit): beta' indexed by Q = clip(qp),
+# tC' indexed by Q = clip(qp + 2*(bS-1)) — spec-literal data, same
+# provenance class as the pinned DCT matrices (also published in
+# Norkin et al., "HEVC Deblocking Filter", IEEE TCSVT 2012).
+_DBF_BETA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9,
+    10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32,
+    34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64)
+_DBF_TC = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5,
+    6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24)
+
+
+def _bs_for_cells(fr, pby, pbx, qby, qbx, ref_pocs):
+    """Boundary strength (§8.7.2.4) between the 4x4 cells p and q
+    across a PU/TU boundary. With one reference per list, the
+    spec's motion compare reduces to comparing the per-picture
+    vectors of the (unique-POC) picture sets."""
+    p_intra = not fr.pdir[pby, pbx]
+    q_intra = not fr.pdir[qby, qbx]
+    if p_intra or q_intra:
+        return 2
+    cu_edge = fr.cu_id[pby, pbx] != fr.cu_id[qby, qbx]
+    if cu_edge and (fr.cbf[pby, pbx] or fr.cbf[qby, qbx]):
+        return 1
+
+    def motion(by, bx):
+        d = int(fr.pdir[by, bx])
+        out = {}
+        if d & 1:
+            out[ref_pocs[0]] = (int(fr.mvs[by, bx, 0, 0]),
+                                int(fr.mvs[by, bx, 0, 1]))
+        if d & 2:
+            out[ref_pocs[1]] = (int(fr.mvs[by, bx, 1, 0]),
+                                int(fr.mvs[by, bx, 1, 1]))
+        return out
+
+    mp, mq = motion(pby, pbx), motion(qby, qbx)
+    if set(mp) != set(mq):
+        return 1
+    for poc, mv in mp.items():
+        ov = mq[poc]
+        if abs(mv[0] - ov[0]) >= 4 or abs(mv[1] - ov[1]) >= 4:
+            return 1
+    return 0
+
+
+def _dbf_luma_seg(win: np.ndarray, qp: int, bs: int) -> bool:
+    """Filter one 4-line luma segment in place. ``win`` is the
+    (4, 8) window [p3 p2 p1 p0 | q0 q1 q2 q3] sharing memory with
+    the plane. Returns whether anything changed."""
+    beta = _DBF_BETA[min(max(qp, 0), 51)]
+    tc = _DBF_TC[min(max(qp + 2 * (bs - 1), 0), 53)]
+    if beta == 0:
+        return False
+    p0, p1, p2, p3 = (win[:, 3], win[:, 2], win[:, 1], win[:, 0])
+    q0, q1, q2, q3 = (win[:, 4], win[:, 5], win[:, 6], win[:, 7])
+    dp_l = np.abs(p2 - 2 * p1 + p0)
+    dq_l = np.abs(q2 - 2 * q1 + q0)
+    dpq0 = int(dp_l[0] + dq_l[0])
+    dpq3 = int(dp_l[3] + dq_l[3])
+    if dpq0 + dpq3 >= beta:
+        return False
+    dp = int(dp_l[0] + dp_l[3])
+    dq = int(dq_l[0] + dq_l[3])
+
+    def strong_line(k):
+        return (2 * (dp_l[k] + dq_l[k]) < (beta >> 2)
+                and abs(int(p3[k]) - int(p0[k]))
+                + abs(int(q0[k]) - int(q3[k])) < (beta >> 3)
+                and abs(int(p0[k]) - int(q0[k]))
+                < ((5 * tc + 1) >> 1))
+
+    if strong_line(0) and strong_line(3):
+        o = win.copy()
+        P0, P1, P2, P3 = (o[:, 3], o[:, 2], o[:, 1], o[:, 0])
+        Q0, Q1, Q2, Q3 = (o[:, 4], o[:, 5], o[:, 6], o[:, 7])
+        c = 2 * tc
+        win[:, 3] = np.clip((P2 + 2 * P1 + 2 * P0 + 2 * Q0 + Q1 + 4)
+                            >> 3, P0 - c, P0 + c)
+        win[:, 2] = np.clip((P2 + P1 + P0 + Q0 + 2) >> 2,
+                            P1 - c, P1 + c)
+        win[:, 1] = np.clip((2 * P3 + 3 * P2 + P1 + P0 + Q0 + 4)
+                            >> 3, P2 - c, P2 + c)
+        win[:, 4] = np.clip((Q2 + 2 * Q1 + 2 * Q0 + 2 * P0 + P1 + 4)
+                            >> 3, Q0 - c, Q0 + c)
+        win[:, 5] = np.clip((Q2 + Q1 + Q0 + P0 + 2) >> 2,
+                            Q1 - c, Q1 + c)
+        win[:, 6] = np.clip((2 * Q3 + 3 * Q2 + Q1 + Q0 + P0 + 4)
+                            >> 3, Q2 - c, Q2 + c)
+        return True
+    if tc == 0:
+        return False
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    act = np.abs(delta) < 10 * tc
+    dlt = np.clip(delta, -tc, tc)
+    o_p0, o_p1, o_p2 = p0.copy(), p1.copy(), p2.copy()
+    o_q0, o_q1, o_q2 = q0.copy(), q1.copy(), q2.copy()
+    win[:, 3] = np.where(act, np.clip(o_p0 + dlt, 0, 255), o_p0)
+    win[:, 4] = np.where(act, np.clip(o_q0 - dlt, 0, 255), o_q0)
+    half = tc >> 1
+    if dp < ((beta + (beta >> 1)) >> 3):
+        dp1 = np.clip((((o_p2 + o_p0 + 1) >> 1) - o_p1 + dlt) >> 1,
+                      -half, half)
+        win[:, 2] = np.where(act, np.clip(o_p1 + dp1, 0, 255), o_p1)
+    if dq < ((beta + (beta >> 1)) >> 3):
+        dq1 = np.clip((((o_q2 + o_q0 + 1) >> 1) - o_q1 - dlt) >> 1,
+                      -half, half)
+        win[:, 5] = np.where(act, np.clip(o_q1 + dq1, 0, 255), o_q1)
+    return True
+
+
+def _dbf_chroma_seg(win: np.ndarray, qpc: int) -> None:
+    """Filter one chroma segment in place (bS 2 only): ``win`` is
+    (rows, 4) = [p1 p0 | q0 q1]."""
+    tc = _DBF_TC[min(max(qpc + 2, 0), 53)]
+    if tc == 0:
+        return
+    p1, p0, q0, q1 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
+    dlt = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    o_p0, o_q0 = p0.copy(), q0.copy()
+    win[:, 1] = np.clip(o_p0 + dlt, 0, 255)
+    win[:, 2] = np.clip(o_q0 - dlt, 0, 255)
+
+
+def _deblock(fr, qp: int, ref_pocs=(None, None)) -> None:
+    """Whole-picture deblocking: luma + chroma, vertical pass then
+    horizontal pass (the horizontal decisions read vertically
+    filtered samples, §8.7.2)."""
+    qpc = _chroma_qp(qp)
+    H, W = fr.Y.shape
+    for vertical in (True, False):
+        length = H if vertical else W
+        span = W if vertical else H
+        for e in range(8, span, 8):
+            eb = e // 4
+            for s0 in range(0, length, 4):
+                sb = s0 // 4
+                if vertical:
+                    pby, pbx, qby, qbx = sb, eb - 1, sb, eb
+                else:
+                    pby, pbx, qby, qbx = eb - 1, sb, eb, sb
+                if fr.pu_id[pby, pbx] == fr.pu_id[qby, qbx]:
+                    continue                      # not a PU/TU edge
+                bs = _bs_for_cells(fr, pby, pbx, qby, qbx, ref_pocs)
+                if bs == 0:
+                    continue
+                if vertical:
+                    win = fr.Y[s0:s0 + 4, e - 4:e + 4]
+                else:
+                    win = fr.Y[e - 4:e + 4, s0:s0 + 4].T
+                _dbf_luma_seg(win, qp, bs)
+                if bs == 2 and e % 16 == 0:
+                    ce, cs = e // 2, s0 // 2
+                    for plane in (fr.Cb, fr.Cr):
+                        if vertical:
+                            cw = plane[cs:cs + 2, ce - 2:ce + 2]
+                        else:
+                            cw = plane[ce - 2:ce + 2, cs:cs + 2].T
+                        _dbf_chroma_seg(cw, qpc)
+
+
+# ---------------------------------------------------------------------------
 # SAO — sample-adaptive offset (§7.3.8.3 syntax, §8.7.3 filtering)
 # ---------------------------------------------------------------------------
 
@@ -1610,7 +1794,8 @@ class _Frame5:
     covering CU, for the skip context)."""
 
     __slots__ = ("Y", "Cb", "Cr", "avail", "modes", "depths",
-                 "mvs", "pdir", "skip", "W", "H", "poc")
+                 "mvs", "pdir", "skip", "W", "H", "poc",
+                 "cu_id", "pu_id", "cbf", "next_id")
 
     def __init__(self, W: int, H: int):
         self.W, self.H = W, H
@@ -1624,6 +1809,26 @@ class _Frame5:
         self.mvs = np.zeros((H // 4, W // 4, 2, 2), dtype=np.int32)
         self.pdir = np.zeros((H // 4, W // 4), dtype=np.uint8)
         self.skip = np.zeros((H // 4, W // 4), dtype=bool)
+        # deblocking metadata (late r8): CU / PU identity per 4x4
+        # cell (boundary detection on the 8-sample grid) and the
+        # luma coded-residual flag of the covering TU
+        self.cu_id = np.full((H // 4, W // 4), -1, dtype=np.int32)
+        self.pu_id = np.full((H // 4, W // 4), -1, dtype=np.int32)
+        self.cbf = np.zeros((H // 4, W // 4), dtype=bool)
+        self.next_id = 0
+
+    def new_id(self) -> int:
+        self.next_id += 1
+        return self.next_id - 1
+
+    def mark_ids(self, x0: int, y0: int, w: int, h: int,
+                 cu: int, pu: int, cbf=None):
+        bx, by = x0 // 4, y0 // 4
+        bw_, bh_ = w // 4, h // 4
+        self.cu_id[by:by + bh_, bx:bx + bw_] = cu
+        self.pu_id[by:by + bh_, bx:bx + bw_] = pu
+        if cbf is not None:
+            self.cbf[by:by + bh_, bx:bx + bw_] = cbf
 
 
 def _split_ctx(fr: _Frame5, x0: int, y0: int, depth: int) -> int:
@@ -2219,6 +2424,7 @@ def _dec_cu_inter(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5,
             part = "2NxN" if horiz else "Nx2N"
     pu_mvs = []
     merge_first = False
+    cuid = fr.new_id()
     for pi, (px, py, pw, ph) in enumerate(_pu_geometry(part, x0, y0, n)):
         syn, mot = _dec_pu_motion(dec, ctx, fr, sh, part, pi,
                                   px, py, pw, ph)
@@ -2226,6 +2432,7 @@ def _dec_cu_inter(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5,
             merge_first = True
         pu_mvs.append((px, py, pw, ph, mot))
         _mark_inter(fr, px, py, pw, ph, depth, mot, False)
+        fr.mark_ids(px, py, pw, ph, cuid, fr.new_id())
     if part == "2Nx2N" and merge_first:
         rqt = 1                  # §7.3.8.5: inferred (else it'd be skip)
     else:
@@ -2233,6 +2440,9 @@ def _dec_cu_inter(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5,
     lv_y = lv_cb = lv_cr = None
     if rqt:
         lv_y, lv_cb, lv_cr = _dec_inter_residual(dec, ctx, log2_cb)
+    # luma cbf of the TU (== CU, spanning the PUs)
+    fr.cbf[y0 // 4:(y0 + n) // 4, x0 // 4:(x0 + n) // 4] = \
+        lv_y is not None
     preds = _inter_pred_planes(refs, x0, y0, n, pu_mvs)
     _recon_inter_cu(fr, x0, y0, n, preds, lv_y, lv_cb, lv_cr,
                     qp, bypass)
@@ -2259,6 +2469,8 @@ def _dec_cu(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, pps: dict,
             _recon_inter_cu(fr, x0, y0, n, preds, None, None, None,
                             qp, bypass)
             _mark_inter(fr, x0, y0, n, n, depth, mot, True)
+            cuid = fr.new_id()
+            fr.mark_ids(x0, y0, n, n, cuid, cuid, cbf=False)
             return
         if not dec.bit(ctx, _PRED_MODE):
             _dec_cu_inter(dec, ctx, fr, refs, pps, qp, x0, y0,
@@ -2288,6 +2500,7 @@ def _dec_cu(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, pps: dict,
     # trafoDepth 0 always holds for CB >= 8)
     cbf_cb = dec.bit(ctx, _CBF_CHROMA + 0)
     cbf_cr = dec.bit(ctx, _CBF_CHROMA + 0)
+    cuid = fr.new_id()
     if not nxn:
         n = 1 << log2_cb
         cbf_l = dec.bit(ctx, _CBF_LUMA + 1)
@@ -2299,6 +2512,7 @@ def _dec_cu(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, pps: dict,
         fr.Y[y0:y0 + n, x0:x0 + n] = _recon_tb(
             pred, lv, qp, log2_cb, True, bypass)
         _mark(fr, x0, y0, n, depth, modes[0])
+        fr.mark_ids(x0, y0, n, n, cuid, cuid, cbf=lv is not None)
     else:
         for i, (px, py) in enumerate(pu_xy):
             cbf_l = dec.bit(ctx, _CBF_LUMA + 0)
@@ -2310,6 +2524,8 @@ def _dec_cu(dec: _CabacDec, ctx: _Ctx5, fr: _Frame5, pps: dict,
             fr.Y[py:py + 4, px:px + 4] = _recon_tb(
                 pred, lv, qp, 2, True, bypass)
             _mark(fr, px, py, 4, depth, modes[i])
+            fr.mark_ids(px, py, 4, 4, cuid, cuid,
+                        cbf=lv is not None)
     # chroma TB (log2_cb - 1; 4x4 when CB is 8)
     log2_c = log2_cb - 1
     nc = 1 << log2_c
@@ -2386,6 +2602,8 @@ def _decode_slice(rbsp: bytes, sps: dict, pps: dict,
             last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
             if bool(eos) != last:
                 raise ValueError("end_of_slice_segment_flag mismatch")
+    if pps.get("deblock"):
+        _deblock(fr, sh["qp"], sh.get("ref_pocs", (None, None)))
     if sao_on:
         _apply_sao(fr, sao_params, ctbs_w, ctbs_h)
     fr_poc = 0 if is_idr else sh["poc_lsb"]
@@ -2460,6 +2678,7 @@ def _commit_cu(fr: _Frame5, srcY, srcCb, srcCr, pps: dict, qp: int,
     plan = {"bypass": bypass, "nxn": nxn, "log2_cb": log2_cb,
             "pu": [], "luma": []}
     log2_tb = log2_cb - (1 if nxn else 0)
+    cuid = fr.new_id()
     for i, (px, py) in enumerate(pu_xy):
         mpm = _mpm_list(fr.modes, px // 4, py // 4, 4)
         _, m, pred = _best_mode(fr, fr.Y, srcY, px, py, pu, True, cands)
@@ -2471,6 +2690,7 @@ def _commit_cu(fr: _Frame5, srcY, srcCb, srcCr, pps: dict, qp: int,
         plan["luma"].append((lv, _scan_idx(m, log2_tb, True), log2_tb))
         fr.Y[py:py + pu, px:px + pu] = rec
         _mark(fr, px, py, pu, depth, m)
+        fr.mark_ids(px, py, pu, pu, cuid, cuid, cbf=lv is not None)
     # chroma: best of DM + the 4 candidates (replacement rule applied)
     luma0 = plan["pu"][0][2]
     qpc = _chroma_qp(qp)
@@ -2651,10 +2871,12 @@ def _commit_cu_p(fr: _Frame5, refs, srcY, srcCb, srcCr,
             "part": part, "pus": [], "skip": False,
             "skip_ctx": skip_ctx, "slice_type": sh["type"],
             "amp": sh.get("amp", 0)}
+    cuid = fr.new_id()
     for pi, (px, py, pw, ph, mot) in enumerate(pu_mvs):
         plan["pus"].append(_pu_repr(fr, part, pi, px, py, pw, ph,
                                     mot, sh))
         _mark_inter(fr, px, py, pw, ph, depth, mot, False)
+        fr.mark_ids(px, py, pw, ph, cuid, fr.new_id())
     lv_y, rec_y = _tb_levels(preds[0], src_blk, qp, log2_cb, True,
                              bypass, intra=False)
     qpc = _chroma_qp(qp)
@@ -2676,6 +2898,8 @@ def _commit_cu_p(fr: _Frame5, refs, srcY, srcCb, srcCr,
         fr.skip[y0 // 4:(y0 + n) // 4, x0 // 4:(x0 + n) // 4] = True
     plan.update(lv_y=lv_y, lv_cb=lv_cb, lv_cr=lv_cr,
                 rqt=0 if all_zero else 1, merge_first=merge_first)
+    fr.cbf[y0 // 4:(y0 + n) // 4, x0 // 4:(x0 + n) // 4] = \
+        lv_y is not None
     fr.Y[y0:y0 + n, x0:x0 + n] = rec_y
     fr.Cb[cy:cy + nc, cx:cx + nc] = rec_cb
     fr.Cr[cy:cy + nc, cx:cx + nc] = rec_cr
@@ -2875,6 +3099,8 @@ def _encode_frame(srcY, srcCb, srcCr, sps_w, sps_h, pps, qp,
                     _serialize_cu(enc, ctx, pps, op[1], sh)
             last = (cy == ctbs_h - 1) and (cx == ctbs_w - 1)
             enc.terminate(int(last))
+    if pps.get("deblock"):
+        _deblock(fr, qp, sh["ref_pocs"] if sh else (None, None))
     if sao_on:
         _apply_sao(fr, sao_params, ctbs_w, ctbs_h)
     rbsp = bw.bytes() + enc.bytes()
@@ -2898,7 +3124,8 @@ def _pad_plane(p: np.ndarray, mult: int) -> np.ndarray:
 
 def h265_encode_planes(Y, Cb, Cr, qp: int = 32, lossless: bool = False,
                        cands=_ALL_MODES, force_split=None,
-                       sao: bool = True) -> bytes:
+                       sao: bool = True,
+                       deblock: bool = True) -> bytes:
     """Encode 4:2:0 planes (uint8; Cb/Cr at half resolution) to an
     Annex-B HEVC stream: VPS + SPS + PPS + gorillaspark marker SEI +
     one IDR access unit. Non-CTB-multiple sizes are edge-padded and
@@ -2923,11 +3150,13 @@ def h265_encode_planes(Y, Cb, Cr, qp: int = 32, lossless: bool = False,
     bw = _BitW()
     _write_sps(bw, W, H, crop=crop)
     out += _nal(_NAL_SPS, bw.bytes())
+    dbf = bool(deblock) and not lossless
     bw = _BitW()
-    _write_pps(bw, qp, transquant_bypass=lossless)
+    _write_pps(bw, qp, transquant_bypass=lossless, deblock=dbf)
     out += _nal(_NAL_PPS, bw.bytes())
     out += _marker_sei()
-    pps = {"qp": qp, "tq_bypass": 1 if lossless else 0}
+    pps = {"qp": qp, "tq_bypass": 1 if lossless else 0,
+           "deblock": 1 if dbf else 0}
     nal, _fr = _encode_frame(pY, pCb, pCr, W, H, pps, qp,
                              cands=cands, force_split=force_split,
                              sao=sao)
@@ -2956,7 +3185,8 @@ def h265_encode_gop_planes(frames: list, qp: int = 32,
                            force_split=None, search: int = 4,
                            recon_out: list | None = None,
                            b_frames: bool = False,
-                           sao: bool = True):
+                           sao: bool = True,
+                           deblock: bool = True):
     """Encode a GOP of 4:2:0 plane triples (Y, Cb, Cr) to one
     Annex-B HEVC stream. Default: frame 0 is an IDR I picture,
     every later frame a TRAIL_R P picture referencing its
@@ -2997,11 +3227,13 @@ def h265_encode_gop_planes(frames: list, qp: int = 32,
     bw = _BitW()
     _write_sps(bw, W, H, crop=crop)
     out += _nal(_NAL_SPS, bw.bytes())
+    dbf = bool(deblock) and not lossless
     bw = _BitW()
-    _write_pps(bw, qp, transquant_bypass=lossless)
+    _write_pps(bw, qp, transquant_bypass=lossless, deblock=dbf)
     out += _nal(_NAL_PPS, bw.bytes())
     out += _marker_sei()
-    pps = {"qp": qp, "tq_bypass": 1 if lossless else 0}
+    pps = {"qp": qp, "tq_bypass": 1 if lossless else 0,
+           "deblock": 1 if dbf else 0}
     if b_frames:
         order = _b_coding_order(len(frames))
     else:
@@ -3034,7 +3266,8 @@ def h265_encode_gop(frames: list, qp: int = 32, lossless: bool = False,
                     cands=_ALL_MODES, force_split=None,
                     search: int = 4, recon_out: list | None = None,
                     b_frames: bool = False,
-                    sao: bool = True) -> bytes:
+                    sao: bool = True,
+                    deblock: bool = True) -> bytes:
     """GOP form of :func:`h265_encode`: a list of 2-D luma arrays
     (neutral chroma) or (Y, Cb, Cr) triples."""
     trips = []
@@ -3053,12 +3286,14 @@ def h265_encode_gop(frames: list, qp: int = 32, lossless: bool = False,
     return h265_encode_gop_planes(trips, qp=qp, lossless=lossless,
                                   cands=cands, force_split=force_split,
                                   search=search, recon_out=recon_out,
-                                  b_frames=b_frames, sao=sao)
+                                  b_frames=b_frames, sao=sao,
+                                  deblock=deblock)
 
 
 def h265_encode(y: np.ndarray, qp: int = 32, cb=None, cr=None,
                 lossless: bool = False, cands=_ALL_MODES,
-                force_split=None, sao: bool = True) -> bytes:
+                force_split=None, sao: bool = True,
+                deblock: bool = True) -> bytes:
     """Encode a grayscale (neutral-chroma) or YCbCr 4:2:0 image."""
     y = np.asarray(y)
     if y.ndim != 2:
@@ -3071,19 +3306,20 @@ def h265_encode(y: np.ndarray, qp: int = 32, cb=None, cr=None,
         cr = np.full((ch, cw), 128, dtype=np.uint8)
     return h265_encode_planes(y, cb, cr, qp=qp, lossless=lossless,
                               cands=cands, force_split=force_split,
-                              sao=sao)
+                              sao=sao, deblock=deblock)
 
 
 def h265_encoder_reconstruction(y, qp: int = 32, cb=None, cr=None,
                                 lossless: bool = False,
                                 cands=_ALL_MODES, force_split=None,
-                                sao: bool = True):
+                                sao: bool = True,
+                                deblock: bool = True):
     """The encoder's own reconstruction (= what a conformant decode
     of its stream must produce), cropped — the pixel-parity test
     anchor, mirroring h264.h264_encoder_reconstruction."""
     payload = h265_encode(y, qp=qp, cb=cb, cr=cr, lossless=lossless,
                           cands=cands, force_split=force_split,
-                          sao=sao)
+                          sao=sao, deblock=deblock)
     return h265_decode_planes(payload)
 
 

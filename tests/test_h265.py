@@ -44,9 +44,14 @@ def test_parameter_set_roundtrip():
     assert sps["log2_ctb"] == 4 and sps["log2_min_cb"] == 3
 
     bw = _BitW()
+    h5._write_pps(bw, qp=30, deblock=True)
+    pps = h5._parse_pps(_Bits(bw.bytes()))
+    assert pps == {"qp": 30, "tq_bypass": 0, "deblock": 1}
+
+    bw = _BitW()
     h5._write_pps(bw, qp=37, transquant_bypass=True)
     pps = h5._parse_pps(_Bits(bw.bytes()))
-    assert pps == {"qp": 37, "tq_bypass": 1}
+    assert pps == {"qp": 37, "tq_bypass": 1, "deblock": 0}
 
     bw = _BitW()
     h5._write_slice_header(bw, qp_delta=-3)
@@ -762,3 +767,80 @@ def test_sao_lossless_opts_out():
     p = h5.h265_encode(y, lossless=True, sao=True)
     Y, _, _, _ = h5.h265_decode_planes(p)
     assert np.array_equal(Y, y.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Deblocking (late r8): 8-grid edges, bS derivation, in-loop refs
+# ---------------------------------------------------------------------------
+
+
+def test_deblock_smooths_blocky_ramp_and_round_trips():
+    xg, yg = np.meshgrid(np.arange(64), np.arange(48))
+    y = np.clip((xg * 2 + yg * 3) // 2, 0, 255).astype(np.uint8)
+    p_on = h5.h265_encode(y, qp=40, sao=False)
+    p_off = h5.h265_encode(y, qp=40, sao=False, deblock=False)
+    Y_on, _, _, _ = h5.h265_decode_planes(p_on)
+    Y_off, _, _, _ = h5.h265_decode_planes(p_off)
+    Yr, _, _, _ = h5.h265_encoder_reconstruction(y, qp=40, sao=False)
+    assert np.array_equal(Y_on, Yr)
+    assert not np.array_equal(Y_on, Y_off)       # the filter fired
+    src = y.astype(np.int64)
+    assert ((Y_on - src) ** 2).sum() < ((Y_off - src) ** 2).sum()
+
+
+def test_deblock_gop_references_filtered_frames():
+    # P/B prediction reads the deblocked+SAO'd reference; parity
+    # would desync if either side filtered differently
+    rng = np.random.default_rng(91)
+    xg, yg = np.meshgrid(np.arange(48), np.arange(32))
+    cur = np.clip((xg * 3 + yg * 2) // 2
+                  + rng.integers(-6, 7, (32, 48)), 0, 255)
+    frames = [cur.copy()]
+    for _ in range(3):
+        cur = np.clip(np.roll(cur, (2, 3), axis=(0, 1))
+                      + rng.integers(-3, 4, (32, 48)), 0, 255)
+        frames.append(cur.copy())
+    for b in (False, True):
+        recon = []
+        s = h5.h265_encode_gop(frames, qp=38, b_frames=b,
+                               recon_out=recon, search=3)
+        dec, _ = h5.h265_decode_gop_planes(s)
+        for i, ((ry, rcb, rcr), (dy_, dcb, dcr)) in enumerate(
+                zip(recon, dec)):
+            assert np.array_equal(ry, dy_), (b, i)
+            assert np.array_equal(rcb, dcb), (b, i)
+            assert np.array_equal(rcr, dcr), (b, i)
+
+
+def test_deblock_lossless_opts_out():
+    y = RNG.integers(0, 256, (32, 32), dtype=np.uint8)
+    p = h5.h265_encode(y, lossless=True, deblock=True)
+    Y, _, _, _ = h5.h265_decode_planes(p)
+    assert np.array_equal(Y, y.astype(np.int64))
+
+
+def test_deblock_fuzz_parity():
+    # mixed smooth/noisy GOPs across QPs: decode == encoder recon
+    rng = np.random.default_rng(92)
+    for trial in range(5):
+        h, w = 32, 48
+        xg, yg = np.meshgrid(np.arange(w), np.arange(h))
+        smooth = (xg * int(rng.integers(1, 4))
+                  + yg * int(rng.integers(1, 4))) % 256
+        noise = rng.integers(0, 256, (h, w))
+        mix = np.where(rng.random((h, w)) < 0.5, smooth, noise)
+        frames = [np.clip(mix, 0, 255)]
+        for _ in range(2):
+            frames.append(np.clip(
+                np.roll(frames[-1], (2, -3), axis=(0, 1))
+                + rng.integers(-3, 4, (h, w)), 0, 255))
+        qp = int(rng.integers(20, 48))
+        recon = []
+        s = h5.h265_encode_gop(frames, qp=qp, b_frames=bool(trial % 2),
+                               recon_out=recon, search=3)
+        dec, _ = h5.h265_decode_gop_planes(s)
+        for i, ((ry, rcb, rcr), (dy_, dcb, dcr)) in enumerate(
+                zip(recon, dec)):
+            assert np.array_equal(ry, dy_), (trial, i)
+            assert np.array_equal(rcb, dcb), (trial, i)
+            assert np.array_equal(rcr, dcr), (trial, i)
