@@ -58,13 +58,15 @@ coded 0 — inter TUs legally span PU boundaries, avoiding the
 forced §7.4.9.8 RQT split). Decode returns display (POC) order;
 the encoder's ``b_frames=True`` codes an I-B-P ladder.
 
-SAO (late r8): per-CTB band/edge offsets with merge-left/up,
-§8.7.3 filtering on the pre-SAO recon; the filtered picture is the
-output AND the reference. Lossless slices opt out via the slice
-flags (SAO would perturb transquant-bypass exactness).
+In-loop filters (late r8): deblocking (§8.7.2 — 8-grid edges, bS
+from per-cell CU/PU identity + cbf metadata, Table 8-12 beta/tC,
+strong/weak luma + bS-2 chroma; PPS signals on/off, lossless keeps
+it off) runs first, then SAO (per-CTB band/edge offsets with
+merge-left/up, §8.7.3 classification on the deblocked recon); the
+filtered picture is the output AND the reference. Lossless slices
+opt out of both (they would perturb transquant-bypass exactness).
 
-Deliberately out of scope (reject loudly): deblocking (disabled
-via PPS/slice flags — structurally legal), PCM, scaling lists,
+Deliberately out of scope (reject loudly): PCM, scaling lists,
 tiles, WPP, long-term refs, 4:2:2/4:4:4, >8-bit.
 
 Scale note (same contract as h264.py): decode runs per-payload
