@@ -50,6 +50,10 @@ TRIES = int(os.environ.get("SPLIT_TRIES", "3"))
 # late r8: CODEC=h265 swaps the synthesized tracks for HEVC I-B-P
 # ladders (_synth_hvc1_b_udf) — same protocol, same shard mix
 CODEC = os.environ.get("SPLIT_MEDIA_CODEC", "h264")
+# SPLIT_MEDIA_DOC_MOD=k times the stage on the doc_id % k == 0 slice
+# (the HEVC ladder's per-doc encode is ~3x H.264's; the slice keeps
+# the protocol inside a probe-sized wall-clock budget)
+DOC_MOD = int(os.environ.get("SPLIT_MEDIA_DOC_MOD", "1"))
 
 
 def _single(cpus: int, shard: str, barrier: str, tag: str) -> None:
@@ -73,7 +77,14 @@ def _single(cpus: int, shard: str, barrier: str, tag: str) -> None:
                           master=f"local[{cpus}]",
                           shuffle_partitions=max(8, cpus * 4))
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{shard}/documents").cache()
+    docs = spark.read.parquet(f"{shard}/documents")
+    if DOC_MOD > 1:
+        docs = docs.where(F.col("doc_id") % DOC_MOD == 0)
+    # widen BEFORE the synth projection (the bench's docs_w protocol;
+    # the coalesced shard reads as ONE partition, which would
+    # serialize the per-doc GOP encode — the dominant cost for h265 —
+    # while only the decode stage spreads itself)
+    docs = docs.repartition(cpus).cache()
     n_docs = docs.count()
     synth = (_synth_hvc1_b_udf if CODEC == "h265"
              else _synth_h264_b_gop_udf)
