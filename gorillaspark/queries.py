@@ -2180,7 +2180,10 @@ def q_media_flac_stats(spark, sf_dir):
     media_codecs.py r5) value-checked: lossless, so the analytic
     per-character sample oracle of media_audio_stats applies as-is."""
     from .operators.multimodal import audio_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     fl = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                      _synth_flac_udf()(F.col("text")).alias("payload"))
     st = audio_stats(fl)
@@ -2193,7 +2196,10 @@ def q_media_flac_stats(spark, sf_dir):
 
 def q_media_audio_stats(spark, sf_dir):
     from .operators.multimodal import audio_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     wav = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_wav_udf()(F.col("text")).alias("payload"))
     st = audio_stats(wav)
@@ -2264,7 +2270,10 @@ def q_media_png_stats(spark, sf_dir):
     zlib-inflate + row-unfilter decode path must reproduce the same
     analytic statistics (shared oracle)."""
     from .operators.multimodal import image_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     png = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_png_udf()(F.col("doc_id")).alias("payload"))
     st = image_stats(png)
@@ -2313,7 +2322,10 @@ def q_media_jpeg_stats(spark, sf_dir):
     exactly (see _synth_jpeg_udf), so the analytic pixel-formula
     oracle must match the decoded stats bit for bit."""
     from .operators.multimodal import image_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     jpg = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_jpeg_udf()(F.col("doc_id")).alias("payload"))
     st = image_stats(jpg)
@@ -2383,7 +2395,10 @@ def q_media_mp4_stats(spark, sf_dir):
     frames (⇒ even frame indices), per-frame integer ahash — all
     value-checked against a pixel-formula DuckDB oracle."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_mp4_udf()(F.col("doc_id")).alias("payload"))
     st = video_frame_stats(vid, every_ms=1000)
@@ -2427,7 +2442,10 @@ _MEDIA_MP4_SQL = """
 
 def q_media_image_stats(spark, sf_dir):
     from .operators.multimodal import image_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     bmp = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_bmp_udf()(F.col("doc_id")).alias("payload"))
     st = image_stats(bmp)
@@ -2494,7 +2512,10 @@ def q_media_frame_ahash(spark, sf_dir):
     """GSV1 demux + per-frame BMP decode, sampling every 1000 ms of a
     500 ms-interval stack (⇒ even frame indices)."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_gsv1_udf()(F.col("doc_id")).alias("payload"))
     st = video_frame_stats(vid, every_ms=1000)
@@ -2610,7 +2631,10 @@ def q_media_h264_pcm_stats(spark, sf_dir):
     field exactly, so a pure-SQL oracle predicts width/height/channel
     sums and the full 8x8 average-hash."""
     from .operators.multimodal import image_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     img = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_h264_pcm_udf()(F.col("doc_id"))
                       .alias("payload"))
@@ -2685,7 +2709,10 @@ def q_media_h264_i8_stats(spark, sf_dir):
     (CAVLC even docs, CABAC odd docs) — against a pure-SQL oracle
     over the exact block-target construction."""
     from .operators.multimodal import image_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     img = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_h264_i8_udf()(F.col("doc_id"))
                       .alias("payload"))
@@ -2739,7 +2766,10 @@ def q_media_jpeg_prog_stats(spark, sf_dir):
     selection + successive approximation decode lands the identical
     exact pixels, so the SAME analytic oracle gates it."""
     from .operators.multimodal import image_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     jpg = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_jpeg_udf(progressive=True)(F.col("doc_id"))
                       .alias("payload"))
@@ -2757,7 +2787,10 @@ def q_media_h264_stats(spark, sf_dir):
     transform — value-checked against a pixel-formula DuckDB oracle
     via the exact-by-construction flat-macroblock family."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_avc1_udf()(F.col("doc_id")).alias("payload"))
     st = video_frame_stats(vid, every_ms=1000)
@@ -2775,7 +2808,10 @@ def q_media_h264_cabac_stats(spark, sf_dir):
     formula is entropy-coder-independent, the IDENTICAL analytic
     oracle gates it."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_avc1_udf(entropy="cabac")(F.col("doc_id"))
                       .alias("payload"))
@@ -3003,7 +3039,10 @@ def q_media_h264_part_stats(spark, sf_dir):
     a pure-SQL oracle that predicts each presentation frame's pixels
     from the cell-aligned shift construction."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_h264_part_gop_udf()(F.col("doc_id"))
                       .alias("payload"))
@@ -3083,7 +3122,10 @@ def q_media_h264_wp_stats(spark, sf_dir):
     against a pure-SQL oracle that predicts every frame's pixels
     from the closed-form weighting."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_h264_wp_gop_udf()(F.col("doc_id"))
                       .alias("payload"))
@@ -3102,7 +3144,10 @@ def q_media_h264_b_stats(spark, sf_dir):
     a pure-SQL oracle that predicts each presentation frame's pixels
     from the flat-macroblock construction."""
     from .operators.multimodal import video_frame_stats
-    docs = _docs(spark, sf_dir)
+    from .operators.spread import spread as _sp
+    # widen before the synth UDF (the expensive stage; a small
+    # corpus is one parquet split - see the h265 families)
+    docs = _sp(_docs(spark, sf_dir))
     vid = docs.select(F.col("doc_id").cast("long").alias("media_id"),
                       _synth_h264_b_gop_udf()(F.col("doc_id"))
                       .alias("payload"))
