@@ -844,3 +844,23 @@ def test_deblock_fuzz_parity():
             assert np.array_equal(ry, dy_), (trial, i)
             assert np.array_equal(rcb, dcb), (trial, i)
             assert np.array_equal(rcr, dcr), (trial, i)
+
+
+def test_trail_n_final_picture_decodes():
+    # a non-reference final picture (TRAIL_N, nal type 0) is legal
+    # and decodes identically — nothing references it
+    rng = np.random.default_rng(95)
+    f0 = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    frames = [f0, np.roll(f0, 3, axis=1), np.roll(f0, 6, axis=1)]
+    stream = h5.h265_encode_gop(frames, lossless=True)
+    nals = list(h5._split_annexb_h265(stream))
+    last_vcl = max(i for i, (t, *_rest) in enumerate(nals) if t < 32)
+    parts = []
+    for i, (t, _l, ti, rbsp) in enumerate(nals):
+        if i == last_vcl and t == h5._NAL_TRAIL_R:
+            t = h5._NAL_TRAIL_N
+        parts.append(h5._nal(t, rbsp, tid=ti))
+    dec, _ = h5.h265_decode_gop_planes(b"".join(parts))
+    assert len(dec) == 3
+    for src, (Y, _cb, _cr) in zip(frames, dec):
+        assert np.array_equal(Y, src.astype(np.int64))
