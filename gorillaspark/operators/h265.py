@@ -1947,6 +1947,43 @@ _CHROMA_FILT = {
     7: (-2, 10, 58, -2),
 }
 
+_FILT_VECS: dict = {}
+
+
+def _win1(a: np.ndarray, n: int, axis: int) -> np.ndarray:
+    """Length-``n`` sliding windows of 2-D ``a`` along ``axis`` as a
+    read-only strided view (sliding_window_view without its ~30 µs of
+    per-call Python argument normalization — these run in the motion
+    search inner loop)."""
+    s0, s1 = a.strides
+    if axis:
+        return np.lib.stride_tricks.as_strided(
+            a, (a.shape[0], a.shape[1] - n + 1, n), (s0, s1, s1),
+            writeable=False)
+    return np.lib.stride_tricks.as_strided(
+        a, (a.shape[0] - n + 1, a.shape[1], n), (s0, s1, s0),
+        writeable=False)
+
+
+def _win2(a: np.ndarray, h: int, w: int) -> np.ndarray:
+    """All (h, w) sliding windows of 2-D ``a`` as a strided view of
+    shape (rows-h+1, cols-w+1, h, w)."""
+    s0, s1 = a.strides
+    return np.lib.stride_tricks.as_strided(
+        a, (a.shape[0] - h + 1, a.shape[1] - w + 1, h, w),
+        (s0, s1, s0, s1), writeable=False)
+
+
+def _filt_vec(filt: dict, frac: int) -> np.ndarray:
+    """Filter taps as a cached int64 vector for the matmul form of
+    _mc_plane (keyed by table identity + fraction)."""
+    key = (id(filt), frac)
+    v = _FILT_VECS.get(key)
+    if v is None:
+        v = np.array(filt[frac], dtype=np.int64)
+        _FILT_VECS[key] = v
+    return v
+
 
 def _mc_plane(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
               mvx: int, mvy: int, taps: int, filt: dict,
@@ -1972,29 +2009,31 @@ def _mc_plane(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
     fx = mvx & ((1 << frac_bits) - 1)
     fy = mvy & ((1 << frac_bits) - 1)
     if not fx and not fy:
-        xs = np.clip(np.arange(ix, ix + w), 0, W - 1)
-        ys = np.clip(np.arange(iy, iy + h), 0, H - 1)
-        p14 = ref[np.ix_(ys, xs)].astype(np.int64) << 6
+        xs = np.arange(ix, ix + w).clip(0, W - 1)
+        ys = np.arange(iy, iy + h).clip(0, H - 1)
+        p14 = ref[ys[:, None], xs].astype(np.int64) << 6
     else:
         lo = taps // 2 - 1                       # taps at -lo .. +lo+1
         hi = taps - lo
-        xs = np.clip(np.arange(ix - lo, ix + w + hi - 1), 0, W - 1)
-        ys = np.clip(np.arange(iy - lo, iy + h + hi - 1), 0, H - 1)
-        win = ref[np.ix_(ys, xs)].astype(np.int64)
+        xs = np.arange(ix - lo, ix + w + hi - 1).clip(0, W - 1)
+        ys = np.arange(iy - lo, iy + h + hi - 1).clip(0, H - 1)
+        win = np.ascontiguousarray(
+            ref[ys[:, None], xs].astype(np.int64))
+        # tap application as one integer matmul over a sliding view —
+        # integer addition is associative and exact, so any summation
+        # order matches the spec's left-to-right sum bit for bit
         if fx:
-            f = filt[fx]
-            hbuf = sum(f[i] * win[:, i:i + w] for i in range(taps))
+            hbuf = _win1(win, taps, 1) @ _filt_vec(filt, fx)
         else:
             hbuf = win[:, lo:lo + w] << 6
         if fy:
-            f = filt[fy]
-            p14 = sum(f[i] * hbuf[i:i + h, :]
-                      for i in range(taps)) >> 6
+            p14 = (_win1(np.ascontiguousarray(hbuf), taps, 0)
+                   @ _filt_vec(filt, fy)) >> 6
         else:
             p14 = hbuf[lo:lo + h, :]
     if not finalize:
         return p14
-    return np.clip((p14 + 32) >> 6, 0, 255)
+    return ((p14 + 32) >> 6).clip(0, 255)
 
 
 def _mc_luma(ref: np.ndarray, x0, y0, w, h, mv,
@@ -2727,28 +2766,49 @@ def _search_mv(refY: np.ndarray, src_blk: np.ndarray, x0: int,
     ±``rng`` window around each (deduplicated, integer-rounded)
     start vector, then two rounds of quarter-pel 8-neighbour
     refinement. Ties break lexicographically on (SAD, mv)."""
-    seen = set()
+    # Integer stage, vectorized: a full-pel prediction is exactly an
+    # edge-clamped window of the reference (the << 6 / (+32) >> 6
+    # chain of _mc_plane is the identity on 0..255), and clipping an
+    # arange commutes with taking a contiguous slice — so the union
+    # window of one search centre, edge-clamped once, contains every
+    # candidate's clamped window as a direct sub-view. One
+    # sliding_window_view + SAD reduction replaces (2*rng+1)^2
+    # _mc_luma calls; argmin over a dx-major ravel is the same
+    # lexicographic (sad, mvx, mvy) winner as the scalar loop, and
+    # min-per-window over min-across-windows equals the min over the
+    # deduplicated candidate union, so results are bit-identical.
+    H, W = refY.shape
+    src16 = src_blk.astype(np.int16)
+    side = 2 * rng + 1
     best = None
+    done = set()
     for sx, sy in list(starts) + [(0, 0)]:
         sx, sy = (sx >> 2) << 2, (sy >> 2) << 2
-        for dy in range(-rng, rng + 1):
-            for dx in range(-rng, rng + 1):
-                mv = (sx + 4 * dx, sy + 4 * dy)
-                if mv in seen:
-                    continue
-                seen.add(mv)
-                pred = _mc_luma(refY, x0, y0, w, h, mv)
-                s = _sad(pred, src_blk)
-                if best is None or (s, mv) < best:
-                    best = (s, mv)
+        if (sx, sy) in done:
+            continue
+        done.add((sx, sy))
+        cx, cy = sx >> 2, sy >> 2
+        ys = np.arange(y0 + cy - rng, y0 + cy + rng + h).clip(0, H - 1)
+        xs = np.arange(x0 + cx - rng, x0 + cx + rng + w).clip(0, W - 1)
+        win = refY[ys[:, None], xs].astype(np.int16)
+        sads = np.abs(_win2(win, h, w) - src16).sum(
+            axis=(2, 3), dtype=np.int64)           # [dy, dx]
+        flat = sads.T.ravel()                      # dx-major order
+        i = int(flat.argmin())
+        mv = (sx + 4 * (i // side - rng), sy + 4 * (i % side - rng))
+        cand = (int(flat[i]), mv)
+        if best is None or cand < best:
+            best = cand
+    # quarter-pel refinement: re-evaluating an already-seen candidate
+    # yields an equal (s, mv) which never wins the strict <, so the
+    # old seen-set is not needed for equivalence
     for _ in range(2):
         s0, (mx, my) = best
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                mv = (mx + dx, my + dy)
-                if mv in seen:
+                if not dx and not dy:
                     continue
-                seen.add(mv)
+                mv = (mx + dx, my + dy)
                 pred = _mc_luma(refY, x0, y0, w, h, mv)
                 s = _sad(pred, src_blk)
                 if (s, mv) < best:
