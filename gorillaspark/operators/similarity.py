@@ -128,6 +128,43 @@ def make_band_codes_udf(dim: int, n_planes: int = 64, n_bands: int = 32,
     return codes
 
 
+def make_band_codes_sig_udf(dim: int, n_planes: int = 64,
+                            n_bands: int = 32, seed: int = 5):
+    """:func:`make_band_codes_udf` plus the packed whole-signature
+    word: all n_bands r-bit codes in one BIGINT (band b at bits
+    [r*b, r*b + r)), valid for n_planes <= 64. The signature lets the
+    near-dup verify kernel emit a pair only from its FIRST colliding
+    band (two rows collide in band b iff the r-bit group b of the XOR
+    of their signatures is zero), replacing B-way duplicate emission
+    + distinct with exactly-once emission. Same planes / same seed as
+    the codes-only UDF, so the band relation is unchanged."""
+    if n_planes > 64:
+        raise ValueError("packed signature needs n_planes <= 64")
+    r = n_planes // n_bands
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    pack = (1 << np.arange(r, dtype=np.int64))
+    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(r))
+
+    @pandas_udf("codes array<int>, sig long")
+    def codes_sig(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"codes": pd.Series([], dtype=object),
+                                 "sig": pd.Series([], dtype="int64")})
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes.T) > 0                    # (n, n_planes)
+        c = bits.reshape(len(vecs), n_bands, r).astype(np.int64) @ pack
+        # disjoint bit ranges: OR-fold == the packed word (bit 63 of
+        # a 64-plane signature lands in the int64 sign bit — view,
+        # not value-cast, keeps the reinterpret exact)
+        sig = np.bitwise_or.reduce(
+            c.astype(np.uint64) << shifts, axis=1).view(np.int64)
+        return pd.DataFrame({"codes": list(c.astype(np.int32)),
+                             "sig": sig})
+
+    return codes_sig
+
+
 def near_dup_band_plan(n_rows: int, threshold: float,
                        target_bucket_rows: int = 4096,
                        target_recall: float = 0.999) -> tuple:
@@ -175,6 +212,147 @@ def _band_relation(emb: DataFrame, codes_udf, vec_col: str,
                         .alias("band", "code")))
 
 
+def _near_dup_dense(emb: DataFrame, thr: float, n_planes: int,
+                    n_bands: int, seed: int, vec_col: str,
+                    id_col: str, dim: int) -> DataFrame:
+    """All-pairs block scan for the DENSE LSH regimes of
+    :func:`embedding_near_dup_pairs` (n_bands ≥ 2^(r-1), so the
+    banded bucket scan would do more total matmul than one n²/2
+    pass). Result set is identical to the banded path: pairs that
+    collide in at least one band (decided from the packed signature)
+    AND whose einsum-recomputed cosine rounds to ≥ τ, with the same
+    rounded cosine values.
+
+    Rows are hashed into g groups (deterministic pmod(xxhash64),
+    never rand — retried tasks must re-derive the same placement) and
+    each row is replicated to the g block-pairs its group belongs to;
+    every unordered vector pair lands in EXACTLY one block-pair, so
+    the kernel's output is duplicate-free with no trailing distinct.
+    One hash exchange on the block-pair id + an in-partition sort +
+    a segmented mapInArrow kernel, the same execution shape as the
+    banded verify."""
+    import math
+
+    r_bits = n_planes // n_bands
+    M_GROUPS = np.uint64(sum(1 << (r_bits * i) for i in range(n_bands)))
+    cs = make_band_codes_sig_udf(dim, n_planes, n_bands, seed)
+    n_part = int(emb.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    # g(g+1)/2 block-pairs spread over n_part partitions: 4x tasks
+    # per slot smooths the half-cost diagonal blocks; replication is
+    # g per row (vs n_bands on the banded path)
+    g = max(2, math.ceil(math.sqrt(4.0 * n_part)))
+    rel = (with_unit_norm(emb, vec_col)
+           .select(F.col(id_col).cast("long").alias("vid"), "unit",
+                   cs(vec_col).alias("cs"))
+           .select("vid", "unit", F.col("cs.sig").alias("sig"),
+                   F.pmod(F.xxhash64(F.col("vid")), F.lit(g))
+                   .cast("int").alias("gid"))
+           .select("vid", "unit", "sig", "gid",
+                   F.explode(F.expr(
+                       f"transform(sequence(0, {g - 1}), o -> "
+                       f"CASE WHEN gid <= o THEN gid * {g} + o "
+                       f"ELSE o * {g} + gid END)")).alias("bp")))
+    TILE = 2048
+
+    def _scan(ids, U, sigs, gids, a, b):
+        out_a, out_b, out_c = [], [], []
+        if a == b:
+            ai = bi = np.arange(len(ids))
+        else:
+            ai = np.flatnonzero(gids == a)
+            bi = np.flatnonzero(gids == b)
+        UA, UB = U[ai], U[bi]
+        for r0 in range(0, len(ai), TILE):
+            A = UA[r0:r0 + TILE]
+            for c0 in (range(r0, len(bi), TILE) if a == b
+                       else range(0, len(bi), TILE)):
+                sims = A @ UB[c0:c0 + TILE].T
+                ia, ib = np.nonzero(sims >= thr - 1e-6)
+                gi, gj = ai[ia + r0], bi[ib + c0]
+                if a == b:
+                    keep = gi < gj           # upper triangle
+                    gi, gj = gi[keep], gj[keep]
+                if gi.size:
+                    # keep only pairs colliding in >= 1 band: some
+                    # r-bit group of the signature XOR is zero
+                    xu = (sigs[gi] ^ sigs[gj]).view(np.uint64)
+                    z = xu.copy()
+                    for k in range(1, r_bits):
+                        z |= xu >> np.uint64(k)
+                    col = (~z & M_GROUPS) != 0
+                    gi, gj = gi[col], gj[col]
+                if not gi.size:
+                    continue
+                # same fixed-shape einsum + round as the banded path,
+                # so cosines are byte-identical across strategies
+                cos = np.round(
+                    np.einsum("ij,ij->i", U[gi], U[gj]), 6)
+                keep = cos >= thr
+                out_a.append(np.minimum(ids[gi], ids[gj])[keep])
+                out_b.append(np.maximum(ids[gi], ids[gj])[keep])
+                out_c.append(cos[keep])
+        return out_a, out_b, out_c
+
+    def scan_partition(batches):
+        import pyarrow as pa
+
+        out_a, out_b, out_c = [], [], []
+        cur_key = None
+        cur: dict = {"vid": [], "unit": [], "sig": [], "gid": []}
+
+        def flush():
+            if cur["vid"]:
+                a, b, c = _scan(
+                    np.concatenate(cur["vid"]), np.vstack(cur["unit"]),
+                    np.concatenate(cur["sig"]),
+                    np.concatenate(cur["gid"]),
+                    int(cur_key) // g, int(cur_key) % g)
+                out_a.extend(a), out_b.extend(b), out_c.extend(c)
+            for v in cur.values():
+                v.clear()
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            vid = batch.column("vid").to_numpy(zero_copy_only=False)
+            sig = batch.column("sig").to_numpy(zero_copy_only=False)
+            gid = batch.column("gid").to_numpy(zero_copy_only=False)
+            bp = batch.column("bp").to_numpy(zero_copy_only=False)
+            ucol = batch.column("unit")
+            if ucol.null_count:
+                raise ValueError("null unit vector in near-dup scan")
+            flat = pa.compute.list_flatten(ucol).to_numpy(
+                zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError("ragged unit vectors in near-dup "
+                                 f"scan: {flat.size} != {n}x{dim}")
+            U = flat.reshape(n, dim)
+            starts = np.flatnonzero(np.r_[True, bp[1:] != bp[:-1]])
+            bounds = np.r_[starts, n]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if bp[s] != cur_key:
+                    flush()
+                    cur_key = bp[s]
+                cur["vid"].append(vid[s:e])
+                cur["unit"].append(U[s:e])
+                cur["sig"].append(sig[s:e])
+                cur["gid"].append(gid[s:e])
+        flush()
+        if out_a:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_a), pa.int64()),
+                 pa.array(np.concatenate(out_b), pa.int64()),
+                 pa.array(np.concatenate(out_c), pa.float64())],
+                ["vec_a", "vec_b", "cosine"])
+
+    return (rel.repartition(n_part, "bp")
+            .sortWithinPartitions("bp")
+            .mapInArrow(scan_partition,
+                        "vec_a long, vec_b long, cosine double"))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              n_planes: int = 64, n_bands: int = 32,
                              seed: int = 5, vec_col: str = "embedding",
@@ -189,10 +367,44 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     the target τ.
     """
     dim = len(emb.select(vec_col).head()[0])
-    codes = make_band_codes_udf(dim, n_planes, n_bands, seed)
-    bands = with_unit_norm(emb, vec_col).select(
-        F.col(id_col).cast("long").alias("vid"), "unit",
-        F.posexplode(codes(vec_col)).alias("band", "code"))
+    use_sig = n_planes <= 64
+    # Dense regime: the banded scan does B·n²/2^r bucket work, an
+    # all-pairs block scan does n²/2 — banding only wins when
+    # 2^(r-1) > B. When it does not (static in the parameters, not
+    # the data: low-τ settings like the bench's r=2/B=32, or small
+    # planner-sized corpora), the same result — pairs colliding in
+    # ≥1 band with einsum-cos ≥ τ — is computed from the packed
+    # signature in one n²/2 scan, ~B·2^(1-r)× less matmul and
+    # duplicate-free by construction. Genuinely sparse plans (the
+    # 100-TB regime: the planner grows r with the corpus until
+    # 2^(r-1) ≫ B) keep the sub-quadratic banded path below.
+    if use_sig and n_bands >= (1 << max(0, n_planes // n_bands - 1)):
+        return _near_dup_dense(emb, thr=float(threshold),
+                               n_planes=n_planes, n_bands=n_bands,
+                               seed=seed, vec_col=vec_col,
+                               id_col=id_col, dim=dim)
+    # n_planes <= 64: ship the packed whole-signature word with every
+    # band row (+8 bytes against a dim*8-byte unit vector) so the
+    # verify kernel can emit each qualifying pair from its FIRST
+    # colliding band only — exactly-once emission instead of once per
+    # colliding band (at low r the duplication factor is ~B*p^r: the
+    # bench corpus measured 18.1M pre-distinct rows for 1.5M pairs).
+    # Wider plans keep the duplicate-emitting path: there p^r is tiny,
+    # so duplication is ~1 and the distinct is already cheap.
+    if use_sig:
+        cs = make_band_codes_sig_udf(dim, n_planes, n_bands, seed)
+        bands = (with_unit_norm(emb, vec_col)
+                 .select(F.col(id_col).cast("long").alias("vid"),
+                         "unit", cs(vec_col).alias("cs"))
+                 .select("vid", "unit", F.col("cs.sig").alias("sig"),
+                         F.posexplode("cs.codes").alias("band",
+                                                        "code")))
+    else:
+        codes = make_band_codes_udf(dim, n_planes, n_bands, seed)
+        bands = with_unit_norm(emb, vec_col).select(
+            F.col(id_col).cast("long").alias("vid"), "unit",
+            F.lit(0).cast("long").alias("sig"),
+            F.posexplode(codes(vec_col)).alias("band", "code"))
 
     # bucket-local exact verification: candidates never leave their
     # (band, code) bucket as rows — each bucket scans itself with
@@ -223,8 +435,21 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     # scaled up and buckets number in the tens of thousands).
     TILE = 4096
     thr = float(threshold)
+    r_bits = n_planes // n_bands
+    # uint64 group masks for the first-colliding-band test: M has the
+    # low bit of every r-bit band group; lo_masks[b] covers all bands
+    # before b. Two signatures collide in band b' iff group b' of
+    # their XOR is zero; folding each group's r bits onto its low bit
+    # (z |= x >> k) turns "group zero" into "low bit of ~z set".
+    if use_sig:
+        M_GROUPS = np.uint64(
+            sum(1 << (r_bits * i) for i in range(n_bands)))
+        LO_MASKS = np.array([(1 << (r_bits * b)) - 1
+                             for b in range(n_bands)], dtype=np.uint64)
+    else:
+        M_GROUPS = LO_MASKS = None
 
-    def _verify(ids: np.ndarray, U: np.ndarray):
+    def _verify(ids: np.ndarray, U: np.ndarray, sigs, band: int):
         n = len(ids)
         out_a, out_b, out_c = [], [], []
         for r0 in range(0, n, TILE):
@@ -235,6 +460,17 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                 gi, gj = ia + r0, ib + c0
                 keep = gi < gj               # upper triangle, global
                 gi, gj = gi[keep], gj[keep]
+                if sigs is not None and band and gi.size:
+                    # drop pairs that already collided in an earlier
+                    # band — they were emitted there (cos is recomputed
+                    # identically per pair, so first-band emission
+                    # yields exactly the post-distinct set)
+                    xu = (sigs[gi] ^ sigs[gj]).view(np.uint64)
+                    z = xu.copy()
+                    for k in range(1, r_bits):
+                        z |= xu >> np.uint64(k)
+                    fb = ((~z & M_GROUPS) & LO_MASKS[band]) == 0
+                    gi, gj = gi[fb], gj[fb]
                 if not gi.size:
                     continue
                 cos = np.round(
@@ -252,13 +488,16 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         cur_key = None
         cur_ids: list = []
         cur_units: list = []
+        cur_sigs: list = []
 
         def flush():
             if cur_ids:
-                a, b, c = _verify(np.concatenate(cur_ids),
-                                  np.vstack(cur_units))
+                a, b, c = _verify(
+                    np.concatenate(cur_ids), np.vstack(cur_units),
+                    np.concatenate(cur_sigs) if use_sig else None,
+                    int(cur_key >> 32))
                 out_a.extend(a), out_b.extend(b), out_c.extend(c)
-            cur_ids.clear(), cur_units.clear()
+            cur_ids.clear(), cur_units.clear(), cur_sigs.clear()
 
         for batch in batches:
             n = batch.num_rows
@@ -267,6 +506,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             vid = batch.column("vid").to_numpy(zero_copy_only=False)
             band = batch.column("band").to_numpy(zero_copy_only=False)
             code = batch.column("code").to_numpy(zero_copy_only=False)
+            sig = batch.column("sig").to_numpy(zero_copy_only=False)
             ucol = batch.column("unit")
             if ucol.null_count:
                 raise ValueError("null unit vector in near-dup verify")
@@ -286,6 +526,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                     cur_key = key[s]
                 cur_ids.append(vid[s:e])
                 cur_units.append(U[s:e])
+                cur_sigs.append(sig[s:e])
         flush()
         if out_a:
             yield pa.RecordBatch.from_arrays(

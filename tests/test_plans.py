@@ -211,7 +211,9 @@ def test_near_dup_verify_is_segmented_map_in_arrow(spark):
     kernel (+ the output distinct's own exchange) — NOT a per-bucket
     applyInPandas, whose one-pandas-DataFrame-per-group overhead
     dominated wall time 20x once bits-per-band scaled with the
-    corpus (the 100 TB regime: tens of thousands of buckets)."""
+    corpus (the 100 TB regime: tens of thousands of buckets).
+    r9: parameters here force the sparse/banded path (2^(r-1) > B);
+    dense parameterizations route to the block scan, tested below."""
     import numpy as np
 
     from gorillaspark.operators.similarity import embedding_near_dup_pairs
@@ -220,7 +222,8 @@ def test_near_dup_verify_is_segmented_map_in_arrow(spark):
     emb = spark.createDataFrame(
         [(i, [float(x) for x in rng.normal(0, 1, 16)])
          for i in range(64)], "vec_id long, embedding array<double>")
-    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.9))
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.9,
+                                          n_planes=64, n_bands=4))
     assert "MapInArrow" in plan, plan
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "Window" not in plan, plan
@@ -229,6 +232,53 @@ def test_near_dup_verify_is_segmented_map_in_arrow(spark):
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 2, f"{n_exchange} exchanges:\n{plan}"
     assert re.search(r"hashpartitioning\(band#\d+, code#\d+", plan), plan
+
+
+def test_near_dup_dense_block_scan_plan_and_equality(spark):
+    """r9: dense LSH parameterizations (n_bands >= 2^(r-1), e.g. the
+    bench's 64-plane/32-band low-τ setting) route to the all-pairs
+    block scan: ONE hash exchange on the block-pair id, a segmented
+    mapInArrow kernel, no distinct (every unordered pair lands in
+    exactly one block-pair), and NO join/window. The result set and
+    rounded cosines must equal the banded path's byte for byte."""
+    import numpy as np
+
+    from gorillaspark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 16)])
+         for i in range(96)], "vec_id long, embedding array<double>")
+    dense = embedding_near_dup_pairs(emb, threshold=0.3)
+    plan = _plan(dense)
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"{n_exchange} exchanges:\n{plan}"
+    assert re.search(r"hashpartitioning\(bp#\d+", plan), plan
+    # value check against a brute-force reference: all pairs sharing
+    # >= 1 band code (the recall semantics of the banded union) with
+    # cosine >= tau
+    got = sorted(map(tuple, dense.collect()))
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].map(np.asarray))
+    U = M / np.sqrt((M * M).sum(axis=1))[:, None]
+    rng2 = np.random.default_rng(5)
+    planes = rng2.normal(size=(64, 16)).astype(np.float64)
+    bits = (M @ planes.T) > 0
+    codes = bits.reshape(len(M), 32, 2).astype(np.int64) @ (
+        1 << np.arange(2, dtype=np.int64))
+    ids = pdf["vec_id"].to_numpy()
+    want = []
+    for i in range(len(M)):
+        for j in range(i + 1, len(M)):
+            if not (codes[i] == codes[j]).any():
+                continue
+            cos = round(float(np.dot(U[i], U[j])), 6)
+            if cos >= 0.3:
+                want.append((min(ids[i], ids[j]),
+                             max(ids[i], ids[j]), cos))
+    assert got == sorted(want)
 
 
 def test_near_dup_band_plan_math():
