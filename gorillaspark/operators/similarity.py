@@ -78,20 +78,74 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                            id_col: str = "vec_id") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` is expected small (it is broadcast); the corpus side
-    streams — one pass, no shuffle of the corpus. Ties break on
-    neighbor id for determinism.
+    ``queries`` is expected small (collected and shipped in the task
+    closure — the bounded-collect pattern of the IVF codebooks); the
+    corpus side streams through one mapInArrow pass — no shuffle of
+    corpus vectors, no per-row JVM lambda interpretation. Every float
+    op replays the old HOF plan's arithmetic exactly: the norm and the
+    dot accumulate per-dimension in index order (a sequence of
+    vectorized adds IS the left fold — same IEEE additions in the same
+    order as F.aggregate's acc + x), so cosines and hashes are
+    unchanged. Each task emits only its local top-k per query
+    (same (cosine desc, nbr_id asc) total order, so the global top-k
+    survives pre-pruning); the final window ranks nq*k*n_tasks rows
+    instead of nq*n_corpus. Ties break on neighbor id for
+    determinism.
     """
-    corpus = with_unit_norm(emb, vec_col).select(
-        F.col(id_col).alias("nbr_id"), F.col("unit").alias("nbr_unit"))
-    qs = with_unit_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit"))
-    dot = F.aggregate(
-        F.zip_with("q_unit", "nbr_unit", lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    scored = (corpus.join(F.broadcast(qs),
-                          F.col("query_id") != F.col("nbr_id"))
-              .withColumn("cosine", F.round(dot, 6)))
+    qrows = queries.select(F.col(id_col).cast("long"),
+                           vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = (np.stack([np.asarray(r[1], dtype=np.float64)
+                   for r in qrows])
+         if qrows else np.empty((0, 0)))
+    nq = len(qids)
+    if nq:
+        acc = np.zeros(nq)
+        for c in range(Q.shape[1]):          # left fold, like the HOF
+            acc = acc + Q[:, c] * Q[:, c]
+        QU = Q / np.sqrt(acc)[:, None]
+
+    def topk_partition(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n or not nq:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = pa.compute.list_flatten(batch.column(1)).to_numpy(
+                zero_copy_only=False)
+            if flat.size != n * Q.shape[1]:
+                raise ValueError("ragged embedding in topk scan")
+            M = flat.reshape(n, Q.shape[1]).astype(np.float64)
+            acc = np.zeros(n)
+            for c in range(M.shape[1]):      # left fold, like the HOF
+                acc = acc + M[:, c] * M[:, c]
+            U = M / np.sqrt(acc)[:, None]
+            dots = np.zeros((n, nq))
+            for c in range(M.shape[1]):      # left fold, like the HOF
+                dots = dots + U[:, c][:, None] * QU[:, c][None, :]
+            cos = np.round(dots, 6)
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                cj = cos[:, j]
+                mask = ids != qids[j]
+                cand = np.flatnonzero(mask)
+                order = cand[np.lexsort((ids[cand], -cj[cand]))][:k]
+                out_q.append(np.full(len(order), qids[j],
+                                     dtype=np.int64))
+                out_n.append(ids[order])
+                out_c.append(cj[order])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q), pa.int64()),
+                 pa.array(np.concatenate(out_n), pa.int64()),
+                 pa.array(np.concatenate(out_c), pa.float64())],
+                ["query_id", "nbr_id", "cosine"])
+
+    scored = (emb.select(F.col(id_col).cast("long").alias("nbr_id"),
+                         vec_col)
+              .mapInArrow(topk_partition,
+                          "query_id long, nbr_id long, cosine double"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank",

@@ -81,11 +81,16 @@ def test_rollup_whole_stage_codegen(spark):
     assert "ObjectHashAggregate" not in plan
 
 
-def test_ann_bruteforce_broadcasts_queries(spark):
+def test_ann_bruteforce_streams_corpus(spark):
     plan = _plan(_query("ann_topk")(spark, SF))
-    # the corpus must stream; only the small query set may broadcast
-    assert "BroadcastNestedLoopJoin" in plan or \
-        "BroadcastHashJoin" in plan, plan
+    # r9: the corpus streams through one mapInArrow scoring pass
+    # (queries ride the task closure); no join, no shuffle of corpus
+    # vectors — the only exchange belongs to the nq*k*n_tasks-row
+    # ranking window
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, f"{n_exchange} exchanges:\n{plan}"
 
 
 def test_bucketed_interval_join_is_equi_join(spark):
