@@ -598,6 +598,102 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             .distinct())
 
 
+def _topk_lsh_dense(emb: DataFrame, queries: DataFrame, k: int,
+                    n_planes: int, n_bands: int, seed: int,
+                    vec_col: str, id_col: str, dim: int) -> DataFrame:
+    """Dense-regime kernel for :func:`cosine_topk_lsh`: one Arrow
+    pass over the corpus; per batch, signatures are derived with the
+    same planes/packing as the band UDF, candidates are the pairs
+    whose signature XOR has a zero r-bit group (= share a band), and
+    scoring replays the HOF plan's left-fold norm/dot exactly. Each
+    task emits its local top-k per query; the trailing window ranks
+    the pruned set (same total order, identical global result)."""
+    r_bits = n_planes // n_bands
+    M_GROUPS = np.uint64(sum(1 << (r_bits * i) for i in range(n_bands)))
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    pack = (1 << np.arange(r_bits, dtype=np.int64))
+    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(r_bits))
+
+    def _sigs(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes.T) > 0
+        c = bits.reshape(len(mat), n_bands, r_bits).astype(np.int64) \
+            @ pack
+        return np.bitwise_or.reduce(
+            c.astype(np.uint64) << shifts, axis=1)
+
+    qrows = queries.select(F.col(id_col).cast("long"),
+                           vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = (np.stack([np.asarray(r[1], dtype=np.float64)
+                   for r in qrows])
+         if qrows else np.empty((0, dim)))
+    nq = len(qids)
+    if nq:
+        qsig = _sigs(Q)
+        acc = np.zeros(nq)
+        for c in range(dim):                 # left fold, like the HOF
+            acc = acc + Q[:, c] * Q[:, c]
+        QU = Q / np.sqrt(acc)[:, None]
+
+    def topk_partition(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n or not nq:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat = pa.compute.list_flatten(batch.column(1)).to_numpy(
+                zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError("ragged embedding in lsh topk scan")
+            M = flat.reshape(n, dim).astype(np.float64)
+            sig = _sigs(M)
+            # (n, nq) any-shared-band mask from the signature XOR
+            xu = sig[:, None] ^ qsig[None, :]
+            z = xu.copy()
+            for kk in range(1, r_bits):
+                z |= xu >> np.uint64(kk)
+            cand = (~z & M_GROUPS) != 0
+            acc = np.zeros(n)
+            for c in range(dim):             # left fold, like the HOF
+                acc = acc + M[:, c] * M[:, c]
+            U = M / np.sqrt(acc)[:, None]
+            dots = np.zeros((n, nq))
+            for c in range(dim):             # left fold, like the HOF
+                dots = dots + U[:, c][:, None] * QU[:, c][None, :]
+            cos = np.round(dots, 6)
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                sel = np.flatnonzero(cand[:, j] & (ids != qids[j]))
+                if not sel.size:
+                    continue
+                cj = cos[:, j]
+                order = sel[np.lexsort((ids[sel], -cj[sel]))][:k]
+                out_q.append(np.full(len(order), qids[j],
+                                     dtype=np.int64))
+                out_n.append(ids[order])
+                out_c.append(cj[order])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_q), pa.int64()),
+                     pa.array(np.concatenate(out_n), pa.int64()),
+                     pa.array(np.concatenate(out_c), pa.float64())],
+                    ["query_id", "nbr_id", "cosine"])
+
+    scored = (emb.select(F.col(id_col).cast("long").alias("nbr_id"),
+                         vec_col)
+              .mapInArrow(topk_partition,
+                          "query_id long, nbr_id long, cosine double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "nbr_id", "cosine"))
+
+
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                     n_planes: int = 64, n_bands: int = 32, seed: int = 5,
                     vec_col: str = "embedding",
@@ -608,8 +704,22 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
     A corpus vector is a candidate for a query iff they share any
     band code; candidates are re-scored exactly, so output ties/order
     match the brute-force baseline wherever recall is 1.
+
+    Dense parameterizations (n_bands ≥ 2^(r-1), same static switch as
+    :func:`embedding_near_dup_pairs`) skip the band join + distinct —
+    there nearly every (query, corpus) pair is a candidate, so the
+    join materializes ~B·p^r copies of an almost-all-pairs relation.
+    Instead the corpus streams through one mapInArrow pass that
+    derives each row's packed band signature, keeps pairs sharing
+    ≥ 1 band (an XOR group test against the query signatures), and
+    scores them with the same exact left-fold arithmetic as the HOF
+    plan — the candidate set, cosines and ranks are identical.
     """
     dim = len(emb.select(vec_col).head()[0])
+    r_bits = n_planes // n_bands
+    if n_planes <= 64 and n_bands >= (1 << max(0, r_bits - 1)):
+        return _topk_lsh_dense(emb, queries, k, n_planes, n_bands,
+                               seed, vec_col, id_col, dim)
     codes = make_band_codes_udf(dim, n_planes, n_bands, seed)
     cb = _band_relation(emb, codes, vec_col, id_col, "nbr_id")
     qb = _band_relation(queries, codes, vec_col, id_col, "query_id")
