@@ -84,6 +84,7 @@ import numpy as np
 
 from .h264 import _Bits, _BitW, _escape, _unescape
 from .h264_cabac import _CabacDec, _CabacEnc
+from ..codec.native import h265_search_mv_native
 
 # gorillaspark HEVC marker (prefix SEI, user_data_unregistered):
 # gates CABAC decode to own streams — see module docstring
@@ -889,31 +890,39 @@ def _gather_refs(plane: np.ndarray, avail: np.ndarray, x0: int,
     H, W = plane.shape
     left = np.full(2 * n + 1, -1, dtype=np.int64)
     top = np.full(2 * n + 1, -1, dtype=np.int64)
-
-    def ok(px, py):
-        if px < 0 or py < 0 or px >= W or py >= H:
-            return False
-        return bool(avail[py // g, px // g])
-
-    if ok(x0 - 1, y0 - 1):
+    if x0 > 0 and y0 > 0 and avail[(y0 - 1) // g, (x0 - 1) // g]:
         left[0] = top[0] = plane[y0 - 1, x0 - 1]
-    for i in range(2 * n):
-        if ok(x0 - 1, y0 + i):
-            left[1 + i] = plane[y0 + i, x0 - 1]
-        if ok(x0 + i, y0 - 1):
-            top[1 + i] = plane[y0 - 1, x0 + i]
+    # vectorized neighbour walk: the left column reads (x0-1, y0+i)
+    # for i < min(2n, H-y0), the top row (x0+i, y0-1) for
+    # i < min(2n, W-x0); availability comes from the 4x4-granular
+    # mask exactly as the scalar ok() did
+    if x0 > 0 and y0 < H:
+        kk = min(2 * n, H - y0)
+        av = avail[(y0 + np.arange(kk)) // g, (x0 - 1) // g] \
+            .astype(bool)
+        vals = plane[y0:y0 + kk, x0 - 1]
+        left[1:1 + kk][av] = vals[av]
+    if y0 > 0 and x0 < W:
+        kk = min(2 * n, W - x0)
+        av = avail[(y0 - 1) // g, (x0 + np.arange(kk)) // g] \
+            .astype(bool)
+        vals = plane[y0 - 1, x0:x0 + kk]
+        top[1:1 + kk][av] = vals[av]
     # substitution (§8.4.4.2.2): if nothing available -> 128; else
     # scan from the bottom-left end upward through the corner and
-    # across the top, propagating the previous value
+    # across the top, propagating the previous value (vectorized as a
+    # last-valid-index maximum scan — identical fill values)
     seq = np.concatenate([left[::-1], top[1:]])     # bottom-left..top-right
-    if (seq < 0).all():
+    valid = seq >= 0
+    if not valid.any():
         seq[:] = 128
     else:
-        first = np.argmax(seq >= 0)
+        first = int(np.argmax(valid))
         seq[:first] = seq[first]
-        for i in range(first + 1, len(seq)):
-            if seq[i] < 0:
-                seq[i] = seq[i - 1]
+        idx = np.where(valid, np.arange(seq.size), 0)
+        idx[:first + 1] = np.arange(first + 1)
+        np.maximum.accumulate(idx, out=idx)
+        seq = seq[idx]
     left = seq[:2 * n + 1][::-1].copy()
     top = seq[2 * n:].copy()
     top[0] = left[0]
@@ -2663,11 +2672,23 @@ def _sad(a: np.ndarray, b: np.ndarray) -> int:
 
 
 def _best_mode(fr: _Frame5, plane, src, x0, y0, n, is_luma, cands):
+    # reference samples are identical for every candidate mode (the
+    # plane/avail state does not change inside the loop) — gather
+    # once, filter lazily, predict per mode: same preds as calling
+    # _predict_tb per candidate
+    left, top = _gather_refs(plane, fr.avail, x0, y0, n,
+                             g=4 if is_luma else 2)
+    fl = ft = None
+    src_blk = src[y0:y0 + n, x0:x0 + n]
     best = (1 << 60, 0, None)
     for m in cands:
-        pred = _predict_tb(fr, plane, x0, y0, n, m, is_luma)
-        s = _sad(pred, src[y0:y0 + n, x0:x0 + n] if is_luma else
-                 src[y0:y0 + n, x0:x0 + n])
+        if _use_filter(m, n, is_luma):
+            if fl is None:
+                fl, ft = _filter_refs(left, top)
+            pred = _pred_intra(fl, ft, m, n, is_luma)
+        else:
+            pred = _pred_intra(left, top, m, n, is_luma)
+        s = _sad(pred, src_blk)
         if s < best[0]:
             best = (s, m, pred)
     return best
@@ -2738,11 +2759,15 @@ def _commit_cu(fr: _Frame5, srcY, srcCb, srcCr, pps: dict, qp: int,
     log2_c = log2_cb - 1
     nc = 1 << log2_c
     cx, cy = x0 // 2, y0 // 2
+    # chroma never reference-filters (_use_filter is False off-luma),
+    # so one gather per plane serves all 5 candidate modes
+    lb, tb2 = _gather_refs(fr.Cb, fr.avail, cx, cy, nc, g=2)
+    lr, tr2 = _gather_refs(fr.Cr, fr.avail, cx, cy, nc, g=2)
     best = (1 << 60, 4, None, None)
     for idx in (4, 0, 1, 2, 3):
         cm = _chroma_mode_from_idx(idx, luma0)
-        pb = _predict_tb(fr, fr.Cb, cx, cy, nc, cm, False)
-        pr = _predict_tb(fr, fr.Cr, cx, cy, nc, cm, False)
+        pb = _pred_intra(lb, tb2, cm, nc, False)
+        pr = _pred_intra(lr, tr2, cm, nc, False)
         s = _sad(pb, srcCb[cy:cy + nc, cx:cx + nc]) + \
             _sad(pr, srcCr[cy:cy + nc, cx:cx + nc])
         if s < best[0]:
@@ -2765,7 +2790,16 @@ def _search_mv(refY: np.ndarray, src_blk: np.ndarray, x0: int,
     """Deterministic motion search: integer full search in a
     ±``rng`` window around each (deduplicated, integer-rounded)
     start vector, then two rounds of quarter-pel 8-neighbour
-    refinement. Ties break lexicographically on (SAD, mv)."""
+    refinement. Ties break lexicographically on (SAD, mv).
+
+    The C kernel (gs_h265_search_mv) runs the identical integer
+    search + DCT-IF refinement when available; the numpy path below
+    is the correctness reference and silent fallback — parity is
+    pinned by tests/test_h265_search_native.py."""
+    r = h265_search_mv_native(refY, src_blk, x0, y0, w, h,
+                              list(starts), rng)
+    if r is not None:
+        return r
     # Integer stage, vectorized: a full-pel prediction is exactly an
     # edge-clamped window of the reference (the << 6 / (+32) >> 6
     # chain of _mc_plane is the identity on 0..255), and clipping an
@@ -2799,9 +2833,11 @@ def _search_mv(refY: np.ndarray, src_blk: np.ndarray, x0: int,
         cand = (int(flat[i]), mv)
         if best is None or cand < best:
             best = cand
-    # quarter-pel refinement: re-evaluating an already-seen candidate
-    # yields an equal (s, mv) which never wins the strict <, so the
-    # old seen-set is not needed for equivalence
+    # quarter-pel refinement: skipping an already-evaluated candidate
+    # is exact (its equal (s, mv) never wins the strict <), and a
+    # round that does not move the best makes the next round a
+    # no-op — break instead of re-evaluating the same 8 neighbours
+    seen = set()
     for _ in range(2):
         s0, (mx, my) = best
         for dy in (-1, 0, 1):
@@ -2809,10 +2845,15 @@ def _search_mv(refY: np.ndarray, src_blk: np.ndarray, x0: int,
                 if not dx and not dy:
                     continue
                 mv = (mx + dx, my + dy)
+                if mv in seen:
+                    continue
+                seen.add(mv)
                 pred = _mc_luma(refY, x0, y0, w, h, mv)
                 s = _sad(pred, src_blk)
                 if (s, mv) < best:
                     best = (s, mv)
+        if best[1] == (mx, my):
+            break
     return best
 
 
