@@ -191,7 +191,6 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     sets = shh.groupBy("doc_id").agg(
         F.collect_list("h").alias("hash_set"),
         F.count(F.lit(1)).alias("sz")).cache()
-    shx = sets.select("doc_id", F.explode("hash_set").alias("h"))
     mh = make_minhash_udf(n_perm)
     sigs = sets.select("doc_id", mh("hash_set").alias("sig"))
     bands = sigs.select(
@@ -203,7 +202,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                     F.slice("sig", i * rows_per_band + 1, rows_per_band)))
         ).alias("band", "band_hash"))
     x = bands.alias("x")
-    y = bands.alias("y")
+    y = bands.hint("shuffle_hash").alias("y")
     cands = (x.join(y, (F.col("x.band") == F.col("y.band"))
                     & (F.col("x.band_hash") == F.col("y.band_hash"))
                     & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -211,19 +210,54 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                      F.col("y.doc_id").alias("doc_b"))
              .distinct())
     # exact verification of candidates only (hash-equality ∩ counts;
-    # xxhash64 collisions are ~n²/2^64 — negligible at any real corpus)
-    sh_a = shx.select(F.col("doc_id").alias("doc_a"),
-                      F.col("h").alias("h_a"))
-    sh_b = shx.select(F.col("doc_id").alias("doc_b2"),
-                      F.col("h").alias("h_b"))
-    inter = (cands.join(sh_a, "doc_a")
-             .join(sh_b, (F.col("doc_b") == F.col("doc_b2"))
-                   & (F.col("h_a") == F.col("h_b")))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+    # xxhash64 collisions are ~n²/2^64 — negligible at any real
+    # corpus). r9: the intersection is counted per candidate pair
+    # from the cached per-doc hash ARRAYS (sorted-merge in an Arrow
+    # kernel) instead of re-exploding every shingle hash into two
+    # corpus-wide relations and shuffling them through an equi-join +
+    # groupBy — the candidate relation is tiny next to the exploded
+    # hash relation, and the per-doc arrays are distinct by
+    # construction (shingles() is array_distinct), so the count is
+    # the same. The jaccard/threshold/round expressions are unchanged
+    # (JVM half-up rounding, identical output values).
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("hash_set").alias("ha"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("hash_set").alias("hb"),
+                     F.col("sz").alias("sz_b"))
+    joined = cands.join(sa, "doc_a").join(sb, "doc_b")
+
+    def count_inter(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            sza = batch.column("sz_a").to_numpy(zero_copy_only=False)
+            szb = batch.column("sz_b").to_numpy(zero_copy_only=False)
+            ha = batch.column("ha")
+            hb = batch.column("hb")
+            out = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                out[i] = np.intersect1d(
+                    np.asarray(ha[i].as_py(), dtype=np.int64),
+                    np.asarray(hb[i].as_py(), dtype=np.int64),
+                    assume_unique=True).size
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(da, pa.int64()), pa.array(db, pa.int64()),
+                 pa.array(sza, pa.int64()), pa.array(szb, pa.int64()),
+                 pa.array(out, pa.int64())],
+                ["doc_a", "doc_b", "sz_a", "sz_b", "inter"])
+
+    inter = joined.select("doc_a", "doc_b", "sz_a", "sz_b", "ha",
+                          "hb").mapInArrow(
+        count_inter,
+        "doc_a long, doc_b long, sz_a long, sz_b long, inter long")
+    return (inter
             .withColumn("jaccard",
                         F.col("inter")
                         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
