@@ -249,15 +249,22 @@ def pixel_features(px: np.ndarray) -> dict:
     h, w, _ = px.shape
     sums = px.sum(axis=(0, 1))
     lum = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
-    ys = [i * h // 8 for i in range(9)]
-    xs = [j * w // 8 for j in range(9)]
-    blocks = np.empty((8, 8), dtype=np.int64)
-    areas = np.empty((8, 8), dtype=np.int64)
-    for i in range(8):
-        for j in range(8):
-            blk = lum[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
-            blocks[i, j] = blk.sum()
-            areas[i, j] = blk.size
+    ys = np.array([i * h // 8 for i in range(9)])
+    xs = np.array([j * w // 8 for j in range(9)])
+    if h >= 8 and w >= 8:
+        # one reduceat per axis replaces the 64 tiny per-block sums
+        # (integer adds — any summation order is exact)
+        blocks = np.add.reduceat(
+            np.add.reduceat(lum, ys[:-1], axis=0), xs[:-1], axis=1)
+        areas = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+    else:
+        blocks = np.empty((8, 8), dtype=np.int64)
+        areas = np.empty((8, 8), dtype=np.int64)
+        for i in range(8):
+            for j in range(8):
+                blk = lum[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                blocks[i, j] = blk.sum()
+                areas[i, j] = blk.size
     total = int(lum.sum())
     # bit set iff block mean > image mean, cross-multiplied exact:
     #   blocksum / area > total / (h*w)   ≡   blocksum*h*w > total*area
