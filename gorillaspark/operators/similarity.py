@@ -831,6 +831,38 @@ def _fold_dot(vec, lit_arr) -> F.Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dlit(vals) -> F.Column:
+    """array<double> literal built in ONE expression-parse py4j call.
+    ``F.lit(list)`` makes one JVM roundtrip per element — building the
+    IVF-PQ plan with its 16x64-double codebook literals measured
+    ~1.4 s of driver time per query call. repr() of a finite double is
+    the shortest exact round-trip form and Spark's literal parser is
+    correctly rounded, so the resulting Literal is bit-identical;
+    non-finite values fall back to F.lit."""
+    vals = [float(v) for v in vals]
+    if not all(v == v and abs(v) != float("inf") for v in vals):
+        return F.lit(vals)
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals)
+                  + ")")
+
+
+def _dlit2(rows) -> F.Column:
+    """array<array<double>> literal in one py4j call (see _dlit)."""
+    rows = [[float(v) for v in r] for r in rows]
+    if not all(v == v and abs(v) != float("inf")
+               for r in rows for v in r):
+        return F.lit(rows)
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(repr(v) + "D" for v in r) + ")"
+        for r in rows) + ")")
+
+
+def _llit(vals) -> F.Column:
+    """array<bigint> literal in one py4j call (see _dlit)."""
+    return F.expr("array(" + ",".join(str(int(v)) + "L" for v in vals)
+                  + ")")
+
+
 def _collect_cell_codebook(normed: DataFrame, n_centroids: int,
                            id_col: str) -> tuple:
     """Driver-side collect of the fixed IVF codebook (unit-normalized
@@ -859,9 +891,9 @@ def _cell_scores(vec, cell_ids: list, cell_units: list) -> F.Column:
     the window form used — so ``array_min`` is single-cell assignment
     and ``slice(array_sort(...), 1, nprobe)`` is query probing. One
     2-D literal + transform: constant-folded, zero exchange."""
-    ids_lit = F.lit([int(c) for c in cell_ids])
+    ids_lit = _llit(cell_ids)
     return F.transform(
-        F.lit(cell_units),
+        _dlit2(cell_units),
         lambda cu, i: F.struct(
             (-_fold_dot(vec, cu)).alias("nd"),
             F.element_at(ids_lit, (i + F.lit(1)).cast("int"))
@@ -1164,9 +1196,9 @@ def _pq_code_argmin(sub, codewords: list) -> F.Column:
         for x in c:
             acc = acc + x * x
         n2.append(acc)
-    n2_lit = F.lit(n2)
+    n2_lit = _dlit(n2)
     return _let(sub, lambda s: F.array_min(F.transform(
-        F.lit([list(c) for c in codewords]),
+        _dlit2([list(c) for c in codewords]),
         lambda c, i: F.struct(
             (-(_fold_dot(s, c)
                - F.element_at(n2_lit, (i + F.lit(1)).cast("int"))
