@@ -449,7 +449,11 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
     bands = sigs.select("doc_id", "simhash",
                         F.posexplode(chunks).alias("band", "code"))
     a = bands.alias("a")
-    b = bands.alias("b")
+    # shuffled-hash beats sort-merge here: both sides are the same
+    # narrow band relation, already bounded per partition by the
+    # banded design — no point sorting 4n rows twice (same hint and
+    # rationale as the minhash candidate join)
+    b = bands.hint("shuffle_hash").alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.code") == F.col("b.code"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -481,7 +485,7 @@ def _simhash_hamming_pairs_128(docs: DataFrame, max_dist: int,
     bands = sigs.select("doc_id", "simhash", "simhash2",
                         F.posexplode(chunks).alias("band", "code"))
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = bands.hint("shuffle_hash").alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.code") == F.col("b.code"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))

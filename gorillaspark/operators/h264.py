@@ -419,7 +419,8 @@ _CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43,
               44, 1, 2, 4, 8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33,
               34, 36, 40, 38, 41]
 
-_ZZ4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+_ZZ4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14,
+                 15])
 
 # LevelScale4x4 entries per qP%6: [ (0,0)-class, (1,1)-class, other ]
 _LS = [(10, 16, 13), (11, 18, 14), (13, 20, 16), (14, 23, 18),
@@ -698,18 +699,33 @@ def _fwd_transform_4x4(x: np.ndarray) -> np.ndarray:
     return cf @ x.astype(np.int64) @ cf.T
 
 
-def _hadamard4(x: np.ndarray) -> np.ndarray:
-    h = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+_HAD4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
                   [1, -1, -1, 1], [1, -1, 1, -1]], dtype=np.int64)
-    return h @ x.astype(np.int64) @ h.T
+
+
+def _hadamard4(x: np.ndarray) -> np.ndarray:
+    return _HAD4 @ x.astype(np.int64) @ _HAD4.T
+
+
+_LS_ARRS: dict = {}
+
+
+def _ls_arr(qp: int) -> np.ndarray:
+    """Cached (4, 4) LevelScale table for qp (the per-call np.array +
+    fancy-index construction was ~25% of MB reconstruction)."""
+    a = _LS_ARRS.get(qp)
+    if a is None:
+        a = np.array(_LS[qp % 6], dtype=np.int64)[_LS_CLASS]
+        a.setflags(write=False)
+        _LS_ARRS[qp] = a
+    return a
 
 
 def _dequant_ac(c: np.ndarray, qp: int) -> np.ndarray:
     """LevelScale dequant of a 4x4 residual block (8.5.12.1); c in
     raster order. DC position included (used for chroma AC blocks the
     DC of which is replaced by the chroma-DC path)."""
-    ls = np.array(_LS[qp % 6], dtype=np.int64)[_LS_CLASS]
-    return (c.astype(np.int64) * ls) << (qp // 6)
+    return (c.astype(np.int64) * _ls_arr(qp)) << (qp // 6)
 
 
 def _luma_dc_dequant(c16: np.ndarray, qp: int) -> np.ndarray:
@@ -722,10 +738,12 @@ def _luma_dc_dequant(c16: np.ndarray, qp: int) -> np.ndarray:
     return (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
 
 
+_HAD2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
 def _chroma_dc_dequant(c4: np.ndarray, qpc: int) -> np.ndarray:
     """2x2 chroma DC: Hadamard + scaling (8.5.11)."""
-    h = np.array([[1, 1], [1, -1]], dtype=np.int64)
-    f = h @ c4.astype(np.int64) @ h
+    f = _HAD2 @ c4.astype(np.int64) @ _HAD2
     ls = _LS[qpc % 6][0]
     return ((f * ls) << (qpc // 6)) >> 5
 
@@ -2561,9 +2579,7 @@ def _recon_mb_i16(Y, Cb, Cr, mbx, mby, pred_mode, chroma_mode, qp,
     # (same per-block integer chain as the scalar loop)
     d = np.zeros((16, 16), dtype=np.int64)
     d[:, _ZZ4] = ac
-    ls = (np.array(_LS[qp % 6], dtype=np.int64)[_LS_CLASS]
-          .reshape(1, 4, 4))
-    dq = (d.reshape(16, 4, 4) * ls) << (qp // 6)
+    dq = (d.reshape(16, 4, 4) * _ls_arr(qp)[None]) << (qp // 6)
     for blk in range(16):
         bx, by = _BLK_POS[blk]
         dq[blk, 0, 0] = dcs[by, bx]
@@ -2615,9 +2631,7 @@ def _recon_chroma_from_pred(Cb, Cr, pred_cb, pred_cr, mbx, mby, cdc,
     # transform (same per-block integer chain as the scalar loop)
     d = np.zeros((8, 16), dtype=np.int64)
     d[:, _ZZ4] = cac.reshape(8, 16)
-    ls = (np.array(_LS[qpc % 6], dtype=np.int64)[_LS_CLASS]
-          .reshape(1, 4, 4))
-    dq = (d.reshape(8, 4, 4) * ls) << (qpc // 6)
+    dq = (d.reshape(8, 4, 4) * _ls_arr(qpc)[None]) << (qpc // 6)
     for ci in range(2):
         dcs = _chroma_dc_dequant(cdc[ci].reshape(2, 2), qpc)
         for blk in range(4):
