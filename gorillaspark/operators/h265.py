@@ -964,11 +964,12 @@ def _pred_intra(left: np.ndarray, top: np.ndarray, mode: int, n: int,
         tr = top[n + 1] if len(top) > n + 1 else top[n]
         bl = left[n + 1] if len(left) > n + 1 else left[n]
         x = np.arange(n)
-        for y in range(n):
-            out[y] = ((n - 1 - x) * l[y] + (x + 1) * tr
-                      + (n - 1 - y) * t + (y + 1) * bl + n) >> \
-                (int(np.log2(n)) + 1)
-        return out
+        y = np.arange(n)
+        # same per-element integer chain as the scalar row loop
+        return ((n - 1 - x)[None, :] * l[:, None]
+                + (x + 1)[None, :] * tr
+                + (n - 1 - y)[:, None] * t[None, :]
+                + (y + 1)[:, None] * bl + n) >> (int(np.log2(n)) + 1)
     if mode == 1:                                 # DC (§8.4.4.2.5)
         dc = (int(left[1:n + 1].sum() + top[1:n + 1].sum()) + n) >> \
             (int(np.log2(n)) + 1)
@@ -992,18 +993,22 @@ def _pred_intra(left: np.ndarray, top: np.ndarray, mode: int, n: int,
     if ang < 0:
         inv = _INV_ANGLE[ang]
         last = (n * ang) >> 5
-        for x in range(-1, last - 1, -1):
-            ref[x + n] = side[min((x * inv + 128) >> 8, 2 * n)]
-    pr = np.empty((n, n), dtype=np.int64)
-    for y in range(n):
-        idx = ((y + 1) * ang) >> 5
-        fact = ((y + 1) * ang) & 31
-        base = ref[n + 1 + idx: n + 1 + idx + n]
-        if fact:
-            nxt = ref[n + 2 + idx: n + 2 + idx + n]
-            pr[y] = ((32 - fact) * base + fact * nxt + 16) >> 5
-        else:
-            pr[y] = base
+        xe = np.arange(-1, last - 1, -1)
+        ref[xe + n] = side[np.minimum((xe * inv + 128) >> 8, 2 * n)]
+    # all rows at once: idx/fact per row, gathered base/next slices;
+    # the where() picks the unfiltered row exactly where fact == 0
+    # (ref[pos + 1] is clamped there — never read, idx == n forces
+    # fact == 0). Same integer arithmetic as the scalar row loop.
+    yv = np.arange(1, n + 1)
+    idx = (yv * ang) >> 5
+    fact = (yv * ang) & 31
+    pos = n + 1 + idx[:, None] + np.arange(n)[None, :]
+    base = ref[pos]
+    nxt = ref[np.minimum(pos + 1, 3 * n)]
+    pr = np.where(fact[:, None],
+                  ((32 - fact)[:, None] * base
+                   + fact[:, None] * nxt + 16) >> 5,
+                  base)
     if mode >= 18:
         out = pr
         if mode == 26 and is_luma and n < 32:     # vertical edge filter
