@@ -202,7 +202,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                     F.slice("sig", i * rows_per_band + 1, rows_per_band)))
         ).alias("band", "band_hash"))
     x = bands.alias("x")
-    y = bands.hint("shuffle_hash").alias("y")
+    y = bands.alias("y")
     cands = (x.join(y, (F.col("x.band") == F.col("y.band"))
                     & (F.col("x.band_hash") == F.col("y.band_hash"))
                     & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -449,11 +449,7 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = 3,
     bands = sigs.select("doc_id", "simhash",
                         F.posexplode(chunks).alias("band", "code"))
     a = bands.alias("a")
-    # shuffled-hash beats sort-merge here: both sides are the same
-    # narrow band relation, already bounded per partition by the
-    # banded design — no point sorting 4n rows twice (same hint and
-    # rationale as the minhash candidate join)
-    b = bands.hint("shuffle_hash").alias("b")
+    b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.code") == F.col("b.code"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -485,7 +481,7 @@ def _simhash_hamming_pairs_128(docs: DataFrame, max_dist: int,
     bands = sigs.select("doc_id", "simhash", "simhash2",
                         F.posexplode(chunks).alias("band", "code"))
     a = bands.alias("a")
-    b = bands.hint("shuffle_hash").alias("b")
+    b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.code") == F.col("b.code"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))

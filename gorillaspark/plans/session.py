@@ -34,6 +34,15 @@ def build_session(app: str = "gorillaspark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # convert sort-merge joins to shuffled-hash at runtime when
+        # every post-shuffle build partition fits comfortably (r9: the
+        # band self-joins of minhash/simhash sorted two copies of a
+        # narrow relation for nothing; default 0 never converts). Size
+        # is measured per partition at runtime, so big-build joins
+        # keep sort-merge — scale-adaptive, not tuned to local[32];
+        # SPARK_GRAFT_SHJ_THRESHOLD overrides (bytes, 0 disables)
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "134217728"))
         .config("spark.sql.shuffle.partitions", str(shuffle))
         # Arrow is the codec UDF transport; large batches amortize the
         # per-batch kernel overhead (segmented encode is O(1) calls/batch)
