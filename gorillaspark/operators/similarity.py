@@ -316,13 +316,19 @@ def _near_dup_dense(emb: DataFrame, thr: float, n_planes: int,
         else:
             ai = np.flatnonzero(gids == a)
             bi = np.flatnonzero(gids == b)
-        UA, UB = U[ai], U[bi]
+        # float32 PREFILTER only: candidates are a superset (margin
+        # 1e-4 dwarfs the worst-case f32 gemm error, ~64·eps32 ≈ 8e-6
+        # for 64-dim unit vectors), and membership + the emitted value
+        # are decided by the exact float64 einsum below — so the
+        # output is unchanged while the dominant n²/2 matmul + scan
+        # moves half the bytes
+        UA, UB = U[ai].astype(np.float32), U[bi].astype(np.float32)
         for r0 in range(0, len(ai), TILE):
             A = UA[r0:r0 + TILE]
             for c0 in (range(r0, len(bi), TILE) if a == b
                        else range(0, len(bi), TILE)):
                 sims = A @ UB[c0:c0 + TILE].T
-                ia, ib = np.nonzero(sims >= thr - 1e-6)
+                ia, ib = np.nonzero(sims >= thr - 1e-4)
                 gi, gj = ai[ia + r0], bi[ib + c0]
                 if a == b:
                     keep = gi < gj           # upper triangle
