@@ -313,6 +313,13 @@ def _parse_sps(br: _Bits) -> dict:
     sps["log2_max_poc"] = br.ue() + 4
     if sps["log2_max_poc"] > 16:
         raise ValueError("log2_max_pic_order_cnt_lsb out of range")
+    if sps["log2_max_poc"] != 8:
+        # _parse_slice_header reads slice_pic_order_cnt_lsb as a fixed
+        # u(8) (the width our SPS writer always emits); any other
+        # width would misparse the rest of the header — reject loudly
+        # at the known unsupported field instead (ADVICE r8)
+        raise NotImplementedError(
+            "only log2_max_pic_order_cnt_lsb == 8 is supported")
     if br.u(1):                  # sub_layer_ordering_info_present
         br.ue(), br.ue(), br.ue()
     min_cb = br.ue() + 3
@@ -3432,11 +3439,11 @@ def h265_encoder_reconstruction(y, qp: int = 32, cb=None, cr=None,
 
 
 def h265_decode_gop_planes(payload: bytes):
-    """Decode an Annex-B HEVC stream (VPS/SPS/PPS + IDR and TRAIL P
-    access units) to a list of uncropped (Y, Cb, Cr) int64 frame
-    planes plus the SPS conformance-window crop. P slices reference
-    the previously decoded picture (single-pic DPB — the shape this
-    codec's slice-local RPS signals); an IDR resets the chain."""
+    """Decode an Annex-B HEVC stream (VPS/SPS/PPS + IDR and TRAIL
+    P/B access units) to a list of uncropped (Y, Cb, Cr) int64 frame
+    planes (display/POC order) plus the SPS conformance-window crop.
+    Inter slices reference pictures from a POC-keyed multi-picture
+    DPB (two lists for B); an IDR resets the chain."""
     sps = pps = None
     slices = []                  # (is_idr, rbsp) in decode order
     marker = False
@@ -3458,8 +3465,8 @@ def h265_decode_gop_planes(payload: bytes):
         elif nal_type < 32:
             raise NotImplementedError(
                 f"HEVC NAL type {nal_type} unsupported (IDR + TRAIL "
-                "P only; B/CRA/RASL streams need reference structures "
-                "this codec does not model)")
+                "only; CRA/RASL/BLA random-access structures are not "
+                "modelled by this codec)")
         # AUD(35)/EOS(36)/EOB(37)/filler(38): ignored
     if sps is None or pps is None or not slices:
         raise ValueError("stream lacks SPS, PPS or a coded slice")
@@ -3520,8 +3527,8 @@ def h265_decode(payload: bytes) -> np.ndarray:
 
 
 def h265_decode_gop(payload: bytes) -> list:
-    """Decode an HEVC stream (IDR + TRAIL P pictures) to a list of
-    RGB frames."""
+    """Decode an HEVC stream (IDR + TRAIL P/B pictures) to a list of
+    RGB frames in display (POC) order."""
     from .h264 import _planes_to_rgb
     frames, crop = h265_decode_gop_planes(payload)
     crop2 = tuple(c // 2 for c in crop)
