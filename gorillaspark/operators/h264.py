@@ -1585,11 +1585,15 @@ def _mc_luma(refY: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
     H, W = refY.shape
     ix, fx = x0 + (mvx >> 2), mvx & 3
     iy, fy = y0 + (mvy >> 2), mvy & 3
+    if fx == 0 and fy == 0:
+        # full-pel: gather only the target window (the filter margin
+        # rows/cols would be sliced away unread)
+        ys = np.arange(iy, iy + sh).clip(0, H - 1)
+        xs = np.arange(ix, ix + sw).clip(0, W - 1)
+        return refY[ys[:, None], xs]
     ys = np.clip(np.arange(iy - 2, iy + sh + 3), 0, H - 1)
     xs = np.clip(np.arange(ix - 2, ix + sw + 3), 0, W - 1)
     w = refY[np.ix_(ys, xs)]                       # (sh+5, sw+5)
-    if fx == 0 and fy == 0:
-        return w[2:2 + sh, 2:2 + sw]
 
     def tap6(a, axis):
         sl = [slice(None)] * a.ndim
@@ -1644,6 +1648,11 @@ def _mc_chroma(refC: np.ndarray, cx0: int, cy0: int, mvx: int,
     H, W = refC.shape
     ix, fx = cx0 + (mvx >> 3), mvx & 7
     iy, fy = cy0 + (mvy >> 3), mvy & 7
+    if fx == 0 and fy == 0:
+        # integer chroma position: the blend is (64*A + 32) >> 6 == A
+        ys = np.arange(iy, iy + sh).clip(0, H - 1)
+        xs = np.arange(ix, ix + sw).clip(0, W - 1)
+        return refC[ys[:, None], xs]
     ys = np.clip(np.arange(iy, iy + sh + 1), 0, H - 1)
     xs = np.clip(np.arange(ix, ix + sw + 1), 0, W - 1)
     w = refC[np.ix_(ys, xs)]                       # (sh+1, sw+1)
