@@ -317,8 +317,10 @@ class _CabacDec:
 
     def _bit(self) -> int:
         br = self.br
-        if br.pos < br.n:
-            return br.u(1)
+        p = br.pos
+        if p < br.n:
+            br.pos = p + 1
+            return (br.data[p >> 3] >> (7 - (p & 7))) & 1
         # the encoder's flush can leave the decoder a few bits short
         # of its final renorms; a bounded zero tail is spec-legal
         # (cabac_zero_word territory), anything more is corruption
@@ -353,6 +355,36 @@ class _CabacDec:
             self.offset -= self.range
             return 1
         return 0
+
+    def bypass_n(self, k: int) -> int:
+        """k bypass bins in one step. The per-bin chain (offset' =
+        2·offset + t, subtract range when ≥) computes the base-range
+        digits of offset·2^k + T, and each quotient digit is 0/1
+        because offset < range — so the decoded bins are exactly the
+        binary digits of (offset·2^k + T) // range and the final
+        offset is the remainder (range is untouched by bypass bins).
+        Identical results to k bypass() calls; the slow path keeps
+        the phantom-bit accounting when the read crosses the slice
+        end."""
+        if k <= 0:
+            return 0
+        br = self.br
+        p = br.pos
+        if p + k <= br.n:
+            b0 = p >> 3
+            b1 = (p + k + 7) >> 3
+            chunk = int.from_bytes(br.data[b0:b1], "big")
+            t = (chunk >> ((b1 - b0) * 8 - (p - b0 * 8) - k)) \
+                & ((1 << k) - 1)
+            br.pos = p + k
+            acc = (self.offset << k) | t
+            v = acc // self.range
+            self.offset = acc - v * self.range
+            return v
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bypass()
+        return v
 
     def terminate(self) -> int:
         self.range -= 2

@@ -1133,11 +1133,7 @@ def _code_last_prefix(x, ctx, log2_tb: int, is_luma: bool,
         g += 1
     if g <= 3:
         return g
-    nbits = (g >> 1) - 1
-    suf = 0
-    for _ in range(nbits):
-        suf = (suf << 1) | x.bypass()
-    return _MIN_IN_GROUP[g] + suf
+    return _MIN_IN_GROUP[g] + x.bypass_n((g >> 1) - 1)
 
 
 def _code_remaining(x, rice: int, v=None) -> int:
@@ -1168,10 +1164,7 @@ def _code_remaining(x, rice: int, v=None) -> int:
     while q < 3 and x.bypass():
         q += 1
     if q < 3:
-        suf = 0
-        for _ in range(rice):
-            suf = (suf << 1) | x.bypass()
-        return (q << rice) + suf
+        return (q << rice) + x.bypass_n(rice)
     k = rice + 1
     v = 3 << rice
     while x.bypass():
@@ -1179,10 +1172,7 @@ def _code_remaining(x, rice: int, v=None) -> int:
         k += 1
         if k > 30:
             raise ValueError("coeff_abs_level_remaining overflow")
-    suf = 0
-    for _ in range(k):
-        suf = (suf << 1) | x.bypass()
-    return v + suf
+    return v + x.bypass_n(k)
 
 
 def _enc_residual5(enc: _CabacEnc, ctx: _Ctx5, coefs: np.ndarray,
@@ -1349,7 +1339,10 @@ def _dec_residual5(dec: _CabacDec, ctx: _Ctx5, log2_tb: int,
         if first_g1 >= 0:
             g2 = dec.bit(ctx, _GT2 + ctx_set)
         prev_c1 = c1
-        signs = [dec.bypass() for _ in sig_positions]
+        nsig = len(sig_positions)
+        sign_word = dec.bypass_n(nsig)
+        signs = [(sign_word >> (nsig - 1 - i)) & 1
+                 for i in range(nsig)]
         rice = 0
         for k, s in enumerate(sig_positions):
             if k < 8:
