@@ -1347,16 +1347,34 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
         raise ValueError(
             f"IVF codebook is empty: no corpus ids < {n_centroids}")
     cell_units = [unit_map[i] for i in cell_ids]
-    probes = (with_unit_norm(queries, vec_col)
-              .select(F.col(id_col).alias("query_id"),
-                      F.col("unit").alias("q_unit"),
-                      F.explode(_let(F.col("unit"), lambda uu: F.slice(
-                          F.array_sort(_cell_scores(
-                              uu, cell_ids, cell_units)),
-                          1, nprobe))).alias("_pc"))
-              .select("query_id", "q_unit",
-                      F.col("_pc.cell").alias("cell"),
-                      (-F.col("_pc.nd")).alias("_cdot")))
+    # --- query-side plans (probes, LUT, centroid terms) computed
+    # driver-side from the collected (bounded) query set: the old
+    # relational form spent ~1 s of py4j plan construction per call
+    # (codebook literals, HOF folds, explode+join+groupBy for the
+    # LUT) to derive a few hundred values. The JVM-computed q_unit is
+    # collected as-is and every derived number uses the exact-fold
+    # helpers + the same (dot*1e6 + 0.5) floor, so probes, LUT
+    # entries and refine cosines are bit-identical to the relational
+    # construction (and to the SQL oracle).
+    qrows = (with_unit_norm(queries, vec_col)
+             .select(F.col(id_col).alias("query_id"), "unit")
+             .collect())
+    qids = [r["query_id"] for r in qrows]
+    QU = (np.array([r["unit"] for r in qrows], dtype=np.float64)
+          if qrows else np.empty((0, dim)))
+    CU = np.asarray(cell_units, dtype=np.float64)
+    cells_arr = np.asarray(cell_ids, dtype=np.int64)
+    qdots = _np_fold_dots(QU, CU) if len(qids) else \
+        np.empty((0, len(cell_ids)))
+    probe_cells = []                  # (query_id, cell)
+    cell_rows = []                    # (query_id, cell, cell_i)
+    for qi, qid in enumerate(qids):
+        nd = -qdots[qi]
+        order = np.lexsort((cells_arr, nd))[:nprobe]
+        for j in order:
+            probe_cells.append((qid, int(cells_arr[j])))
+            cell_rows.append((qid, int(cells_arr[j]),
+                              int(np.floor(qdots[qi][j] * 1e6 + 0.5))))
 
     # --- PQ codebook (driver-side) + its relational twin for the LUT
     spark = emb.sparkSession
@@ -1385,10 +1403,6 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
             cvecs = {i: unit_map[i] for i in code_ids}
         cw_subs = [[cvecs[c][m * sub_w:(m + 1) * sub_w]
                     for c in range(n_codes)] for m in range(n_sub)]
-    codebook = spark.createDataFrame(
-        [(int(c), int(m), cw_subs[m][c])
-         for m in range(n_sub) for c in range(n_codes)],
-        "code int, m int, cw array<double>")
 
     n_bits = max(1, (n_codes - 1).bit_length())
     if n_sub * n_bits > 64:
@@ -1402,39 +1416,39 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
     assigned = idx.select(F.col("vid").alias("nbr_id"), "cell")
     packed = idx.select("vid", "packed")
 
-    q_units = probes.select("query_id", "q_unit").distinct()
-    q_subs = q_units.select(
-        "query_id",
-        F.posexplode(F.array(*[
-            F.slice("q_unit", m * sub_w + 1, sub_w)
-            for m in range(n_sub)])).alias("m", "q_sub"))
-    # integer-quantized LUT: exact BIGINT sums are aggregation-order
-    # independent, so Spark and the SQL oracle can never drift; one
-    # array row per query, indexed [m * n_codes + code]
-    lut = (q_subs.join(F.broadcast(codebook), "m")
-           .select("query_id", "m", "code",
-                   F.floor(_dot("q_sub", "cw") * F.lit(1e6) + F.lit(0.5))
-                   .alias("lut_i")))
-    # Indexing below assumes codes are DENSE 0..n_codes-1 in every
-    # subspace (lut_arr[m * n_codes + code]); a trained codebook with a
-    # dead codeword would silently mis-rank, so guard at runtime: any
-    # query whose LUT isn't exactly n_sub * n_codes entries raises.
+    # integer-quantized LUT, driver-side over the collected queries:
+    # lut_arr[m * n_codes + code] = floor(fold_dot(q_sub_m, cw)*1e6
+    # + 0.5) — exact BIGINT sums are aggregation-order independent,
+    # so Spark and the SQL oracle can never drift. The dense-code
+    # guard of the relational form becomes a direct shape assert.
     n_lut = n_sub * n_codes
-    lut_arr = (lut.groupBy("query_id")
-               .agg(F.array_sort(F.collect_list(
-                   F.struct("m", "code", "lut_i")))
-                   .getField("lut_i").alias("_lut_raw"))
-               .select("query_id", F.when(
-                   F.size("_lut_raw") == n_lut, F.col("_lut_raw"))
-                   .otherwise(F.raise_error(F.lit(
-                       f"gappy PQ codebook: LUT must have exactly "
-                       f"{n_lut} (n_sub*n_codes) entries per query")))
-                   .alias("lut_arr")))
+    CW = [np.asarray(cw_subs[m], dtype=np.float64)
+          for m in range(n_sub)]
+    lut_rows = []
+    for qi, qid in enumerate(qids):
+        entries = []
+        for m in range(n_sub):
+            qsub = QU[qi, m * sub_w:(m + 1) * sub_w]
+            d = _np_fold_dots(qsub[None, :], CW[m])[0]
+            entries.extend(
+                int(v) for v in np.floor(d * 1e6 + 0.5))
+        if len(entries) != n_lut:
+            raise ValueError(
+                f"gappy PQ codebook: LUT must have exactly "
+                f"{n_lut} (n_sub*n_codes) entries per query")
+        lut_rows.append((qid, entries))
+    q_units = spark.createDataFrame(
+        [(qid, [float(x) for x in QU[qi]])
+         for qi, qid in enumerate(qids)],
+        "query_id long, q_unit array<double>")
+    lut_arr = spark.createDataFrame(
+        lut_rows, "query_id long, lut_arr array<bigint>")
+    probe_df = spark.createDataFrame(
+        probe_cells, "query_id long, cell long")
 
     # --- candidates scored from the packed 4-byte codes only (ADC)
     cand_cols = ["query_id", "nbr_id"] + (["cell"] if residual else [])
-    cands = (assigned.join(F.broadcast(probes.select("query_id", "cell")
-                                       .distinct()), "cell")
+    cands = (assigned.join(F.broadcast(probe_df), "cell")
              .where(F.col("query_id") != F.col("nbr_id"))
              .select(*cand_cols).distinct())
     adc_terms = [
@@ -1451,10 +1465,9 @@ def ivfpq_topk_fixed_codebook(emb: DataFrame, queries: DataFrame,
     if residual:
         # + the per-(query, probed-cell) centroid term: approx ~=
         # dot(q, c_cell) + dot(q, recon_residual), both 1e-6-quantized
-        cell_lut = (probes.select(
-            "query_id", "cell",
-            F.floor(F.col("_cdot") * F.lit(1e6) + F.lit(0.5))
-            .alias("cell_i")).distinct())
+        # (driver-computed with the same exact fold + floor)
+        cell_lut = spark.createDataFrame(
+            cell_rows, "query_id long, cell long, cell_i long")
         approx = approx.join(F.broadcast(cell_lut), ["query_id", "cell"])
         score_i = score_i + F.col("cell_i")
     approx = (approx.withColumn("approx_i", score_i)
